@@ -1,13 +1,356 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.eval.Metrics
+import graft.graph.KGraph
+import graft.knn.CosineKnn
+import graft.model.PopularityRecommender
+import graft.prep.Preprocess
+import graft.split.EdgeSplits
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Numeric-parity rules used throughout (so value hashes match the
+  * DuckDB oracle bit-for-bit):
+  *  - money sums go through decimal(18,2)/(38,x) — exact, order-free;
+  *  - double aggregates of non-integral values are round()ed to absorb
+  *    summation-order ulp noise;
+  *  - every ranking window carries a total-order tie-break;
+  *  - timestamps are compared as epoch millis (unix_millis/epoch_ms).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared plumbing -------------------------------------------------
+
+  private def T(s: SparkSession, dir: String, name: String) = Tables.t(s, dir, name)
+
+  /** 1999-01-01T00:00:00Z in epoch millis — fixed-timestamp split point. */
+  private val FixedTs = 915148800000L
+
+  /** Deterministic user-level 80/20 temporal split of the rating edges. */
+  private def tsSplit(s: SparkSession, dir: String): DataFrame =
+    EdgeSplits.timestampByRatio(Tables.ratings(s, dir), 0.2, "user")
+
+  private def trainRatings(s: SparkSession, dir: String): DataFrame =
+    tsSplit(s, dir).filter(!col("is_test")).drop("is_test")
+
+  private def testRatings(s: SparkSession, dir: String): DataFrame =
+    tsSplit(s, dir).filter(col("is_test")).drop("is_test")
+
+  private def popRecs(s: SparkSession, dir: String): DataFrame =
+    PopularityRecommender.recommend(trainRatings(s, dir), 5)
+
+  // ---- shared oracle-SQL fragments ------------------------------------
+
+  private val R = Tables.ratingsSql // "WITH ratings AS (...)"
+
+  private val splitSql =
+    """, split AS (
+      |  SELECT user_id, item_id, rating, ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, item_id, user_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM ratings
+      |), train AS (
+      |  SELECT user_id, item_id, rating, ts FROM split WHERE rn <= n - CEIL(n * 0.2)
+      |), test AS (
+      |  SELECT user_id, item_id, rating, ts FROM split WHERE rn > n - CEIL(n * 0.2)
+      |)""".stripMargin
+
+  private val popSql =
+    """, pop AS (SELECT item_id, COUNT(*) AS cnt FROM train GROUP BY 1)
+      |, maxr AS (SELECT MAX(c) AS m FROM (SELECT COUNT(*) AS c FROM train GROUP BY user_id))
+      |, cand AS (SELECT item_id, cnt FROM (
+      |    SELECT item_id, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, item_id) AS pr FROM pop)
+      |  WHERE pr <= (SELECT m + 5 FROM maxr))
+      |, users AS (SELECT DISTINCT user_id FROM train)
+      |, recs AS (SELECT user_id, item_id, rank FROM (
+      |    SELECT u.user_id, c.item_id,
+      |           ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY c.cnt DESC, c.item_id) AS rank
+      |    FROM users u CROSS JOIN cand c
+      |    WHERE NOT EXISTS (SELECT 1 FROM train t
+      |                      WHERE t.user_id = u.user_id AND t.item_id = c.item_id))
+      |  WHERE rank <= 5)""".stripMargin
+
+  private val relSql =
+    """, rel AS (SELECT user_id, item_id, rating FROM test WHERE rating >= 4.0)
+      |, nrel AS (SELECT user_id, COUNT(*) AS nrel FROM rel GROUP BY 1)""".stripMargin
+
+  // ---- flagship -------------------------------------------------------
+
+  /** Flagship: end-to-end recommender spine on sf0.001 — derive the
+    * rating graph, temporal split, popularity top-5, MAP@5 per user. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Metrics.apPerUser(popRecs(spark, dir), testRatings(spark, dir), 5, 4.0)
+  }
+
+  // ---- the operator inventory -----------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A-family: aggregation over scan with pushed filter (S, P, A5-A7)
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // P1-P4: projection, rename, filter
+    "q02_projection_filter" -> ((s, dir) =>
+      T(s, dir, "part")
+        .filter(col("p_size") >= 10 && col("p_retailprice").isNotNull)
+        .select(col("p_partkey"), upper(col("p_name")).as("name_u"), col("p_size"))),
+
+    // J1/J2: left equi-join against a broadcastable dim
+    "q03_left_join_enrich" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(o("o_orderkey"), c("c_name"), c("c_mktsegment"),
+          o("o_totalprice").cast("decimal(18,2)").as("total_dec"))
+    }),
+
+    // J4/P5: edge-endpoint validation via two left-semi joins
+    "q04_semi_join_validation" -> ((s, dir) => {
+      val valids = T(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("user_id"))
+      val validi = T(s, dir, "part").filter(col("p_size") >= 5)
+        .select(col("p_partkey").as("item_id"))
+      Tables.ratings(s, dir)
+        .join(valids, Seq("user_id"), "left_semi")
+        .join(validi, Seq("item_id"), "left_semi")
+        .select("user_id", "item_id", "rating", "ts")
+    }),
+
+    // J5/O4: anti-join (set difference)
+    "q05_anti_join_unrated" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey").as("item_id"))
+        .join(Tables.ratings(s, dir).select("item_id"), Seq("item_id"), "left_anti")),
+
+    // P6/F17: binarize
+    "q06_binarize" -> ((s, dir) =>
+      Preprocess.binarize(Tables.ratings(s, dir), 3.0)
+        .select(col("user_id"), col("item_id"), col("rating").as("rating_bin"))),
+
+    // A2/M7: reference k-core loop (user pass, item pass, user pass)
+    "q07_kcore" -> ((s, dir) => {
+      val r0 = Tables.ratings(s, dir)
+      val r1 = Preprocess.filterKCore(r0, 25, "user", 1)
+      val r2 = Preprocess.filterKCore(r1, 20, "item", 1)
+      Preprocess.filterKCore(r2, 25, "user", 1)
+        .select("user_id", "item_id", "rating", "ts")
+    }),
+
+    // W5/W6: k-fold assignment (ntile == sklearn KFold block sizes)
+    "q08_kfold_user" -> ((s, dir) =>
+      EdgeSplits.kFold(Tables.ratings(s, dir), 5, "user", Seq(col("item_id")))
+        .select("user_id", "item_id", "fold")),
+
+    // W3: per-user temporal ratio split assignment
+    "q09_split_timestamp_user" -> ((s, dir) =>
+      tsSplit(s, dir).select("user_id", "item_id", "is_test")),
+
+    // M6-lite/W7/J5/A10: popularity recommender spine
+    "q10_popularity_recs" -> ((s, dir) => popRecs(s, dir)),
+
+    // A8/J8/P8/W8: per-user average precision @ 5
+    "q11_map_at_5" -> ((s, dir) =>
+      Metrics.apPerUser(popRecs(s, dir), testRatings(s, dir), 5, 4.0)
+        .select(col("user_id"), round(col("ap"), 6).as("ap"))),
+
+    // A9: per-user nDCG @ 5
+    "q12_ndcg_at_5" -> ((s, dir) =>
+      Metrics.ndcgPerUser(popRecs(s, dir), testRatings(s, dir), 5, 4.0)
+        .select(col("user_id"), round(col("ndcg"), 6).as("ndcg"))),
+
+    // M5/F8/F9/O3: triple export with canonical node labels
+    "q13_triples" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val userProps = T(s, dir, "customer")
+        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      val itemProps = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      KGraph.allTriples(r, Seq(
+        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
+        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
+    }),
+
+    // A1/O1/A4/F7: per-user rating-desc group-concat
+    "q14_group_collect" -> ((s, dir) =>
+      Tables.ratings(s, dir)
+        .groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(-rating AS s1, item_id AS s2))), x -> cast(x.s2 as string)), '::')")
+          .as("items"))),
+
+    // exact dedup on documents (driver mandate: dedup family)
+    "q15_dedup_exact" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), md5(col("text")).as("fp"))),
+
+    // J6/F12: exact top-3 cosine neighbors for the first 50 vectors
+    "q21_cosine_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      CosineKnn.topK(e.filter(col("id") < 50), e, 3, excludeSelf = true)
+        .select(col("query_id"), col("item_id").as("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("cos_r"))
+    }),
+
+    // streaming-equivalent tumbling window aggregation over events
+    "q23_events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_millis(col("w.start").cast("timestamp")).as("ws"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // W4/P7: fixed-timestamp split
+    "q24_fixed_ts_split" -> ((s, dir) =>
+      EdgeSplits.fixedTimestamp(Tables.ratings(s, dir), FixedTs)
+        .groupBy("is_test").agg(count(lit(1)).as("n"), round(avg("rating"), 6).as("avg_rating")))
+  )
+
+  // ---- oracles --------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_projection_filter" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_u, p_size FROM part
+        |WHERE p_size >= 10 AND p_retailprice IS NOT NULL""".stripMargin,
+
+    "q03_left_join_enrich" ->
+      """SELECT o_orderkey, c_name, c_mktsegment,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q04_semi_join_validation" -> (R +
+      """SELECT user_id, item_id, rating, ts FROM ratings r
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = r.user_id AND c_acctbal > 0)
+        |  AND EXISTS (SELECT 1 FROM part WHERE p_partkey = r.item_id AND p_size >= 5)""".stripMargin),
+
+    "q05_anti_join_unrated" -> (R +
+      """SELECT p_partkey AS item_id FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM ratings r WHERE r.item_id = p_partkey)""".stripMargin),
+
+    "q06_binarize" -> (R +
+      """SELECT user_id, item_id,
+        |  CASE WHEN rating >= 3.0 THEN 1.0 ELSE 0.0 END AS rating_bin
+        |FROM ratings""".stripMargin),
+
+    "q07_kcore" -> (R +
+      """, ku1 AS (SELECT * FROM ratings WHERE user_id IN
+        |    (SELECT user_id FROM ratings GROUP BY 1 HAVING COUNT(*) >= 25))
+        |, ki1 AS (SELECT * FROM ku1 WHERE item_id IN
+        |    (SELECT item_id FROM ku1 GROUP BY 1 HAVING COUNT(*) >= 20))
+        |, ku2 AS (SELECT * FROM ki1 WHERE user_id IN
+        |    (SELECT user_id FROM ki1 GROUP BY 1 HAVING COUNT(*) >= 25))
+        |SELECT user_id, item_id, rating, ts FROM ku2""".stripMargin),
+
+    "q08_kfold_user" -> (R +
+      """SELECT user_id, item_id,
+        |  NTILE(5) OVER (PARTITION BY user_id ORDER BY item_id) AS fold
+        |FROM ratings""".stripMargin),
+
+    "q09_split_timestamp_user" -> (R + splitSql +
+      """SELECT user_id, item_id, rn > n - CEIL(n * 0.2) AS is_test FROM split""".stripMargin),
+
+    "q10_popularity_recs" -> (R + splitSql + popSql +
+      """SELECT user_id, item_id, rank FROM recs""".stripMargin),
+
+    "q11_map_at_5" -> (R + splitSql + popSql + relSql +
+      """, hits AS (
+        |    SELECT r.user_id, r.rank, n.nrel,
+        |           CASE WHEN x.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |    FROM recs r JOIN nrel n ON r.user_id = n.user_id
+        |    LEFT JOIN rel x ON x.user_id = r.user_id AND x.item_id = r.item_id)
+        |, cum AS (SELECT user_id, rank, nrel, hit,
+        |           SUM(hit) OVER (PARTITION BY user_id ORDER BY rank) AS cum_hits FROM hits)
+        |SELECT user_id,
+        |  ROUND(SUM(hit * cum_hits / CAST(rank AS DOUBLE)) / LEAST(nrel, 5), 6) AS ap
+        |FROM cum GROUP BY user_id, nrel""".stripMargin),
+
+    "q12_ndcg_at_5" -> (R + splitSql + popSql + relSql +
+      """, idcg AS (SELECT user_id, SUM(rating / LOG2(pos + 1.0)) AS idcg FROM (
+        |    SELECT user_id, rating,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS pos
+        |    FROM rel) WHERE pos <= 5 GROUP BY 1)
+        |, dcg AS (SELECT r.user_id, i.idcg,
+        |           SUM(COALESCE(x.rating, 0.0) / LOG2(r.rank + 1.0)) AS dcg
+        |    FROM recs r JOIN idcg i ON r.user_id = i.user_id
+        |    LEFT JOIN rel x ON x.user_id = r.user_id AND x.item_id = r.item_id
+        |    GROUP BY 1, 2)
+        |SELECT user_id,
+        |  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+        |FROM dcg""".stripMargin),
+
+    "q13_triples" -> (R +
+      """SELECT 'User(' || CAST(user_id AS VARCHAR) || ')' AS head,
+        |       'rating' || CAST(CAST(rating AS BIGINT) AS VARCHAR) || '.0' AS relation,
+        |       'Item(' || CAST(item_id AS VARCHAR) || ')' AS tail
+        |FROM ratings
+        |UNION ALL
+        |SELECT 'User(' || CAST(c_custkey AS VARCHAR) || ')', 'is',
+        |       'Property(' || c_mktsegment || ', mktsegment)'
+        |FROM customer WHERE c_custkey IN (SELECT user_id FROM ratings)
+        |UNION ALL
+        |SELECT 'Item(' || CAST(p_partkey AS VARCHAR) || ')', 'has',
+        |       'Property(' || p_brand || ', brand)'
+        |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)""".stripMargin),
+
+    "q14_group_collect" -> (R +
+      """SELECT user_id,
+        |  STRING_AGG(CAST(item_id AS VARCHAR), '::' ORDER BY rating DESC, item_id) AS items
+        |FROM ratings GROUP BY user_id""".stripMargin),
+
+    "q15_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MD5(text) AS fp
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q21_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, e.v) /
+        |        (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(e.v, e.v))) AS cos
+        |      FROM e q, e WHERE q.vec_id < 50 AND q.vec_id <> e.vec_id)
+        |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin,
+
+    "q23_events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS ws, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q24_fixed_ts_split" -> (R +
+      """SELECT ts > 915148800000 AS is_test, COUNT(*) AS n,
+        |  ROUND(AVG(rating), 6) AS avg_rating
+        |FROM ratings GROUP BY 1""".stripMargin)
+  )
 }

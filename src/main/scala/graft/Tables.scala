@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (TESTDATA.md) plus the derived
+  * rating-bipartite-graph view used by the recommender operators
+  * (FIXTURES.md §B mapping): user := o_custkey, item := l_partkey,
+  * rating := quantity bucket in 1..5, ts := epoch millis of l_shipdate.
+  *
+  * The reference engine's rating graph is an undirected simple graph
+  * where duplicate (user, item) edges overwrite (last-wins on insert
+  * order, /root/reference/framework/dataloader/graph/graph.py:137-144).
+  * Insert order is not meaningful under distributed execution, so the
+  * deterministic analogue here is max(rating), max(ts) per pair.
+  */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Rating edges derived from orders ⋈ lineitem (shuffle join on
+    * orderkey, then a partial-aggregated groupBy on (user, item)). */
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(
+        o("o_custkey").as("user_id"),
+        l("l_partkey").as("item_id"),
+        least(lit(5), lit(1) + floor((l("l_quantity") - 1) / 10)).cast("double").as("rating"),
+        unix_millis(l("l_shipdate").cast("timestamp")).as("ts")) // NTZ -> UTC instant (session TZ is UTC)
+      .groupBy("user_id", "item_id")
+      .agg(max("rating").as("rating"), max("ts").as("ts"))
+  }
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader refuses; read nanos as long and convert to a
+    * microsecond timestamp with integral division (ns values exceed
+    * 2^53, so double math would corrupt them). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** DuckDB CTE matching [[ratings]] byte-for-byte (same column names,
+    * same arithmetic). Compose with `, name AS (...)` continuations. */
+  val ratingsSql: String =
+    """WITH ratings AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |         MAX(CAST(LEAST(5, 1 + FLOOR((l_quantity - 1) / 10)) AS DOUBLE)) AS rating,
+      |         MAX(epoch_ms(l_shipdate)) AS ts
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+}

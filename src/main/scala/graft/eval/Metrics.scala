@@ -1,0 +1,86 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MAP@k and nDCG@k as distributed DataFrame aggregations, mirroring
+  * `framework/evaluator/metrics/map.py` and `ndcg.py` plus the shared
+  * relevance filter of `framework/evaluator/metric.py:19-36`.
+  *
+  * Inputs:
+  *  - recs: (user_id, item_id, rank) with rank 1-based, unique per user
+  *  - test: (user_id, item_id, rating)
+  *
+  * Reference semantics preserved:
+  *  - only test items with rating >= relevanceThreshold are relevant
+  *    (metric.py:25-31);
+  *  - users with zero relevant test items are dropped from the mean
+  *    (metric.py:33-34);
+  *  - recommendations are truncated to the first k (map.py:19-20);
+  *  - AP denominator is min(|relevant|, k) (map.py:32);
+  *  - DCG uses graded relevance rel/log2(pos+2) with 0-based pos
+  *    (ndcg.py:21-28); IDCG is the relevant ratings sorted descending,
+  *    truncated to k (ndcg.py:40-44); nDCG = 0 when IDCG = 0
+  *    (ndcg.py:45-46 — unreachable here because relevant users have at
+  *    least one positive-rated item).
+  *
+  * Shuffle shape: one join of recs against the (much smaller) relevant
+  * set on (user_id, item_id), then per-user windows — all partitioned by
+  * user_id, so the whole metric pipeline is a single exchange.
+  */
+object Metrics {
+
+  /** Test items at/above the relevance threshold (metric.py:25-31). */
+  def relevant(test: DataFrame, relevanceThreshold: Double): DataFrame =
+    test.filter(col("rating") >= relevanceThreshold)
+      .select("user_id", "item_id", "rating")
+
+  /** Per-user average precision at k -> (user_id, ap). */
+  def apPerUser(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame = {
+    val rel = relevant(test, relevanceThreshold)
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("nrel"))
+    val hits = recs.filter(col("rank") <= k)
+      .join(nrel, Seq("user_id")) // inner: drops users with no relevant items
+      .join(rel.select(col("user_id"), col("item_id"), lit(1).as("hit")),
+        Seq("user_id", "item_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+    val w = Window.partitionBy("user_id").orderBy("rank")
+    hits
+      .withColumn("cum_hits", sum("hit").over(w))
+      .groupBy("user_id", "nrel")
+      .agg(sum(col("hit") * col("cum_hits") / col("rank").cast("double")).as("ap_sum"))
+      .select(col("user_id"),
+        (col("ap_sum") / least(col("nrel"), lit(k)).cast("double")).as("ap"))
+  }
+
+  /** Per-user nDCG at k -> (user_id, ndcg). */
+  def ndcgPerUser(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame = {
+    val rel = relevant(test, relevanceThreshold)
+    // IDCG: relevant ratings per user, sorted desc, truncated to k (ndcg.py:40-44)
+    val iw = Window.partitionBy("user_id").orderBy(col("rating").desc, col("item_id"))
+    val idcg = rel
+      .withColumn("pos", row_number().over(iw))
+      .filter(col("pos") <= k)
+      .groupBy("user_id")
+      .agg(sum(col("rating") / log2(col("pos").cast("double") + 1.0)).as("idcg"))
+    // DCG: graded relevance of each recommended item, 0 when not relevant (ndcg.py:28-38)
+    recs.filter(col("rank") <= k)
+      .join(idcg, Seq("user_id")) // inner: only users with >= 1 relevant item
+      .join(rel.withColumnRenamed("rating", "rel_rating"),
+        Seq("user_id", "item_id"), "left")
+      .withColumn("rel_rating", coalesce(col("rel_rating"), lit(0.0)))
+      .groupBy("user_id", "idcg")
+      .agg(sum(col("rel_rating") / log2(col("rank").cast("double") + 1.0)).as("dcg"))
+      .select(col("user_id"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg"))
+  }
+
+  /** MAP@k: mean of per-user AP over qualifying users (map.py:15-16). */
+  def mapAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame =
+    apPerUser(recs, test, k, relevanceThreshold).agg(avg("ap").as("map"))
+
+  /** Mean nDCG@k over qualifying users (ndcg.py:13-19). */
+  def ndcgAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame =
+    ndcgPerUser(recs, test, k, relevanceThreshold).agg(avg("ndcg").as("ndcg"))
+}

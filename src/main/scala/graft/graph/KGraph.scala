@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The heterogeneous user-item-property graph as two immutable
+  * DataFrames, replacing the reference's mutable `Graph(nx.Graph)`
+  * (`framework/dataloader/graph/graph.py:18-26`).
+  *
+  * Node identity is the canonical string label produced by the
+  * reference's node classes — `Item(id)`, `User(id)`,
+  * `Property(value, type)` (`framework/dataloader/graph/node.py:22-23,
+  * 43-44, 65-66`). Property equality is scoped by type (node.py:75-77):
+  * two equal values under different property types are DIFFERENT nodes,
+  * which the label encodes naturally.
+  */
+object KGraph {
+
+  /** `User({id})` — node.py:43-44. */
+  def userLabel(id: Column): Column = format_string("User(%s)", id)
+
+  /** `Item({id})` — node.py:22-23. */
+  def itemLabel(id: Column): Column = format_string("Item(%s)", id)
+
+  /** `Property({value}, {type})` — node.py:65-66. */
+  def propertyLabel(value: Column, propertyType: String): Column =
+    format_string(s"Property(%s, $propertyType)", value)
+
+  /** Relation label `rating{r}` where {r} is Python `str()` of the
+    * rating (graph.py:90,122): integral doubles print with a trailing
+    * `.0` (str(4.0) == "4.0"), non-integral print plainly. */
+  def ratingRelation(rating: Column): Column =
+    concat(lit("rating"),
+      when(rating === rating.cast("long").cast("double"),
+        concat(rating.cast("long").cast("string"), lit(".0")))
+        .otherwise(rating.cast("string")))
+
+  /** Rating triples (User, rating{r}, Item) — graph.py:111-125. */
+  def ratingTriples(ratings: DataFrame): DataFrame =
+    ratings.select(
+      userLabel(col("user_id")).as("head"),
+      ratingRelation(col("rating")).as("relation"),
+      itemLabel(col("item_id")).as("tail"))
+
+  /** Property triples: (Item, has, Property) or (User, is, Property) —
+    * graph.py:89-107. `values` may be a string_list column (exploded). */
+  def propertyTriples(entities: DataFrame, idCol: String, isUser: Boolean,
+                      valueCol: String, propertyType: String): DataFrame = {
+    val head = if (isUser) userLabel(col(idCol)) else itemLabel(col(idCol))
+    val rel = if (isUser) "is" else "has"
+    entities
+      .filter(col(valueCol).isNotNull)
+      .select(head.as("head"), lit(rel).as("relation"),
+        propertyLabel(col(valueCol), propertyType).as("tail"))
+  }
+
+  /** All triples = ratings ∪ user-props ∪ item-props (graph.py:79-109). */
+  def allTriples(ratings: DataFrame, props: Seq[DataFrame]): DataFrame =
+    props.foldLeft(ratingTriples(ratings))(_ unionByName _)
+
+  /** Bijective node-label -> dense-int relabeling, the Spark analogue of
+    * `convert_node_labels_to_integer` (graph.py:168-191). Deterministic:
+    * row_number over the canonical label ordering, NOT
+    * monotonically_increasing_id (SURVEY §1.3). Ids are 0-based.
+    * Single-partition window — node dimension tables are small relative
+    * to edges; for >1e9 nodes switch to zipWithIndex on a sorted RDD. */
+  def relabel(labels: DataFrame): DataFrame =
+    labels.distinct()
+      .withColumn("node_id", row_number().over(Window.orderBy("label")) - 1)
+
+  /** Edge-endpoint validation (J4, graph.py:293-302,309-314): keep only
+    * edges whose endpoints exist in the node tables — two left-semi
+    * joins, broadcast when dims are small. */
+  def validateEdges(edges: DataFrame, users: DataFrame, items: DataFrame): DataFrame =
+    edges
+      .join(users.select("user_id"), Seq("user_id"), "left_semi")
+      .join(items.select("item_id"), Seq("item_id"), "left_semi")
+
+  /** Graph cardinality report (graph.py:37-44). */
+  def info(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.agg(
+      count(lit(1)).as("n_nodes"),
+      count(when(col("label").startsWith("User("), 1)).as("n_users"),
+      count(when(col("label").startsWith("Item("), 1)).as("n_items"),
+      count(when(col("label").startsWith("Property("), 1)).as("n_properties"))
+    n.crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.kge
+
+import graft.graph.KGraph
+import graft.model.Recommender
+import graft.walk.DeepWalkRecommender
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** KGE-based recommender (SURVEY §2.8 M4-M6): export labeled triples,
+  * train [[KgeTrainer]], look up entity embeddings (real component for
+  * complex-valued models — F13, `rotatE/model.py:108-109`), zero-fill
+  * entities missing from the vocabulary (F14, `transE/model.py:111-135`),
+  * then the shared cosine-kNN + anti-join + top-k path
+  * (`transE/model.py:66-155`).
+  *
+  * cfg: model (transE|transH|distMult|complEx|rotatE), embedding_dim,
+  * epochs, learning_rate, margin, seed, triples (all|ratings — M5,
+  * config_files/test_transE.yml:66-74).
+  */
+class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
+  private def i(key: String, d: Int) = cfg.get(key).map(_.toInt).getOrElse(d)
+  private def f(key: String, d: Double) = cfg.get(key).map(_.toDouble).getOrElse(d)
+
+  val model: String = cfg.getOrElse("model", "transE")
+  override def name: String = model
+
+  private var train: DataFrame = _
+  private var userEmb: DataFrame = _
+  private var itemEmb: DataFrame = _
+
+  override def train(spark: SparkSession, trainRatings: DataFrame,
+                     propertyEdges: Option[DataFrame]): Recommender = {
+    this.train = trainRatings
+    val dim = i("embedding_dim", 32)
+
+    // M5 triple export: `triples: all | ratings`
+    val triples = (cfg.getOrElse("triples", "ratings"), propertyEdges) match {
+      case ("all", Some(p)) =>
+        KGraph.ratingTriples(trainRatings).unionByName(
+          p.select(col("src_label").as("head"), col("relation"), col("dst_label").as("tail")))
+      case _ => KGraph.ratingTriples(trainRatings)
+    }
+
+    // entity/relation vocab: dense ids by canonical label (entity_to_id analogue)
+    val entities = KGraph.relabel(
+      triples.select(col("head").as("label")).union(triples.select(col("tail").as("label"))))
+      .cache()
+    val relations = KGraph.relabel(triples.select(col("relation").as("label"))).cache()
+    val nE = entities.count().toInt
+    val nR = relations.count().toInt
+
+    val encoded = triples
+      .join(entities.withColumnRenamed("label", "head"), Seq("head"))
+      .withColumnRenamed("node_id", "h")
+      .join(relations.withColumnRenamed("label", "relation"), Seq("relation"))
+      .withColumnRenamed("node_id", "r")
+      .join(entities.withColumnRenamed("label", "tail"), Seq("tail"))
+      .withColumnRenamed("node_id", "t")
+      .select("h", "r", "t")
+
+    val trainer = new KgeTrainer(model, dim, i("epochs", 5), f("learning_rate", 0.05),
+      f("margin", 1.0), i("seed", 42).toLong)
+    val (ent, _) = trainer.fit(spark, encoded, nE, nR)
+
+    // embedding table: node_id -> real-component vector (F13)
+    val rows = ent.toIndexedSeq.zipWithIndex.map { case (v, id) =>
+      Row(id, v.take(dim).map(_.toDouble).toIndexedSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("node_id", IntegerType), StructField("vec", ArrayType(DoubleType))))
+    val embDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+      .join(entities, Seq("node_id"))
+
+    // split back to user/item spaces; zero-fill entities that never
+    // appeared in a training triple (F14)
+    def side(prefix: String, idsFromTrain: DataFrame): DataFrame =
+      idsFromTrain.distinct()
+        .join(embDf.filter(col("label").startsWith(s"$prefix("))
+          .select(regexp_extract(col("label"), s"^$prefix\\((.*)\\)$$", 1).cast("long").as("id"),
+            col("vec")),
+          Seq("id"), "left")
+        .withColumn("vec", coalesce(col("vec"),
+          expr(s"transform(sequence(1, $dim), x -> cast(0.0 as double))")))
+
+    userEmb = side("User", trainRatings.select(col("user_id").as("id"))).cache()
+    itemEmb = side("Item", trainRatings.select(col("item_id").as("id"))).cache()
+    this
+  }
+
+  override def recommend(k: Int): DataFrame =
+    DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k)
+}
+
+object KgeRecommender {
+  def registry: Map[String, Map[String, String] => Recommender] =
+    Seq("transE", "transH", "distMult", "complEx", "rotatE")
+      .map(m => m -> ((cfg: Map[String, String]) => new KgeRecommender(cfg + ("model" -> m)): Recommender))
+      .toMap
+}

@@ -1,0 +1,234 @@
+package graft.kge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+import scala.util.hashing.MurmurHash3
+
+/** Distributed knowledge-graph-embedding trainer (SURVEY §2.8 M4).
+  *
+  * The reference trains 9 pykeen models that differ only in scoring
+  * function (`framework/recommender/models/<name>/model.py`, diff-identical
+  * except the pykeen model name — SURVEY §2.8). Exact pykeen/torch
+  * parity is infeasible (GPU nondeterminism, Adam internals); this
+  * trainer targets capability parity: the same margin-ranking training
+  * objective on labeled triples with negative sampling, pluggable
+  * scoring functions, and the identical recommendation path (entity
+  * embeddings -> cosine kNN).
+  *
+  * Execution model: parameter arrays live on the driver (entities ×
+  * dim floats — ml-100k scale is a few MB; broadcastable up to ~1e7
+  * entities × 64). Each epoch broadcasts the current parameters, maps
+  * triple partitions to sparse gradient maps (genuine per-partition
+  * imperative math — the sanctioned RDD use), treeAggregates them, and
+  * applies one SGD step. Negative sampling and the reference's internal
+  * 95/5 triples split (`transE/model.py:163-174`) are seeded-hash
+  * deterministic.
+  */
+object KgeModels {
+  /** Per-model embedding widths: (entityFloats, relationFloats) as a
+    * function of dim. Complex-valued models store re ++ im. */
+  def dims(model: String, d: Int): (Int, Int) = model match {
+    case "transE" | "distMult" => (d, d)
+    case "transH"              => (d, 2 * d) // translation d_r ++ hyperplane normal w_r
+    case "complEx"             => (2 * d, 2 * d)
+    case "rotatE"              => (2 * d, d) // relation = phases
+    case other                 => throw new IllegalArgumentException(s"unsupported KGE model: $other")
+  }
+
+  /** Higher is better. */
+  def score(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float]): Double =
+    model match {
+      case "transE" =>
+        var s = 0.0; var i = 0
+        while (i < d) { val x = h(i) + r(i) - t(i); s += x * x; i += 1 }
+        -math.sqrt(s)
+      case "transH" =>
+        var wh = 0.0; var wt = 0.0; var i = 0
+        while (i < d) { wh += r(d + i) * h(i); wt += r(d + i) * t(i); i += 1 }
+        var s = 0.0; i = 0
+        while (i < d) {
+          val x = (h(i) - wh * r(d + i)) + r(i) - (t(i) - wt * r(d + i)); s += x * x; i += 1
+        }
+        -math.sqrt(s)
+      case "distMult" =>
+        var s = 0.0; var i = 0
+        while (i < d) { s += h(i) * r(i) * t(i); i += 1 }
+        s
+      case "complEx" =>
+        var s = 0.0; var i = 0
+        while (i < d) {
+          val hr = h(i); val hi = h(d + i); val rr = r(i); val ri = r(d + i)
+          val tr = t(i); val ti = t(d + i)
+          s += hr * rr * tr + hi * ri * tr + hr * ri * ti - hi * rr * ti
+          i += 1
+        }
+        s
+      case "rotatE" =>
+        var s = 0.0; var i = 0
+        while (i < d) {
+          val c = math.cos(r(i)); val sn = math.sin(r(i))
+          val re = h(i) * c - h(d + i) * sn - t(i)
+          val im = h(i) * sn + h(d + i) * c - t(d + i)
+          s += re * re + im * im
+          i += 1
+        }
+        -math.sqrt(s)
+    }
+
+  /** Gradient of `score` wrt (h, r, t), scaled by `g` (dLoss/dScore).
+    * Accumulates into the given arrays. */
+  def addGrad(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float],
+              g: Double, gh: Array[Float], gr: Array[Float], gt: Array[Float]): Unit =
+    model match {
+      case "transE" =>
+        var n = 0.0; var i = 0
+        while (i < d) { val x = h(i) + r(i) - t(i); n += x * x; i += 1 }
+        val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n) // d(-sqrt(n))/dx = -x/sqrt(n)
+        i = 0
+        while (i < d) {
+          val x = (h(i) + r(i) - t(i)) * inv
+          gh(i) += x.toFloat; gr(i) += x.toFloat; gt(i) -= x.toFloat; i += 1
+        }
+      case "transH" =>
+        var wh = 0.0; var wt = 0.0; var n = 0.0; var i = 0
+        while (i < d) { wh += r(d + i) * h(i); wt += r(d + i) * t(i); i += 1 }
+        val diff = new Array[Double](d)
+        i = 0
+        while (i < d) {
+          diff(i) = (h(i) - wh * r(d + i)) + r(i) - (t(i) - wt * r(d + i))
+          n += diff(i) * diff(i); i += 1
+        }
+        val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n)
+        var dw = 0.0 // Σ diff_i * w_i, reused for the projected-gradient terms
+        i = 0
+        while (i < d) { dw += diff(i) * r(d + i); i += 1 }
+        i = 0
+        while (i < d) {
+          val u = diff(i) * inv
+          val w = r(d + i)
+          gh(i) += (u - inv * dw * w).toFloat
+          gt(i) -= (u - inv * dw * w).toFloat
+          gr(i) += u.toFloat
+          gr(d + i) += (inv * (-dw * (h(i) - t(i)) - (wh - wt) * diff(i))).toFloat
+          i += 1
+        }
+      case "distMult" =>
+        var i = 0
+        while (i < d) {
+          gh(i) += (g * r(i) * t(i)).toFloat
+          gr(i) += (g * h(i) * t(i)).toFloat
+          gt(i) += (g * h(i) * r(i)).toFloat
+          i += 1
+        }
+      case "complEx" =>
+        var i = 0
+        while (i < d) {
+          val hr = h(i); val hi = h(d + i); val rr = r(i); val ri = r(d + i)
+          val tr = t(i); val ti = t(d + i)
+          gh(i) += (g * (rr * tr + ri * ti)).toFloat
+          gh(d + i) += (g * (ri * tr - rr * ti)).toFloat
+          gr(i) += (g * (hr * tr - hi * ti)).toFloat
+          gr(d + i) += (g * (hi * tr + hr * ti)).toFloat
+          gt(i) += (g * (hr * rr + hi * ri)).toFloat
+          gt(d + i) += (g * (hr * ri - hi * rr)).toFloat
+          i += 1
+        }
+      case "rotatE" =>
+        var n = 0.0; var i = 0
+        val res = new Array[Double](d); val ims = new Array[Double](d)
+        while (i < d) {
+          val c = math.cos(r(i)); val sn = math.sin(r(i))
+          res(i) = h(i) * c - h(d + i) * sn - t(i)
+          ims(i) = h(i) * sn + h(d + i) * c - t(d + i)
+          n += res(i) * res(i) + ims(i) * ims(i); i += 1
+        }
+        val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n)
+        i = 0
+        while (i < d) {
+          val c = math.cos(r(i)); val sn = math.sin(r(i))
+          val dre = res(i) * inv; val dim = ims(i) * inv
+          gh(i) += (dre * c + dim * sn).toFloat
+          gh(d + i) += (-dre * sn + dim * c).toFloat
+          gt(i) -= dre.toFloat
+          gt(d + i) -= dim.toFloat
+          gr(i) += (dre * (-h(i) * sn - h(d + i) * c) + dim * (h(i) * c - h(d + i) * sn)).toFloat
+          i += 1
+        }
+    }
+}
+
+class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Double,
+                 val margin: Double, val seed: Long, val trainFraction: Double = 0.95) extends Serializable {
+
+  /** triples: (h, r, t) dense int ids. Returns entity embeddings
+    * (nEntities × entityFloats) and relation embeddings. */
+  def fit(spark: SparkSession, triples: DataFrame, nEntities: Int, nRelations: Int):
+      (Array[Array[Float]], Array[Array[Float]]) = {
+    val (ed, rd) = KgeModels.dims(model, dim)
+    val rng = new java.util.Random(seed)
+    def init(n: Int, w: Int): Array[Array[Float]] = {
+      val bound = 6.0f / math.sqrt(dim).toFloat
+      Array.fill(n)(Array.fill(w)((rng.nextFloat() * 2 - 1) * bound))
+    }
+    val ent = init(nEntities, ed)
+    val rel = init(nRelations, rd)
+
+    // the reference's internal 95/5/0 split (transE/model.py:163-174):
+    // train on `trainFraction` of triples, selected by seeded hash
+    val data = triples.select(col("h").cast("int"), col("r").cast("int"), col("t").cast("int"))
+      .filter(pmod(xxhash64(col("h"), col("r"), col("t"), lit(seed)), lit(10000L))
+        < lit((trainFraction * 10000).toLong))
+      .rdd.map(row => (row.getInt(0), row.getInt(1), row.getInt(2)))
+      .persist()
+    val n = data.count().toDouble
+    val mdl = model; val d = dim; val m = margin; val nE = nEntities; val sd = seed
+
+    for (epoch <- 0 until epochs) {
+      val bcE = spark.sparkContext.broadcast(ent)
+      val bcR = spark.sparkContext.broadcast(rel)
+      val (entGrad, relGrad) = data.mapPartitions { it =>
+        val e = bcE.value; val r = bcR.value
+        val ge = mutable.HashMap.empty[Int, Array[Float]]
+        val gr = mutable.HashMap.empty[Int, Array[Float]]
+        def accE(i: Int) = ge.getOrElseUpdate(i, new Array[Float](e(0).length))
+        def accR(i: Int) = gr.getOrElseUpdate(i, new Array[Float](r(0).length))
+        it.foreach { case (h, rr, t) =>
+          // corrupt head or tail with a seeded hash (Bernoulli-uniform)
+          val hsh = MurmurHash3.productHash((h, rr, t, epoch, sd))
+          val corruptHead = (hsh & 1) == 0
+          val fake = math.floorMod(hsh >> 1, nE)
+          val (nh, nt) = if (corruptHead) (fake, t) else (h, fake)
+          val sPos = KgeModels.score(mdl, d, e(h), r(rr), e(t))
+          val sNeg = KgeModels.score(mdl, d, e(nh), r(rr), e(nt))
+          if (m + sNeg - sPos > 0) { // hinge active: raise sPos, lower sNeg
+            KgeModels.addGrad(mdl, d, e(h), r(rr), e(t), 1.0, accE(h), accR(rr), accE(t))
+            KgeModels.addGrad(mdl, d, e(nh), r(rr), e(nt), -1.0, accE(nh), accR(rr), accE(nt))
+          }
+        }
+        Iterator.single((ge, gr))
+      }.treeReduce { (a, b) =>
+        def merge(x: mutable.HashMap[Int, Array[Float]], y: mutable.HashMap[Int, Array[Float]]) = {
+          y.foreach { case (k, v) =>
+            x.get(k) match {
+              case Some(acc) => var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }
+              case None      => x.update(k, v)
+            }
+          }
+          x
+        }
+        (merge(a._1, b._1), merge(a._2, b._2))
+      }
+      val step = (lr / math.max(1.0, n / 10000.0)).toFloat // scale step with batch size
+      entGrad.foreach { case (k, g) =>
+        val v = ent(k); var i = 0; while (i < v.length) { v(i) += step * g(i); i += 1 }
+      }
+      relGrad.foreach { case (k, g) =>
+        val v = rel(k); var i = 0; while (i < v.length) { v(i) += step * g(i); i += 1 }
+      }
+      bcE.destroy(); bcR.destroy()
+    }
+    data.unpersist()
+    (ent, rel)
+  }
+}

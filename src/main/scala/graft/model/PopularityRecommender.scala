@@ -1,0 +1,54 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Non-personalized baseline: recommend the globally most-rated items
+  * the user has not yet rated. Not present in the reference model zoo,
+  * but exercises its whole recommendation spine (SURVEY §7 step 4):
+  * candidate generation bounded by max_user_rated + k — the reference's
+  * n_neighbors bound (`deep_walk_based/model.py:137-149`) — anti-join
+  * against train ratings (J5) and per-user top-k window (W7).
+  *
+  * Scale shape: popularity is one partial-aggregated groupBy; the
+  * candidate set is tiny (max_user_degree + k rows) and broadcast, so
+  * the "cross join" is a broadcast nested loop over users — no shuffle
+  * of the big side; the anti-join shuffles on (user_id, item_id) which
+  * AQE can plan as broadcast when train fits.
+  */
+class PopularityRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
+  override def name: String = "popularity"
+
+  private var train: DataFrame = _
+
+  override def train(spark: SparkSession, trainRatings: DataFrame,
+                     propertyEdges: Option[DataFrame]): Recommender = {
+    this.train = trainRatings
+    this
+  }
+
+  override def recommend(k: Int): DataFrame = PopularityRecommender.recommend(train, k)
+}
+
+object PopularityRecommender {
+  /** (user_id, item_id, rank) of the top-k most popular unrated items. */
+  def recommend(train: DataFrame, k: Int): DataFrame = {
+    val pop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+    // max #items any single user rated — bounds candidates exactly like
+    // the reference bounds kNN n_neighbors (deep_walk_based/model.py:137-149)
+    val maxRated = train.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(max("c")).first().getLong(0)
+    val cand = pop
+      .withColumn("__r", row_number().over(Window.orderBy(col("cnt").desc, col("item_id"))))
+      .filter(col("__r") <= lit(maxRated + k))
+      .drop("__r")
+    val users = train.select("user_id").distinct()
+    users.crossJoin(broadcast(cand))
+      .join(train.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("user_id").orderBy(col("cnt").desc, col("item_id"))))
+      .filter(col("rank") <= k)
+      .select("user_id", "item_id", "rank")
+  }
+}

@@ -1,0 +1,33 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's model contract
+  * (`framework/recommender/recommender.py:11-31`): train on the graph,
+  * emit top-k recommendations per user. Re-expressed relationally:
+  * train consumes the training rating edges (+ optional property
+  * edges), recommend emits (user_id, item_id, rank).
+  *
+  * The reference's extension point is a name->class registry resolved
+  * with importlib (`framework/recommender/model2class.py:1-42`); here
+  * it is [[Recommenders.registry]], a name -> factory map.
+  */
+trait Recommender {
+  def name: String
+
+  /** Fit on training edges; returns a fitted instance (may be `this`). */
+  def train(spark: SparkSession, trainRatings: DataFrame, propertyEdges: Option[DataFrame] = None): Recommender
+
+  /** Top-k per user: (user_id, item_id, rank), rank 1-based, never
+    * recommending an item the user already rated in train (the J5
+    * anti-join, deep_walk_based/model.py:69-77). */
+  def recommend(k: Int): DataFrame
+}
+
+object Recommenders {
+  /** name -> factory, mirroring model2class.py. Config is a flat
+    * string map (the YAML `parameters` block). */
+  def registry: Map[String, Map[String, String] => Recommender] = Map(
+    "popularity" -> (cfg => new PopularityRecommender(cfg))
+  ) ++ graft.walk.DeepWalkRecommender.registry ++ graft.kge.KgeRecommender.registry
+}

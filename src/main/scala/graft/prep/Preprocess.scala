@@ -1,0 +1,57 @@
+package graft.prep
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph preprocessing operators mirroring the reference's
+  * `framework/dataloader/preprocess/methods.py`.
+  */
+object Preprocess {
+
+  /** Binarize ratings: `rating >= threshold -> 1.0 else 0.0`
+    * (methods.py:17-26). Pure column expression — codegen'd, no shuffle. */
+  def binarize(ratings: DataFrame, threshold: Double): DataFrame =
+    ratings.withColumn(
+      "rating",
+      when(col("rating") >= threshold, 1.0).otherwise(0.0))
+
+  /** Reference k-core (methods.py:28-47): for up to `iterations` rounds,
+    * compute per-target degree on a SNAPSHOT of the current edge set,
+    * drop every target node with degree < k, stop early when a round
+    * removes nothing. This is deliberately NOT textbook k-core
+    * decomposition: removals within one round do not cascade until the
+    * next round's snapshot (methods.py:35-37).
+    *
+    * target = "user" | "item". Each round is one shuffled groupBy plus
+    * one broadcastable anti-join (the kill set is tiny relative to the
+    * edge table); the loop is driver-coordinated but touches only
+    * aggregate counts on the driver, never rows.
+    */
+  def filterKCore(ratings: DataFrame, k: Int, target: String, iterations: Int = 1): DataFrame = {
+    val key = target match {
+      case "user" => "user_id"
+      case "item" => "item_id"
+      case other  => throw new IllegalArgumentException(s"k-core target must be user|item, got $other")
+    }
+    var cur = ratings
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      val snapshot = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      val kill = snapshot.groupBy(key).count().filter(col("count") < k).select(key)
+      if (kill.isEmpty) {
+        converged = true
+        snapshot.unpersist()
+      } else {
+        val next = snapshot.join(broadcast(kill), Seq(key), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before unpersisting the parent snapshot
+        snapshot.unpersist()
+        cur = next
+      }
+      it += 1
+    }
+    cur
+  }
+}

@@ -1,0 +1,122 @@
+package graft.walk
+
+import graft.knn.CosineKnn
+import graft.model.Recommender
+import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DeepWalk / node2vec recommender (SURVEY §2.8 M1-M3, M6): random
+  * walks over the user-item(-property) graph, skip-gram embeddings, and
+  * exact cosine top-k recommendation.
+  *
+  * Reference path: `deep_walk_based/model.py:50-122` — int-relabel the
+  * graph (graph.py:168-179), `walker.random_walks`, gensim
+  * Word2Vec(sg=1, hs=1), then brute kNN + anti-join + top-k cutoff
+  * (model.py:54-97). Here: [[graft.graph.KGraph.relabel]],
+  * [[RandomWalks]], MLlib Word2Vec (also skip-gram + hierarchical
+  * softmax), [[CosineKnn.topK]].
+  *
+  * cfg keys (YAML `parameters` block, config_files/test.yml:67-74):
+  * walk_len, n_walks, p, q, biased, embedding_size, window_size,
+  * epochs, learning_rate, min_count, seed.
+  */
+class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
+  private def i(key: String, d: Int) = cfg.get(key).map(_.toInt).getOrElse(d)
+  private def f(key: String, d: Double) = cfg.get(key).map(_.toDouble).getOrElse(d)
+
+  override def name: String = if (cfg.get("biased").contains("true")) "node2vec" else "deepwalk"
+
+  private var spark: SparkSession = _
+  private var train: DataFrame = _
+  private var userEmb: DataFrame = _ // (id, vec)
+  private var itemEmb: DataFrame = _
+
+  override def train(spark: SparkSession, trainRatings: DataFrame,
+                     propertyEdges: Option[DataFrame]): Recommender = {
+    this.spark = spark
+    this.train = trainRatings
+    val seed = i("seed", 42)
+    import graft.graph.KGraph
+
+    // label-space edges: user-item rating edges plus optional
+    // (src_label, dst_label) property edges
+    val ratingEdges = trainRatings.select(
+      KGraph.userLabel(col("user_id")).as("src_label"),
+      KGraph.itemLabel(col("item_id")).as("dst_label"))
+    val labelEdges = propertyEdges match {
+      case Some(p) => ratingEdges.unionByName(p.select("src_label", "dst_label"))
+      case None    => ratingEdges
+    }
+    val nodes = KGraph.relabel(
+      labelEdges.select(col("src_label").as("label"))
+        .union(labelEdges.select(col("dst_label").as("label"))))
+    val intEdges = labelEdges
+      .join(nodes.withColumnRenamed("label", "src_label"), Seq("src_label"))
+      .withColumnRenamed("node_id", "src")
+      .join(nodes.withColumnRenamed("label", "dst_label"), Seq("dst_label"))
+      .withColumnRenamed("node_id", "dst")
+      .select("src", "dst")
+
+    val adj = RandomWalks.adjacency(intEdges).cache()
+    val starts = nodes.select(col("node_id").as("node"))
+    val walks =
+      if (cfg.get("biased").contains("true"))
+        RandomWalks.biasedWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10),
+          f("p", 1.0), f("q", 1.0), seed)
+      else
+        RandomWalks.randomWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10), seed)
+
+    val sentences = walks.select(expr("transform(path, x -> cast(x as string))").as("words"))
+    val w2v = new Word2Vec()
+      .setInputCol("words").setOutputCol("w2v")
+      .setVectorSize(i("embedding_size", 64))
+      .setWindowSize(i("window_size", 5))
+      .setMaxIter(i("epochs", 1))
+      .setStepSize(f("learning_rate", 0.025))
+      .setMinCount(i("min_count", 0))
+      .setSeed(seed)
+    val model = w2v.fit(sentences)
+
+    // J9 relabel join-back: embeddings keyed by original label
+    val emb = model.getVectors
+      .select(col("word").cast("long").as("node_id"), vector_to_array(col("vector")).as("vec"))
+      .join(nodes, Seq("node_id"))
+    userEmb = emb.filter(col("label").startsWith("User("))
+      .select(regexp_extract(col("label"), "^User\\((.*)\\)$", 1).cast("long").as("id"), col("vec"))
+      .cache()
+    itemEmb = emb.filter(col("label").startsWith("Item("))
+      .select(regexp_extract(col("label"), "^Item\\((.*)\\)$", 1).cast("long").as("id"), col("vec"))
+      .cache()
+    this
+  }
+
+  override def recommend(k: Int): DataFrame =
+    DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k)
+}
+
+object DeepWalkRecommender {
+  def registry: Map[String, Map[String, String] => Recommender] = Map(
+    "deepwalk" -> (cfg => new DeepWalkRecommender(cfg)),
+    "node2vec" -> (cfg => new DeepWalkRecommender(cfg + ("biased" -> "true")))
+  )
+
+  /** Shared kNN recommendation path (J6 + J5 + W7): score k' =
+    * min(max_user_rated + k, n_items) nearest items per user
+    * (deep_walk_based/model.py:137-149), drop already-rated, keep k. */
+  def knnRecommend(train: DataFrame, userEmb: DataFrame, itemEmb: DataFrame, k: Int): DataFrame = {
+    val maxRated = train.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(max("c")).first().getLong(0)
+    val nItems = itemEmb.count()
+    val kPrime = math.min(maxRated + k, nItems).toInt
+    CosineKnn.topK(userEmb, itemEmb, kPrime)
+      .withColumnRenamed("query_id", "user_id").withColumnRenamed("item_id", "item_id")
+      .join(train.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))))
+      .filter(col("rank") <= k)
+      .select("user_id", "item_id", "rank")
+  }
+}
