@@ -5,7 +5,10 @@ import graft.graph.KGraph
 import graft.knn.CosineKnn
 import graft.model.PopularityRecommender
 import graft.prep.Preprocess
+import graft.report.Reporter
 import graft.split.EdgeSplits
+import graft.text.{Dedup, TextOps}
+import graft.walk.RandomWalks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -222,7 +225,143 @@ object SparkEntry {
     // W4/P7: fixed-timestamp split
     "q24_fixed_ts_split" -> ((s, dir) =>
       EdgeSplits.fixedTimestamp(Tables.ratings(s, dir), FixedTs)
-        .groupBy("is_test").agg(count(lit(1)).as("n"), round(avg("rating"), 6).as("avg_rating")))
+        .groupBy("is_test").agg(count(lit(1)).as("n"), round(avg("rating"), 6).as("avg_rating"))),
+
+    // MinHash + banded LSH near-dup candidates with exact Jaccard
+    "q16_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(s, T(s, dir, "documents"), 8, 3, 0.2)),
+
+    // 64-bit SimHash fingerprints
+    "q17_simhash" -> ((s, dir) =>
+      Dedup.simhash(T(s, dir, "documents").filter(col("doc_id") < 50))),
+
+    // language-ID + quality scoring
+    "q18_lang_quality" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_guess"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // token counting (whitespace + BPE-ish regex)
+    "q19_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(T(s, dir, "documents"), "text")),
+
+    // document fingerprinting
+    "q20_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // J9/§1.3: deterministic node relabeling
+    "q25_relabel" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      KGraph.relabel(
+        r.select(KGraph.userLabel(col("user_id")).as("label"))
+          .union(r.select(KGraph.itemLabel(col("item_id")).as("label"))))
+    }),
+
+    // A3/A10/A11: distinct + degree + cardinality stats
+    "q26_graph_stats" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val base = r.agg(
+        countDistinct("user_id").as("n_users"),
+        countDistinct("item_id").as("n_items"),
+        count(lit(1)).as("n_edges"))
+      val udeg = r.groupBy("user_id").count().agg(max("count").as("max_user_deg"))
+      val ideg = r.groupBy("item_id").count().agg(max("count").as("max_item_deg"))
+      base.crossJoin(udeg).crossJoin(ideg)
+    }),
+
+    // A7/M9: fold pivot report with mean and population stddev
+    "q27_report_pivot" -> ((s, dir) => {
+      val folds = EdgeSplits.kFold(Tables.ratings(s, dir), 5, "global",
+        Seq(EdgeSplits.portableHash(42), col("item_id"), col("user_id")))
+      val metrics = folds.groupBy("fold").agg(avg("rating").as("value"))
+        .withColumn("model", lit("ratings_avg"))
+      Reporter.foldPivot(metrics, 5, "avg_rating")
+    }),
+
+    // F1-F5: scalar string functions (year extract, title normalize,
+    // punctuation strip, ascii fold, SPARQL pattern build)
+    "q28_scalar_functions" -> ((s, dir) =>
+      T(s, dir, "part")
+        .withColumn("title", concat(col("p_name"), lit(" ("),
+          (lit(1900) + col("p_partkey") % 100).cast("string"), lit(")")))
+        .withColumn("t2", when(col("p_partkey") % 3 === 0,
+          concat(col("p_name"), lit(", The"))).otherwise(col("p_name")))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("title"), "\\((\\d{4})\\)", 1).cast("int").as("year"),
+          when(col("t2").endsWith(", The"),
+            concat(lit("The "), expr("substr(t2, 1, length(t2) - 5)")))
+            .otherwise(col("t2")).as("norm_name"),
+          TextOps.stripPunctuation(col("p_name")).as("no_punct"),
+          TextOps.asciiFold(col("p_name")).as("ascii_only"),
+          TextOps.labelPattern(col("p_name")).as("pattern"))),
+
+    // O1/O2/O6: global sort + limit with total-order tie-break
+    "q29_sort_limit" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("total"))),
+
+    // F16/A5: JSON decode + null accounting over events.props
+    "q30_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), count(when(col("k").isNull, 1)).as("n_null"),
+          round(avg("value"), 4).as("avg_value"))),
+
+    // W1/W2: seeded-random ratio split, oracle-portable md5 ordering
+    "q31_random_split_user" -> ((s, dir) =>
+      EdgeSplits.byRatio(Tables.ratings(s, dir), 0.25, "user",
+        Seq(EdgeSplits.portableHash(42), col("item_id")))
+        .select("user_id", "item_id", "is_test")),
+
+    // streaming-equivalent sliding window (2h window, 1h slide)
+    "q32_events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_millis(col("w.start").cast("timestamp")).as("ws"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // exact n-gram Jaccard near-dup (brute-force baseline)
+    "q33_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(T(s, dir, "documents").filter(col("doc_id") < 100), 2, 0.3)),
+
+    // embedding-cosine near-dup pairs
+    "q34_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(
+        T(s, dir, "embeddings").select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec")), 0.45)),
+
+    // M1-M3/M6: DeepWalk on a bounded subgraph (rows-only check:
+    // Word2Vec training is seed-sensitive across implementations)
+    "q40_deepwalk_recs" -> ((s, dir) => {
+      val train = trainRatings(s, dir).filter(col("user_id") < 200)
+      new graft.walk.DeepWalkRecommender(Map(
+        "n_walks" -> "3", "walk_len" -> "6", "embedding_size" -> "16",
+        "epochs" -> "1", "seed" -> "42"))
+        .train(s, train, None).recommend(5)
+    }),
+
+    // M4-M6: TransE KGE on a bounded subgraph (rows-only check)
+    "q41_transe_recs" -> ((s, dir) => {
+      val train = trainRatings(s, dir).filter(col("user_id") < 200)
+      new graft.kge.KgeRecommender(Map(
+        "model" -> "transE", "embedding_dim" -> "16", "epochs" -> "2", "seed" -> "42"))
+        .train(s, train, None).recommend(5)
+    }),
+
+    // M2: node2vec biased walks (rows-only: count/shape invariants)
+    "q42_node2vec_walks" -> ((s, dir) => {
+      val edges = trainRatings(s, dir).filter(col("user_id") < 100)
+        .select(col("user_id").as("src"), (col("item_id") + lit(1000000)).as("dst"))
+      val adj = RandomWalks.adjacency(edges)
+      val walks = RandomWalks.biasedWalks(s, adj, adj.select(col("node")), 2, 5, 0.5, 2.0, 42)
+      walks.select(col("start"), col("walk_idx"), size(col("path")).as("path_len"))
+    })
   )
 
   // ---- oracles --------------------------------------------------------
@@ -351,6 +490,157 @@ object SparkEntry {
     "q24_fixed_ts_split" -> (R +
       """SELECT ts > 915148800000 AS is_test, COUNT(*) AS n,
         |  ROUND(AVG(rating), 6) AS avg_rating
-        |FROM ratings GROUP BY 1""".stripMargin)
+        |FROM ratings GROUP BY 1""".stripMargin),
+
+    "q16_minhash_lsh" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        |       WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, b, MIN(md5(CAST(b AS VARCHAR) || '|' || s)) AS h
+        |        FROM sh, UNNEST(generate_series(0, 7)) AS tb(b) GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |          FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+        |          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+        |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.2""".stripMargin,
+
+    "q17_simhash" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |              FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id, md5(t.tk) AS h FROM docs, UNNEST(w) AS t(tk)),
+        |bits AS (SELECT doc_id, j,
+        |         SUM(CASE WHEN ((strpos('0123456789abcdef', h[1 + j // 4]) - 1)
+        |                        // CAST(pow(2, 3 - (j % 4)) AS INT)) % 2 = 1
+        |             THEN 1 ELSE -1 END) AS sgn
+        |         FROM tok, UNNEST(generate_series(0, 63)) AS tj(j) GROUP BY 1, 2)
+        |SELECT doc_id, STRING_AGG(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q18_lang_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en_n,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS de_n,
+        |  len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','du','est','dans'))) AS fr_n,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','los','del'))) AS es_n,
+        |  len(w) AS n FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |       WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |       WHEN fr_n >= es_n THEN 'fr' ELSE 'es' END AS lang_guess,
+        |  ROUND(LEAST(n / 100.0, 1.0) *
+        |        (0.5 + 0.5 * LEAST(CAST(en_n AS DOUBLE) / n * 5.0, 1.0)), 6) AS quality
+        |FROM sc""".stripMargin,
+
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+        |  LENGTH(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(TRIM(regexp_replace(
+        |    translate(lower(text), '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', ''),
+        |    ' +', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q25_relabel" -> (R +
+      """SELECT label, ROW_NUMBER() OVER (ORDER BY label) - 1 AS node_id FROM (
+        |  SELECT DISTINCT 'User(' || CAST(user_id AS VARCHAR) || ')' AS label FROM ratings
+        |  UNION
+        |  SELECT DISTINCT 'Item(' || CAST(item_id AS VARCHAR) || ')' AS label FROM ratings)""".stripMargin),
+
+    "q26_graph_stats" -> (R +
+      """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(DISTINCT item_id) AS n_items,
+        |  COUNT(*) AS n_edges,
+        |  (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM ratings GROUP BY user_id)) AS max_user_deg,
+        |  (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM ratings GROUP BY item_id)) AS max_item_deg
+        |FROM ratings""".stripMargin),
+
+    "q27_report_pivot" -> (R +
+      """, folds AS (SELECT rating, NTILE(5) OVER (ORDER BY
+        |    md5(CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR) || '|42'),
+        |    item_id, user_id) AS fold FROM ratings)
+        |, fm AS (SELECT fold, AVG(rating) AS m FROM folds GROUP BY 1)
+        |SELECT 'ratings_avg' AS model,
+        |  MAX(CASE WHEN fold = 1 THEN ROUND(m, 6) END) AS "fold-1_avg_rating",
+        |  MAX(CASE WHEN fold = 2 THEN ROUND(m, 6) END) AS "fold-2_avg_rating",
+        |  MAX(CASE WHEN fold = 3 THEN ROUND(m, 6) END) AS "fold-3_avg_rating",
+        |  MAX(CASE WHEN fold = 4 THEN ROUND(m, 6) END) AS "fold-4_avg_rating",
+        |  MAX(CASE WHEN fold = 5 THEN ROUND(m, 6) END) AS "fold-5_avg_rating",
+        |  ROUND(AVG(m), 6) AS avg_rating_mean,
+        |  ROUND(STDDEV_POP(m), 6) AS avg_rating_std
+        |FROM fm""".stripMargin),
+
+    "q28_scalar_functions" ->
+      """WITH base AS (SELECT p_partkey, p_name,
+        |  p_name || ' (' || CAST(1900 + p_partkey % 100 AS VARCHAR) || ')' AS title,
+        |  CASE WHEN p_partkey % 3 = 0 THEN p_name || ', The' ELSE p_name END AS t2
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(regexp_extract(title, '\((\d{4})\)', 1) AS INT) AS year,
+        |  CASE WHEN t2 LIKE '%, The' THEN 'The ' || substr(t2, 1, LENGTH(t2) - 5)
+        |       ELSE t2 END AS norm_name,
+        |  translate(p_name, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '') AS no_punct,
+        |  regexp_replace(p_name, '[^\x00-\x7F]', '', 'g') AS ascii_only,
+        |  '^' || replace(p_name, ' ', '.*') AS pattern
+        |FROM base""".stripMargin,
+
+    "q29_sort_limit" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q30_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null,
+        |  ROUND(AVG(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q31_random_split_user" -> (R +
+      """, split2 AS (SELECT user_id, item_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+        |      md5(CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR) || '|42'),
+        |      item_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n FROM ratings)
+        |SELECT user_id, item_id, rn > n - CEIL(n * 0.25) AS is_test FROM split2""".stripMargin),
+
+    "q32_events_sliding" ->
+      """SELECT epoch_ms(date_trunc('hour', ts) - o * INTERVAL 1 HOUR) AS ws, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events, UNNEST(generate_series(0, 1)) AS t(o)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |              FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        |       FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+        |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.3""".stripMargin,
+
+    "q34_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |        (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) /
+        |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
   )
 }

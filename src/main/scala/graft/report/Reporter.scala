@@ -1,0 +1,30 @@
+package graft.report
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fold-major report pivot (SURVEY §2.8 M9): the reference writes wide
+  * CSVs `model, fold-{i}_{metric}, ..., {metric}_mean, {metric}_std`
+  * with POPULATION std (np.std ddof=0 — `framework/reporter/
+  * report.py:42-54`, `experiment.py:93-106`).
+  */
+object Reporter {
+
+  /** metrics: (model, fold, value) -> one row per model with
+    * fold-1..fold-k columns plus mean and stddev_pop. */
+  def foldPivot(metrics: DataFrame, k: Int, metricName: String): DataFrame = {
+    val folds = metrics.groupBy("model").pivot("fold", 1 to k)
+      .agg(round(first("value"), 6))
+      .select(col("model") +: (1 to k).map(i =>
+        col(i.toString).as(s"fold-${i}_$metricName")): _*)
+    val stats = metrics.groupBy("model").agg(
+      round(avg("value"), 6).as(s"${metricName}_mean"),
+      round(coalesce(stddev_pop(col("value")), lit(0.0)), 6).as(s"${metricName}_std"))
+    folds.join(stats, Seq("model"))
+  }
+
+  /** CSV sink matching the reference's writer (S6, report.py:25-29):
+    * single header file per report. */
+  def writeCsv(report: DataFrame, path: String): Unit =
+    report.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -23,6 +23,11 @@ object EdgeSplits {
   def edgeHash(seed: Long): Column =
     xxhash64(col("user_id"), col("item_id"), lit(seed))
 
+  /** Oracle-portable seeded ordering key: md5 over an explicit string,
+    * reproducible verbatim in DuckDB SQL (xxhash64 is JVM-only). */
+  def portableHash(seed: Long): Column =
+    md5(concat_ws("|", col("user_id"), col("item_id"), lit(seed)))
+
   private def rankWindows(level: String, orderKey: Seq[Column]) = {
     val part = level match {
       case "user"   => Window.partitionBy("user_id")

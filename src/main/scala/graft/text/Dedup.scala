@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (driver mandate):
+  * exact, MinHash+LSH banded, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup (the latter via [[graft.knn.CosineKnn]]).
+  *
+  * Portability-by-construction: every hash is md5 over an explicit
+  * string, so the same pipeline is expressible in the DuckDB oracle —
+  * no JVM/NumPy hash divergence. Band signatures are lexicographic
+  * MINs of hex strings (min of hex == min of the 128-bit integer).
+  *
+  * Scale shape: shingling is a narrow map; signatures are one
+  * partial-aggregated groupBy per (doc, band); the LSH join only pairs
+  * documents sharing a band signature — the whole point of banding at
+  * 100 TB — and exact Jaccard runs only on those candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the kept (min) id. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(textCol)
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-k-gram shingles: (doc_id, s). */
+  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val grams = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
+    docs.select(col("doc_id"), split(lower(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $grams)))")).as("s"))
+  }
+
+  /** MinHash-banded LSH candidate pairs with exact Jaccard filter.
+    * Returns (doc_a, doc_b, jaccard) for candidates >= threshold. */
+  def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
+                 threshold: Double): DataFrame = {
+    val sh = shingles(docs, shingleK).cache()
+    val sig = sh
+      .withColumn("b", explode(sequence(lit(0), lit(nBands - 1))))
+      .groupBy("doc_id", "b")
+      .agg(min(md5(concat(col("b").cast("string"), lit("|"), col("s")))).as("h"))
+    val pairs = sig.as("x")
+      .join(sig.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit
+    * string (portable; avoids signed-int hex pitfalls). Bit j of a
+    * token is bit (3 - j%4) of hex digit j/4 of md5(token). */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col(textCol)), " ")).as("tk"))
+      .withColumn("h", md5(col("tk")))
+      .withColumn("j", explode(sequence(lit(0), lit(63))))
+      .withColumn("bit", expr(
+        "(cast(conv(substring(h, 1 + cast(j / 4 as int), 1), 16, 10) as int) div cast(pow(2, 3 - j % 4) as int)) % 2"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("sgn"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(j, CASE WHEN sgn > 0 THEN '1' ELSE '0' END AS c))), x -> x.c), '')")
+        .as("simhash"))
+
+  /** Exact pairwise n-gram Jaccard >= threshold (no LSH) — the
+    * brute-force baseline, for bounded candidate sets. */
+  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs: (a_id, b_id, cos) with a < b and
+    * cos >= threshold. Exact; swap in CosineKnn.approxTopK at scale. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.knn.CosineKnn.{dot, l2norm}
+    val a = emb.select(col("id").as("a_id"), col("vec").as("av")).withColumn("an", l2norm("av"))
+    val b = emb.select(col("id").as("b_id"), col("vec").as("bv")).withColumn("bn", l2norm("bv"))
+    a.crossJoin(broadcast(b))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot("av", "bv") / (col("an") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+}

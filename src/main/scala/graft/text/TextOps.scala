@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (driver mandate, beyond the reference surface): language-ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * pure narrow column expressions — no shuffle, fully codegen'd, and
+  * every one has an exact DuckDB-SQL equivalent for oracle parity.
+  */
+object TextOps {
+
+  /** The exact 32-char `string.punctuation` set the reference strips
+    * (data_integration/dataset.py:35 via str.translate). */
+  val Punctuation = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  /** F3 punctuation strip (translate is codegen'd, no regex engine). */
+  def stripPunctuation(c: Column): Column = translate(c, Punctuation, "")
+
+  /** F4 ASCII fold — `encode('ascii','ignore')` (steam.py:90). */
+  def asciiFold(c: Column): Column = regexp_replace(c, "[^\\x00-\\x7F]", "")
+
+  /** F5 SPARQL-regex pattern build: spaces -> `.*`, anchor `^`
+    * (movielens.py:140-150). */
+  def labelPattern(c: Column): Column = concat(lit("^"), regexp_replace(c, " ", ".*"))
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** == DuckDB `len(list_filter(w, x -> x IN (...)))`. */
+  private def stopwordCount(w: Column, words: Seq[String]): Column =
+    size(filter(w, x => x.isin(words.map(lit(_)): _*)))
+
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val FrStop = Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "del")
+
+  /** n-gram-heuristic language ID: argmax of stopword hits with a
+    * fixed en > de > fr > es tie order (deterministic). */
+  def langId(textCol: Column): Column = {
+    val w = tokens(textCol)
+    val (en, de, fr, es) =
+      (stopwordCount(w, EnStop), stopwordCount(w, DeStop),
+        stopwordCount(w, FrStop), stopwordCount(w, EsStop))
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality score in [0,1]: length sanity × stopword-density signal.
+    * Deterministic arithmetic (exact-match-able against SQL). */
+  def qualityScore(textCol: Column): Column = {
+    val w = tokens(textCol)
+    val n = size(w).cast("double")
+    val stopRatio = stopwordCount(w, EnStop).cast("double") / n
+    round(least(n / 100.0, lit(1.0)) * (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0))), 6)
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / single digits / punctuation marks). */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+      size(split(col(textCol), " ")).as("n_ws_tokens"),
+      expr(s"size(regexp_extract_all($textCol, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0))").as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Document fingerprint: md5 of the punctuation-stripped,
+    * space-normalized, lowercased text (rolling-hash analogue that is
+    * portable to the SQL oracle). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(stripPunctuation(lower(c)), " +", " ")))
+}
