@@ -1,0 +1,154 @@
+package graft.cli
+
+import graft.eval.Metrics
+import graft.model.Recommenders
+import graft.prep.Preprocess
+import graft.report.Reporter
+import graft.schema.TypedCsv
+import graft.split.EdgeSplits
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.yaml.snakeyaml.Yaml
+import scala.jdk.CollectionConverters._
+
+/** The reference's experiment runner surface (`framework.py -c
+  * config.yml` -> `framework/experiment.py:31-113`), re-expressed as a
+  * driver loop over immutable DataFrames: YAML config -> typed-CSV
+  * load -> preprocess list -> fold generator -> model registry loop ->
+  * metric aggregation -> fold-pivot report CSV. Same YAML schema as
+  * `docs/source/getting_started/config.md`.
+  */
+object Experiment {
+
+  type Cfg = java.util.Map[String, Object]
+  private def sub(m: Cfg, k: String): Cfg = m.get(k).asInstanceOf[Cfg]
+  private def str(m: Cfg, k: String, d: String = null): String =
+    Option(m.get(k)).map(_.toString).getOrElse(d)
+  private def int(m: Cfg, k: String, d: Int): Int =
+    Option(m.get(k)).map(_.toString.toInt).getOrElse(d)
+  private def dbl(m: Cfg, k: String, d: Double): Double =
+    Option(m.get(k)).map(_.toString.toDouble).getOrElse(d)
+  private def list(m: Cfg, k: String): Seq[Cfg] =
+    Option(m.get(k)).map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.asInstanceOf[Cfg]))
+      .getOrElse(Seq.empty)
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args.sliding(2).collectFirst { case Array("-c", p) => p }
+      .getOrElse(sys.error("usage: Experiment -c config.yml"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, configPath)
+    spark.stop()
+  }
+
+  /** Parse + run; returns the report DataFrame (also written to the
+    * configured report file). */
+  def run(spark: SparkSession, configPath: String): DataFrame = {
+    val root = new Yaml().load(new java.io.FileInputStream(configPath))
+      .asInstanceOf[Cfg]
+    val exp = sub(root, "experiment")
+
+    // dataset: standardized typed-CSV paths (experiment.py:38 load(**cfg))
+    val ds = sub(exp, "dataset")
+    val ratingsRaw = TypedCsv.read(spark, str(ds, "ratings"))
+      .withColumnRenamed("timestamp", "ts")
+      .withColumn("rating", col("rating").cast("double"))
+    val users = Option(str(ds, "user")).map(TypedCsv.read(spark, _))
+    val items = Option(str(ds, "item")).map(TypedCsv.read(spark, _))
+    // duplicate (user,item) edges: last-wins in nx — deterministic analogue max
+    var ratings = ratingsRaw.groupBy("user_id", "item_id")
+      .agg(max("rating").as("rating"),
+        (if (ratingsRaw.columns.contains("ts")) max("ts") else lit(0L)).as("ts"))
+    // J4 endpoint validation when dims are present (graph.py:293-302)
+    for (u <- users) ratings = ratings.join(u.select("user_id"), Seq("user_id"), "left_semi")
+    for (i <- items) ratings = ratings.join(i.select("item_id"), Seq("item_id"), "left_semi")
+
+    // preprocess list (methods.py:5-15)
+    for (p <- list(exp, "preprocess")) {
+      val params = sub(p, "parameters")
+      str(p, "method") match {
+        case "binarize" => ratings = Preprocess.binarize(ratings, dbl(params, "threshold", 3.0))
+        case "filter_kcore" => ratings = Preprocess.filterKCore(ratings,
+          int(params, "k", 2), str(params, "target", "user"), int(params, "iterations", 1))
+        case other => throw new IllegalArgumentException(
+          s"Preprocessing method $other is not implemented.")
+      }
+    }
+    ratings = ratings.cache()
+
+    // split config (edge_splitter.py:28-73)
+    val split = sub(exp, "split")
+    val seed = int(split, "seed", 42).toLong
+    val test = sub(split, "test")
+    val folds: Seq[(DataFrame, DataFrame)] = str(test, "method") match {
+      case "k_fold" =>
+        val k = int(test, "k", 2)
+        val assigned = EdgeSplits.kFoldRandom(ratings, k, str(test, "level", "user"), seed).cache()
+        (1 to k).map(i => (assigned.filter(col("fold") =!= i).drop("fold"),
+          assigned.filter(col("fold") === i).drop("fold")))
+      case "random_by_ratio" =>
+        val a = EdgeSplits.randomByRatio(ratings, dbl(test, "p", 0.2), str(test, "level", "user"), seed)
+        Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
+      case "timestamp_by_ratio" =>
+        val a = EdgeSplits.timestampByRatio(ratings, dbl(test, "p", 0.2), str(test, "level", "user"))
+        Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
+      case "fixed_timestamp" =>
+        val a = EdgeSplits.fixedTimestamp(ratings, str(test, "timestamp").toLong)
+        Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
+      case other => throw new IllegalArgumentException(s"Invalid split method $other")
+    }
+
+    // evaluation config
+    val eval = sub(exp, "evaluation")
+    val k = int(eval, "k", 5)
+    val relThr = dbl(eval, "relevance_threshold", 3.0)
+    val metricNames = Option(eval.get("metrics"))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+      .getOrElse(Seq("MAP"))
+
+    // model loop (experiment.py:60-88)
+    val rows = for {
+      m <- list(exp, "models")
+      modelName = str(m, "name")
+      params = Option(sub(m, "parameters")).getOrElse(new java.util.HashMap[String, Object]())
+      cfgMap = params.asScala.map { case (kk, v) => kk -> v.toString }.toMap
+      ((train, testDf), foldIdx) <- folds.zipWithIndex
+    } yield {
+      val t0 = System.nanoTime()
+      val rec = Recommenders.registry(modelName)(cfgMap).train(spark, train, None)
+      val recs = rec.recommend(k)
+      val vals = metricNames.map {
+        case "MAP" => "MAP" ->
+          Metrics.mapAtK(recs, testDf, k, relThr).first().getDouble(0)
+        case "nDCG" => "nDCG" ->
+          Metrics.ndcgAtK(recs, testDf, k, relThr).first().getDouble(0)
+        case other => throw new IllegalArgumentException(s"Metric $other is not implemented.")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (modelName, foldIdx + 1, vals, secs)
+    }
+
+    // mean±std report (experiment.py:93-106, report.py:31-63)
+    import spark.implicits._
+    val reports = metricNames.map { mn =>
+      val df = rows.map { case (model, fold, vals, _) =>
+        (model, fold, vals.toMap.apply(mn))
+      }.toDF("model", "fold", "value")
+      Reporter.foldPivot(df, folds.size, s"$mn@$k")
+    }
+    val times = rows.map { case (model, fold, _, secs) => (model, fold, secs) }
+      .toDF("model", "fold", "value")
+    val timeReport = Reporter.foldPivot(times, folds.size, "execution_time")
+    val report = (reports :+ timeReport).reduce((a, b) => a.join(b, Seq("model")))
+
+    for (r <- Option(sub(exp, "report")); f <- Option(str(r, "file"))) {
+      Reporter.writeCsv(report, f)
+    }
+    report
+  }
+}

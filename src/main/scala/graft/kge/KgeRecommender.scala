@@ -78,14 +78,14 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     def side(prefix: String, idsFromTrain: DataFrame): DataFrame =
       idsFromTrain.distinct()
         .join(embDf.filter(col("label").startsWith(s"$prefix("))
-          .select(regexp_extract(col("label"), s"^$prefix\\((.*)\\)$$", 1).cast("long").as("id"),
+          .select(regexp_extract(col("label"), s"^$prefix\\((.*)\\)$$", 1).as("id"),
             col("vec")),
           Seq("id"), "left")
         .withColumn("vec", coalesce(col("vec"),
           expr(s"transform(sequence(1, $dim), x -> cast(0.0 as double))")))
 
-    userEmb = side("User", trainRatings.select(col("user_id").as("id"))).cache()
-    itemEmb = side("Item", trainRatings.select(col("item_id").as("id"))).cache()
+    userEmb = side("User", trainRatings.select(col("user_id").cast("string").as("id"))).cache()
+    itemEmb = side("Item", trainRatings.select(col("item_id").cast("string").as("id"))).cache()
     this
   }
 

@@ -1,0 +1,95 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (driver mandate;
+  * the reference is fully batch — SURVEY §2.9). The transforms are
+  * shared between batch and streaming DataFrames: the same windowed
+  * aggregation answers SparkEntry's q23/q32 in batch and runs
+  * incrementally under a watermark here.
+  */
+object EventStreams {
+
+  /** Events schema with nanos pre-converted to a usable timestamp
+    * (matches Tables.events' batch output). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open a file-source stream over a directory of events parquet.
+    * (`maxFilesPerTrigger` keeps local smoke tests incremental.) */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Shared batch/stream transform: tumbling (or sliding) window
+    * aggregation with an event-time watermark when streaming. */
+  def windowedAgg(events: DataFrame, windowLen: String, slide: Option[String] = None,
+                  watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(w => events.withWatermark("ts", w))
+    val win = slide.fold(window(col("ts"), windowLen))(s => window(col("ts"), windowLen, s))
+    withWm
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Streaming top-k refresh: per-window item popularity ranked in the
+    * sink (rank-over-window is not incremental; the stream emits
+    * per-(window, key) aggregates and the top-k is a cheap sorted read
+    * of the in-memory/Delta sink — the standard streaming pattern). */
+  def popularityCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Custom stateful operator: gap-based sessionization with
+    * flatMapGroupsWithState (M-streaming; no reference analogue). Emits
+    * a session row when `gapMs` of event-time silence passes. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          var out = List.empty[Session]
+          var cur = state.getOption
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out ::= Session(user, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(s => state.update(s))
+          state.setTimeoutTimestamp(cur.map(_.end + gapMs).getOrElse(0L))
+          if (state.hasTimedOut) {
+            cur.foreach(s => out ::= Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+            state.remove()
+          }
+          out.reverseIterator
+      }
+  }
+}

@@ -84,11 +84,12 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     val emb = model.getVectors
       .select(col("word").cast("long").as("node_id"), vector_to_array(col("vector")).as("vec"))
       .join(nodes, Seq("node_id"))
+    // ids stay strings: the reference schema types them string (§1.2)
     userEmb = emb.filter(col("label").startsWith("User("))
-      .select(regexp_extract(col("label"), "^User\\((.*)\\)$", 1).cast("long").as("id"), col("vec"))
+      .select(regexp_extract(col("label"), "^User\\((.*)\\)$", 1).as("id"), col("vec"))
       .cache()
     itemEmb = emb.filter(col("label").startsWith("Item("))
-      .select(regexp_extract(col("label"), "^Item\\((.*)\\)$", 1).cast("long").as("id"), col("vec"))
+      .select(regexp_extract(col("label"), "^Item\\((.*)\\)$", 1).as("id"), col("vec"))
       .cache()
     this
   }
@@ -112,8 +113,9 @@ object DeepWalkRecommender {
     val nItems = itemEmb.count()
     val kPrime = math.min(maxRated + k, nItems).toInt
     CosineKnn.topK(userEmb, itemEmb, kPrime)
-      .withColumnRenamed("query_id", "user_id").withColumnRenamed("item_id", "item_id")
-      .join(train.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")
+      .withColumnRenamed("query_id", "user_id")
+      .join(train.select(col("user_id").cast("string").as("user_id"),
+        col("item_id").cast("string").as("item_id")), Seq("user_id", "item_id"), "left_anti")
       .withColumn("rank", row_number().over(
         Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))))
       .filter(col("rank") <= k)

@@ -1,0 +1,88 @@
+package graft
+
+import graft.split.EdgeSplits
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+class EdgeSplitsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkRatings(n: Int, usersN: Int) =
+    (0 until n).map(i => (i % usersN.toLong, i.toLong, (i % 5 + 1).toDouble, i.toLong * 1000))
+      .toDF("user_id", "item_id", "rating", "ts")
+
+  test("randomByRatio user level: per-user test size = ceil(n_u * p) (W2)") {
+    val r = mkRatings(100, 7)
+    val a = EdgeSplits.randomByRatio(r, 0.3, "user", 42)
+    val sizes = a.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum(when($"is_test", 1).otherwise(0)).as("t"))
+      .collect()
+    sizes.foreach { row =>
+      val (n, t) = (row.getLong(1), row.getLong(2))
+      assert(t == math.ceil(n * 0.3).toLong, s"user ${row.get(0)}")
+    }
+    // train ∪ test = all, disjoint by construction of a boolean column
+    assert(a.count() == 100)
+  }
+
+  test("randomByRatio is deterministic in the seed and partitioning") {
+    val r = mkRatings(60, 5)
+    val a1 = EdgeSplits.randomByRatio(r, 0.25, "user", 7).filter($"is_test")
+      .select("user_id", "item_id").collect().toSet
+    val a2 = EdgeSplits.randomByRatio(r.repartition(13), 0.25, "user", 7).filter($"is_test")
+      .select("user_id", "item_id").collect().toSet
+    assert(a1 == a2)
+    val b = EdgeSplits.randomByRatio(r, 0.25, "user", 8).filter($"is_test")
+      .select("user_id", "item_id").collect().toSet
+    assert(a1 != b) // different seed -> different membership (overwhelmingly)
+  }
+
+  test("timestampByRatio puts the most recent edges in test (W3)") {
+    val r = mkRatings(50, 1) // single user, ts increasing with item
+    val a = EdgeSplits.timestampByRatio(r, 0.2, "user")
+    val maxTrain = a.filter(!$"is_test").agg(max("ts")).first().getLong(0)
+    val minTest = a.filter($"is_test").agg(min("ts")).first().getLong(0)
+    assert(maxTrain < minTest)
+    assert(a.filter($"is_test").count() == 10)
+  }
+
+  test("kFold: ntile fold sizes match sklearn KFold (first n%k folds get one extra) (W5/W6)") {
+    // property-style: sample (n, k) pairs from scalacheck generators
+    val gen = for { n <- Gen.choose(10, 60); k <- Gen.choose(2, 5) } yield (n, k)
+    val cases = (0 until 12).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (n, k) =>
+      val r = mkRatings(n, 1)
+      val sizes = EdgeSplits.kFold(r, k, "global", Seq($"item_id"))
+        .groupBy("fold").count().orderBy("fold").select("count").as[Long].collect()
+      assert(sizes.sum == n, s"n=$n k=$k")
+      assert(sizes.max - sizes.min <= 1, s"n=$n k=$k")
+      // sklearn: earlier folds never smaller than later ones
+      assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b }, s"n=$n k=$k")
+    }
+  }
+
+  test("kFold user level: every user appears in every fold when n_u >= k") {
+    val r = mkRatings(100, 4) // 25 ratings per user, k=5
+    val folds = EdgeSplits.kFoldRandom(r, 5, "user", 42)
+    val presence = folds.groupBy("user_id", "fold").count()
+    assert(presence.count() == 4 * 5)
+  }
+
+  test("fixedTimestamp is a pure filter split (W4)") {
+    val r = mkRatings(20, 2)
+    val a = EdgeSplits.fixedTimestamp(r, 9999)
+    assert(a.filter($"is_test").agg(min("ts")).first().getLong(0) > 9999)
+    assert(a.count() == 20)
+  }
+
+  test("byRatioApprox matches exact split on the ordering column within tolerance") {
+    val r = mkRatings(1000, 1)
+    val approx = EdgeSplits.byRatioApprox(r, 0.2, "ts", 0.001)
+    val nTest = approx.filter($"is_test").count()
+    assert(math.abs(nTest - 200L) <= 5)
+  }
+}

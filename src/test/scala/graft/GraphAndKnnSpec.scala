@@ -1,0 +1,84 @@
+package graft
+
+import graft.graph.KGraph
+import graft.knn.CosineKnn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphAndKnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("node labels match the reference byte-for-byte (node.py:22,43,65)") {
+    val df = Seq(("7", "Drama")).toDF("id", "genre")
+    val row = df.select(
+      KGraph.userLabel($"id"), KGraph.itemLabel($"id"),
+      KGraph.propertyLabel($"genre", "subject")).first()
+    assert(row.getString(0) == "User(7)")
+    assert(row.getString(1) == "Item(7)")
+    assert(row.getString(2) == "Property(Drama, subject)")
+  }
+
+  test("property node identity is scoped by type (node.py:75-77)") {
+    val a = KGraph.propertyLabel(lit("X"), "director")
+    val b = KGraph.propertyLabel(lit("X"), "writer")
+    val r = Seq(1).toDF("x").select(a.as("a"), b.as("b")).first()
+    assert(r.getString(0) != r.getString(1))
+  }
+
+  test("rating relation follows Python str() of the number (graph.py:90)") {
+    val df = Seq(4.0, 3.5).toDF("rating")
+    val out = df.select(KGraph.ratingRelation($"rating")).as[String].collect().toSet
+    assert(out == Set("rating4.0", "rating3.5"))
+  }
+
+  test("relabel is a deterministic dense bijection ordered by label (§1.3)") {
+    val labels = Seq("Item(2)", "Item(10)", "User(1)").toDF("label")
+    val m = KGraph.relabel(labels).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // lexicographic: Item(10) < Item(2) < User(1)
+    assert(m == Map("Item(10)" -> 0, "Item(2)" -> 1, "User(1)" -> 2))
+  }
+
+  test("validateEdges drops edges with unknown endpoints (J4, graph.py:293-302)") {
+    val edges = Seq((1L, 10L), (1L, 99L), (5L, 10L)).toDF("user_id", "item_id")
+    val users = Seq(1L).toDF("user_id")
+    val items = Seq(10L).toDF("item_id")
+    val ok = KGraph.validateEdges(edges, users, items)
+      .select("user_id", "item_id").collect()
+    assert(ok.length == 1 && ok.head.getLong(0) == 1L && ok.head.getLong(1) == 10L)
+  }
+
+  test("exact cosine topK matches brute force and breaks ties by id (J6)") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(1.0, 0.0))
+    ).toDF("id", "vec")
+    val out = CosineKnn.topK(vecs.filter($"id" === 1), vecs, 3, excludeSelf = true)
+      .orderBy("rank").collect()
+    // cos(1,4)=1, cos(1,3)=0.7071, cos(1,2)=0
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 3L, 2L))
+    assert(math.abs(out(1).getDouble(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("zero vectors rank below any real neighbor (F14 zero-fill)") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(-1.0, 0.0))
+    ).toDF("id", "vec")
+    val out = CosineKnn.topK(vecs.filter($"id" === 1), vecs, 2, excludeSelf = true)
+      .orderBy("rank").collect()
+    // cos(1,3) = -1 still beats the zero vector's sentinel -2
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+  }
+
+  test("approxTopK recalls the exact nearest neighbor on clustered data") {
+    val base = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Seq(c + i * 1e-3, c - i * 1e-3, 0.1))
+    }.toDF("id", "vec")
+    val exact = CosineKnn.topK(base.filter($"id" === 0), base, 2, excludeSelf = true)
+      .filter($"rank" === 1).first().getLong(1)
+    val approx = CosineKnn.approxTopK(base.filter($"id" === 0), base, 3)
+      .filter($"item_id" =!= 0).orderBy("rank").first().getLong(1)
+    assert(approx == exact)
+  }
+}

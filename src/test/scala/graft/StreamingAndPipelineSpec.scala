@@ -1,0 +1,107 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+import graft.stream.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingAndPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed agg over events == batch result (incremental parity)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStreams.windowedAgg(Tables.events(spark, dir), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // file stream sources need a directory, not a single file
+    val streamDir = java.nio.file.Files.createTempDirectory("graftstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
+    val stream = EventStreams.readEvents(spark, streamDir.toString)
+    val q = EventStreams.windowedAgg(stream, "1 hour", watermark = Some("2 hours"))
+      .writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("winagg")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization groups events by inactivity gap") {
+    import EventStreams.{Event, Session}
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val events = Seq(
+      Event(1, ts(0), 1L, "click", 1.0),
+      Event(2, ts(5), 1L, "click", 2.0),
+      Event(3, ts(60), 1L, "click", 3.0), // > 30 min gap -> new session
+      Event(4, ts(0), 2L, "view", 1.0)
+    ).toDS()
+    // batch mode: flatMapGroupsWithState processes each group once;
+    // only closed sessions are emitted, the last stays in state — so we
+    // validate the session-splitting logic on the emitted prefix.
+    val sessions = EventStreams.sessionize(events, 30 * 60000)
+    val u1 = sessions.filter(_.user_id == 1L).collect()
+    assert(u1.length == 1) // first session closed by the 60-min event
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+  }
+
+  test("multimodal plumbing: deterministic stub features, frame sampling") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.asMedia(docs)
+    val feats = MultimodalOps.extractFeatures(media, dim = 4).collect()
+    val byId = feats.map(f => f.id -> f.features.toSeq).toMap
+    assert(byId(1L) == byId(2L)) // same bytes -> same fake features
+    assert(byId(1L) != byId(3L))
+    assert(feats.forall(_.n_bytes > 0))
+    val frames = MultimodalOps.sampleFrames(media, 1)
+    assert(frames.count() == 3) // tiny payloads -> 1 frame each
+  }
+
+  test("Experiment CLI: YAML config -> report CSV end-to-end (§3.1)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftexp")
+    // typed-header fixtures: 6 users × 6 items, plus a <k-core user
+    val ratings = new StringBuilder("user_id::string,item_id::string,rating::number,timestamp::number\n")
+    for (u <- 1 to 6; i <- 1 to 6 if (u + i) % 7 != 0)
+      ratings.append(s"u$u,i$i,${(u * i) % 5 + 1},${u * 100 + i}\n")
+    ratings.append("u9,i1,5,42\n") // user with a single rating: killed by k-core
+    java.nio.file.Files.writeString(tmp.resolve("rating.csv"), ratings.toString)
+    val config =
+      s"""experiment:
+         |  dataset:
+         |    ratings: ${tmp.resolve("rating.csv")}
+         |  preprocess:
+         |    - method: filter_kcore
+         |      parameters: {k: 2, target: user, iterations: 1}
+         |  split:
+         |    seed: 42
+         |    test: {method: k_fold, k: 2, level: user}
+         |  models:
+         |    - name: popularity
+         |      parameters: {}
+         |  evaluation:
+         |    k: 3
+         |    relevance_threshold: 3
+         |    metrics: [MAP, nDCG]
+         |  report:
+         |    file: ${tmp.resolve("report")}
+         |""".stripMargin
+    val cfgPath = tmp.resolve("config.yml")
+    java.nio.file.Files.writeString(cfgPath, config)
+
+    val report = graft.cli.Experiment.run(spark, cfgPath.toString)
+    val cols = report.columns.toSet
+    assert(cols.contains("model"))
+    assert(cols.contains("fold-1_MAP@3") && cols.contains("fold-2_MAP@3"))
+    assert(cols.contains("MAP@3_mean") && cols.contains("MAP@3_std"))
+    assert(cols.contains("nDCG@3_mean") && cols.contains("execution_time_mean"))
+    val row = report.first()
+    assert(row.getString(row.fieldIndex("model")) == "popularity")
+    val mapMean = row.getDouble(row.fieldIndex("MAP@3_mean"))
+    assert(mapMean >= 0.0 && mapMean <= 1.0)
+    // report CSV landed on disk
+    assert(new java.io.File(tmp.resolve("report").toString).exists())
+  }
+}

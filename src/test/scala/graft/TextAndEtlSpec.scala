@@ -1,0 +1,130 @@
+package graft
+
+import graft.etl.{Converters, SparqlSource}
+import graft.text.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAndEtlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("title normalization is step-exact to movielens.py:81-98 (F2)") {
+    val titles = Seq(
+      "Saint, The (1997)",
+      "Postino, Il (1994)",
+      "Haunted World of Edward D. Wood Jr., The (1995)",
+      "Jack and Sarah (1995)",
+      "Cérémonie, La (1995)",
+      "Good, Bad, Ugly (1966)"
+    ).toDF("movie_title")
+    val out = titles.select(Converters.normalizeTitleExpr("movie_title")).as[String].collect()
+    assert(out(0) == "The Saint")
+    assert(out(1) == "Il Postino")
+    assert(out(2) == "The Haunted World of Edward D. Wood Jr.")
+    assert(out(3) == "Jack and Sarah")
+    assert(out(4) == "La Cérémonie")
+    assert(out(5) == "Ugly Good Bad") // reference rotates last segment first
+  }
+
+  test("year extraction (F1, movielens.py:100-105)") {
+    val y = Seq("Heat (1995)").toDF("t")
+      .select(Converters.extractYear($"t")).first().getInt(0)
+    assert(y == 1995)
+  }
+
+  test("punctuation strip removes the exact string.punctuation set (F3)") {
+    val out = Seq("a.b,c!d?e(f)g").toDF("s")
+      .select(TextOps.stripPunctuation($"s")).first().getString(0)
+    assert(out == "abcdefg")
+  }
+
+  test("langId picks the max-stopword language deterministically") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund ist nicht mit der katze zu hause",
+      "le chat est dans la maison et les jardins"
+    ).toDF("text")
+    val out = df.select(TextOps.langId($"text")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "fr"))
+  }
+
+  test("exact dedup keeps min doc_id per distinct text") {
+    val docs = Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and scores exact Jaccard") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(spark, docs, 8, 3, 0.5).collect()
+    assert(pairs.length == 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (1L, 2L))
+    // 38 shingles each, 35 shared -> J = 35/41
+    assert(math.abs(pairs.head.getDouble(2) - 35.0 / 41) < 1e-4)
+  }
+
+  test("simhash: 64-bit strings, identical texts collide, different texts differ") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(_.length == 64))
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("SPARQL source replays fixtures through the executor-side transport (S4)") {
+    val fixture: SparqlSource.Transport = (_, q, _) =>
+      s"""{"results":{"bindings":[{"uri":{"value":"http://dbpedia.org/resource/$q"},"label":{"value":"Label $q"}}]}}"""
+    val queries = Seq(("1", "Heat"), ("2", "Fargo")).toDF("item_id", "query")
+    val out = SparqlSource.fetch(spark, queries, "http://fixture", transport = fixture)
+      .select($"item_id", expr("bindings[0]['uri']").as("uri")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("1" -> "http://dbpedia.org/resource/Heat",
+      "2" -> "http://dbpedia.org/resource/Fargo"))
+  }
+
+  test("fuzzy disambiguation picks the best-matching candidate URI (J7)") {
+    val cands = Seq(
+      ("1", "The Saint", "The Saint (film)", "uri:saint-film"),
+      ("1", "The Saint", "Saint Nicholas", "uri:nicholas"),
+      ("1", "The Saint", "Saint, The", "uri:saint-rev")
+    ).toDF("item_id", "expected", "candidate_label", "uri")
+    val top = SparqlSource.disambiguate(cands).first()
+    // token-sort pass makes "Saint, The" a perfect match; ties broken by uri
+    assert(top.getString(1) == "uri:saint-rev")
+  }
+
+  test("firstCsvRow takes the first data row (S5, movielens.py:165-178)") {
+    val row = SparqlSource.firstCsvRow("a,b\n1,2\n3,4\n")
+    assert(row.contains(Map("a" -> "1", "b" -> "2")))
+  }
+
+  test("group-concat enrichment aggregation (A4)") {
+    val triples = Seq(
+      ("u1", "director", "Lynch"), ("u1", "director", "Lynch"),
+      ("u1", "starring", "MacLachlan"), ("u2", "director", "Nolan")
+    ).toDF("uri", "property", "value")
+    val out = SparqlSource.groupConcatProperties(triples, Seq("director", "starring"))
+      .orderBy("uri").collect()
+    assert(out(0).getString(1) == "Lynch") // distinct applied
+    assert(out(0).getString(2) == "MacLachlan")
+  }
+
+  test("surrogate-key join assigns deterministic dense ids (J3, douban-movie.py:61-70)") {
+    val facts = Seq(("MovieB", 5.0), ("MovieA", 3.0), ("MovieB", 4.0)).toDF("Movie_Name_EN", "rating")
+    val (dim, joined) = Converters.surrogateKeyJoin(facts, "Movie_Name_EN", "item_id")
+    assert(dim.orderBy("item_id").collect().map(_.getString(0)).toSeq == Seq("MovieA", "MovieB"))
+    assert(joined.count() == 3)
+  }
+
+  test("match-rate report (A5, dataset.py:236-241)") {
+    val mapped = Seq(("1", "uri:a"), ("2", null), ("3", "uri:c"), ("4", null))
+      .toDF("item_id", "uri")
+    val r = SparqlSource.matchRate(mapped).first()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getDouble(2) == 50.0)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.kge.{KgeModels, KgeTrainer}
+import graft.model.PopularityRecommender
+import graft.walk.RandomWalks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WalkAndModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    .toDF("src", "dst")
+
+  test("uniform walks: shape, determinism, valid transitions (M1, walker.py:12-55)") {
+    val adj = RandomWalks.adjacency(edges)
+    val nodes = adj.select($"node")
+    val w1 = RandomWalks.randomWalks(spark, adj, nodes, 3, 5, 42)
+    assert(w1.count() == 4 * 3)
+    val paths = w1.select("path").as[Seq[Long]].collect()
+    paths.foreach(p => assert(p.length == 5)) // no isolated nodes -> full length
+    // every consecutive pair is a graph edge
+    val edgeSet = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).flatMap { case (a, b) => Set((a, b), (b, a)) }
+    paths.foreach(p => p.sliding(2).foreach { case Seq(a, b) => assert(edgeSet((a, b))) })
+    // seeded determinism under repartitioning
+    val w2 = RandomWalks.randomWalks(spark, adj.repartition(7), nodes, 3, 5, 42)
+    assert(w1.select("start", "walk_idx", "path").collect().toSet ==
+      w2.select("start", "walk_idx", "path").collect().toSet)
+  }
+
+  test("walks stop at isolated nodes (walker.py:37-39)") {
+    val adj = RandomWalks.adjacency(edges)
+    val nodes = Seq(99L).toDF("node") // not in the graph
+    val w = RandomWalks.randomWalks(spark, adj, nodes, 2, 5, 42)
+    w.select("path").as[Seq[Long]].collect().foreach(p => assert(p == Seq(99L)))
+  }
+
+  test("biased walks respect p/q extremes (M2, walker.py:148-155)") {
+    // path graph 1-2-3: from 2, with p tiny (return-loving), walks ping-pong
+    val line = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val adj = RandomWalks.adjacency(line)
+    val w = RandomWalks.biasedWalks(spark, adj, Seq(2L).toDF("node"), 20, 4, 0.0001, 10000.0, 1)
+    val paths = w.select("path").as[Seq[Long]].collect()
+    // step 3 should overwhelmingly return to the previous node (ping-pong)
+    val returns = paths.count(p => p.length >= 3 && p(2) == p(0))
+    assert(returns >= 15, s"only $returns/20 returned with p=1e-4")
+  }
+
+  test("popularity recommender never recommends rated items, ranks by count (J5/W7)") {
+    val train = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0),
+      (2L, 10L, 5.0), (2L, 12L, 5.0),
+      (3L, 10L, 5.0), (3L, 11L, 5.0)
+    ).toDF("user_id", "item_id", "rating")
+    val recs = PopularityRecommender.recommend(train, 2)
+    val u1 = recs.filter($"user_id" === 1).orderBy("rank").select("item_id").as[Long].collect()
+    assert(u1.toSeq == Seq(12L)) // 10,11 rated; 12 is the only unrated candidate
+    val u3 = recs.filter($"user_id" === 3).orderBy("rank").select("item_id").as[Long].collect()
+    assert(u3.toSeq == Seq(12L))
+  }
+
+  test("KGE scoring: positive triples outscore corrupted ones after training (M4)") {
+    // bipartite 2-block graph: users 0,1 like items 10,11; users 2,3 like 12,13
+    val triples = (for {
+      u <- 0 to 3; i <- 0 to 1
+    } yield (u, 0, 10 + (u / 2) * 2 + i)).toDF("h", "r", "t")
+    for (model <- Seq("transE", "transH", "distMult", "complEx", "rotatE")) {
+      val tr = new KgeTrainer(model, 8, 30, 0.1, 1.0, 42L, trainFraction = 1.0)
+      val (ent, rel) = tr.fit(spark, triples, 14, 1)
+      val d = 8
+      val posScores = for (u <- 0 to 3; i <- 0 to 1)
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + (u / 2) * 2 + i))
+      val negScores = for (u <- 0 to 3; i <- 0 to 1)
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + ((u / 2 + 1) % 2) * 2 + i))
+      val posMean = posScores.sum / posScores.size
+      val negMean = negScores.sum / negScores.size
+      assert(posMean > negMean, s"$model: pos $posMean <= neg $negMean")
+    }
+  }
+
+  test("KGE gradients are finite-difference consistent (transE, distMult)") {
+    val d = 4
+    val rng = new scala.util.Random(1)
+    def vec() = Array.fill(d)(rng.nextFloat())
+    for (model <- Seq("transE", "distMult", "complEx", "rotatE")) {
+      val (ed, rd) = KgeModels.dims(model, d)
+      val h = Array.fill(ed)(rng.nextFloat()); val r = Array.fill(rd)(rng.nextFloat())
+      val t = Array.fill(ed)(rng.nextFloat())
+      val gh = new Array[Float](ed); val gr = new Array[Float](rd); val gt = new Array[Float](ed)
+      KgeModels.addGrad(model, d, h, r, t, 1.0, gh, gr, gt)
+      val eps = 1e-3f
+      for (i <- 0 until ed) {
+        val h2 = h.clone(); h2(i) += eps
+        val fd = (KgeModels.score(model, d, h2, r, t) - KgeModels.score(model, d, h, r, t)) / eps
+        assert(math.abs(fd - gh(i)) < 0.05, s"$model dh($i): fd=$fd grad=${gh(i)}")
+      }
+    }
+  }
+}
