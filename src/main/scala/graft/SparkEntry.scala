@@ -33,9 +33,12 @@ object SparkEntry {
   /** 1999-01-01T00:00:00Z in epoch millis — fixed-timestamp split point. */
   private val FixedTs = 915148800000L
 
-  /** Deterministic user-level 80/20 temporal split of the rating edges. */
+  /** Deterministic user-level 80/20 temporal split of the rating edges.
+    * Persisted: q09-q12 all branch from this plan and the CacheManager
+    * serves them from one materialization. */
   private def tsSplit(s: SparkSession, dir: String): DataFrame =
     EdgeSplits.timestampByRatio(Tables.ratings(s, dir), 0.2, "user")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def trainRatings(s: SparkSession, dir: String): DataFrame =
     tsSplit(s, dir).filter(!col("is_test")).drop("is_test")

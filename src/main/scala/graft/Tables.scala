@@ -32,6 +32,11 @@ object Tables {
         unix_millis(l("l_shipdate").cast("timestamp")).as("ts")) // NTZ -> UTC instant (session TZ is UTC)
       .groupBy("user_id", "item_id")
       .agg(max("rating").as("rating"), max("ts").as("ts"))
+      // persist: every recommender-graph query starts from this view, and
+      // Spark's CacheManager matches it by canonicalized plan across
+      // separate query invocations in the same session (repeat persist
+      // calls on the same plan are no-ops).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The events table carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
 object CosineKnn {
 
   /** Sum of elementwise products, accumulated left-to-right in index
-    * order (bit-reproducible across partitionings). */
+    * order (bit-reproducible across partitionings). Backed by the
+    * codegen'd [[graft.functions.ArrayDot]] — the HOF formulation
+    * (aggregate over zip_with) allocates an intermediate array per row,
+    * which dominates O(n²) similarity joins. */
   def dot(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+    graft.functions.ArrayDot(col(a), col(b))
 
   def l2norm(a: String): org.apache.spark.sql.Column =
-    sqrt(expr(s"aggregate($a, cast(0.0 as double), (acc, v) -> acc + v * v)"))
+    sqrt(graft.functions.ArrayDot(col(a), col(a)))
 
   /** queries/items: (id, vec: array<double>). Output:
     * (query_id, item_id, score, rank) with rank 1..k by cosine

@@ -33,7 +33,10 @@ class PopularityRecommender(cfg: Map[String, String] = Map.empty) extends Recomm
 
 object PopularityRecommender {
   /** (user_id, item_id, rank) of the top-k most popular unrated items. */
-  def recommend(train: DataFrame, k: Int): DataFrame = {
+  def recommend(trainRaw: DataFrame, k: Int): DataFrame = {
+    // train is read three times (popularity, degree bound, anti-join):
+    // materialize once instead of re-deriving the upstream join+agg
+    val train = trainRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
     // max #items any single user rated — bounds candidates exactly like
     // the reference bounds kNN n_neighbors (deep_walk_based/model.py:137-149)

@@ -38,19 +38,14 @@ object Preprocess {
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
-      val snapshot = cur.persist(StorageLevel.MEMORY_AND_DISK)
-      val kill = snapshot.groupBy(key).count().filter(col("count") < k).select(key)
-      if (kill.isEmpty) {
-        converged = true
-        snapshot.unpersist()
-      } else {
-        val next = snapshot.join(broadcast(kill), Seq(key), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before unpersisting the parent snapshot
-        snapshot.unpersist()
-        cur = next
-      }
+      val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
+      if (kill.isEmpty) converged = true
+      else cur = cur.join(broadcast(kill), Seq(key), "left_anti")
       it += 1
+      // reference configs run 1-3 iterations: recomputing the shallow
+      // anti-join lineage beats materializing each round; deep loops
+      // get their lineage truncated periodically
+      if (it % 4 == 0) cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
     }
     cur
   }

@@ -64,13 +64,20 @@ object Dedup {
     * string (portable; avoids signed-int hex pitfalls). Bit j of a
     * token is bit (3 - j%4) of hex digit j/4 of md5(token). */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // Shuffle-lean formulation: explode per HEX DIGIT (16/token, not
+    // 64/token), partially aggregate (doc, pos, digit) counts — the
+    // shuffle then carries at most |docs|×16×16 rows — and expand each
+    // digit count into its 4 bit contributions after the exchange.
+    // Integer-identical to summing ±1 per (token, bit).
     docs.select(col("doc_id"), explode(split(lower(col(textCol)), " ")).as("tk"))
       .withColumn("h", md5(col("tk")))
-      .withColumn("j", explode(sequence(lit(0), lit(63))))
-      .withColumn("bit", expr(
-        "(cast(conv(substring(h, 1 + cast(j / 4 as int), 1), 16, 10) as int) div cast(pow(2, 3 - j % 4) as int)) % 2"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("sgn"))
+      .withColumn("pos", explode(sequence(lit(0), lit(15))))
+      .withColumn("digit", expr("cast(conv(substring(h, pos + 1, 1), 16, 10) as int)"))
+      .groupBy("doc_id", "pos", "digit").agg(count(lit(1)).as("c"))
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"), (col("pos") * 4 + col("b")).as("j"),
+        (col("c") * (expr("(digit div cast(pow(2, 3 - b) as int)) % 2") * 2 - 1)).as("sgn_part"))
+      .groupBy("doc_id", "j").agg(sum("sgn_part").as("sgn"))
       .groupBy("doc_id")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(j, CASE WHEN sgn > 0 THEN '1' ELSE '0' END AS c))), x -> x.c), '')")

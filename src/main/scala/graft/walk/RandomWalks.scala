@@ -64,7 +64,13 @@ object RandomWalks {
 
   /** Second-order (node2vec) walks: step weight 1/p back to the
     * previous node, 1 to a neighbor of the previous node, 1/q otherwise
-    * (walker.py:148-155). */
+    * (walker.py:148-155).
+    *
+    * Sampling trick: the weight vector only ever holds three values, so
+    * instead of an O(degree²) per-row prefix-sum over all neighbors we
+    * sample the CLASS (back / common / far) by its total mass, then
+    * pick uniformly inside the class — O(degree) set algebra per step,
+    * distribution-identical to the reference's piecewise weights. */
   def biasedWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, p: Double, q: Double, seed: Long): DataFrame = {
     val prevAdj = adj.select(col("node").as("prev_node"), col("nbrs").as("prev_nbrs"))
@@ -75,25 +81,32 @@ object RandomWalks {
       .withColumn("prev", lit(null).cast("long"))
     for (step <- 1 until walkLen) {
       val r = hash01(col("start"), col("walk_idx"), lit(step), lit(seed))
+      val idx = pmod(xxhash64(col("start"), col("walk_idx"), lit(step), lit(seed + 1)), lit(1000000007L))
       state = state
         .join(broadcast(adj), state("cur") === adj("node"), "left")
         .join(broadcast(prevAdj), state("prev") === prevAdj("prev_node"), "left")
-        .withColumn("wts",
-          when(col("prev").isNull, expr("transform(nbrs, x -> cast(1.0 as double))"))
-            .otherwise(expr(
-              s"transform(nbrs, x -> CASE WHEN x = prev THEN ${1.0 / p}" +
-                s" WHEN prev_nbrs IS NOT NULL AND array_contains(prev_nbrs, x) THEN 1.0" +
-                s" ELSE ${1.0 / q} END)")))
-        .withColumn("total", expr("aggregate(wts, cast(0.0 as double), (a, v) -> a + v)"))
-        .withColumn("target", r * col("total"))
-        // first index whose running prefix sum exceeds the target draw
-        .withColumn("pick",
-          expr("""size(filter(transform(sequence(1, size(wts)),
-                 i -> aggregate(slice(wts, 1, i), cast(0.0 as double), (a, v) -> a + v)),
-                 c -> c <= target)) + 1"""))
+        // class decomposition of the neighbor set wrt the previous node
+        .withColumn("common",
+          when(col("prev").isNull, expr("array()"))
+            .otherwise(expr("array_remove(array_intersect(nbrs, coalesce(prev_nbrs, array())), prev)")))
+        .withColumn("far",
+          when(col("prev").isNull, col("nbrs"))
+            .otherwise(expr("array_except(array_remove(nbrs, prev), common)")))
+        .withColumn("w_back",
+          when(col("prev").isNotNull && expr("array_contains(nbrs, prev)"), lit(1.0 / p))
+            .otherwise(lit(0.0)))
+        .withColumn("w_common", when(col("prev").isNull, lit(0.0))
+          .otherwise(size(col("common")).cast("double")))
+        .withColumn("w_far", size(col("far")).cast("double") *
+          when(col("prev").isNull, lit(1.0)).otherwise(lit(1.0 / q)))
+        .withColumn("draw", r * (col("w_back") + col("w_common") + col("w_far")))
         .withColumn("nxt",
-          when(col("nbrs").isNotNull && size(col("nbrs")) > 0,
-            element_at(col("nbrs"), least(col("pick"), size(col("nbrs"))).cast("int"))))
+          when(col("nbrs").isNull || size(col("nbrs")) === 0, lit(null).cast("long"))
+            .when(col("draw") < col("w_back"), col("prev"))
+            .when(col("draw") < col("w_back") + col("w_common"),
+              element_at(col("common"), (idx % greatest(size(col("common")), lit(1)) + 1).cast("int")))
+            .otherwise(
+              element_at(col("far"), (idx % greatest(size(col("far")), lit(1)) + 1).cast("int"))))
         .select(col("start"), col("walk_idx"),
           when(col("nxt").isNotNull, concat(col("path"), array(col("nxt"))))
             .otherwise(col("path")).as("path"),
