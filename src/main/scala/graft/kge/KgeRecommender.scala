@@ -95,7 +95,7 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
 
 object KgeRecommender {
   def registry: Map[String, Map[String, String] => Recommender] =
-    Seq("transE", "transH", "distMult", "complEx", "rotatE")
+    Seq("transE", "transH", "transR", "transD", "distMult", "complEx", "rotatE", "rescal", "tuckER")
       .map(m => m -> ((cfg: Map[String, String]) => new KgeRecommender(cfg + ("model" -> m)): Recommender))
       .toMap
 }

@@ -33,11 +33,16 @@ object KgeModels {
     case "transH"              => (d, 2 * d) // translation d_r ++ hyperplane normal w_r
     case "complEx"             => (2 * d, 2 * d)
     case "rotatE"              => (2 * d, d) // relation = phases
+    case "transR"              => (d, d + d * d) // translation ++ row-major projection M_r
+    case "transD"              => (2 * d, 2 * d) // emb ++ projection vector on both sides
+    case "rescal"              => (d, d * d) // bilinear per-relation matrix
+    case "tuckER"              => (d, d) // relation vector; shared core W is d^3 (extra row)
     case other                 => throw new IllegalArgumentException(s"unsupported KGE model: $other")
   }
 
   /** Higher is better. */
-  def score(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float]): Double =
+  def score(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float],
+            core: Array[Float] = null): Double =
     model match {
       case "transE" =>
         var s = 0.0; var i = 0
@@ -74,12 +79,50 @@ object KgeModels {
           i += 1
         }
         -math.sqrt(s)
+      case "transR" =>
+        var s = 0.0; var i = 0
+        while (i < d) {
+          var ph = 0.0; var pt = 0.0; var j = 0
+          while (j < d) { val m = r(d + i * d + j); ph += m * h(j); pt += m * t(j); j += 1 }
+          val x = ph + r(i) - pt; s += x * x; i += 1
+        }
+        -math.sqrt(s)
+      case "transD" =>
+        var hp = 0.0; var tp = 0.0; var i = 0
+        while (i < d) { hp += h(d + i) * h(i); tp += t(d + i) * t(i); i += 1 }
+        var s = 0.0; i = 0
+        while (i < d) {
+          val x = (h(i) + hp * r(d + i)) + r(i) - (t(i) + tp * r(d + i)); s += x * x; i += 1
+        }
+        -math.sqrt(s)
+      case "rescal" =>
+        var s = 0.0; var i = 0
+        while (i < d) {
+          var row = 0.0; var j = 0
+          while (j < d) { row += r(i * d + j) * t(j); j += 1 }
+          s += h(i) * row; i += 1
+        }
+        s
+      case "tuckER" =>
+        var s = 0.0; var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) {
+            val hr = h(i) * r(j); var k = 0
+            var inner = 0.0
+            while (k < d) { inner += core((i * d + j) * d + k) * t(k); k += 1 }
+            s += hr * inner; j += 1
+          }
+          i += 1
+        }
+        s
     }
 
   /** Gradient of `score` wrt (h, r, t), scaled by `g` (dLoss/dScore).
     * Accumulates into the given arrays. */
   def addGrad(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float],
-              g: Double, gh: Array[Float], gr: Array[Float], gt: Array[Float]): Unit =
+              g: Double, gh: Array[Float], gr: Array[Float], gt: Array[Float],
+              core: Array[Float] = null, gcore: Array[Float] = null): Unit =
     model match {
       case "transE" =>
         var n = 0.0; var i = 0
@@ -155,6 +198,91 @@ object KgeModels {
           gr(i) += (dre * (-h(i) * sn - h(d + i) * c) + dim * (h(i) * c - h(d + i) * sn)).toFloat
           i += 1
         }
+      case "transR" =>
+        val diff = new Array[Double](d); var n = 0.0; var i = 0
+        while (i < d) {
+          var ph = 0.0; var pt = 0.0; var j = 0
+          while (j < d) { val m = r(d + i * d + j); ph += m * h(j); pt += m * t(j); j += 1 }
+          diff(i) = ph + r(i) - pt; n += diff(i) * diff(i); i += 1
+        }
+        val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n)
+        i = 0
+        while (i < d) {
+          val u = diff(i) * inv
+          gr(i) += u.toFloat
+          var j = 0
+          while (j < d) {
+            gh(j) += (u * r(d + i * d + j)).toFloat
+            gt(j) -= (u * r(d + i * d + j)).toFloat
+            gr(d + i * d + j) += (u * (h(j) - t(j))).toFloat
+            j += 1
+          }
+          i += 1
+        }
+      case "transD" =>
+        var hp = 0.0; var tp = 0.0; var i = 0
+        while (i < d) { hp += h(d + i) * h(i); tp += t(d + i) * t(i); i += 1 }
+        val diff = new Array[Double](d); var n = 0.0
+        i = 0
+        while (i < d) {
+          diff(i) = (h(i) + hp * r(d + i)) + r(i) - (t(i) + tp * r(d + i))
+          n += diff(i) * diff(i); i += 1
+        }
+        val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n)
+        var ur = 0.0
+        i = 0
+        while (i < d) { ur += diff(i) * inv * r(d + i); i += 1 }
+        i = 0
+        while (i < d) {
+          val u = diff(i) * inv
+          gh(i) += (u + ur * h(d + i)).toFloat
+          gh(d + i) += (ur * h(i)).toFloat
+          gt(i) -= (u + ur * t(d + i)).toFloat
+          gt(d + i) -= (ur * t(i)).toFloat
+          gr(i) += u.toFloat
+          gr(d + i) += ((hp - tp) * u).toFloat // r_p appears in both projections
+          i += 1
+        }
+      case "rescal" =>
+        var i = 0
+        while (i < d) {
+          var rowT = 0.0; var j = 0
+          while (j < d) { rowT += r(i * d + j) * t(j); j += 1 }
+          gh(i) += (g * rowT).toFloat
+          i += 1
+        }
+        var j = 0
+        while (j < d) {
+          var colH = 0.0; var i2 = 0
+          while (i2 < d) { colH += h(i2) * r(i2 * d + j); i2 += 1 }
+          gt(j) += (g * colH).toFloat
+          j += 1
+        }
+        i = 0
+        while (i < d) {
+          var j2 = 0
+          while (j2 < d) { gr(i * d + j2) += (g * h(i) * t(j2)).toFloat; j2 += 1 }
+          i += 1
+        }
+      case "tuckER" =>
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) {
+            val hr = h(i) * r(j)
+            var k = 0
+            while (k < d) {
+              val w = core((i * d + j) * d + k)
+              gh(i) += (g * w * r(j) * t(k)).toFloat
+              gr(j) += (g * w * h(i) * t(k)).toFloat
+              gt(k) += (g * w * hr).toFloat
+              if (gcore != null) gcore((i * d + j) * d + k) += (g * hr * t(k)).toFloat
+              k += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
     }
 }
 
@@ -167,12 +295,26 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
       (Array[Array[Float]], Array[Array[Float]]) = {
     val (ed, rd) = KgeModels.dims(model, dim)
     val rng = new java.util.Random(seed)
+    // translational models tolerate the classic 6/sqrt(d) uniform init;
+    // multiplicative scores (3-4 factor products) need a cooler start or
+    // the hinge gradients blow up
+    val multiplicative = Set("distMult", "complEx", "rescal", "tuckER")(model)
     def init(n: Int, w: Int): Array[Array[Float]] = {
-      val bound = 6.0f / math.sqrt(dim).toFloat
+      val bound =
+        if (multiplicative) 0.5f / math.sqrt(dim).toFloat
+        else 6.0f / math.sqrt(dim).toFloat
       Array.fill(n)(Array.fill(w)((rng.nextFloat() * 2 - 1) * bound))
     }
     val ent = init(nEntities, ed)
-    val rel = init(nRelations, rd)
+    // tuckER: the shared d^3 core tensor W rides as an extra relation
+    // row; its entries multiply THREE embedding factors, so the init
+    // scale must shrink with d to keep scores (and hinge gradients) tame
+    val rel =
+      if (model == "tuckER") {
+        val coreBound = 1.0f / dim
+        init(nRelations, rd) ++
+          Array(Array.fill(dim * dim * dim)((rng.nextFloat() * 2 - 1) * coreBound))
+      } else init(nRelations, rd)
 
     // the reference's internal 95/5/0 split (transE/model.py:163-174):
     // train on `trainFraction` of triples, selected by seeded hash
@@ -191,19 +333,21 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
         val e = bcE.value; val r = bcR.value
         val ge = mutable.HashMap.empty[Int, Array[Float]]
         val gr = mutable.HashMap.empty[Int, Array[Float]]
-        def accE(i: Int) = ge.getOrElseUpdate(i, new Array[Float](e(0).length))
-        def accR(i: Int) = gr.getOrElseUpdate(i, new Array[Float](r(0).length))
+        def accE(i: Int) = ge.getOrElseUpdate(i, new Array[Float](e(i).length))
+        def accR(i: Int) = gr.getOrElseUpdate(i, new Array[Float](r(i).length))
+        val core = if (mdl == "tuckER") r(r.length - 1) else null
+        def gcore = if (mdl == "tuckER") accR(r.length - 1) else null
         it.foreach { case (h, rr, t) =>
           // corrupt head or tail with a seeded hash (Bernoulli-uniform)
           val hsh = MurmurHash3.productHash((h, rr, t, epoch, sd))
           val corruptHead = (hsh & 1) == 0
           val fake = math.floorMod(hsh >> 1, nE)
           val (nh, nt) = if (corruptHead) (fake, t) else (h, fake)
-          val sPos = KgeModels.score(mdl, d, e(h), r(rr), e(t))
-          val sNeg = KgeModels.score(mdl, d, e(nh), r(rr), e(nt))
+          val sPos = KgeModels.score(mdl, d, e(h), r(rr), e(t), core)
+          val sNeg = KgeModels.score(mdl, d, e(nh), r(rr), e(nt), core)
           if (m + sNeg - sPos > 0) { // hinge active: raise sPos, lower sNeg
-            KgeModels.addGrad(mdl, d, e(h), r(rr), e(t), 1.0, accE(h), accR(rr), accE(t))
-            KgeModels.addGrad(mdl, d, e(nh), r(rr), e(nt), -1.0, accE(nh), accR(rr), accE(nt))
+            KgeModels.addGrad(mdl, d, e(h), r(rr), e(t), 1.0, accE(h), accR(rr), accE(t), core, gcore)
+            KgeModels.addGrad(mdl, d, e(nh), r(rr), e(nt), -1.0, accE(nh), accR(rr), accE(nt), core, gcore)
           }
         }
         Iterator.single((ge, gr))
@@ -220,11 +364,12 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
         (merge(a._1, b._1), merge(a._2, b._2))
       }
       val step = (lr / math.max(1.0, n / 10000.0)).toFloat // scale step with batch size
+      def clip(x: Float): Float = math.max(-1.0f, math.min(1.0f, x)) // per-component update cap
       entGrad.foreach { case (k, g) =>
-        val v = ent(k); var i = 0; while (i < v.length) { v(i) += step * g(i); i += 1 }
+        val v = ent(k); var i = 0; while (i < v.length) { v(i) += clip(step * g(i)); i += 1 }
       }
       relGrad.foreach { case (k, g) =>
-        val v = rel(k); var i = 0; while (i < v.length) { v(i) += step * g(i); i += 1 }
+        val v = rel(k); var i = 0; while (i < v.length) { v(i) += clip(step * g(i)); i += 1 }
       }
       bcE.destroy(); bcR.destroy()
     }

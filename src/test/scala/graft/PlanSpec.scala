@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the engine's scale story depends on
+  * Catalyst doing these — a code change that silently loses pushdown or
+  * broadcast would still pass value tests but collapse at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 6 of 11 lineitem columns read — projection reached the scan
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q02: predicate pushdown on p_size and p_retailprice") {
+    val p = plan("q02_projection_filter")
+    assert(p.contains("GreaterThanOrEqual(p_size,10)"))
+    assert(p.contains("IsNotNull(p_retailprice)"))
+  }
+
+  test("q03: dimension join is a broadcast hash join, not a shuffle") {
+    val p = plan("q03_left_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04: semi-joins stay semi (no row explosion path)") {
+    val p = plan("q04_semi_join_validation")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // formatted mode prefixes codegen'd operators with '*'
+    val p = plan("q02_projection_filter")
+    assert(p.contains("* Filter") && p.contains("* Project"))
+  }
+
+  test("ArrayDot stays inside codegen (no HOF array materialization)") {
+    val df = SparkEntry.queries("q21_cosine_topk")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("arraydot") || p.contains("ArrayDot"))
+    assert(!p.toLowerCase.contains("zip_with"))
+  }
+}

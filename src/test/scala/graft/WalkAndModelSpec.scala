@@ -65,36 +65,47 @@ class WalkAndModelSpec extends AnyFunSuite {
     val triples = (for {
       u <- 0 to 3; i <- 0 to 1
     } yield (u, 0, 10 + (u / 2) * 2 + i)).toDF("h", "r", "t")
-    for (model <- Seq("transE", "transH", "distMult", "complEx", "rotatE")) {
+    for (model <- Seq("transE", "transH", "transR", "transD", "distMult",
+      "complEx", "rotatE", "rescal", "tuckER")) {
       val tr = new KgeTrainer(model, 8, 30, 0.1, 1.0, 42L, trainFraction = 1.0)
       val (ent, rel) = tr.fit(spark, triples, 14, 1)
       val d = 8
+      val core = if (model == "tuckER") rel(rel.length - 1) else null
       val posScores = for (u <- 0 to 3; i <- 0 to 1)
-        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + (u / 2) * 2 + i))
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + (u / 2) * 2 + i), core)
       val negScores = for (u <- 0 to 3; i <- 0 to 1)
-        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + ((u / 2 + 1) % 2) * 2 + i))
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + ((u / 2 + 1) % 2) * 2 + i), core)
       val posMean = posScores.sum / posScores.size
       val negMean = negScores.sum / negScores.size
       assert(posMean > negMean, s"$model: pos $posMean <= neg $negMean")
     }
   }
 
-  test("KGE gradients are finite-difference consistent (transE, distMult)") {
+  test("KGE gradients are finite-difference consistent (all 9 models)") {
     val d = 4
     val rng = new scala.util.Random(1)
-    def vec() = Array.fill(d)(rng.nextFloat())
-    for (model <- Seq("transE", "distMult", "complEx", "rotatE")) {
+    for (model <- Seq("transE", "transH", "transR", "transD", "distMult",
+      "complEx", "rotatE", "rescal", "tuckER")) {
       val (ed, rd) = KgeModels.dims(model, d)
       val h = Array.fill(ed)(rng.nextFloat()); val r = Array.fill(rd)(rng.nextFloat())
       val t = Array.fill(ed)(rng.nextFloat())
+      val core = if (model == "tuckER") Array.fill(d * d * d)(rng.nextFloat()) else null
+      val gcore = if (model == "tuckER") new Array[Float](d * d * d) else null
       val gh = new Array[Float](ed); val gr = new Array[Float](rd); val gt = new Array[Float](ed)
-      KgeModels.addGrad(model, d, h, r, t, 1.0, gh, gr, gt)
+      KgeModels.addGrad(model, d, h, r, t, 1.0, gh, gr, gt, core, gcore)
       val eps = 1e-3f
-      for (i <- 0 until ed) {
-        val h2 = h.clone(); h2(i) += eps
-        val fd = (KgeModels.score(model, d, h2, r, t) - KgeModels.score(model, d, h, r, t)) / eps
-        assert(math.abs(fd - gh(i)) < 0.05, s"$model dh($i): fd=$fd grad=${gh(i)}")
-      }
+      def fdCheck(arr: Array[Float], grad: Array[Float], label: String): Unit =
+        for (i <- arr.indices) {
+          val a2 = arr.clone(); a2(i) += eps
+          val s2 = label match {
+            case "h" => KgeModels.score(model, d, a2, r, t, core)
+            case "r" => KgeModels.score(model, d, h, a2, t, core)
+            case "t" => KgeModels.score(model, d, h, r, a2, core)
+          }
+          val fd = (s2 - KgeModels.score(model, d, h, r, t, core)) / eps
+          assert(math.abs(fd - grad(i)) < 0.05, s"$model d$label($i): fd=$fd grad=${grad(i)}")
+        }
+      fdCheck(h, gh, "h"); fdCheck(r, gr, "r"); fdCheck(t, gt, "t")
     }
   }
 }
