@@ -339,6 +339,30 @@ object SparkEntry {
         T(s, dir, "embeddings").select(col("vec_id").as("id"),
           expr("transform(embedding, x -> cast(x as double))").as("vec")), 0.45)),
 
+    // batch gap-sessionization (window algebra form)
+    "q35_sessionize" -> ((s, dir) =>
+      graft.stream.EventStreams.sessionizeBatch(Tables.events(s, dir), 30 * 60000L)),
+
+    // per-window top-k (batch form of the streaming top-k refresh)
+    "q36_topk_per_window" -> ((s, dir) =>
+      graft.stream.EventStreams.topKPerWindow(Tables.events(s, dir), "6 hours", 3)),
+
+    // dedup clustering: connected components (GraphX) over LSH pairs
+    "q37_dedup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(s, docs, 8, 3, 0.8)
+      Dedup.clusters(s, docs, pairs)
+    }),
+
+    // multimodal plumbing: binary content -> per-partition stub decode
+    "q38_multimodal_features" -> ((s, dir) => {
+      val media = graft.multimodal.MultimodalOps.asMedia(T(s, dir, "documents"))
+      graft.multimodal.MultimodalOps.extractFeatures(media, dim = 4).toDF()
+        .select(col("id"), col("n_bytes"),
+          round(expr("cast(features[0] as double)"), 6).as("f0"),
+          round(expr("cast(features[3] as double)"), 6).as("f3"))
+    }),
+
     // M1-M3/M6: DeepWalk on a bounded subgraph (rows-only check:
     // Word2Vec training is seed-sensitive across implementations)
     "q40_deepwalk_recs" -> ((s, dir) => {
@@ -635,6 +659,63 @@ object SparkEntry {
         |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
         |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
         |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.3""".stripMargin,
+
+    "q35_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id, event_id, value, ms,
+        |  CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |         OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sid AS (SELECT user_id, value, ms,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, MIN(ms) AS session_start, MAX(ms) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+        |FROM sid GROUP BY 1, 2""".stripMargin,
+
+    "q36_topk_per_window" ->
+      """WITH w AS (SELECT epoch_ms(time_bucket(INTERVAL 6 HOURS, ts)) AS ws, user_id,
+        |                  COUNT(*) AS n_events
+        |           FROM events GROUP BY 1, 2)
+        |SELECT ws, user_id, n_events, rank FROM (
+        |  SELECT ws, user_id, n_events,
+        |         ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n_events DESC, user_id) AS rank
+        |  FROM w) WHERE rank <= 3""".stripMargin,
+
+    "q37_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, b, MIN(md5(CAST(b AS VARCHAR) || '|' || s)) AS h
+        |        FROM sh, UNNEST(generate_series(0, 7)) AS tb(b) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |         FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+        |          FROM cand p JOIN sh x ON x.doc_id = p.doc_a
+        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s GROUP BY 1, 2),
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |          JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+        |       UNION SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a)
+        |SELECT node AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY node""".stripMargin,
+
+    "q38_multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, ord(substr(text, p, 1)) AS byte, (p - 1) % 4 AS i
+        |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(p)),
+        |agg AS (SELECT doc_id, i, SUM(byte) AS s FROM pos GROUP BY 1, 2)
+        |SELECT d.doc_id AS id, length(d.text) AS n_bytes,
+        |  ROUND(CAST(CAST(a0.s / 255.0 AS REAL) AS DOUBLE), 6) AS f0,
+        |  ROUND(CAST(CAST(a3.s / 255.0 AS REAL) AS DOUBLE), 6) AS f3
+        |FROM documents d
+        |JOIN agg a0 ON a0.doc_id = d.doc_id AND a0.i = 0
+        |JOIN agg a3 ON a3.doc_id = d.doc_id AND a3.i = 3""".stripMargin,
 
     "q34_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

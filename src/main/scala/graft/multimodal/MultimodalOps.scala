@@ -30,16 +30,17 @@ object MultimodalOps {
 
   /** === STUB === Real implementation would decode `content` with an
     * image/audio codec and emit pooled features. The deterministic fake
-    * hashes 16-byte strides so the plumbing (schema, batch shape,
-    * partition sizing) is exercised end-to-end and reproducibly. */
+    * pools byte strides: feature i = (Σ of bytes at positions ≡ i mod
+    * dim) / 255. Integer accumulation with one final division keeps it
+    * exactly replayable by the SQL oracle (no float-order sensitivity). */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      acc(i % dim) += (bytes(i) & 0xff)
       i += 1
     }
-    out
+    acc.map(s => (s / 255.0).toFloat)
   }
 
   /** Per-partition batch "decode": the mapPartitions boundary is where

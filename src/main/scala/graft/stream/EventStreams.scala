@@ -52,6 +52,39 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Batch gap-sessionization as pure window algebra (the classic
+    * lag/cumsum formulation — fully oracle-replayable SQL, unlike the
+    * stateful streaming variant below): a session breaks where the gap
+    * from the previous event exceeds `gapMs`. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("__ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("__new", when(
+        col("__ms") - lag("__ms", 1).over(w) > gapMs || lag("__ms", 1).over(w).isNull, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("__ms").as("session_start"), max("__ms").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+  }
+
+  /** Per-window item top-k (batch form of the streaming top-k refresh):
+    * rank inside each (window, key) aggregate. */
+  def topKPerWindow(events: DataFrame, windowLen: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("w").orderBy(col("n_events").desc, col("user_id"))))
+      .filter(col("rank") <= k)
+      .select(unix_millis(col("w.start").cast("timestamp")).as("ws"),
+        col("user_id"), col("n_events"), col("rank"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -100,6 +100,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the candidate
+    * pair graph (GraphX Pregel kernel), keyed to the min doc id per
+    * component — the canonical-document selection step of a dedup
+    * pipeline. Documents in no pair form singleton clusters. */
+  def clusters(spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edgeRdd = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val vertexRdd = docs.select(col("doc_id").cast("long"))
+      .rdd.map(r => (r.getLong(0), ()))
+    val graph = Graph(vertexRdd, edgeRdd)
+    val cc = graph.connectedComponents().vertices // (doc_id, min doc in component)
+    spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("doc_id", "cluster_id")
+  }
+
   /** Embedding-cosine near-dup pairs: (a_id, b_id, cos) with a < b and
     * cos >= threshold. Exact; swap in CosineKnn.approxTopK at scale. */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
