@@ -217,6 +217,18 @@ object SparkEntry {
           round(col("score"), 6).as("cos_r"))
     }),
 
+    // approximate similarity search: LSH-bucketed ANN over embeddings
+    // (rows-only: MLlib's random hyperplanes aren't SQL-replayable;
+    // exactness is cross-checked against CosineKnn.topK in tests)
+    "q22_ann_lsh" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      CosineKnn.approxTopK(e.filter(col("id") < 50), e, 5)
+        .filter(col("query_id") =!= col("item_id"))
+        .select("query_id", "item_id", "rank")
+    }),
+
     // streaming-equivalent tumbling window aggregation over events
     "q23_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -338,6 +350,13 @@ object SparkEntry {
       Dedup.embeddingNearDup(
         T(s, dir, "embeddings").select(col("vec_id").as("id"),
           expr("transform(embedding, x -> cast(x as double))").as("vec")), 0.45)),
+
+    // J3: surrogate-key dimension build + join-back (douban-movie.py:61-70)
+    "q39_surrogate_join" -> ((s, dir) => {
+      val facts = T(s, dir, "part").select(col("p_brand"), col("p_partkey"))
+      val (dim, joined) = graft.etl.Converters.surrogateKeyJoin(facts, "p_brand", "brand_id")
+      joined.select(col("p_partkey"), col("p_brand"), col("brand_id"))
+    }),
 
     // batch gap-sessionization (window algebra form)
     "q35_sessionize" -> ((s, dir) =>
@@ -659,6 +678,12 @@ object SparkEntry {
         |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
         |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
         |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.3""".stripMargin,
+
+    "q39_surrogate_join" ->
+      """WITH dim AS (SELECT p_brand, ROW_NUMBER() OVER (ORDER BY p_brand) - 1 AS brand_id
+        |            FROM (SELECT DISTINCT p_brand FROM part))
+        |SELECT p.p_partkey, p.p_brand, d.brand_id
+        |FROM part p JOIN dim d ON p.p_brand = d.p_brand""".stripMargin,
 
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),

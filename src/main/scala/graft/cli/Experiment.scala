@@ -103,6 +103,19 @@ object Experiment {
       case other => throw new IllegalArgumentException(s"Invalid split method $other")
     }
 
+    // optional nested validation split (dataloader.py:32-40): carve a
+    // validation set out of each fold's train part with the same engine
+    val foldsWithVal: Seq[(DataFrame, DataFrame)] = Option(split.get("validation")) match {
+      case Some(v) =>
+        val vc = v.asInstanceOf[Cfg]
+        folds.map { case (train, test) =>
+          val a = EdgeSplits.randomByRatio(train, dbl(vc, "p", 0.1),
+            str(vc, "level", "user"), seed + 1)
+          (a.filter(!col("is_test")).drop("is_test"), test)
+        }
+      case None => folds
+    }
+
     // evaluation config
     val eval = sub(exp, "evaluation")
     val k = int(eval, "k", 5)
@@ -117,7 +130,7 @@ object Experiment {
       modelName = str(m, "name")
       params = Option(sub(m, "parameters")).getOrElse(new java.util.HashMap[String, Object]())
       cfgMap = params.asScala.map { case (kk, v) => kk -> v.toString }.toMap
-      ((train, testDf), foldIdx) <- folds.zipWithIndex
+      ((train, testDf), foldIdx) <- foldsWithVal.zipWithIndex
     } yield {
       val t0 = System.nanoTime()
       val rec = Recommenders.registry(modelName)(cfgMap).train(spark, train, None)

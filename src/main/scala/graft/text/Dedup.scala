@@ -112,8 +112,13 @@ object Dedup {
       .rdd.map(r => (r.getLong(0), ()))
     val graph = Graph(vertexRdd, edgeRdd)
     val cc = graph.connectedComponents().vertices // (doc_id, min doc in component)
-    spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+    val out = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
       .toDF("doc_id", "cluster_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the Pregel working set
+    graph.unpersist(blocking = false)
+    cc.unpersist(blocking = false)
+    out
   }
 
   /** Embedding-cosine near-dup pairs: (a_id, b_id, cos) with a < b and

@@ -91,6 +91,10 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     itemEmb = emb.filter(col("label").startsWith("Item("))
       .select(regexp_extract(col("label"), "^Item\\((.*)\\)$", 1).as("id"), col("vec"))
       .cache()
+    // materialize the (small) embedding tables, then drop the walk
+    // working set so repeated trainings don't accumulate blocks
+    userEmb.count(); itemEmb.count()
+    adj.unpersist(blocking = false)
     this
   }
 

@@ -60,6 +60,28 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(frames.count() == 3) // tiny payloads -> 1 frame each
   }
 
+  test("Experiment CLI honors a nested validation split (dataloader.py:32-40)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftval")
+    val ratings = new StringBuilder("user_id::string,item_id::string,rating::number,timestamp::number\n")
+    for (u <- 1 to 5; i <- 1 to 8) ratings.append(s"u$u,i$i,${(u + i) % 5 + 1},${u * 100 + i}\n")
+    java.nio.file.Files.writeString(tmp.resolve("rating.csv"), ratings.toString)
+    val config =
+      s"""experiment:
+         |  dataset: {ratings: ${tmp.resolve("rating.csv")}}
+         |  split:
+         |    seed: 42
+         |    test: {method: k_fold, k: 2, level: user}
+         |    validation: {p: 0.25, level: user}
+         |  models:
+         |    - {name: popularity, parameters: {}}
+         |  evaluation: {k: 3, relevance_threshold: 3, metrics: [MAP]}
+         |""".stripMargin
+    val cfgPath = tmp.resolve("config.yml")
+    java.nio.file.Files.writeString(cfgPath, config)
+    val report = graft.cli.Experiment.run(spark, cfgPath.toString)
+    assert(report.count() == 1) // runs end-to-end with the carved train set
+  }
+
   test("Experiment CLI: YAML config -> report CSV end-to-end (§3.1)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftexp")
     // typed-header fixtures: 6 users × 6 items, plus a <k-core user
