@@ -69,6 +69,27 @@ object Experiment {
     for (i <- items) ratings = ratings.join(i.select("item_id"), Seq("item_id"), "left_semi")
 
     // preprocess list (methods.py:5-15)
+    // property edges from the enriched table (the knowledge-graph part:
+    // config.md `enrich.properties`; graph.py:229-269): each configured
+    // string_list column explodes into Item->Property(value, type) edges
+    val propertyEdges: Option[DataFrame] = for {
+      enrich <- Option(sub(ds, "enrich"))
+      path <- Option(str(enrich, "enriched_path", str(enrich, "path")))
+    } yield {
+      val enriched = TypedCsv.read(spark, path)
+      val props = list(enrich, "properties").map(p => str(p, "type"))
+        .filter(enriched.columns.contains)
+      props.map { ptype =>
+        enriched.select(col("item_id"), explode_outer(col(ptype)).as("v"))
+          .filter(col("v").isNotNull && col("v") =!= "")
+          .select(
+            graft.graph.KGraph.itemLabel(col("item_id")).as("src_label"),
+            lit("has").as("relation"),
+            graft.graph.KGraph.propertyLabel(col("v"), ptype).as("dst_label"))
+      }.reduceOption(_ unionByName _)
+        .getOrElse(spark.emptyDataFrame)
+    }
+
     for (p <- list(exp, "preprocess")) {
       val params = sub(p, "parameters")
       str(p, "method") match {
@@ -133,7 +154,7 @@ object Experiment {
       ((train, testDf), foldIdx) <- foldsWithVal.zipWithIndex
     } yield {
       val t0 = System.nanoTime()
-      val rec = Recommenders.registry(modelName)(cfgMap).train(spark, train, None)
+      val rec = Recommenders.registry(modelName)(cfgMap).train(spark, train, propertyEdges)
       val recs = rec.recommend(k)
       val vals = metricNames.map {
         case "MAP" => "MAP" ->

@@ -60,7 +60,7 @@ object CosineKnn {
     * LSH-bucketed join on normalized vectors, then exact re-rank within
     * the candidate set. `oversample` widens recall. */
   def approxTopK(queries: DataFrame, items: DataFrame, k: Int,
-                 bucketLength: Double = 1.0, numHashTables: Int = 4,
+                 bucketLength: Double = 1.0, numHashTables: Int = 2,
                  distThreshold: Double = 1.4): DataFrame = {
     def normalized(df: DataFrame, idCol: String) = df.select(
       col("id").as(idCol),

@@ -77,6 +77,7 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
       .setMaxIter(i("epochs", 1))
       .setStepSize(f("learning_rate", 0.025))
       .setMinCount(i("min_count", 0))
+      .setNumPartitions(i("w2v_partitions", 8)) // gensim's workers analogue
       .setSeed(seed)
     val model = w2v.fit(sentences)
 

@@ -90,10 +90,18 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
       ratings.append(s"u$u,i$i,${(u * i) % 5 + 1},${u * 100 + i}\n")
     ratings.append("u9,i1,5,42\n") // user with a single rating: killed by k-core
     java.nio.file.Files.writeString(tmp.resolve("rating.csv"), ratings.toString)
+    // enriched table: every item shares property P (graph densifier)
+    val enriched = new StringBuilder("item_id::string,subject::string_list\n")
+    for (i <- 1 to 6) enriched.append(s"i$i,P${i % 2}::Q\n")
+    java.nio.file.Files.writeString(tmp.resolve("enriched.csv"), enriched.toString)
     val config =
       s"""experiment:
          |  dataset:
          |    ratings: ${tmp.resolve("rating.csv")}
+         |    enrich:
+         |      enriched_path: ${tmp.resolve("enriched.csv")}
+         |      properties:
+         |        - {type: subject, grouped: true, sep: "::"}
          |  preprocess:
          |    - method: filter_kcore
          |      parameters: {k: 2, target: user, iterations: 1}
