@@ -40,11 +40,15 @@ object Metrics {
   def apPerUser(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame = {
     val rel = relevant(test, relevanceThreshold)
     val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("nrel"))
+    // a duplicate recommendation still consumes its position but is not
+    // re-counted as a hit (map.py:29: `rec not in recommendations[:i]`)
+    val occ = Window.partitionBy("user_id", "item_id").orderBy("rank")
     val hits = recs.filter(col("rank") <= k)
       .join(nrel, Seq("user_id")) // inner: drops users with no relevant items
       .join(rel.select(col("user_id"), col("item_id"), lit(1).as("hit")),
         Seq("user_id", "item_id"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .withColumn("hit", when(row_number().over(occ) === 1, col("hit")).otherwise(0))
     val w = Window.partitionBy("user_id").orderBy("rank")
     hits
       .withColumn("cum_hits", sum("hit").over(w))

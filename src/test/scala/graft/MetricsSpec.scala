@@ -52,6 +52,16 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(ap - 1.0) < 1e-12)
   }
 
+  test("duplicate recommendations are not re-counted as hits (map.py:29)") {
+    // item 10 recommended twice: second occurrence consumes rank 2 but
+    // adds no hit; AP = (1/1) / min(1, 5) from the single relevant item
+    val dupRecs = Seq((1L, 10L, 1), (1L, 10L, 2), (1L, 11L, 3))
+      .toDF("user_id", "item_id", "rank")
+    val t = Seq((1L, 10L, 5.0)).toDF("user_id", "item_id", "rating")
+    val ap = Metrics.apPerUser(dupRecs, t, 5, 4.0).first().getDouble(1)
+    assert(math.abs(ap - 1.0) < 1e-12)
+  }
+
   test("metrics are bounded in [0, 1]") {
     val ap = Metrics.apPerUser(recs, testDf, 5, 4.0).collect().map(_.getDouble(1))
     val nd = Metrics.ndcgPerUser(recs, testDf, 5, 4.0).collect().map(_.getDouble(1))
