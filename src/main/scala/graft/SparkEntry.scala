@@ -108,7 +108,7 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(38,4)").as("sum_disc_price"),
-          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -123,8 +123,11 @@ object SparkEntry {
       val o = T(s, dir, "orders")
       val c = T(s, dir, "customer")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        // round-as-double rather than cast-to-decimal: Spark's double→decimal
+        // cast rounds HALF_UP while DuckDB rounds half-to-even, so .xx5 ties
+        // diverge in the last cent; round(x,2) agrees bit-for-bit.
         .select(o("o_orderkey"), c("c_name"), c("c_mktsegment"),
-          o("o_totalprice").cast("decimal(18,2)").as("total_dec"))
+          round(o("o_totalprice"), 2).as("total_dec"))
     }),
 
     // J4/P5: edge-endpoint validation via two left-semi joins
@@ -419,7 +422,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -431,7 +434,7 @@ object SparkEntry {
 
     "q03_left_join_enrich" ->
       """SELECT o_orderkey, c_name, c_mktsegment,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+        |  ROUND(o_totalprice, 2) AS total_dec
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q04_semi_join_validation" -> (R +

@@ -41,15 +41,24 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Locals MUST come from ctx.freshName: with non-nullable inputs the
+      // null-check brace scope is skipped, so two ArrayDots in one projection
+      // share a Java scope and fixed names make Janino reject the stage
+      // ("Redefinition of local variable"), silently falling back to
+      // interpreted execution on the similarity-join hot path.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -23,10 +23,13 @@ object Preprocess {
     * decomposition: removals within one round do not cascade until the
     * next round's snapshot (methods.py:35-37).
     *
-    * target = "user" | "item". Each round is one shuffled groupBy plus
-    * one broadcastable anti-join (the kill set is tiny relative to the
-    * edge table); the loop is driver-coordinated but touches only
-    * aggregate counts on the driver, never rows.
+    * target = "user" | "item". Each round is ONE aggregation job: the
+    * kill set is persisted and its count() serves both the convergence
+    * check and (via the cache) the anti-join input — no second pass over
+    * the edge lineage. No broadcast hint on the join: on early rounds of
+    * a large run most nodes fail the degree test, so the "tiny" kill set
+    * can approach the full node dimension; AQE picks broadcast vs
+    * shuffle from the actual materialized size.
     */
   def filterKCore(ratings: DataFrame, k: Int, target: String, iterations: Int = 1): DataFrame = {
     val key = target match {
@@ -39,8 +42,9 @@ object Preprocess {
     var converged = false
     while (it < iterations && !converged) {
       val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
-      if (kill.isEmpty) converged = true
-      else cur = cur.join(broadcast(kill), Seq(key), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (kill.count() == 0L) { converged = true; kill.unpersist() }
+      else cur = cur.join(kill, Seq(key), "left_anti")
       it += 1
       // reference configs run 1-3 iterations: recomputing the shallow
       // anti-join lineage beats materializing each round; deep loops

@@ -89,7 +89,10 @@ object EventStreams {
                    event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
-  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  // NOT private: the streaming state serializer generates Java that
+  // constructs/reads this class; Janino cannot resolve members of a
+  // Scala-private nested class.
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   /** Custom stateful operator: gap-based sessionization with
     * flatMapGroupsWithState (M-streaming; no reference analogue). Emits
@@ -100,29 +103,43 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          var out = List.empty[Session]
-          var cur = state.getOption
-          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                out ::= Session(user, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.end), s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur.foreach(s => state.update(s))
-          state.setTimeoutTimestamp(cur.map(_.end + gapMs).getOrElse(0L))
+          def finish(s: SessionState) = Session(user, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n, s.total)
           if (state.hasTimedOut) {
-            cur.foreach(s => out ::= Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.total))
+            // The timer fired because the watermark passed end+gap: the open
+            // session is final. Emit and clear WITHOUT re-arming the timer —
+            // re-arming behind the watermark throws IllegalArgumentException
+            // and kills the whole query.
+            val out = state.getOption.map(finish).iterator
             state.remove()
+            out
+          } else {
+            var out = List.empty[Session]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out ::= finish(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Clamp to just above the watermark: a key whose event time
+              // lags the global watermark by more than gapMs would otherwise
+              // arm a timer already in the past, which GroupStateImpl
+              // rejects. (In batch runs there is no watermark — Try absorbs
+              // the UnsupportedOperationException and leaves end+gap.)
+              val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+              state.setTimeoutTimestamp(math.max(wm + 1, s.end + gapMs))
+            }
+            out.reverseIterator
           }
-          out.reverseIterator
       }
   }
 }

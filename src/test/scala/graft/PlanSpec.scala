@@ -46,6 +46,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("* Filter") && p.contains("* Project"))
   }
 
+  test("ArrayDot codegen compiles — q34 runs with fallback disabled") {
+    // Round-1 regression: fixed Java local names in doGenCode made Janino
+    // reject any stage holding two ArrayDots (l2norm + dot in one projection),
+    // and the engine silently ran the similarity hot path interpreted. With
+    // fallback=false a compile failure surfaces as an error instead.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = SparkEntry.queries("q34_embedding_neardup")(spark, dir).collect()
+      assert(rows.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("ArrayDot stays inside codegen (no HOF array materialization)") {
     val df = SparkEntry.queries("q21_cosine_topk")(spark, dir)
     val p = df.queryExecution.explainString(

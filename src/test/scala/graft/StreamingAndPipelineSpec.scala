@@ -47,6 +47,35 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
   }
 
+  test("streaming sessionize: event-time timeout emits the final session (no crash)") {
+    // Round-1 regression: the hasTimedOut invocation re-armed the timer with
+    // a timestamp already behind the watermark, so the first session timeout
+    // threw IllegalArgumentException and killed the query.
+    import EventStreams.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    // offset from epoch 0: a row whose event time equals the initial
+    // watermark (0) is discarded as late data before reaching the operator
+    def m(min: Long) = ts(1000 + min)
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "10 minutes"), 30 * 60000)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    try {
+      input.addData(Event(1, m(0), 1L, "click", 1.0), Event(2, m(5), 1L, "click", 2.0))
+      q.processAllAvailable() // watermark -> m(-5)
+      input.addData(Event(3, m(120), 2L, "view", 1.0))
+      q.processAllAvailable() // watermark -> m(110) after this batch
+      input.addData(Event(4, m(125), 2L, "view", 1.0))
+      q.processAllAvailable() // batch runs with wm=110 > 5+30 -> user 1 timer fires
+      val u1 = spark.table("sess_stream").as[EventStreams.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length == 1 && u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    } finally q.stop()
+  }
+
   test("multimodal plumbing: deterministic stub features, frame sampling") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
