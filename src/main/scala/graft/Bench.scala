@@ -26,7 +26,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through sbt's logger, which prefixes "[info] " and broke
+    // the driver's JSON parse (BENCH_r01 recorded parsed:null) — also write
+    // the bare line to a file the driver/humans can machine-read.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(out), json + "\n")
     spark.stop()
   }
 }

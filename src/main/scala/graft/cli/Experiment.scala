@@ -46,20 +46,60 @@ object Experiment {
     spark.stop()
   }
 
-  /** Parse + run; returns the report DataFrame (also written to the
-    * configured report file). */
-  def run(spark: SparkSession, configPath: String): DataFrame = {
-    val root = new Yaml().load(new java.io.FileInputStream(configPath))
-      .asInstanceOf[Cfg]
-    val exp = sub(root, "experiment")
+  /** A dataset config entry is either a bare path string or the
+    * reference's nested `{path: ..., extra_features: [...]}` map
+    * (config_files/test.yml). */
+  private def cfgPath(ds: Cfg, key: String): Option[String] =
+    Option(ds.get(key)).map {
+      case s: String => s
+      case m         => str(m.asInstanceOf[Cfg], "path")
+    }
+  private def features(ds: Cfg, key: String): Seq[String] =
+    Option(ds.get(key)).toSeq.flatMap {
+      case m: java.util.Map[_, _] =>
+        Option(m.asInstanceOf[Cfg].get("extra_features"))
+          .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+          .getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
 
-    // dataset: standardized typed-CSV paths (experiment.py:38 load(**cfg))
-    val ds = sub(exp, "dataset")
-    val ratingsRaw = TypedCsv.read(spark, str(ds, "ratings"))
+  /** Entity-column -> Property-edge explosion (`_add_node_property`,
+    * graph.py:246-257): each feature column value becomes a
+    * Property(value, column) node; string_list columns fan out. */
+  private def propertyEdgesFrom(df: DataFrame, idCol: String, isUser: Boolean,
+                                cols: Seq[String]): Option[DataFrame] = {
+    import graft.graph.KGraph
+    cols.filter(df.columns.contains).map { f =>
+      val vals = df.schema(f).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          df.select(col(idCol), explode(col(f)).as("v"))
+        case _ => df.select(col(idCol), col(f).cast("string").as("v"))
+      }
+      vals.filter(col("v").isNotNull && col("v") =!= "")
+        .select(
+          (if (isUser) KGraph.userLabel(col(idCol)) else KGraph.itemLabel(col(idCol))).as("src_label"),
+          lit(if (isUser) "is" else "has").as("relation"),
+          KGraph.propertyLabel(col("v"), f).as("dst_label"))
+    }.reduceOption(_ unionByName _)
+  }
+
+  /** The loaded dataset: validated rating edges, optional dims, and the
+    * two edge channels models consume (property edges feed the KG
+    * triples; social edges feed only the walk graph). */
+  case class DatasetBundle(ratings: DataFrame, users: Option[DataFrame],
+                           items: Option[DataFrame], propertyEdges: Option[DataFrame],
+                           socialEdges: Option[DataFrame])
+
+  /** Graph assembly from the `dataset:` block (`Graph.build`,
+    * graph.py:28-35): items + user info + ratings + social links. */
+  def loadDataset(spark: SparkSession, ds: Cfg): DatasetBundle = {
+    import graft.graph.KGraph
+    val ratingsRaw = TypedCsv.read(spark, cfgPath(ds, "ratings").getOrElse(
+        sys.error("dataset.ratings is required")))
       .withColumnRenamed("timestamp", "ts")
       .withColumn("rating", col("rating").cast("double"))
-    val users = Option(str(ds, "user")).map(TypedCsv.read(spark, _))
-    val items = Option(str(ds, "item")).map(TypedCsv.read(spark, _))
+    val users = cfgPath(ds, "user").map(TypedCsv.read(spark, _))
+    val items = cfgPath(ds, "item").map(TypedCsv.read(spark, _))
     // duplicate (user,item) edges: last-wins in nx — deterministic analogue max
     var ratings = ratingsRaw.groupBy("user_id", "item_id")
       .agg(max("rating").as("rating"),
@@ -68,27 +108,52 @@ object Experiment {
     for (u <- users) ratings = ratings.join(u.select("user_id"), Seq("user_id"), "left_semi")
     for (i <- items) ratings = ratings.join(i.select("item_id"), Seq("item_id"), "left_semi")
 
-    // preprocess list (methods.py:5-15)
-    // property edges from the enriched table (the knowledge-graph part:
-    // config.md `enrich.properties`; graph.py:229-269): each configured
-    // string_list column explodes into Item->Property(value, type) edges
-    val propertyEdges: Option[DataFrame] = for {
+    // property edges, three sources into one channel:
+    // item extra_features + enriched-table columns (Item -has-> Property,
+    // graph.py:217-244) and user extra_features (User -is-> Property,
+    // graph.py:271-286)
+    val itemFeatureEdges = items.flatMap(i =>
+      propertyEdgesFrom(i, "item_id", isUser = false, features(ds, "item")))
+    val enrichEdges: Option[DataFrame] = for {
       enrich <- Option(sub(ds, "enrich"))
       path <- Option(str(enrich, "enriched_path", str(enrich, "path")))
-    } yield {
-      val enriched = TypedCsv.read(spark, path)
-      val props = list(enrich, "properties").map(p => str(p, "type"))
-        .filter(enriched.columns.contains)
-      props.map { ptype =>
-        enriched.select(col("item_id"), explode_outer(col(ptype)).as("v"))
-          .filter(col("v").isNotNull && col("v") =!= "")
-          .select(
-            graft.graph.KGraph.itemLabel(col("item_id")).as("src_label"),
-            lit("has").as("relation"),
-            graft.graph.KGraph.propertyLabel(col("v"), ptype).as("dst_label"))
-      }.reduceOption(_ unionByName _)
-        .getOrElse(spark.emptyDataFrame)
+      edges <- {
+        val enriched = TypedCsv.read(spark, path)
+        propertyEdgesFrom(enriched, "item_id", isUser = false,
+          list(enrich, "properties").map(p => str(p, "type")))
+      }
+    } yield edges
+    val userFeatureEdges = users.flatMap(u =>
+      propertyEdgesFrom(u, "user_id", isUser = true, features(ds, "user")))
+    val propertyEdges = Seq(itemFeatureEdges, enrichEdges, userFeatureEdges)
+      .flatten.reduceOption(_ unionByName _)
+
+    // social links (graph.py:304-314): User–User edges, both endpoints
+    // validated against the known-user set
+    val socialEdges = cfgPath(ds, "social").map { p =>
+      val pairs = TypedCsv.read(spark, p)
+      val known = users.map(_.select("user_id"))
+        .getOrElse(ratings.select("user_id").distinct())
+      graft.etl.Converters.socialLinks(pairs, known)
+        .select(
+          KGraph.userLabel(col("user1")).as("src_label"),
+          lit("social").as("relation"),
+          KGraph.userLabel(col("user2")).as("dst_label"))
     }
+    DatasetBundle(ratings, users, items, propertyEdges, socialEdges)
+  }
+
+  /** Parse + run; returns the report DataFrame (also written to the
+    * configured report file). */
+  def run(spark: SparkSession, configPath: String): DataFrame = {
+    val root = new Yaml().load(new java.io.FileInputStream(configPath))
+      .asInstanceOf[Cfg]
+    val exp = sub(root, "experiment")
+
+    // dataset: standardized typed-CSV paths (experiment.py:38 load(**cfg))
+    val bundle = loadDataset(spark, sub(exp, "dataset"))
+    var ratings = bundle.ratings
+    val propertyEdges = bundle.propertyEdges
 
     for (p <- list(exp, "preprocess")) {
       val params = sub(p, "parameters")
@@ -154,7 +219,8 @@ object Experiment {
       ((train, testDf), foldIdx) <- foldsWithVal.zipWithIndex
     } yield {
       val t0 = System.nanoTime()
-      val rec = Recommenders.registry(modelName)(cfgMap).train(spark, train, propertyEdges)
+      val rec = Recommenders.registry(modelName)(cfgMap)
+        .train(spark, train, propertyEdges, bundle.socialEdges)
       val recs = rec.recommend(k)
       val vals = metricNames.map {
         case "MAP" => "MAP" ->

@@ -61,13 +61,34 @@ object KGraph {
 
   /** Bijective node-label -> dense-int relabeling, the Spark analogue of
     * `convert_node_labels_to_integer` (graph.py:168-191). Deterministic:
-    * row_number over the canonical label ordering, NOT
-    * monotonically_increasing_id (SURVEY §1.3). Ids are 0-based.
-    * Single-partition window — node dimension tables are small relative
-    * to edges; for >1e9 nodes switch to zipWithIndex on a sorted RDD. */
-  def relabel(labels: DataFrame): DataFrame =
-    labels.distinct()
-      .withColumn("node_id", row_number().over(Window.orderBy("label")) - 1)
+    * ids are the 0-based rank in the canonical label ordering, NOT
+    * monotonically_increasing_id (SURVEY §1.3).
+    *
+    * Two value-identical physical strategies, picked by the distinct
+    * cardinality (this sits on the DeepWalk/KGE training path, where the
+    * node dimension is exactly what outgrows one partition at scale):
+    *   - <= windowMaxRows: row_number over a single-partition window —
+    *     one exchange, fastest when the dimension is small;
+    *   - above: global sort (range-partitioned, parallel) + RDD
+    *     zipWithIndex, whose per-partition offsets come from one extra
+    *     count job — no single-partition stage anywhere.
+    * The distinct set is persisted so the cardinality probe and the
+    * chosen indexing pass share one computation.
+    */
+  def relabel(labels: DataFrame, windowMaxRows: Long = 2000000L): DataFrame = {
+    val d = labels.distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (d.count() <= windowMaxRows) {
+      d.withColumn("node_id", (row_number().over(Window.orderBy("label")) - 1).cast("long"))
+    } else {
+      val sorted = d.orderBy("label")
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.LongType, nullable = false))
+      sorted.sparkSession.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        schema)
+    }
+  }
 
   /** Edge-endpoint validation (J4, graph.py:293-302,309-314): keep only
     * edges whose endpoints exist in the node tables — two left-semi

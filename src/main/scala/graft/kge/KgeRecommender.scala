@@ -29,8 +29,12 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
   private var userEmb: DataFrame = _
   private var itemEmb: DataFrame = _
 
+  // socialEdges are deliberately unused: the reference trains KGE on
+  // get_all_triples(), which emits only rating/is/has triples — social
+  // User–User edges never reach the KGE vocabulary (graph.py:79-109).
   override def train(spark: SparkSession, trainRatings: DataFrame,
-                     propertyEdges: Option[DataFrame]): Recommender = {
+                     propertyEdges: Option[DataFrame],
+                     socialEdges: Option[DataFrame]): Recommender = {
     this.train = trainRatings
     val dim = i("embedding_dim", 32)
 

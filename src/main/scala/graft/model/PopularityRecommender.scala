@@ -23,7 +23,8 @@ class PopularityRecommender(cfg: Map[String, String] = Map.empty) extends Recomm
   private var train: DataFrame = _
 
   override def train(spark: SparkSession, trainRatings: DataFrame,
-                     propertyEdges: Option[DataFrame]): Recommender = {
+                     propertyEdges: Option[DataFrame],
+                     socialEdges: Option[DataFrame]): Recommender = {
     this.train = trainRatings
     this
   }

@@ -15,8 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait Recommender {
   def name: String
 
-  /** Fit on training edges; returns a fitted instance (may be `this`). */
-  def train(spark: SparkSession, trainRatings: DataFrame, propertyEdges: Option[DataFrame] = None): Recommender
+  /** Fit on training edges; returns a fitted instance (may be `this`).
+    *
+    * `propertyEdges`: (src_label, relation, dst_label) User/Item→Property
+    * edges — part of the KG triples export (graph.py:79-109).
+    * `socialEdges`: (src_label, relation, dst_label) User–User edges
+    * (graph.py:304-314) — they enter the WALK graph but are excluded
+    * from `get_all_triples`, so KGE models must ignore them. */
+  def train(spark: SparkSession, trainRatings: DataFrame,
+            propertyEdges: Option[DataFrame] = None,
+            socialEdges: Option[DataFrame] = None): Recommender
 
   /** Top-k per user: (user_id, item_id, rank), rank 1-based, never
     * recommending an item the user already rated in train (the J5

@@ -35,21 +35,23 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
   private var itemEmb: DataFrame = _
 
   override def train(spark: SparkSession, trainRatings: DataFrame,
-                     propertyEdges: Option[DataFrame]): Recommender = {
+                     propertyEdges: Option[DataFrame],
+                     socialEdges: Option[DataFrame]): Recommender = {
     this.spark = spark
     this.train = trainRatings
     val seed = i("seed", 42)
     import graft.graph.KGraph
 
-    // label-space edges: user-item rating edges plus optional
-    // (src_label, dst_label) property edges
+    // label-space edges: user-item rating edges, optional
+    // (src_label, dst_label) property edges, and optional User–User
+    // social links (graph.py:304-314) — the walk graph takes ALL edge
+    // kinds; adjacency() symmetrizes, matching the undirected nx.Graph
     val ratingEdges = trainRatings.select(
       KGraph.userLabel(col("user_id")).as("src_label"),
       KGraph.itemLabel(col("item_id")).as("dst_label"))
-    val labelEdges = propertyEdges match {
-      case Some(p) => ratingEdges.unionByName(p.select("src_label", "dst_label"))
-      case None    => ratingEdges
-    }
+    val labelEdges = (propertyEdges.toSeq ++ socialEdges.toSeq)
+      .map(_.select("src_label", "dst_label"))
+      .foldLeft(ratingEdges)(_ unionByName _)
     val nodes = KGraph.relabel(
       labelEdges.select(col("src_label").as("label"))
         .union(labelEdges.select(col("dst_label").as("label"))))

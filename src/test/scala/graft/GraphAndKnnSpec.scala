@@ -34,9 +34,21 @@ class GraphAndKnnSpec extends AnyFunSuite {
 
   test("relabel is a deterministic dense bijection ordered by label (§1.3)") {
     val labels = Seq("Item(2)", "Item(10)", "User(1)").toDF("label")
-    val m = KGraph.relabel(labels).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val m = KGraph.relabel(labels).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // lexicographic: Item(10) < Item(2) < User(1)
-    assert(m == Map("Item(10)" -> 0, "Item(2)" -> 1, "User(1)" -> 2))
+    assert(m == Map("Item(10)" -> 0L, "Item(2)" -> 1L, "User(1)" -> 2L))
+  }
+
+  test("relabel above the window threshold: same ids, no single-partition window") {
+    val labels = (1 to 500).map(i => f"Node($i%03d)").toDF("label")
+    val small = KGraph.relabel(labels).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = KGraph.relabel(labels, windowMaxRows = 0L)
+    // the scalable path must not funnel the node dimension through one
+    // partition: no Window operator anywhere in its plan
+    assert(!big.queryExecution.executedPlan.toString.contains("Window"))
+    val bigM = big.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigM == small)
   }
 
   test("validateEdges drops edges with unknown endpoints (J4, graph.py:293-302)") {

@@ -89,6 +89,62 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(frames.count() == 3) // tiny payloads -> 1 frame each
   }
 
+  test("Experiment CLI wires social links + user property edges (graph.py:271-314)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftsocial")
+    val ratings = new StringBuilder("user_id::string,item_id::string,rating::number,timestamp::number\n")
+    for (u <- 1 to 5; i <- 1 to 6) ratings.append(s"u$u,i$i,${(u + i) % 5 + 1},${u * 100 + i}\n")
+    java.nio.file.Files.writeString(tmp.resolve("rating.csv"), ratings.toString)
+    val userCsv = new StringBuilder("user_id::string,country::string\n")
+    for (u <- 1 to 5) userCsv.append(s"u$u,C${u % 2}\n")
+    java.nio.file.Files.writeString(tmp.resolve("user.csv"), userCsv.toString)
+    // one pair with an unknown endpoint: must be dropped by validation
+    java.nio.file.Files.writeString(tmp.resolve("social.csv"),
+      "user1::string,user2::string\nu1,u2\nu2,u3\nu1,u9\n")
+    val dataset =
+      s"""    ratings: {path: ${tmp.resolve("rating.csv")}}
+         |    user:
+         |      path: ${tmp.resolve("user.csv")}
+         |      extra_features: [country]
+         |    social: {path: ${tmp.resolve("social.csv")}}""".stripMargin
+    val config =
+      s"""experiment:
+         |  dataset:
+         |$dataset
+         |  split:
+         |    seed: 42
+         |    test: {method: k_fold, k: 2, level: user}
+         |  models:
+         |    - name: deepwalk
+         |      parameters: {n_walks: 2, walk_len: 4, embedding_size: 8, epochs: 1, seed: 7}
+         |  evaluation: {k: 3, relevance_threshold: 3, metrics: [MAP]}
+         |""".stripMargin
+    val cfgPath = tmp.resolve("config.yml")
+    java.nio.file.Files.writeString(cfgPath, config)
+
+    // graph assembly: user extra_features become User -is-> Property
+    // edges; social pairs are endpoint-validated User–User edges
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load(new java.io.FileInputStream(cfgPath.toString))
+      .asInstanceOf[java.util.Map[String, Object]]
+    val ds = root.get("experiment").asInstanceOf[java.util.Map[String, Object]]
+      .get("dataset").asInstanceOf[java.util.Map[String, Object]]
+    val bundle = graft.cli.Experiment.loadDataset(spark, ds)
+    val props = bundle.propertyEdges.get.collect()
+    assert(props.length == 5 && props.forall(_.getString(1) == "is"))
+    assert(props.exists(_.getString(2) == "Property(C1, country)"))
+    val social = bundle.socialEdges.get.collect()
+    assert(social.map(r => (r.getString(0), r.getString(2))).toSet ==
+      Set("User(u1)" -> "User(u2)", "User(u2)" -> "User(u3)")) // u9 pair dropped
+    // +social changes the walk graph: the label-edge union the walk model
+    // consumes grows by exactly the validated social pairs
+    val nRating = bundle.ratings.count()
+    assert(nRating + props.length + social.length == 30 + 5 + 2)
+
+    // e2e: the deepwalk model trains on the social-augmented graph
+    val report = graft.cli.Experiment.run(spark, cfgPath.toString)
+    assert(report.count() == 1)
+  }
+
   test("Experiment CLI honors a nested validation split (dataloader.py:32-40)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftval")
     val ratings = new StringBuilder("user_id::string,item_id::string,rating::number,timestamp::number\n")
