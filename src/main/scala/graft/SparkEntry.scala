@@ -753,6 +753,15 @@ object SparkEntry {
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id
         |  AND list_dot_product(a.v, b.v) /
-        |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
+        |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin,
+
+    // golden-file oracle: the walks are fully deterministic (seeded
+    // xxhash64 transitions), but no SQL engine can replay them —
+    // goldens/q42_node2vec_walks.parquet holds the verified output at
+    // sf0.001 and sf0.01, keyed by each scale's distinct-ratings count
+    "q42_node2vec_walks" -> (R +
+      """SELECT start, walk_idx, path_len
+        |FROM '/root/repo/goldens/q42_node2vec_walks.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin)
   )
 }

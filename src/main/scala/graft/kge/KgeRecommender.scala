@@ -94,7 +94,8 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
   }
 
   override def recommend(k: Int): DataFrame =
-    DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k)
+    DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k,
+      allRecs = cfg.get("all_recs").contains("true"))
 }
 
 object KgeRecommender {

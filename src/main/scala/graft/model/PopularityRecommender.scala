@@ -29,12 +29,15 @@ class PopularityRecommender(cfg: Map[String, String] = Map.empty) extends Recomm
     this
   }
 
-  override def recommend(k: Int): DataFrame = PopularityRecommender.recommend(train, k)
+  override def recommend(k: Int): DataFrame =
+    PopularityRecommender.recommend(train, k, allRecs = cfg.get("all_recs").contains("true"))
 }
 
 object PopularityRecommender {
-  /** (user_id, item_id, rank) of the top-k most popular unrated items. */
-  def recommend(trainRaw: DataFrame, k: Int): DataFrame = {
+  /** (user_id, item_id, rank) of the top-k most popular unrated items.
+    * `allRecs`: rank every unrated item (no candidate bound, no cutoff) —
+    * deep_walk_based/model.py:75-86's all_recs mode. */
+  def recommend(trainRaw: DataFrame, k: Int, allRecs: Boolean = false): DataFrame = {
     // train is read three times (popularity, degree bound, anti-join):
     // materialize once instead of re-deriving the upstream join+agg
     val train = trainRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -43,16 +46,16 @@ object PopularityRecommender {
     // the reference bounds kNN n_neighbors (deep_walk_based/model.py:137-149)
     val maxRated = train.groupBy("user_id").agg(count(lit(1)).as("c"))
       .agg(max("c")).first().getLong(0)
-    val cand = pop
+    val cand = if (allRecs) pop else pop
       .withColumn("__r", row_number().over(Window.orderBy(col("cnt").desc, col("item_id"))))
       .filter(col("__r") <= lit(maxRated + k))
       .drop("__r")
     val users = train.select("user_id").distinct()
-    users.crossJoin(broadcast(cand))
+    val ranked = users.crossJoin(broadcast(cand))
       .join(train.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")
       .withColumn("rank",
         row_number().over(Window.partitionBy("user_id").orderBy(col("cnt").desc, col("item_id"))))
-      .filter(col("rank") <= k)
+    (if (allRecs) ranked else ranked.filter(col("rank") <= k))
       .select("user_id", "item_id", "rank")
   }
 }

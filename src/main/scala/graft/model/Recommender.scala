@@ -30,6 +30,15 @@ trait Recommender {
     * recommending an item the user already rated in train (the J5
     * anti-join, deep_walk_based/model.py:69-77). */
   def recommend(k: Int): DataFrame
+
+  /** Single-user recommendation (`get_user_recommendation`,
+    * recommender.py:30-31; deep_walk_based/model.py:84-103): the
+    * per-user slice of [[recommend]]. Catalyst pushes the user_id
+    * filter below the ranking window, so only that user's partition
+    * is scored — no model recomputes anything per call. */
+  def recommendUser(user: String, k: Int): DataFrame =
+    recommend(k).filter(org.apache.spark.sql.functions.col("user_id") ===
+      org.apache.spark.sql.functions.lit(user))
 }
 
 object Recommenders {

@@ -102,7 +102,8 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
   }
 
   override def recommend(k: Int): DataFrame =
-    DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k)
+    DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k,
+      allRecs = cfg.get("all_recs").contains("true"))
 }
 
 object DeepWalkRecommender {
@@ -113,19 +114,22 @@ object DeepWalkRecommender {
 
   /** Shared kNN recommendation path (J6 + J5 + W7): score k' =
     * min(max_user_rated + k, n_items) nearest items per user
-    * (deep_walk_based/model.py:137-149), drop already-rated, keep k. */
-  def knnRecommend(train: DataFrame, userEmb: DataFrame, itemEmb: DataFrame, k: Int): DataFrame = {
+    * (deep_walk_based/model.py:137-149), drop already-rated, keep k.
+    * `allRecs` (model.py:75-76,84-86): rank EVERY unrated item instead
+    * of cutting at k — used when callers re-rank downstream. */
+  def knnRecommend(train: DataFrame, userEmb: DataFrame, itemEmb: DataFrame, k: Int,
+                   allRecs: Boolean = false): DataFrame = {
     val maxRated = train.groupBy("user_id").agg(count(lit(1)).as("c"))
       .agg(max("c")).first().getLong(0)
     val nItems = itemEmb.count()
-    val kPrime = math.min(maxRated + k, nItems).toInt
-    CosineKnn.topK(userEmb, itemEmb, kPrime)
+    val kPrime = if (allRecs) nItems.toInt else math.min(maxRated + k, nItems).toInt
+    val ranked = CosineKnn.topK(userEmb, itemEmb, kPrime)
       .withColumnRenamed("query_id", "user_id")
       .join(train.select(col("user_id").cast("string").as("user_id"),
         col("item_id").cast("string").as("item_id")), Seq("user_id", "item_id"), "left_anti")
       .withColumn("rank", row_number().over(
         Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))))
-      .filter(col("rank") <= k)
+    (if (allRecs) ranked else ranked.filter(col("rank") <= k))
       .select("user_id", "item_id", "rank")
   }
 }

@@ -60,6 +60,31 @@ class WalkAndModelSpec extends AnyFunSuite {
     assert(u3.toSeq == Seq(12L))
   }
 
+  test("recommendUser == per-user slice of recommend; all_recs ranks every unrated item") {
+    val train = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0),
+      (2L, 10L, 5.0),
+      (3L, 10L, 5.0), (3L, 11L, 5.0), (3L, 12L, 5.0)
+    ).toDF("user_id", "item_id", "rating")
+    val rec = new PopularityRecommender().train(TestSpark.spark, train)
+    // single-user API (recommender.py:30-31): identical rows to the slice
+    val slice = rec.recommend(2).filter($"user_id" === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = rec.recommendUser("2", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(single == slice && single.nonEmpty)
+    // all_recs (deep_walk_based/model.py:75-86): every unrated item is
+    // emitted with its rank, ignoring the k cutoff
+    val all = new PopularityRecommender(Map("all_recs" -> "true"))
+      .train(TestSpark.spark, train).recommend(1)
+    val perUser = all.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == Map(1L -> 1L, 2L -> 2L)) // user 3 rated everything -> no rows
+    // rank order still popularity-desc with item tie-break
+    val u2 = all.filter($"user_id" === 2).orderBy("rank").select("item_id").as[Long].collect()
+    assert(u2.toSeq == Seq(11L, 12L))
+  }
+
   test("KGE scoring: positive triples outscore corrupted ones after training (M4)") {
     // bipartite 2-block graph: users 0,1 like items 10,11; users 2,3 like 12,13
     val triples = (for {
