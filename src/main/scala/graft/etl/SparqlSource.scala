@@ -25,9 +25,15 @@ object SparqlSource {
   type Transport = (String, String, Int) => String // (endpoint, query, timeoutMs) => body
 
   /** Default HTTP GET transport (executor-side). */
-  val httpTransport: Transport = (endpoint, query, timeoutMs) => {
-    val url = endpoint + "?format=json&query=" +
-      java.net.URLEncoder.encode(query, "UTF-8")
+  val httpTransport: Transport = httpTransportFor("json")
+
+  /** CSV-result transport (the enrich path requests CSV —
+    * dataset.py:138-139 `parallel_queries(q, CSV)`). */
+  val httpCsvTransport: Transport = httpTransportFor("text/csv")
+
+  def httpTransportFor(format: String): Transport = (endpoint, query, timeoutMs) => {
+    val url = endpoint + "?format=" + java.net.URLEncoder.encode(format, "UTF-8") +
+      "&query=" + java.net.URLEncoder.encode(query, "UTF-8")
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(timeoutMs)
@@ -80,6 +86,34 @@ object SparqlSource {
       val values = lines(1).split(",", -1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
       Some(header.zip(values).toMap)
     }
+  }
+
+  /** Issue one CSV-format SELECT per (item_id, query) row and take the
+    * FIRST data row's values for `properties`, in order (the enrich
+    * fan-out, dataset.py:243-262 + movielens.py:165-178). Returns
+    * (item_id, row: array<string>) with nulls for absent properties;
+    * failed requests yield an all-null row. */
+  def fetchCsvRow(spark: SparkSession, queries: DataFrame, endpoint: String,
+                  properties: Seq[String], timeoutMs: Int = 180000, parallelism: Int = 8,
+                  transport: Transport = httpCsvTransport): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("item_id", StringType),
+      StructField("row", ArrayType(StringType))))
+    val rows = queries.select(col("item_id").cast("string"), col("query"))
+      .repartition(parallelism)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val vals: Seq[String] =
+            try {
+              firstCsvRow(transport(endpoint, r.getString(1), timeoutMs)) match {
+                case Some(m) => properties.map(p => m.get(p).filter(_.nonEmpty).orNull)
+                case None    => properties.map(_ => null)
+              }
+            } catch { case _: Exception => properties.map(_ => null) }
+          Row(r.getString(0), vals)
+        }
+      }
+    spark.createDataFrame(rows, schema)
   }
 
   /** J7 fuzzy top-1 disambiguation (movielens.py:118-131): for each
