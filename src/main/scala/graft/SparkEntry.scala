@@ -403,7 +403,8 @@ object SparkEntry {
         .train(s, train, None).recommend(5)
     }),
 
-    // M2: node2vec biased walks (rows-only: count/shape invariants)
+    // M2: node2vec biased walks — deterministic (seeded xxhash64
+    // transitions), verified against goldens/q42_node2vec_walks.parquet
     "q42_node2vec_walks" -> ((s, dir) => {
       val edges = trainRatings(s, dir).filter(col("user_id") < 100)
         .select(col("user_id").as("src"), (col("item_id") + lit(1000000)).as("dst"))

@@ -221,7 +221,10 @@ object Experiment {
       val t0 = System.nanoTime()
       val rec = Recommenders.registry(modelName)(cfgMap)
         .train(spark, train, propertyEdges, bundle.socialEdges)
-      val recs = rec.recommend(k)
+      // materialize once: the recommendation lineage ends in a wide
+      // users×candidates ranking window — recomputing it per metric
+      // doubles the most expensive stage of the whole experiment
+      val recs = rec.recommend(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vals = metricNames.map {
         case "MAP" => "MAP" ->
           Metrics.mapAtK(recs, testDf, k, relThr).first().getDouble(0)
@@ -229,6 +232,7 @@ object Experiment {
           Metrics.ndcgAtK(recs, testDf, k, relThr).first().getDouble(0)
         case other => throw new IllegalArgumentException(s"Metric $other is not implemented.")
       }
+      recs.unpersist(blocking = false)
       val secs = (System.nanoTime() - t0) / 1e9
       (modelName, foldIdx + 1, vals, secs)
     }
@@ -248,6 +252,14 @@ object Experiment {
 
     for (r <- Option(sub(exp, "report")); f <- Option(str(r, "file"))) {
       Reporter.writeCsv(report, f)
+    }
+    // separate execution-times CSV with the machine spec folded into the
+    // model name (experiment.py:108-113, report.py:86-101)
+    for (r <- Option(sub(exp, "report")); et <- Option(sub(r, "execution_times"));
+         f <- Option(str(et, "file"))) {
+      Reporter.writeCsv(
+        timeReport.withColumn("model",
+          concat(col("model"), lit(s" (${Reporter.machineSpec})"))), f)
     }
     report
   }

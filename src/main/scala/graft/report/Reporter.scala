@@ -27,4 +27,19 @@ object Reporter {
     * single header file per report. */
   def writeCsv(report: DataFrame, path: String): Unit =
     report.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Machine-spec string embedded in the execution-times report's model
+    * name (report.py:99: `{model} (CPU: ...; RAM: ...GB; GPUs: [...])`).
+    * JVM equivalents of cpuinfo/psutil/GPUtil; no GPU probe exists in
+    * the JVM, and Spark-side compute is CPU-only here, so GPUs is the
+    * honest empty list. */
+  lazy val machineSpec: String = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val ramGb = os match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        math.round(b.getTotalMemorySize / (1024.0 * 1024 * 1024))
+      case _ => -1L
+    }
+    s"CPU: ${os.getArch} x${os.getAvailableProcessors}; RAM: ${ramGb}GB; GPUs: []"
+  }
 }

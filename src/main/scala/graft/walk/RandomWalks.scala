@@ -42,7 +42,11 @@ object RandomWalks {
     * Returns (start, walk_idx, path: array<long>). */
   def randomWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, seed: Long): DataFrame = {
+    // the node table often arrives single-partition (relabel's exact
+    // path); without a spread the ENTIRE walk loop — every step's
+    // broadcast join — runs in one task
     var state = nodes.select(col("node").as("start"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(spark.range(nWalks).select(col("id").as("walk_idx")))
       .withColumn("path", array(col("start")))
       .withColumn("cur", col("start"))
@@ -73,8 +77,17 @@ object RandomWalks {
     * distribution-identical to the reference's piecewise weights. */
   def biasedWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, p: Double, q: Double, seed: Long): DataFrame = {
+    // p == q == 1 makes every class weight 1: the biased distribution IS
+    // uniform, so skip the per-step O(degree) set algebra entirely —
+    // against hub nodes (a popular item's neighbor list is the user
+    // dimension) that algebra dominates the whole walk loop
+    if (p == 1.0 && q == 1.0) return randomWalks(spark, adj, nodes, nWalks, walkLen, seed)
     val prevAdj = adj.select(col("node").as("prev_node"), col("nbrs").as("prev_nbrs"))
+    // the node table often arrives single-partition (relabel's exact
+    // path); without a spread the ENTIRE walk loop — every step's
+    // broadcast join — runs in one task
     var state = nodes.select(col("node").as("start"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(spark.range(nWalks).select(col("id").as("walk_idx")))
       .withColumn("path", array(col("start")))
       .withColumn("cur", col("start"))

@@ -60,10 +60,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ArrayDot stays inside codegen (no HOF array materialization)") {
-    val df = SparkEntry.queries("q21_cosine_topk")(spark, dir)
+    // q34 keeps the relational similarity shape (crossJoin + ArrayDot);
+    // q21's topK now uses the fused compute kernel, so the expression's
+    // codegen guarantee is asserted on the near-dup plan
+    val df = SparkEntry.queries("q34_embedding_neardup")(spark, dir)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("arraydot") || p.contains("ArrayDot"))
     assert(!p.toLowerCase.contains("zip_with"))
+  }
+
+  test("topK relational fallback: no exchange between scoring join and ranking window") {
+    // the fallback path must keep the query-side hash distribution so
+    // the N×M scored rows are never reshuffled
+    import spark.implicits._
+    val emb = (1 to 40).map(i => (s"u$i", Array.fill(4)(i * 0.1))).toDF("id", "vec")
+    val plan = graft.knn.CosineKnn.topKRelational(emb, emb, 3, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    val afterJoin = plan.substring(0, plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(!afterJoin.contains("Exchange hashpartitioning"))
   }
 }

@@ -202,6 +202,8 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
          |    metrics: [MAP, nDCG]
          |  report:
          |    file: ${tmp.resolve("report")}
+         |    execution_times:
+         |      file: ${tmp.resolve("times")}
          |""".stripMargin
     val cfgPath = tmp.resolve("config.yml")
     java.nio.file.Files.writeString(cfgPath, config)
@@ -212,6 +214,12 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(cols.contains("fold-1_MAP@3") && cols.contains("fold-2_MAP@3"))
     assert(cols.contains("MAP@3_mean") && cols.contains("MAP@3_std"))
     assert(cols.contains("nDCG@3_mean") && cols.contains("execution_time_mean"))
+    // separate execution-times CSV embeds the machine spec in the model
+    // name (report.py:99)
+    val times = spark.read.option("header", "true")
+      .csv(tmp.resolve("times").toString).collect()
+    assert(times.length == 1 && times.head.getString(0).startsWith("popularity (CPU: "))
+    assert(times.head.getString(0).contains("RAM: ") && times.head.getString(0).endsWith("GPUs: [])"))
     val row = report.first()
     assert(row.getString(row.fieldIndex("model")) == "popularity")
     val mapMean = row.getDouble(row.fieldIndex("MAP@3_mean"))
