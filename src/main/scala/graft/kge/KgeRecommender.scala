@@ -65,16 +65,16 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
 
     val trainer = new KgeTrainer(model, dim, i("epochs", 5), f("learning_rate", 0.05),
       f("margin", 1.0), i("seed", 42).toLong)
-    val (ent, _) = trainer.fit(spark, encoded, nE, nR)
+    // fitEmb dispatches driver-resident vs fully distributed training by
+    // parameter count; either way the embeddings arrive as a DataFrame
+    // and the driver never materializes the entity dimension here
+    val (entEmb, _) = trainer.fitEmb(spark, encoded, nE, nR,
+      cfg.get("driver_max_params").map(_.toLong).getOrElse(50000000L))
 
     // embedding table: node_id -> real-component vector (F13)
-    val rows = ent.toIndexedSeq.zipWithIndex.map { case (v, id) =>
-      Row(id, v.take(dim).map(_.toDouble).toIndexedSeq)
-    }
-    val schema = StructType(Seq(
-      StructField("node_id", IntegerType), StructField("vec", ArrayType(DoubleType))))
-    val embDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq), schema)
+    val embDf = entEmb
+      .select(col("id").as("node_id"),
+        expr(s"transform(slice(vec, 1, $dim), x -> cast(x as double))").as("vec"))
       .join(entities, Seq("node_id"))
 
     // split back to user/item spaces; zero-fill entities that never

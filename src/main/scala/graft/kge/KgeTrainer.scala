@@ -376,4 +376,170 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
     data.unpersist()
     (ent, rel)
   }
+
+  /** Embedding tables as DataFrames `(id: int, vec: array<float>)`,
+    * choosing the physical strategy by parameter count: below
+    * `driverMaxParams` total floats the driver-resident [[fit]] runs
+    * (fastest at ml-100k scale — one broadcast + treeReduce per epoch);
+    * above it, [[fitDistributed]] keeps every parameter row distributed
+    * and the driver never holds an embedding. This is the dispatch the
+    * recommenders call — none of them touch driver arrays. */
+  def fitEmb(spark: SparkSession, triples: DataFrame, nEntities: Int, nRelations: Int,
+             driverMaxParams: Long = 50000000L): (DataFrame, DataFrame) = {
+    val (ed, rd) = KgeModels.dims(model, dim)
+    val nParams = nEntities.toLong * ed + nRelations.toLong * rd +
+      (if (model == "tuckER") dim.toLong * dim * dim else 0L)
+    if (nParams <= driverMaxParams) {
+      val (ent, rel) = fit(spark, triples, nEntities, nRelations)
+      def wrap(arr: Array[Array[Float]]): DataFrame = {
+        import org.apache.spark.sql.types._
+        val rows = spark.sparkContext
+          .parallelize(arr.toIndexedSeq.zipWithIndex, math.max(1, spark.sparkContext.defaultParallelism))
+          .map { case (v, id) => org.apache.spark.sql.Row(id, v.toIndexedSeq) }
+        spark.createDataFrame(rows, StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("vec", ArrayType(FloatType, containsNull = false)))))
+      }
+      (wrap(ent), wrap(rel))
+    } else fitDistributed(spark, triples, nEntities, nRelations)
+  }
+
+  /** Fully distributed trainer: parameters live as DataFrame rows
+    * partitioned by id — the >1e7-entity path the driver-resident
+    * variant cannot reach. Each epoch:
+    *   1. columnar seeded-hash negative corruption (Bernoulli head/tail);
+    *   2. five shuffled joins gather the parameter rows each triple
+    *      touches (h, t, nh, nt, rel) — the standard fact-to-dimension
+    *      gather, AQE-sized;
+    *   3. per-triple hinge gradients with the SAME KgeModels math,
+    *      emitted as sparse (param-row, grad) pairs;
+    *   4. map-side-combining reduce per parameter row, then a left-join
+    *      update with the same step scaling and per-component clip;
+    *   5. localCheckpoint to truncate the iterative lineage.
+    *
+    * RNG deviations from [[fit]] (DEVIATIONS #5 covers RNG freedom):
+    * init and corruption use per-element seeded hashes instead of a
+    * sequential driver RNG — order-free, so a retried or re-partitioned
+    * epoch computes identical numbers. tuckER's d³ core stays a single
+    * shared row, fetched and broadcast per epoch (13 MB at d=150).
+    */
+  def fitDistributed(spark: SparkSession, triples: DataFrame,
+                     nEntities: Int, nRelations: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (ed, rd) = KgeModels.dims(model, dim)
+    val multiplicative = Set("distMult", "complEx", "rescal", "tuckER")(model)
+    val initBound =
+      if (multiplicative) 0.5f / math.sqrt(dim).toFloat else 6.0f / math.sqrt(dim).toFloat
+    val coreBound = 1.0f / dim
+    val mdl = model; val d = dim; val m = margin; val sd = seed; val nE = nEntities
+    val hasCore = mdl == "tuckER"
+    val coreId = nRelations // extra relation row for the shared tuckER core
+
+    // per-element hash init: uniform in [-bound, bound], reproducible
+    // under any partitioning
+    def unif(id: Int, slot: Int, salt: Long, bound: Float): Float = {
+      val h = MurmurHash3.productHash((id, slot, salt))
+      (h.toFloat / Int.MaxValue) * bound
+    }
+    def initTable(n: Int, width: Int, salt: Long, extraCore: Boolean): DataFrame = {
+      val ib = initBound; val cb = coreBound; val dd = d
+      val rows = spark.range(if (extraCore) n + 1 else n).select(col("id").cast("int"))
+        .as[Int].mapPartitions { it =>
+          it.map { id =>
+            val w = if (extraCore && id == n) dd * dd * dd else width
+            val b = if (extraCore && id == n) cb else ib
+            (id, Array.tabulate(w)(s => unif(id, s, salt, b)))
+          }
+        }
+      rows.toDF("id", "vec")
+    }
+    var ent = initTable(nEntities, ed, sd, extraCore = false).persist()
+    var rel = initTable(nRelations, rd, sd + 101, extraCore = hasCore).persist()
+    ent.count(); rel.count()
+
+    // the reference's internal 95/5 split, same predicate as fit()
+    val data = triples.select(col("h").cast("int"), col("r").cast("int"), col("t").cast("int"))
+      .filter(pmod(xxhash64(col("h"), col("r"), col("t"), lit(seed)), lit(10000L))
+        < lit((trainFraction * 10000).toLong))
+      .persist()
+    val n = data.count().toDouble
+    val step = (lr / math.max(1.0, n / 10000.0)).toFloat
+    def clip(x: Float): Float = math.max(-1.0f, math.min(1.0f, x))
+
+    for (epoch <- 0 until epochs) {
+      val core: Array[Float] =
+        if (hasCore) rel.filter(col("id") === coreId).head().getSeq[Float](1).toArray else null
+      val bcCore = spark.sparkContext.broadcast(core)
+
+      val withNeg = data.select(col("h"), col("r"), col("t"),
+          (pmod(xxhash64(col("h"), col("r"), col("t"), lit(epoch), lit(sd)), lit(2L)) === 0)
+            .as("corruptHead"),
+          pmod(xxhash64(col("h"), col("r"), col("t"), lit(epoch), lit(sd + 13)), lit(nE.toLong))
+            .cast("int").as("fake"))
+        .select(col("h"), col("r"), col("t"),
+          when(col("corruptHead"), col("fake")).otherwise(col("h")).as("nh"),
+          when(col("corruptHead"), col("t")).otherwise(col("fake")).as("nt"))
+
+      val gathered = withNeg
+        .join(ent.select(col("id").as("h"), col("vec").as("hv")), Seq("h"))
+        .join(ent.select(col("id").as("t"), col("vec").as("tv")), Seq("t"))
+        .join(ent.select(col("id").as("nh"), col("vec").as("nhv")), Seq("nh"))
+        .join(ent.select(col("id").as("nt"), col("vec").as("ntv")), Seq("nt"))
+        .join(rel.select(col("id").as("r"), col("vec").as("rv")), Seq("r"))
+        .select("h", "r", "t", "nh", "nt", "hv", "tv", "nhv", "ntv", "rv")
+
+      val gradRdd = gathered.rdd.mapPartitions { it =>
+        val coreArr = bcCore.value
+        it.flatMap { row =>
+          val h = row.getInt(0); val r = row.getInt(1); val t = row.getInt(2)
+          val nh = row.getInt(3); val nt = row.getInt(4)
+          def arr(i: Int) = row.getSeq[Float](i).toArray
+          val hv = arr(5); val tv = arr(6); val nhv = arr(7); val ntv = arr(8); val rv = arr(9)
+          val sPos = KgeModels.score(mdl, d, hv, rv, tv, coreArr)
+          val sNeg = KgeModels.score(mdl, d, nhv, rv, ntv, coreArr)
+          if (m + sNeg - sPos > 0) {
+            val gh = new Array[Float](hv.length); val gt = new Array[Float](tv.length)
+            val gnh = new Array[Float](nhv.length); val gnt = new Array[Float](ntv.length)
+            val gr = new Array[Float](rv.length)
+            val gcore = if (coreArr != null) new Array[Float](coreArr.length) else null
+            KgeModels.addGrad(mdl, d, hv, rv, tv, 1.0, gh, gr, gt, coreArr, gcore)
+            KgeModels.addGrad(mdl, d, nhv, rv, ntv, -1.0, gnh, gr, gnt, coreArr, gcore)
+            val base = Seq((true, h, gh), (true, t, gt), (true, nh, gnh), (true, nt, gnt),
+              (false, r, gr))
+            if (gcore != null) base :+ ((false, coreId, gcore)) else base
+          } else Seq.empty
+        }
+      }
+      val summed = spark.createDataset(gradRdd)
+        .groupByKey(x => (x._1, x._2))
+        .reduceGroups { (a, b) =>
+          val acc = a._3; val v = b._3
+          var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }
+          a
+        }
+        .map(_._2)
+
+      def applyUpdates(table: DataFrame, isEnt: Boolean): DataFrame = {
+        val g = summed.filter(_._1 == isEnt).map(x => (x._2, x._3)).toDF("id", "g")
+        table.join(g, Seq("id"), "left")
+          .as[(Int, Array[Float], Array[Float])]
+          .map { case (id, v, grad) =>
+            if (grad == null) (id, v)
+            else {
+              val out = v.clone()
+              var i = 0; while (i < out.length) { out(i) += clip(step * grad(i)); i += 1 }
+              (id, out)
+            }
+          }
+          .toDF("id", "vec")
+      }
+      val newEnt = applyUpdates(ent, isEnt = true).localCheckpoint(eager = true)
+      val newRel = applyUpdates(rel, isEnt = false).localCheckpoint(eager = true)
+      ent.unpersist(blocking = false); rel.unpersist(blocking = false)
+      ent = newEnt; rel = newRel
+      bcCore.destroy()
+    }
+    data.unpersist()
+    (ent, rel)
+  }
 }

@@ -106,6 +106,38 @@ class WalkAndModelSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed KGE trainer separates positives from corrupted (scale path)") {
+    // same bipartite 2-block graph; fitEmb with driverMaxParams=0 forces
+    // the fully distributed (DataFrame-parameter) path
+    val triples = (for {
+      u <- 0 to 3; i <- 0 to 1
+    } yield (u, 0, 10 + (u / 2) * 2 + i)).toDF("h", "r", "t")
+    for (model <- Seq("transE", "distMult", "tuckER")) { // one per gradient family
+      val tr = new KgeTrainer(model, 8, 30, 0.1, 1.0, 42L, trainFraction = 1.0)
+      val (entDf, relDf) = tr.fitEmb(spark, triples, 14, 1, driverMaxParams = 0L)
+      val ent = entDf.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      val rel = relDf.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      val d = 8
+      val core = if (model == "tuckER") rel(1) else null // extra row id == nRelations
+      val posScores = for (u <- 0 to 3; i <- 0 to 1)
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + (u / 2) * 2 + i), core)
+      val negScores = for (u <- 0 to 3; i <- 0 to 1)
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + ((u / 2 + 1) % 2) * 2 + i), core)
+      val posMean = posScores.sum / posScores.size
+      val negMean = negScores.sum / negScores.size
+      assert(posMean > negMean, s"$model distributed: pos $posMean <= neg $negMean")
+    }
+  }
+
+  test("fitEmb driver path wraps the same embeddings the arrays hold") {
+    val triples = Seq((0, 0, 2), (1, 0, 3)).toDF("h", "r", "t")
+    val tr = new KgeTrainer("transE", 4, 3, 0.1, 1.0, 42L, trainFraction = 1.0)
+    val (entArr, _) = tr.fit(spark, triples, 4, 1)
+    val (entDf, _) = tr.fitEmb(spark, triples, 4, 1) // small -> driver path
+    val fromDf = entDf.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert((0 until 4).forall(id => fromDf(id) == entArr(id).toSeq))
+  }
+
   test("KGE gradients are finite-difference consistent (all 9 models)") {
     val d = 4
     val rng = new scala.util.Random(1)
