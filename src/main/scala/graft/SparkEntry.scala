@@ -403,6 +403,32 @@ object SparkEntry {
         .train(s, train, None).recommend(5)
     }),
 
+    // S1/S6/F7: typed-header CSV sink + source roundtrip — the oracle
+    // reads the file this query WRITES, so write and read are both under
+    // the hash check (previously ScalaTest-only)
+    "q43_typed_csv_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_q43_roundtrip"
+      graft.schema.TypedCsv.write(
+        T(s, dir, "nation").select(
+          col("n_nationkey").cast("double").as("nation_key"),
+          col("n_name").as("name"),
+          array(col("n_name"), col("n_regionkey").cast("string")).as("words")), out)
+      graft.schema.TypedCsv.read(s, out)
+        .select(col("nation_key"), col("name"),
+          expr("array_join(words, '|')").as("words_j"))
+    }),
+
+    // S2: multi-char "::" headerless dialect (the ml-1m separator),
+    // written then scanned through the converter reader
+    "q44_delimited_scan" -> ((s, dir) => {
+      val out = "/tmp/graft_q44_mcsep"
+      T(s, dir, "region")
+        .select(concat_ws("::", col("r_regionkey"), col("r_name")).as("line"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      graft.etl.Converters.readDelimited(s, out, "::", "UTF-8",
+        Seq("region_key", "region_name"))
+    }),
+
     // M2: node2vec biased walks — deterministic (seeded xxhash64
     // transitions), verified against goldens/q42_node2vec_walks.parquet
     "q42_node2vec_walks" -> ((s, dir) => {
@@ -763,6 +789,16 @@ object SparkEntry {
     "q42_node2vec_walks" -> (R +
       """SELECT start, walk_idx, path_len
         |FROM '/root/repo/goldens/q42_node2vec_walks.parquet'
-        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin)
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    "q43_typed_csv_roundtrip" ->
+      """SELECT CAST("nation_key::number" AS DOUBLE) AS nation_key,
+        |       "name::string" AS name,
+        |       replace("words::string_list", '::', '|') AS words_j
+        |FROM read_csv('/tmp/graft_q43_roundtrip/*.csv', header=true, all_varchar=true)""".stripMargin,
+
+    "q44_delimited_scan" ->
+      ("SELECT split_part(line, '::', 1) AS region_key, split_part(line, '::', 2) AS region_name\n" +
+       "FROM read_csv('/tmp/graft_q44_mcsep/*.txt', header=false, delim='\t', columns={'line':'VARCHAR'})")
   )
 }

@@ -122,13 +122,57 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs: (a_id, b_id, cos) with a < b and
-    * cos >= threshold. Exact; swap in CosineKnn.approxTopK at scale. */
-  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    * cos >= threshold.
+    *
+    * Physical strategy by cardinality: up to `bruteMaxRows` the exact
+    * all-pairs broadcast crossJoin runs (N² but the broadcast side is
+    * small by definition); above it the LSH-bucketed path generates
+    * candidates with BucketedRandomProjectionLSH on the unit sphere
+    * (d² = 2−2·cos makes the Euclidean threshold a monotone transform of
+    * the cosine threshold) and re-checks every candidate pair with the
+    * SAME exact cosine — so emitted pairs are identical in value to the
+    * brute path, and only recall is approximate (tunable via
+    * `numHashTables`). */
+  def embeddingNearDup(emb: DataFrame, threshold: Double,
+                       bruteMaxRows: Long = 100000L,
+                       numHashTables: Int = 4): DataFrame = {
+    if (emb.count() <= bruteMaxRows) embeddingNearDupBrute(emb, threshold)
+    else embeddingNearDupLsh(emb, threshold, numHashTables)
+  }
+
+  private def embeddingNearDupBrute(emb: DataFrame, threshold: Double): DataFrame = {
     import graft.knn.CosineKnn.{dot, l2norm}
     val a = emb.select(col("id").as("a_id"), col("vec").as("av")).withColumn("an", l2norm("av"))
     val b = emb.select(col("id").as("b_id"), col("vec").as("bv")).withColumn("bn", l2norm("bv"))
     a.crossJoin(broadcast(b))
       .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot("av", "bv") / (col("an") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  private[graft] def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+                                         numHashTables: Int): DataFrame = {
+    import graft.knn.CosineKnn.{dot, l2norm}
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val normed = emb.select(col("id"), col("vec"),
+      array_to_vector(expr(
+        "transform(vec, x -> x / sqrt(aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)))"))
+        .as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(1.0).setNumHashTables(numHashTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
+    val model = lsh.fit(normed)
+    // unit-sphere distance bound equivalent to the cosine threshold
+    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    model.approxSimilarityJoin(normed, normed, distThreshold, "dist")
+      .select(col("datasetA.id").as("a_id"), col("datasetA.vec").as("av"),
+        col("datasetB.id").as("b_id"), col("datasetB.vec").as("bv"))
+      .filter(col("a_id") < col("b_id"))
+      // exact re-check: candidate generation is approximate, the emitted
+      // cosine is not
+      .withColumn("an", l2norm("av")).withColumn("bn", l2norm("bv"))
       .withColumn("cos", dot("av", "bv") / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))

@@ -121,6 +121,28 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(joined.count() == 3)
   }
 
+  test("embedding near-dup LSH path finds planted duplicates with exact cosines") {
+    // planted pair (1, 2) nearly parallel; (3) orthogonal-ish noise
+    val base = Array(1.0, 0.0, 0.5, 0.25)
+    val emb = Seq(
+      (1L, base),
+      (2L, base.map(_ * 1.001).updated(3, 0.2501)), // near-parallel copy
+      (3L, Array(0.0, 1.0, -0.5, 0.1)),
+      (4L, Array(-1.0, 0.2, 0.0, 0.9))
+    ).toDF("id", "vec")
+    val brute = graft.text.Dedup.embeddingNearDup(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = graft.text.Dedup.embeddingNearDupLsh(emb, 0.95, numHashTables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // LSH candidates are approximate, but every emitted pair carries the
+    // exact cosine — the planted pair must surface with the brute value
+    assert(lsh == brute)
+    // the dispatching default stays on the brute path below the threshold
+    val auto = graft.text.Dedup.embeddingNearDup(emb, 0.95, bruteMaxRows = 2)
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("match-rate report (A5, dataset.py:236-241)") {
     val mapped = Seq(("1", "uri:a"), ("2", null), ("3", "uri:c"), ("4", null))
       .toDF("item_id", "uri")
