@@ -106,6 +106,24 @@ class WalkAndModelSpec extends AnyFunSuite {
     }
   }
 
+  test("KGE triples:all folds property edges (incl. User-is-Property) into the vocabulary") {
+    val train = Seq((1L, 10L, 5.0), (2L, 11L, 4.0)).toDF("user_id", "item_id", "rating")
+    val props = Seq(
+      ("User(1)", "is", "Property(CA, country)"),
+      ("Item(10)", "has", "Property(P1, subject)")
+    ).toDF("src_label", "relation", "dst_label")
+    val rec = new graft.kge.KgeRecommender(Map(
+      "model" -> "transE", "embedding_dim" -> "4", "epochs" -> "1", "triples" -> "all"))
+    rec.train(TestSpark.spark, train, Some(props), None)
+    // recommendations still flow (vocab with property entities trains fine)
+    assert(rec.recommend(2).count() > 0)
+    // with triples:ratings the same property frame is ignored
+    val recR = new graft.kge.KgeRecommender(Map(
+      "model" -> "transE", "embedding_dim" -> "4", "epochs" -> "1"))
+    recR.train(TestSpark.spark, train, Some(props), None)
+    assert(recR.recommend(2).count() > 0)
+  }
+
   test("distributed KGE trainer separates positives from corrupted (scale path)") {
     // same bipartite 2-block graph; fitEmb with driverMaxParams=0 forces
     // the fully distributed (DataFrame-parameter) path
