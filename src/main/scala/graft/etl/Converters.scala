@@ -56,10 +56,14 @@ object Converters {
         extractYear(col("movie_title")).cast("string").as("movie_year"))
 
   /** J3 surrogate-key join (douban-movie.py:61-70): build dims with
-    * row_number ids over the natural key, then join facts back. */
+    * dense 0-based ids over the natural-key ordering, then join facts
+    * back. Delegates to [[graft.graph.KGraph.relabel]], which switches
+    * from the single-partition ranking window to a parallel
+    * sort+zipWithIndex above a cardinality threshold — a dim with 1e9
+    * distinct keys never funnels through one task. */
   def surrogateKeyJoin(facts: DataFrame, naturalKey: String, idName: String): (DataFrame, DataFrame) = {
-    val dim = facts.select(naturalKey).distinct()
-      .withColumn(idName, row_number().over(Window.orderBy(naturalKey)) - 1)
+    val dim = graft.graph.KGraph.relabel(facts.select(col(naturalKey).as("label")))
+      .select(col("label").as(naturalKey), col("node_id").as(idName))
     (dim, facts.join(dim, Seq(naturalKey)))
   }
 

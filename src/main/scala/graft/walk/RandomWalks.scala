@@ -40,7 +40,7 @@ object RandomWalks {
   /** Uniform walks. nodes: (node) — every start node (walks from
     * isolated nodes are the single-node path, matching walker.py:30-39).
     * Returns (start, walk_idx, path: array<long>). */
-  def randomWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
+  private[graft] def randomWalksJoins(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, seed: Long): DataFrame = {
     // the node table often arrives single-partition (relabel's exact
     // path); without a spread the ENTIRE walk loop — every step's
@@ -75,13 +75,8 @@ object RandomWalks {
     * sample the CLASS (back / common / far) by its total mass, then
     * pick uniformly inside the class — O(degree) set algebra per step,
     * distribution-identical to the reference's piecewise weights. */
-  def biasedWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
+  private[graft] def biasedWalksJoins(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, p: Double, q: Double, seed: Long): DataFrame = {
-    // p == q == 1 makes every class weight 1: the biased distribution IS
-    // uniform, so skip the per-step O(degree) set algebra entirely —
-    // against hub nodes (a popular item's neighbor list is the user
-    // dimension) that algebra dominates the whole walk loop
-    if (p == 1.0 && q == 1.0) return randomWalks(spark, adj, nodes, nWalks, walkLen, seed)
     val prevAdj = adj.select(col("node").as("prev_node"), col("nbrs").as("prev_nbrs"))
     // the node table often arrives single-partition (relabel's exact
     // path); without a spread the ENTIRE walk loop — every step's
@@ -128,5 +123,136 @@ object RandomWalks {
       if (step % 4 == 0) state = state.localCheckpoint(eager = false)
     }
     state.select("start", "walk_idx", "path")
+  }
+
+  // ---- broadcast-local kernel -----------------------------------------
+
+  /** SQL-chain-compatible xxhash64: the join kernels draw from
+    * `xxhash64(start, walk_idx, lit(step), lit(salt))` (long, long, int,
+    * long children, initial seed 42) — this replays the exact chain so
+    * both kernels realize IDENTICAL walks and the q42 golden is
+    * dispatch-independent. */
+  @inline private def stepHash(start: Long, walkIdx: Long, step: Int, salt: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = 42L
+    h = XXH64.hashLong(start, h)
+    h = XXH64.hashLong(walkIdx, h)
+    h = XXH64.hashInt(step, h)
+    XXH64.hashLong(salt, h)
+  }
+  @inline private def pmodL(a: Long, b: Long): Long = { val m = a % b; if (m < 0) m + b else m }
+
+  /** Number of adjacency entries (nodes + directed edge slots) — the
+    * dispatch metric for local vs join execution. */
+  private def adjEntries(adj: DataFrame): Long =
+    adj.agg((count(lit(1)) + coalesce(sum(size(col("nbrs"))), lit(0L))).as("n"))
+      .first().getLong(0)
+
+  private def collectAdj(adj: DataFrame): scala.collection.Map[Long, Array[Long]] =
+    adj.select(col("node").cast("long"), col("nbrs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  private val walkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("walk_idx", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false))))
+
+  /** One mapPartitions pass computes every step of every walk against a
+    * broadcast adjacency — no per-step joins, no intermediate state
+    * DataFrames. `stepFn(start, walkIdx, step, path, cur, prev)` returns
+    * the next node or None (walk stops, walker.py:37-39). */
+  private def localWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame, nWalks: Int,
+                         walkLen: Int)(
+      stepFn: (scala.collection.Map[Long, Array[Long]], Long, Long, Int, Long, Long) => Option[Long])
+      : DataFrame = {
+    val bc = spark.sparkContext.broadcast(collectAdj(adj))
+    val starts = nodes.select(col("node").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val rows = starts.rdd.mapPartitions { it =>
+      val adjMap = bc.value
+      it.flatMap { r =>
+        val start = r.getLong(0)
+        (0L until nWalks.toLong).iterator.map { w =>
+          val path = scala.collection.mutable.ArrayBuffer[Long](start)
+          var cur = start
+          var prev = -1L // sentinel: no previous node
+          var step = 1
+          var alive = true
+          while (alive && step < walkLen) {
+            stepFn(adjMap, start, w, step, cur, prev) match {
+              case Some(nxt) => path += nxt; prev = cur; cur = nxt
+              case None      => alive = false
+            }
+            step += 1
+          }
+          org.apache.spark.sql.Row(start, w, path.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rows, walkSchema)
+  }
+
+  /** Uniform walks. nodes: (node) — every start node (walks from
+    * isolated nodes are the single-node path, matching walker.py:30-39).
+    * Returns (start, walk_idx, path: array<long>).
+    *
+    * Dispatch: when the adjacency fits executor memory (the regime the
+    * join kernel ALREADY assumed by broadcasting it every step), a
+    * single mapPartitions pass computes all steps locally; larger graphs
+    * fall back to the per-step join kernel. Walks are bit-identical
+    * either way (same hash chain). */
+  def randomWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
+                  nWalks: Int, walkLen: Int, seed: Long,
+                  maxLocalAdjEntries: Long = 20000000L): DataFrame = {
+    if (adjEntries(adj) > maxLocalAdjEntries)
+      return randomWalksJoins(spark, adj, nodes, nWalks, walkLen, seed)
+    localWalks(spark, adj, nodes, nWalks, walkLen) { (adjMap, start, w, step, cur, _) =>
+      adjMap.get(cur).filter(_.nonEmpty).map { nbrs =>
+        nbrs(pmodL(stepHash(start, w, step, seed), nbrs.length.toLong).toInt)
+      }
+    }
+  }
+
+  /** Second-order (node2vec) walks — see [[biasedWalksJoins]] for the
+    * class-sampling scheme. p == q == 1 collapses to uniform sampling
+    * (every class weight is 1), which skips the per-step set algebra
+    * entirely. Same local-vs-join dispatch as [[randomWalks]]. */
+  def biasedWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
+                  nWalks: Int, walkLen: Int, p: Double, q: Double, seed: Long,
+                  maxLocalAdjEntries: Long = 20000000L): DataFrame = {
+    if (p == 1.0 && q == 1.0)
+      return randomWalks(spark, adj, nodes, nWalks, walkLen, seed, maxLocalAdjEntries)
+    if (adjEntries(adj) > maxLocalAdjEntries)
+      return biasedWalksJoins(spark, adj, nodes, nWalks, walkLen, p, q, seed)
+    localWalks(spark, adj, nodes, nWalks, walkLen) { (adjMap, start, w, step, cur, prev) =>
+      adjMap.get(cur).filter(_.nonEmpty).flatMap { nbrs =>
+        if (step == 1) {
+          // first step: no previous node — uniform over all neighbors
+          // (w_back = w_common = 0 in the join kernel's formulation)
+          val idx = pmodL(stepHash(start, w, step, seed + 1), 1000000007L)
+          Some(nbrs((idx % math.max(nbrs.length, 1)).toInt))
+        } else {
+          val prevNbrs = adjMap.getOrElse(prev, Array.empty[Long])
+          val prevSet = prevNbrs.toSet
+          // array_intersect keeps first-array order; array_remove(prev)
+          val common = nbrs.filter(x => x != prev && prevSet.contains(x))
+          val commonSet = common.toSet
+          // array_except(array_remove(nbrs, prev), common)
+          val far = nbrs.filter(x => x != prev && !commonSet.contains(x))
+          val wBack = if (nbrs.contains(prev)) 1.0 / p else 0.0
+          val wCommon = common.length.toDouble
+          val wFar = far.length.toDouble * (1.0 / q)
+          val r = pmodL(stepHash(start, w, step, seed), 1000000007L).toDouble / 1000000007.0
+          val draw = r * (wBack + wCommon + wFar)
+          val idx = pmodL(stepHash(start, w, step, seed + 1), 1000000007L)
+          if (draw < wBack) Some(prev)
+          else if (draw < wBack + wCommon)
+            Some(common((idx % math.max(common.length, 1)).toInt))
+          else if (far.nonEmpty) Some(far((idx % far.length).toInt))
+          else None // element_at past an empty class -> null -> walk stops
+        }
+      }
+    }
   }
 }

@@ -47,6 +47,23 @@ class WalkAndModelSpec extends AnyFunSuite {
     assert(returns >= 15, s"only $returns/20 returned with p=1e-4")
   }
 
+  test("local walk kernel replays the join kernel's exact walks (uniform + biased)") {
+    import org.apache.spark.sql.functions.col
+    import graft.walk.RandomWalks
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L))
+      .toDF("src", "dst")
+    val adj = RandomWalks.adjacency(edges).cache()
+    val nodes = adj.select(col("node"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    // the broadcast-local kernel must realize bit-identical walks to the
+    // per-step join kernel — the q42 golden must not depend on dispatch
+    assert(canon(RandomWalks.randomWalks(spark, adj, nodes, 3, 6, 7L)) ==
+      canon(RandomWalks.randomWalksJoins(spark, adj, nodes, 3, 6, 7L)))
+    assert(canon(RandomWalks.biasedWalks(spark, adj, nodes, 3, 6, 0.5, 2.0, 7L)) ==
+      canon(RandomWalks.biasedWalksJoins(spark, adj, nodes, 3, 6, 0.5, 2.0, 7L)))
+  }
+
   test("popularity recommender never recommends rated items, ranks by count (J5/W7)") {
     val train = Seq(
       (1L, 10L, 5.0), (1L, 11L, 5.0),
