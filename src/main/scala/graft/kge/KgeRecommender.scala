@@ -3,9 +3,8 @@ package graft.kge
 import graft.graph.KGraph
 import graft.model.Recommender
 import graft.walk.DeepWalkRecommender
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** KGE-based recommender (SURVEY §2.8 M4-M6): export labeled triples,
   * train [[KgeTrainer]], look up entity embeddings (real component for
