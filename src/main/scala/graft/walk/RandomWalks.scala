@@ -204,7 +204,7 @@ object RandomWalks {
     * either way (same hash chain). */
   def randomWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, seed: Long,
-                  maxLocalAdjEntries: Long = 20000000L): DataFrame = {
+                  maxLocalAdjEntries: Long = 5000000L): DataFrame = {
     if (adjEntries(adj) > maxLocalAdjEntries)
       return randomWalksJoins(spark, adj, nodes, nWalks, walkLen, seed)
     localWalks(spark, adj, nodes, nWalks, walkLen) { (adjMap, start, w, step, cur, _) =>
@@ -220,7 +220,7 @@ object RandomWalks {
     * entirely. Same local-vs-join dispatch as [[randomWalks]]. */
   def biasedWalks(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
                   nWalks: Int, walkLen: Int, p: Double, q: Double, seed: Long,
-                  maxLocalAdjEntries: Long = 20000000L): DataFrame = {
+                  maxLocalAdjEntries: Long = 5000000L): DataFrame = {
     if (p == 1.0 && q == 1.0)
       return randomWalks(spark, adj, nodes, nWalks, walkLen, seed, maxLocalAdjEntries)
     if (adjEntries(adj) > maxLocalAdjEntries)
