@@ -73,9 +73,12 @@ object Bench {
     val hl = headline.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline":$hl,"baseline_transe_fold_sec":23.94,"sf":"$sfDir"}"""
     println(json)
-    // stdout goes through sbt's logger, which prefixes "[info] " and broke
-    // the driver's JSON parse (BENCH_r01 recorded parsed:null) — also write
-    // the bare line to a file the driver/humans can machine-read.
+    // sbt's logger prefixes both stdout ("[info] ") and stderr
+    // ("[error] "), which broke the driver's JSON parse (BENCH_r01
+    // recorded parsed:null) — emit on stderr too for non-sbt launchers,
+    // but the FILE below is the canonical machine-readable copy (see
+    // README "Bench output contract").
+    System.err.println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Path.of(out), json + "\n")
     spark.stop()

@@ -108,7 +108,11 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(38,4)").as("sum_disc_price"),
-          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          // order-free: the decimal sum is exact, so the single double
+          // division is bit-identical in Spark and DuckDB — no round()
+          // needed (round() on a summation-order-noisy double sum kept
+          // crossing 6th-decimal boundaries, r1/r2's one red hash)
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -157,8 +161,11 @@ object SparkEntry {
       val r0 = Tables.ratings(s, dir)
       val r1 = Preprocess.filterKCore(r0, 25, "user", 1)
       val r2 = Preprocess.filterKCore(r1, 20, "item", 1)
-      Preprocess.filterKCore(r2, 25, "user", 1)
-        .select("user_id", "item_id", "rating", "ts")
+      val r3 = Preprocess.filterKCore(r2, 25, "user", 1)
+      // r3 is materialized by filterKCore; the intermediate stages'
+      // caches are dead weight from here on
+      r1.unpersist(blocking = false); r2.unpersist(blocking = false)
+      r3.select("user_id", "item_id", "rating", "ts")
     }),
 
     // W5/W6: k-fold assignment (ntile == sklearn KFold block sizes)
@@ -373,7 +380,9 @@ object SparkEntry {
     "q37_dedup_clusters" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val pairs = Dedup.minhashLsh(s, docs, 8, 3, 0.8)
-      Dedup.clusters(s, docs, pairs)
+      val cc = Dedup.clusters(s, docs, pairs) // materializes cc
+      pairs.unpersist(blocking = false)
+      cc
     }),
 
     // multimodal plumbing: binary content -> per-partition stub decode
@@ -449,7 +458,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -39,25 +39,44 @@ object CosineKnn {
     * similarity desc, ties broken by item id (deterministic). Self-pairs
     * are excluded when `excludeSelf`.
     *
-    * Physical strategy: the relational form (crossJoin(broadcast) +
-    * ranking window) materializes an N×M row stream where EVERY row
-    * carries both dim-sized vectors — ~75 GB of row traffic for 1.5k
-    * users × 20k items × 150 dims, memory-bandwidth-bound regardless of
-    * parallelism. The fast path broadcasts the item matrix as primitive
-    * arrays and runs a fused score-and-select loop per query partition
-    * (a bounded worst-first heap), emitting only the top-k rows — same
-    * accumulation order, same tie-break, bit-identical scores. Falls
-    * back to the relational plan for id types without a pinned ordering.
+    * Physical strategy, size-gated three ways (all value-identical):
+    *
+    *  - items above `collectMaxRows` (default 1M rows ≈ 1.2 GB of
+    *    150-dim doubles): NEVER collected to the driver — the relational
+    *    plan runs WITHOUT a broadcast hint (partition-wise cartesian;
+    *    AQE may still broadcast if the actual size allows). At this
+    *    scale [[approxTopK]] is the recommended path; the exact plan is
+    *    the honest fallback.
+    *  - n_queries × n_items below `fusedMinPairs` (default 4M): the
+    *    relational form (crossJoin(broadcast) + ranking window) — at
+    *    small products the fused kernel's collect + RDD round-trip
+    *    costs more than the codegen'd join it replaces (q21 regressed
+    *    0.8 s → 4.4 s in r2 for exactly this reason).
+    *  - otherwise: the fused kernel. The relational form would
+    *    materialize an N×M row stream where EVERY row carries both
+    *    dim-sized vectors — ~75 GB of row traffic for 1.5k users × 20k
+    *    items × 150 dims, memory-bandwidth-bound regardless of
+    *    parallelism. Instead the item matrix broadcasts as primitive
+    *    arrays and a fused score-and-select loop per query partition
+    *    (a bounded worst-first heap) emits only the top-k rows — same
+    *    accumulation order, same tie-break, bit-identical scores.
+    *
+    * Id types without a pinned ordering always take the relational plan.
     */
-  def topK(queries: DataFrame, items: DataFrame, k: Int, excludeSelf: Boolean = false): DataFrame = {
+  def topK(queries: DataFrame, items: DataFrame, k: Int, excludeSelf: Boolean = false,
+           collectMaxRows: Long = 1000000L, fusedMinPairs: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.types._
     val idType = queries.schema("id").dataType
     val fastIdOk = idType == items.schema("id").dataType && (idType match {
       case LongType | IntegerType | StringType | DoubleType => true
       case _ => false
     })
-    if (fastIdOk) topKCompute(queries, items, k, excludeSelf, idType)
-    else topKRelational(queries, items, k, excludeSelf)
+    val m = items.count()
+    if (m > collectMaxRows)
+      return topKRelational(queries, items, k, excludeSelf, broadcastItems = false)
+    if (!fastIdOk || queries.count() * m < fusedMinPairs)
+      topKRelational(queries, items, k, excludeSelf)
+    else topKCompute(queries, items, k, excludeSelf, idType)
   }
 
   private def topKCompute(queries: DataFrame, items: DataFrame, k: Int,
@@ -133,9 +152,11 @@ object CosineKnn {
   /** Relational fallback (also the reference plan shape for the docs):
     * crossJoin(broadcast) + ranking window. Queries are spread and
     * hash-partitioned by query_id so the window needs no exchange of the
-    * scored N×M rows. */
+    * scored N×M rows. `broadcastItems = false` drops the hint for item
+    * sides too large to broadcast — AQE decides from actual sizes. */
   private[graft] def topKRelational(queries: DataFrame, items: DataFrame, k: Int,
-                                  excludeSelf: Boolean): DataFrame = {
+                                  excludeSelf: Boolean,
+                                  broadcastItems: Boolean = true): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val parts = math.max(sc.defaultParallelism, queries.rdd.getNumPartitions)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
@@ -143,7 +164,7 @@ object CosineKnn {
       .withColumn("qn", l2norm("qv"))
     val it = items.select(col("id").as("item_id"), col("vec").as("iv"))
       .withColumn("in", l2norm("iv"))
-    val scored = q.crossJoin(broadcast(it))
+    val scored = q.crossJoin(if (broadcastItems) broadcast(it) else it)
       .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
       // zero vectors (F14 zero-fill) score below any true cosine (< -1)
       .withColumn("score",
@@ -158,10 +179,20 @@ object CosineKnn {
 
   /** Approximate variant for item sides too large to broadcast:
     * LSH-bucketed join on normalized vectors, then exact re-rank within
-    * the candidate set. `oversample` widens recall. */
+    * the candidate set.
+    *
+    * The candidate bound derives from `targetCos` exactly as
+    * [[graft.text.Dedup.embeddingNearDupLsh]] does: on the unit sphere
+    * d² = 2 − 2·cos, so the Euclidean threshold sqrt(2 − 2·targetCos)
+    * admits precisely the pairs at or above the target similarity.
+    * (r2 shipped a fixed 1.4 distance bound ⇒ cos ≥ 0.02 — every pair
+    * qualified and the "ANN" degenerated to all-pairs with hashing
+    * overhead on top.) Neighbors below `targetCos` are dropped even if
+    * fewer than k remain — an ANN search is a similarity floor plus a
+    * rank cutoff, not a guarantee of k results. */
   def approxTopK(queries: DataFrame, items: DataFrame, k: Int,
-                 bucketLength: Double = 1.0, numHashTables: Int = 2,
-                 distThreshold: Double = 1.4): DataFrame = {
+                 targetCos: Double = 0.2, bucketLength: Double = 0.25,
+                 numHashTables: Int = 4): DataFrame = {
     def normalized(df: DataFrame, idCol: String) = df.select(
       col("id").as(idCol),
       array_to_vector(expr("transform(vec, x -> x / sqrt(aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)))"))
@@ -172,6 +203,7 @@ object CosineKnn {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
     val model = lsh.fit(it)
+    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * targetCos))
     val joined = model.approxSimilarityJoin(q, it, distThreshold, "dist")
       .select(col("datasetA.query_id").as("query_id"),
         col("datasetB.item_id").as("item_id"),

@@ -46,10 +46,12 @@ object PopularityRecommender {
     // the reference bounds kNN n_neighbors (deep_walk_based/model.py:137-149)
     val maxRated = train.groupBy("user_id").agg(count(lit(1)).as("c"))
       .agg(max("c")).first().getLong(0)
+    // orderBy+limit plans as TakeOrderedAndProject (parallel partial
+    // top-N per partition), not the single-task unpartitioned
+    // row_number window it replaces — same rows, same order semantics
     val cand = if (allRecs) pop else pop
-      .withColumn("__r", row_number().over(Window.orderBy(col("cnt").desc, col("item_id"))))
-      .filter(col("__r") <= lit(maxRated + k))
-      .drop("__r")
+      .orderBy(col("cnt").desc, col("item_id"))
+      .limit((maxRated + k).toInt)
     val users = train.select("user_id").distinct()
     val ranked = users.crossJoin(broadcast(cand))
       .join(train.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")

@@ -40,17 +40,29 @@ object Preprocess {
     var cur = ratings
     var it = 0
     var converged = false
+    val kills = scala.collection.mutable.Buffer.empty[DataFrame]
+    val curPersists = scala.collection.mutable.Buffer.empty[DataFrame]
     while (it < iterations && !converged) {
       val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (kill.count() == 0L) { converged = true; kill.unpersist() }
-      else cur = cur.join(kill, Seq(key), "left_anti")
+      else { kills += kill; cur = cur.join(kill, Seq(key), "left_anti") }
       it += 1
       // reference configs run 1-3 iterations: recomputing the shallow
       // anti-join lineage beats materializing each round; deep loops
       // get their lineage truncated periodically
-      if (it % 4 == 0) cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      if (it % 4 == 0) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); curPersists += cur }
     }
-    cur
+    if (kills.isEmpty) cur
+    else {
+      // materialize the surviving edge set once, then release every
+      // per-round kill cache and intermediate lineage truncation —
+      // iterative loops must not accumulate session-long storage
+      val out = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      kills.foreach(_.unpersist(blocking = false))
+      curPersists.filter(_ ne out).foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 }

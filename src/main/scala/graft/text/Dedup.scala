@@ -34,30 +34,43 @@ object Dedup {
   }
 
   /** MinHash-banded LSH candidate pairs with exact Jaccard filter.
-    * Returns (doc_a, doc_b, jaccard) for candidates >= threshold. */
+    * Returns (doc_a, doc_b, jaccard) for candidates >= threshold.
+    *
+    * One groupBy(doc_id) computes EVERY band minimum plus the shingle
+    * count — the signature shuffle carries |docs| rows, not
+    * |shingles|×nBands (the r2 shape exploded each shingle per band
+    * before the exchange). Counts ride along with the candidate pairs,
+    * so the only other shuffles are the (b, h) bucket self-join and the
+    * candidate-only intersection count. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
                  threshold: Double): DataFrame = {
-    val sh = shingles(docs, shingleK).cache()
-    val sig = sh
-      .withColumn("b", explode(sequence(lit(0), lit(nBands - 1))))
-      .groupBy("doc_id", "b")
-      .agg(min(md5(concat(col("b").cast("string"), lit("|"), col("s")))).as("h"))
-    val pairs = sig.as("x")
-      .join(sig.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingles(docs, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until nBands).map(b =>
+      min(md5(concat(lit(s"$b|"), col("s")))).as(s"h$b")) :+ count(lit(1)).as("n")
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stacked = sig.selectExpr("doc_id", "n",
+      s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
+    val pairs = stacked.as("x")
+      .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
         && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
+    val out = inter
       .withColumn("jaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) pair table, then release the shingle
+    // working set — iterative/bench sessions must not accumulate it
+    out.count()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit
@@ -86,18 +99,23 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard >= threshold (no LSH) — the
     * brute-force baseline, for bounded candidate sets. */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, k).cache()
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    inter
+    val out = inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** Near-duplicate CLUSTERS: connected components over the candidate

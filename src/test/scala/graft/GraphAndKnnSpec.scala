@@ -82,6 +82,24 @@ class GraphAndKnnSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
   }
 
+  test("fused and relational topK kernels are bit-identical") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9), math.sin(i * 0.3) * 0.5))
+    }.toDF("id", "vec")
+    // fusedMinPairs = 1 forces the compute kernel; default settings at
+    // this size take the relational plan
+    val fused = CosineKnn.topK(vecs, vecs, 4, excludeSelf = true, fusedMinPairs = 1L)
+      .orderBy("query_id", "rank").collect()
+    val rel = CosineKnn.topK(vecs, vecs, 4, excludeSelf = true)
+      .orderBy("query_id", "rank").collect()
+    assert(fused.length == rel.length)
+    fused.zip(rel).foreach { case (f, r) =>
+      assert(f.getLong(0) == r.getLong(0) && f.getLong(1) == r.getLong(1)
+        && f.getInt(3) == r.getInt(3))
+      assert(f.getDouble(2) == r.getDouble(2)) // exact, not approximate
+    }
+  }
+
   test("approxTopK recalls the exact nearest neighbor on clustered data") {
     val base = (0 until 40).map { i =>
       val c = if (i % 2 == 0) 1.0 else -1.0
