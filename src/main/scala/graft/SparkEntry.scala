@@ -438,6 +438,43 @@ object SparkEntry {
         Seq("region_key", "region_name"))
     }),
 
+    // M1: the uniform-walk half of q40's DeepWalk pipeline, pinned
+    // exactly — same relabel, adjacency, and seeded-xxhash64 chain the
+    // recommender runs internally; only the Word2Vec embeddings stay
+    // rows-only (legitimately seed-sensitive). Verified against
+    // goldens/q45_deepwalk_walks.parquet (walker.py:12-55).
+    "q45_deepwalk_walks" -> ((s, dir) => {
+      val train = trainRatings(s, dir).filter(col("user_id") < 200)
+      val ratingEdges = train.select(
+        KGraph.userLabel(col("user_id")).as("src_label"),
+        KGraph.itemLabel(col("item_id")).as("dst_label"))
+      val nodes = KGraph.relabel(
+        ratingEdges.select(col("src_label").as("label"))
+          .union(ratingEdges.select(col("dst_label").as("label"))))
+      val intEdges = ratingEdges
+        .join(nodes.withColumnRenamed("label", "src_label"), Seq("src_label"))
+        .withColumnRenamed("node_id", "src")
+        .join(nodes.withColumnRenamed("label", "dst_label"), Seq("dst_label"))
+        .withColumnRenamed("node_id", "dst")
+        .select("src", "dst")
+      val adj = RandomWalks.adjacency(intEdges)
+      val walks = RandomWalks.randomWalks(s, adj,
+        nodes.select(col("node_id").as("node")), 3, 6, 42)
+      walks.select(col("start"), col("walk_idx"),
+        concat_ws(",", expr("transform(path, x -> cast(x as string))")).as("path_s"))
+    }),
+
+    // A4: enrichment GROUP_CONCAT(DISTINCT ...; SEPARATOR="::") replay
+    // over a triple table (movielens.py:57-77) — multi-valued
+    // properties, distinct + sorted, "::"-joined
+    "q46_group_concat_props" -> ((s, dir) => {
+      val triples = T(s, dir, "part").select(col("p_brand").as("uri"),
+        explode(map(
+          lit("type"), col("p_type"),
+          lit("size"), col("p_size").cast("string"))).as(Seq("property", "value")))
+      graft.etl.SparqlSource.groupConcatProperties(triples, Seq("type", "size"))
+    }),
+
     // M2: node2vec biased walks — deterministic (seeded xxhash64
     // transitions), verified against goldens/q42_node2vec_walks.parquet
     "q42_node2vec_walks" -> ((s, dir) => {
@@ -799,6 +836,19 @@ object SparkEntry {
       """SELECT start, walk_idx, path_len
         |FROM '/root/repo/goldens/q42_node2vec_walks.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // golden-file oracle, same scheme as q42 (regenerate with
+    // `runMain graft.GoldenGen q45_deepwalk_walks <sfdirs...>`)
+    "q45_deepwalk_walks" -> (R +
+      """SELECT start, walk_idx, path_s
+        |FROM '/root/repo/goldens/q45_deepwalk_walks.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    "q46_group_concat_props" ->
+      """SELECT p_brand AS uri,
+        |  COALESCE(STRING_AGG(DISTINCT p_type, '::' ORDER BY p_type), '') AS type,
+        |  COALESCE(STRING_AGG(DISTINCT CAST(p_size AS VARCHAR), '::' ORDER BY CAST(p_size AS VARCHAR)), '') AS size
+        |FROM part GROUP BY p_brand""".stripMargin,
 
     "q43_typed_csv_roundtrip" ->
       """SELECT CAST("nation_key::number" AS DOUBLE) AS nation_key,

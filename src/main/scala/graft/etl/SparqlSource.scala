@@ -147,10 +147,12 @@ object SparqlSource {
   /** A4 local replay of the enrichment GROUP_CONCAT(DISTINCT x;
     * SEPARATOR="::") aggregation (movielens.py:57-77) over a triple
     * table: (uri, property, value) -> one row per uri with "::"-joined
-    * distinct values per property. */
+    * distinct values per property. SPARQL leaves GROUP_CONCAT order
+    * endpoint-defined; here values are sorted so the aggregation is
+    * deterministic under any partitioning (and oracle-replayable). */
   def groupConcatProperties(triples: DataFrame, properties: Seq[String]): DataFrame = {
     val aggs = properties.map(p =>
-      array_join(array_distinct(collect_list(when(col("property") === p, col("value")))), "::").as(p))
+      array_join(array_sort(array_distinct(collect_list(when(col("property") === p, col("value"))))), "::").as(p))
     triples.groupBy("uri").agg(aggs.head, aggs.tail: _*)
   }
 
