@@ -118,25 +118,18 @@ object SparqlSource {
 
   /** J7 fuzzy top-1 disambiguation (movielens.py:118-131): for each
     * item, pick the candidate URI whose label best matches the expected
-    * name. thefuzz's WRatio is approximated with a normalized
-    * Levenshtein similarity over lowercased, punctuation-stripped
-    * strings plus a token-sort pass — deterministic, tie-broken by URI.
-    * candidates: (item_id, expected, candidate_label, uri). */
+    * name, scored by [[graft.text.FuzzyMatch.wratio]] — an exact
+    * reimplementation of thefuzz's WRatio (the scorer
+    * `process.extractOne` defaults to), bound into codegen via the
+    * [[graft.functions.WRatioScore]] expression. Score is the
+    * reference's 0-100 integer scale; ties (extractOne keeps the first
+    * of equal scores, an iteration-order artifact) break
+    * deterministically by URI. candidates:
+    * (item_id, expected, candidate_label, uri). */
   def disambiguate(candidates: DataFrame): DataFrame = {
-    def norm(c: org.apache.spark.sql.Column) =
-      graft.text.TextOps.stripPunctuation(lower(trim(c)))
-    def tokenSort(c: org.apache.spark.sql.Column) =
-      array_join(array_sort(split(norm(c), " ")), " ")
     val scored = candidates
-      .withColumn("__plain",
-        lit(1.0) - levenshtein(norm(col("expected")), norm(col("candidate_label")))
-          .cast("double") /
-          greatest(length(norm(col("expected"))), length(norm(col("candidate_label"))), lit(1)))
-      .withColumn("__sorted",
-        lit(1.0) - levenshtein(tokenSort(col("expected")), tokenSort(col("candidate_label")))
-          .cast("double") /
-          greatest(length(tokenSort(col("expected"))), length(tokenSort(col("candidate_label"))), lit(1)))
-      .withColumn("score", greatest(col("__plain"), col("__sorted")))
+      .withColumn("score",
+        graft.functions.WRatioScore(col("expected"), col("candidate_label")))
     scored
       .withColumn("__r", row_number().over(
         Window.partitionBy("item_id").orderBy(col("score").desc, col("uri"))))

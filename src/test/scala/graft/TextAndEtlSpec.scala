@@ -87,6 +87,39 @@ class TextAndEtlSpec extends AnyFunSuite {
       "2" -> "http://dbpedia.org/resource/Fargo"))
   }
 
+  test("FuzzyMatch components match thefuzz's published values (J7)") {
+    import graft.text.FuzzyMatch._
+    // canonical fuzzywuzzy README examples
+    assert(ratio("this is a test", "this is a test!") == 97)
+    assert(partialRatio("this is a test", "this is a test!") == 100)
+    assert(tokenSortRatio("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") == 100)
+    assert(tokenSetRatio("fuzzy was a bear", "fuzzy fuzzy was a bear") == 100)
+    // difflib documented example
+    assert(matchingBlocks("abxcd", "abcd") == Seq((0, 0, 2), (3, 2, 2), (5, 4, 0)))
+    assert(wratio("New York Mets", "new york mets") == 100) // full_process normalizes
+    assert(wratio("", "anything") == 0)
+    // token-set subset keeps 100 ×.95 (non-partial family: len ratio < 1.5)
+    assert(wratio("this is a test", "this is a new test!!!") == 95)
+  }
+
+  test("fuzzy disambiguation ranks by exact WRatio with URI tie-break (J7, movielens.py:127)") {
+    val cands = Seq(
+      ("1", "Toy Story (1995)", "Toy Story", "uri:toy-story"),
+      ("1", "Toy Story (1995)", "Toy Story 2", "uri:toy-story-2"),
+      ("1", "Toy Story (1995)", "Story of Toys", "uri:story-of-toys")
+    ).toDF("item_id", "expected", "candidate_label", "uri")
+    // fallback=false: a WRatioScore codegen failure surfaces as an error
+    // instead of silently degrading the projection to interpreted mode
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val top = try SparqlSource.disambiguate(cands).first()
+    finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // "Toy Story": len ratio 14/9 ≥ 1.5 → partial family; partial_ratio
+    // 100 × 0.9 = 90 beats "Toy Story 2"'s token-set 90 × 0.95 = 86
+    assert(top.getString(1) == "uri:toy-story")
+    assert(top.getInt(2) == 90)
+  }
+
   test("fuzzy disambiguation picks the best-matching candidate URI (J7)") {
     val cands = Seq(
       ("1", "The Saint", "The Saint (film)", "uri:saint-film"),
