@@ -475,6 +475,37 @@ object SparkEntry {
       graft.etl.SparqlSource.groupConcatProperties(triples, Seq("type", "size"))
     }),
 
+    // P9: keep-True attribute-map filter — the exact expression pipeline
+    // the yelp dialect applies to its attributes struct (yelp.py:84-88),
+    // replayed over a map built from part flags; sorted keys for a
+    // deterministic hash
+    "q47_attr_map_filter" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey"),
+        expr("""map('big',     CASE WHEN p_size >= 25 THEN 'True' ELSE 'False' END,
+                |    'pricey',  CASE WHEN p_retailprice >= 1500 THEN 'True' ELSE 'False' END,
+                |    'branded', 'True')""".stripMargin).as("attributes"))
+        .select(col("p_partkey"),
+          concat_ws(",", expr(
+            "array_sort(map_keys(map_filter(attributes, (k, v) -> v = 'True')))")).as("kept"))),
+
+    // F13/F14: complex->real embedding slice (first half of the
+    // interleaved layout, kge/KgeRecommender.scala) + zero-vector fill
+    // for entities that never trained — the id space is chosen so every
+    // sf exercises both the matched and the zero-filled branch
+    "q48_complex_real_zero_fill" -> ((s, dir) => {
+      val dim = 32
+      val emb = T(s, dir, "embeddings").select(col("vec_id"),
+        expr(s"transform(slice(embedding, 1, $dim), x -> cast(x as double))").as("vec"))
+      val ids = T(s, dir, "part").select((col("p_partkey") % 2500).as("vec_id")).distinct()
+      ids.join(emb, Seq("vec_id"), "left")
+        .withColumn("vec", coalesce(col("vec"),
+          expr(s"transform(sequence(1, $dim), x -> cast(0.0 as double))")))
+        .select(col("vec_id"),
+          round(element_at(col("vec"), 1), 6).as("f0"),
+          round(element_at(col("vec"), dim), 6).as("f31"),
+          size(col("vec")).as("n_dims"))
+    }),
+
     // M2: node2vec biased walks — deterministic (seeded xxhash64
     // transitions), verified against goldens/q42_node2vec_walks.parquet
     "q42_node2vec_walks" -> ((s, dir) => {
@@ -843,6 +874,23 @@ object SparkEntry {
       """SELECT start, walk_idx, path_s
         |FROM '/root/repo/goldens/q45_deepwalk_walks.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    "q47_attr_map_filter" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_sort(list_filter(['big', 'pricey', 'branded'],
+        |    k -> CASE k WHEN 'big' THEN p_size >= 25
+        |                WHEN 'pricey' THEN p_retailprice >= 1500
+        |                ELSE TRUE END)), ',') AS kept
+        |FROM part""".stripMargin,
+
+    "q48_complex_real_zero_fill" ->
+      """WITH ids AS (SELECT DISTINCT p_partkey % 2500 AS vec_id FROM part),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT i.vec_id,
+        |  ROUND(COALESCE(e.v[1], 0.0), 6) AS f0,
+        |  ROUND(COALESCE(e.v[32], 0.0), 6) AS f31,
+        |  CAST(32 AS INT) AS n_dims
+        |FROM ids i LEFT JOIN e ON i.vec_id = e.vec_id""".stripMargin,
 
     "q46_group_concat_props" ->
       """SELECT p_brand AS uri,
