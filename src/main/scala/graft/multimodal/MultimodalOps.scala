@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * tested; the actual codec call is STUBBED (no image/audio libraries
   * in this container) behind [[MultimodalOps.decodeStub]], which
   * produces a deterministic fake feature vector from the bytes. Swap
-  * `decodeStub` for a JNI/FFI codec (or, on the PySpark surface,
-  * `mapInPandas` with PIL/torchaudio) without touching the plumbing.
+  * `decodeStub` for a JNI/FFI codec without touching the plumbing — or
+  * use the WORKING PySpark `mapInPandas` recipe in
+  * `python/multimodal_decode.py` (same schema in/out, Pillow/soundfile
+  * codecs, per-partition init, Arrow batch sizing) on a cluster that
+  * has the codec libraries.
   */
 object MultimodalOps {
 
