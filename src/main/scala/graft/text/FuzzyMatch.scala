@@ -82,9 +82,13 @@ object FuzzyMatch {
       b2j.getOrElseUpdate(b.charAt(j), mutable.ArrayBuffer.empty) += j
       j += 1
     }
+    // autojunk: popular elements leave the index but stay matchable via
+    // the junk-extension phase below, exactly as difflib does it
+    val junk = mutable.HashSet.empty[Char]
     if (b.length >= 200) {
       val ntest = b.length / 100 + 1
-      b2j.filterInPlace((_, idxs) => idxs.length <= ntest)
+      b2j.foreach { case (c, idxs) => if (idxs.length > ntest) junk += c }
+      junk.foreach(b2j.remove)
     }
 
     def findLongest(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
@@ -102,6 +106,20 @@ object FuzzyMatch {
         })
         j2len = newj2len
         i += 1
+      }
+      // difflib's two extension phases: first grow over equal NON-junk
+      // neighbors, then over equal junk neighbors (order matters — a
+      // non-junk char beyond a junk run is not reconsidered)
+      def canLeft(isJunk: Boolean) =
+        besti > alo && bestj > blo && junk.contains(b.charAt(bestj - 1)) == isJunk &&
+          a.charAt(besti - 1) == b.charAt(bestj - 1)
+      def canRight(isJunk: Boolean) =
+        besti + bestsize < ahi && bestj + bestsize < bhi &&
+          junk.contains(b.charAt(bestj + bestsize)) == isJunk &&
+          a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)
+      Seq(false, true).foreach { isJunk =>
+        while (canLeft(isJunk)) { besti -= 1; bestj -= 1; bestsize += 1 }
+        while (canRight(isJunk)) bestsize += 1
       }
       (besti, bestj, bestsize)
     }

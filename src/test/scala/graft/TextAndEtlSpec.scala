@@ -102,6 +102,24 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(wratio("this is a test", "this is a new test!!!") == 95)
   }
 
+  test("matchingBlocks reproduces python difflib exactly (incl. autojunk)") {
+    // expected values generated with CPython's difflib.SequenceMatcher
+    // (seed-7 random strings over 'abcde '); the last case triggers the
+    // autojunk rule (|b| >= 200, popular chars leave the index but stay
+    // matchable through the junk-extension phase)
+    def check(a: String, b: String, exp: Seq[(Int, Int, Int)]): Unit =
+      assert(graft.text.FuzzyMatch.matchingBlocks(a, b) == exp, s"a='$a' b='${b.take(40)}'")
+    check("bd aaeaceaebaa", "dabaedaeab  eaeed", Seq((0, 2, 1), (1, 5, 1), (4, 6, 3), (8, 12, 3), (14, 17, 0)))
+    check("baebc", "beaece baee bcae ", Seq((0, 7, 3), (3, 12, 2), (5, 17, 0)))
+    check("eaebd ", "dcdedccbb baecedc dce", Seq((0, 3, 1), (1, 11, 2), (4, 15, 1), (5, 17, 1), (6, 21, 0)))
+    check("aedbcb", "da aeecc cededaacd ", Seq((0, 3, 2), (2, 11, 1), (4, 16, 1), (6, 19, 0)))
+    check("a  c e", "c d cadcbeadabcb b", Seq((1, 1, 1), (2, 3, 2), (4, 16, 1), (6, 18, 0)))
+    check("ddabddecbdec dc ", "bbabbb badebccab", Seq((2, 2, 2), (5, 9, 2), (7, 12, 1), (8, 15, 1), (16, 16, 0)))
+    check("eceecb ee   ad ed", "ddad dababdbacea", Seq((12, 2, 3), (15, 14, 1), (17, 16, 0)))
+    check("aebeace", "abed", Seq((0, 0, 1), (2, 1, 2), (7, 4, 0)))
+    check("the quick brown fox", "x" * 150 + "the quick brown fox" + "y" * 60, Seq((0, 150, 19), (19, 229, 0)))
+  }
+
   test("fuzzy disambiguation ranks by exact WRatio with URI tie-break (J7, movielens.py:127)") {
     val cands = Seq(
       ("1", "Toy Story (1995)", "Toy Story", "uri:toy-story"),
