@@ -400,7 +400,7 @@ object SparkEntry {
       val train = trainRatings(s, dir).filter(col("user_id") < 200)
       new graft.walk.DeepWalkRecommender(Map(
         "n_walks" -> "3", "walk_len" -> "6", "embedding_size" -> "16",
-        "epochs" -> "1", "seed" -> "42"))
+        "epochs" -> "1", "seed" -> "42", "w2v_partitions" -> "16"))
         .train(s, train, None).recommend(5)
     }),
 

@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The heterogeneous user-item-property graph as two immutable
@@ -64,30 +63,25 @@ object KGraph {
     * ids are the 0-based rank in the canonical label ordering, NOT
     * monotonically_increasing_id (SURVEY §1.3).
     *
-    * Two value-identical physical strategies, picked by the distinct
-    * cardinality (this sits on the DeepWalk/KGE training path, where the
-    * node dimension is exactly what outgrows one partition at scale):
-    *   - <= windowMaxRows: row_number over a single-partition window —
-    *     one exchange, fastest when the dimension is small;
-    *   - above: global sort (range-partitioned, parallel) + RDD
-    *     zipWithIndex, whose per-partition offsets come from one extra
-    *     count job — no single-partition stage anywhere.
-    * The distinct set is persisted so the cardinality probe and the
-    * chosen indexing pass share one computation.
+    * Physical strategy: global sort (range-partitioned, parallel) + RDD
+    * zipWithIndex, whose per-partition offsets come from one extra count
+    * job — no single-partition stage at ANY cardinality. (An earlier
+    * variant used a row_number window below a cardinality threshold;
+    * that funnels the whole dimension through one task and spams
+    * WindowExec warnings for zero benefit — at small cardinality both
+    * formulations are sub-second, at large only this one survives.)
+    * The distinct set is persisted because every caller immediately
+    * joins it back from two sides (src/dst).
     */
-  def relabel(labels: DataFrame, windowMaxRows: Long = 2000000L): DataFrame = {
+  def relabel(labels: DataFrame): DataFrame = {
     val d = labels.distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (d.count() <= windowMaxRows) {
-      d.withColumn("node_id", (row_number().over(Window.orderBy("label")) - 1).cast("long"))
-    } else {
-      val sorted = d.orderBy("label")
-      val schema = org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+
-          org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.LongType, nullable = false))
-      sorted.sparkSession.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-        schema)
-    }
+    val sorted = d.orderBy("label")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
   }
 
   /** Edge-endpoint validation (J4, graph.py:293-302,309-314): keep only

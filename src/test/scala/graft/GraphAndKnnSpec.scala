@@ -39,16 +39,14 @@ class GraphAndKnnSpec extends AnyFunSuite {
     assert(m == Map("Item(10)" -> 0L, "Item(2)" -> 1L, "User(1)" -> 2L))
   }
 
-  test("relabel above the window threshold: same ids, no single-partition window") {
+  test("relabel never funnels the node dimension through a window") {
     val labels = (1 to 500).map(i => f"Node($i%03d)").toDF("label")
-    val small = KGraph.relabel(labels).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = KGraph.relabel(labels, windowMaxRows = 0L)
-    // the scalable path must not funnel the node dimension through one
-    // partition: no Window operator anywhere in its plan
-    assert(!big.queryExecution.executedPlan.toString.contains("Window"))
-    val bigM = big.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(bigM == small)
+    val out = KGraph.relabel(labels)
+    // the node dimension is exactly what outgrows one partition at
+    // scale: no Window operator anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == (1 to 500).map(i => f"Node($i%03d)" -> (i - 1).toLong).toMap)
   }
 
   test("validateEdges drops edges with unknown endpoints (J4, graph.py:293-302)") {

@@ -70,6 +70,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("zip_with"))
   }
 
+  test("q10: popularity candidate cutoff is a parallel TakeOrderedAndProject, not a global window") {
+    val p = plan("q10_popularity_recs")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("topK dispatch: small products take the relational plan, large ones the fused kernel, huge item sides never collect") {
     import spark.implicits._
     val emb = (1 to 50).map(i => (i.toLong, Seq.fill(4)(i * 0.1))).toDF("id", "vec")
