@@ -150,9 +150,11 @@ object Dedup {
     * the cosine threshold) and re-checks every candidate pair with the
     * SAME exact cosine — so emitted pairs are identical in value to the
     * brute path, and only recall is approximate (tunable via
-    * `numHashTables`). */
+    * `numHashTables`). The 20k default bounds the brute regime at
+    * ~2×10⁸ candidate pairs — past that, quadratic row traffic beats
+    * any per-pair cheapness. */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
-                       bruteMaxRows: Long = 100000L,
+                       bruteMaxRows: Long = 20000L,
                        numHashTables: Int = 4): DataFrame = {
     if (emb.count() <= bruteMaxRows) embeddingNearDupBrute(emb, threshold)
     else embeddingNearDupLsh(emb, threshold, numHashTables)
