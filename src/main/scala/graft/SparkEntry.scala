@@ -234,8 +234,7 @@ object SparkEntry {
       val e = T(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
           expr("transform(embedding, x -> cast(x as double))").as("vec"))
-      CosineKnn.approxTopK(e.filter(col("id") < 50), e, 5)
-        .filter(col("query_id") =!= col("item_id"))
+      CosineKnn.approxTopK(e.filter(col("id") < 50), e, 5, excludeSelf = true)
         .select("query_id", "item_id", "rank")
     }),
 

@@ -192,7 +192,7 @@ object CosineKnn {
     * rank cutoff, not a guarantee of k results. */
   def approxTopK(queries: DataFrame, items: DataFrame, k: Int,
                  targetCos: Double = 0.2, bucketLength: Double = 0.25,
-                 numHashTables: Int = 4): DataFrame = {
+                 numHashTables: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     def normalized(df: DataFrame, idCol: String) = df.select(
       col("id").as(idCol),
       array_to_vector(expr("transform(vec, x -> x / sqrt(aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)))"))
@@ -209,6 +209,8 @@ object CosineKnn {
         col("datasetB.item_id").as("item_id"),
         // cos = 1 - d²/2 for unit vectors
         (lit(1.0) - col("dist") * col("dist") / 2.0).as("score"))
+      // self-pairs must leave BEFORE ranking or they burn a top-k slot
+      .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
     joined
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))

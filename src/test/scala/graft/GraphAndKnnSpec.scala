@@ -98,6 +98,22 @@ class GraphAndKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("approxTopK recall >= 0.9 against exact top-k on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val q = base.filter(col("id") < 50)
+    // ground truth: exact neighbors at or above the ANN's similarity floor
+    val exact = CosineKnn.topK(q, base, 5, excludeSelf = true)
+      .filter(col("score") >= 0.2)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = CosineKnn.approxTopK(q, base, 5, excludeSelf = true)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(exact.size == 250) // 50 queries x full 5 above the floor
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("approxTopK recalls the exact nearest neighbor on clustered data") {
     val base = (0 until 40).map { i =>
       val c = if (i % 2 == 0) 1.0 else -1.0
