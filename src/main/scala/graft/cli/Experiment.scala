@@ -233,6 +233,7 @@ object Experiment {
         case other => throw new IllegalArgumentException(s"Metric $other is not implemented.")
       }
       recs.unpersist(blocking = false)
+      rec.release() // per-fold embedding/vocab caches must not outlive the fold
       val secs = (System.nanoTime() - t0) / 1e9
       (modelName, foldIdx + 1, vals, secs)
     }

@@ -89,12 +89,20 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
 
     userEmb = side("User", trainRatings.select(col("user_id").cast("string").as("id"))).cache()
     itemEmb = side("Item", trainRatings.select(col("item_id").cast("string").as("id"))).cache()
+    // materialize the (small) embedding tables, then drop the vocab
+    // caches — they only feed the joins above
+    userEmb.count(); itemEmb.count()
+    entities.unpersist(blocking = false)
+    relations.unpersist(blocking = false)
     this
   }
 
   override def recommend(k: Int): DataFrame =
     DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k,
       allRecs = cfg.get("all_recs").contains("true"))
+
+  override def release(): Unit =
+    Seq(userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
 }
 
 object KgeRecommender {

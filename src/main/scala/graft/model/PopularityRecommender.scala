@@ -31,6 +31,9 @@ class PopularityRecommender(cfg: Map[String, String] = Map.empty) extends Recomm
 
   override def recommend(k: Int): DataFrame =
     PopularityRecommender.recommend(train, k, allRecs = cfg.get("all_recs").contains("true"))
+
+  override def release(): Unit =
+    if (train != null) train.unpersist(blocking = false)
 }
 
 object PopularityRecommender {

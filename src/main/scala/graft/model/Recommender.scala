@@ -39,6 +39,12 @@ trait Recommender {
   def recommendUser(user: String, k: Int): DataFrame =
     recommend(k).filter(org.apache.spark.sql.functions.col("user_id") ===
       org.apache.spark.sql.functions.lit(user))
+
+  /** Release any persisted training state (embedding tables, vocab
+    * caches). Called by the Experiment loop after a fold's metrics are
+    * final — per-fold models otherwise accumulate storage for the whole
+    * session. Safe to call more than once; default is a no-op. */
+  def release(): Unit = ()
 }
 
 object Recommenders {

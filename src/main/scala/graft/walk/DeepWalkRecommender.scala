@@ -104,6 +104,9 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
   override def recommend(k: Int): DataFrame =
     DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k,
       allRecs = cfg.get("all_recs").contains("true"))
+
+  override def release(): Unit =
+    Seq(userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
 }
 
 object DeepWalkRecommender {
