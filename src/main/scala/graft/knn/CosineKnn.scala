@@ -42,11 +42,12 @@ object CosineKnn {
     * Physical strategy, size-gated three ways (all value-identical):
     *
     *  - items above `collectMaxRows` (default 1M rows ≈ 1.2 GB of
-    *    150-dim doubles): NEVER collected to the driver — the relational
-    *    plan runs WITHOUT a broadcast hint (partition-wise cartesian;
-    *    AQE may still broadcast if the actual size allows). At this
-    *    scale [[approxTopK]] is the recommended path; the exact plan is
-    *    the honest fallback.
+    *    150-dim doubles): NEVER collected to the driver — the scoring
+    *    cartesian feeds a map-side bounded-heap combine
+    *    ([[topKShuffleCombine]]), so the exchange carries at most
+    *    n_queries × n_partitions × k candidate rows, never the N×M
+    *    scored stream. At this scale [[approxTopK]] is still the
+    *    recommended path; this is the exact fallback that survives it.
     *  - n_queries × n_items below `fusedMinPairs` (default 4M): the
     *    relational form (crossJoin(broadcast) + ranking window) — at
     *    small products the fused kernel's collect + RDD round-trip
@@ -72,12 +73,28 @@ object CosineKnn {
       case _ => false
     })
     val m = items.count()
-    if (m > collectMaxRows)
-      return topKRelational(queries, items, k, excludeSelf, broadcastItems = false)
-    if (!fastIdOk || queries.count() * m < fusedMinPairs)
+    if (m > collectMaxRows) {
+      return if (fastIdOk) {
+        lastKernel = "shuffle-combine"
+        topKShuffleCombine(queries, items, k, excludeSelf, idType)
+      } else {
+        lastKernel = "relational-unbroadcast"
+        topKRelational(queries, items, k, excludeSelf, broadcastItems = false)
+      }
+    }
+    if (!fastIdOk || queries.count() * m < fusedMinPairs) {
+      lastKernel = "relational"
       topKRelational(queries, items, k, excludeSelf)
-    else topKCompute(queries, items, k, excludeSelf, idType)
+    } else {
+      lastKernel = "fused"
+      topKCompute(queries, items, k, excludeSelf, idType)
+    }
   }
+
+  /** Which kernel the last [[topK]] call dispatched to — observable for
+    * plan-regression specs (the RDD-backed kernels are indistinguishable
+    * in the result's SQL plan string). */
+  private[graft] var lastKernel: String = _
 
   private def topKCompute(queries: DataFrame, items: DataFrame, k: Int,
                           excludeSelf: Boolean,
@@ -175,6 +192,66 @@ object CosineKnn {
         Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "item_id", "score", "rank")
+  }
+
+  /** Exact top-k for item sides too large to broadcast OR collect: the
+    * scoring cartesian is consumed in-stage by a map-side bounded-heap
+    * combine (`aggregateByKey`), so the only exchange carries at most
+    * n_queries × n_input_partitions × k (id, score) pairs — the N×M
+    * scored stream never crosses the wire, and nothing touches the
+    * driver. Same tie-break as the other kernels: (score desc, item_id
+    * asc); merging bounded heaps is order-independent under that total
+    * order, so results are deterministic under any partitioning. */
+  private[graft] def topKShuffleCombine(queries: DataFrame, items: DataFrame, k: Int,
+                                        excludeSelf: Boolean,
+                                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("qn", l2norm("qv"))
+    val it = items.select(col("id").as("item_id"), col("vec").as("iv"))
+      .withColumn("in", l2norm("iv"))
+    val scored = q.crossJoin(it)
+      .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+      // zero vectors (F14 zero-fill) score below any true cosine (< -1)
+      .withColumn("score",
+        when(col("qn") * col("in") > 0, dot("qv", "iv") / (col("qn") * col("in")))
+          .otherwise(lit(-2.0)))
+      .select("query_id", "item_id", "score")
+    val cmpId: (Any, Any) => Int = idType match {
+      case LongType    => (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType  => (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _           => (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    }
+    // PQ dequeues its "greatest" = the WORST candidate under
+    // (score desc, item asc) — identical to the fused kernel's ordering
+    val worseGreater: Ordering[(Double, Any)] = new Ordering[(Double, Any)] {
+      def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else cmpId(a._2, b._2)
+      }
+    }
+    def push(h: scala.collection.mutable.PriorityQueue[(Double, Any)],
+             c: (Double, Any)): scala.collection.mutable.PriorityQueue[(Double, Any)] = {
+      if (h.size < k) h.enqueue(c)
+      else if (worseGreater.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
+      h
+    }
+    val combined = scored.rdd
+      .map(r => r.get(0) -> (r.getDouble(2), r.get(1)))
+      .aggregateByKey(new scala.collection.mutable.PriorityQueue[(Double, Any)]()(worseGreater))(
+        push, (h1, h2) => { h2.foreach(push(h1, _)); h1 })
+    val out = combined.flatMap { case (qid, heap) =>
+      val best: Seq[(Double, Any)] = heap.dequeueAll.reverse
+      best.iterator.zipWithIndex.map { case ((score, id), rank) =>
+        Row(qid, id, score, rank + 1)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("query_id", idType), StructField("item_id", idType),
+      StructField("score", DoubleType), StructField("rank", IntegerType, nullable = false))))
   }
 
   /** Approximate variant for item sides too large to broadcast:

@@ -84,17 +84,22 @@ class GraphAndKnnSpec extends AnyFunSuite {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9), math.sin(i * 0.3) * 0.5))
     }.toDF("id", "vec")
-    // fusedMinPairs = 1 forces the compute kernel; default settings at
-    // this size take the relational plan
+    // fusedMinPairs = 1 forces the compute kernel; collectMaxRows = 1
+    // forces shuffle-combine; default settings take the relational plan
     val fused = CosineKnn.topK(vecs, vecs, 4, excludeSelf = true, fusedMinPairs = 1L)
+      .orderBy("query_id", "rank").collect()
+    val comb = CosineKnn.topK(vecs, vecs, 4, excludeSelf = true, collectMaxRows = 1L)
       .orderBy("query_id", "rank").collect()
     val rel = CosineKnn.topK(vecs, vecs, 4, excludeSelf = true)
       .orderBy("query_id", "rank").collect()
-    assert(fused.length == rel.length)
-    fused.zip(rel).foreach { case (f, r) =>
+    assert(fused.length == rel.length && comb.length == rel.length)
+    fused.zip(rel).zip(comb).foreach { case ((f, r), c) =>
       assert(f.getLong(0) == r.getLong(0) && f.getLong(1) == r.getLong(1)
         && f.getInt(3) == r.getInt(3))
+      assert(c.getLong(0) == r.getLong(0) && c.getLong(1) == r.getLong(1)
+        && c.getInt(3) == r.getInt(3))
       assert(f.getDouble(2) == r.getDouble(2)) // exact, not approximate
+      assert(c.getDouble(2) == r.getDouble(2))
     }
   }
 

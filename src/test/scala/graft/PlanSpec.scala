@@ -75,20 +75,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("topK dispatch: small products take the relational plan, large ones the fused kernel, huge item sides never collect") {
+  test("topK dispatch: small products relational, large fused, huge item sides shuffle-combine (never collect)") {
     import spark.implicits._
     val emb = (1 to 50).map(i => (i.toLong, Seq.fill(4)(i * 0.1))).toDF("id", "vec")
     // 50×50 = 2500 pairs < fusedMinPairs → relational: the plan is a
     // codegen'd join, NOT a driver collect + RDD scan
     val small = graft.knn.CosineKnn.topK(emb, emb, 3, excludeSelf = true)
+    assert(graft.knn.CosineKnn.lastKernel == "relational")
     assert(!small.queryExecution.executedPlan.toString.contains("ExistingRDD"))
     // forcing the fused regime shows the RDD-backed kernel
     val fused = graft.knn.CosineKnn.topK(emb, emb, 3, excludeSelf = true, fusedMinPairs = 1L)
+    assert(graft.knn.CosineKnn.lastKernel == "fused")
     assert(fused.queryExecution.executedPlan.toString.contains("ExistingRDD"))
-    // above collectMaxRows the item side must NOT be collected (no RDD
-    // kernel) — the relational plan runs and AQE decides the join
+    // above collectMaxRows: neither a driver collect nor an N×M window
+    // exchange — the map-side bounded-heap combine kernel runs
     val gated = graft.knn.CosineKnn.topK(emb, emb, 3, excludeSelf = true, collectMaxRows = 10L)
-    assert(!gated.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    assert(graft.knn.CosineKnn.lastKernel == "shuffle-combine")
     assert(gated.orderBy("query_id", "rank").collect()
       .sameElements(small.orderBy("query_id", "rank").collect()))
   }
