@@ -78,7 +78,9 @@ def decode_batches(batches):
         yield pd.DataFrame({
             "id": pdf["id"],
             "kind": pdf["kind"],
-            "n_bytes": pdf["content"].map(len).astype("int32"),
+            # null-safe: a null blob must yield a 0-byte null-features
+            # row, not a task-killing TypeError
+            "n_bytes": pdf["content"].map(lambda c: 0 if c is None else len(c)).astype("int32"),
             "features": feats,
         })
 
@@ -100,7 +102,9 @@ def main(src: str, dst: str) -> None:
         .mapInPandas(decode_batches, schema=OUT_SCHEMA)
     )
     out.write.mode("overwrite").parquet(dst)
-    n_failed = out.filter(F.col("features").isNull()).count()
+    # count failures from the WRITTEN output — filtering `out` would
+    # re-run the whole decode pipeline a second time
+    n_failed = spark.read.parquet(dst).filter(F.col("features").isNull()).count()
     print(f"decoded -> {dst} ({n_failed} failed rows kept as null)")
     spark.stop()
 

@@ -162,9 +162,11 @@ object SparkEntry {
       val r1 = Preprocess.filterKCore(r0, 25, "user", 1)
       val r2 = Preprocess.filterKCore(r1, 20, "item", 1)
       val r3 = Preprocess.filterKCore(r2, 25, "user", 1)
-      // r3 is materialized by filterKCore; the intermediate stages'
-      // caches are dead weight from here on
-      r1.unpersist(blocking = false); r2.unpersist(blocking = false)
+      // the intermediate stages' caches are dead weight once r3 is
+      // materialized — but a pass that converges with nothing to kill
+      // returns its INPUT unchanged (r3 may BE r2), so only unpersist
+      // strictly-intermediate objects
+      Seq(r1, r2).filter(_ ne r3).foreach(_.unpersist(blocking = false))
       r3.select("user_id", "item_id", "rating", "ts")
     }),
 

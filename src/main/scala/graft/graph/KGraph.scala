@@ -70,8 +70,12 @@ object KGraph {
     * that funnels the whole dimension through one task and spams
     * WindowExec warnings for zero benefit — at small cardinality both
     * formulations are sub-second, at large only this one survives.)
-    * The distinct set is persisted because every caller immediately
-    * joins it back from two sides (src/dst).
+    * The RESULT comes back persisted and materialized (every caller
+    * immediately joins it back from at least two sides); the
+    * intermediate distinct set is released before returning, so one
+    * relabel call pins exactly one node-dimension cache. Callers that
+    * own the mapping's lifecycle should unpersist it when done (the
+    * recommenders do, via fit-time unpersist or `release()`).
     */
   def relabel(labels: DataFrame): DataFrame = {
     val d = labels.distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -79,9 +83,13 @@ object KGraph {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(
+    val out = sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    d.unpersist(blocking = false)
+    out
   }
 
   /** Edge-endpoint validation (J4, graph.py:293-302,309-314): keep only

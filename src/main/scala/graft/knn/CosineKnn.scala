@@ -63,6 +63,11 @@ object CosineKnn {
     *    accumulation order, same tie-break, bit-identical scores.
     *
     * Id types without a pinned ordering always take the relational plan.
+    *
+    * Dispatch runs `count()` on the inputs (items always, queries below
+    * the collect gate) — cache inputs with expensive lineage before
+    * calling, as the recommenders do with their embedding tables, or
+    * the gating scan recomputes that lineage once more.
     */
   def topK(queries: DataFrame, items: DataFrame, k: Int, excludeSelf: Boolean = false,
            collectMaxRows: Long = 1000000L, fusedMinPairs: Long = 4000000L): DataFrame = {
@@ -91,10 +96,13 @@ object CosineKnn {
     }
   }
 
-  /** Which kernel the last [[topK]] call dispatched to — observable for
-    * plan-regression specs (the RDD-backed kernels are indistinguishable
-    * in the result's SQL plan string). */
-  private[graft] var lastKernel: String = _
+  /** Which kernel this thread's last [[topK]] call dispatched to —
+    * observable for plan-regression specs (the RDD-backed kernels are
+    * indistinguishable in the result's SQL plan string). Thread-local so
+    * concurrent callers cannot race each other's label. */
+  private[graft] val lastKernelTl = new ThreadLocal[String]
+  private[graft] def lastKernel: String = lastKernelTl.get()
+  private def lastKernel_=(v: String): Unit = lastKernelTl.set(v)
 
   private def topKCompute(queries: DataFrame, items: DataFrame, k: Int,
                           excludeSelf: Boolean,

@@ -54,7 +54,7 @@ object PopularityRecommender {
     // row_number window it replaces — same rows, same order semantics
     val cand = if (allRecs) pop else pop
       .orderBy(col("cnt").desc, col("item_id"))
-      .limit((maxRated + k).toInt)
+      .limit(math.min(maxRated + k, Int.MaxValue.toLong).toInt)
     val users = train.select("user_id").distinct()
     val ranked = users.crossJoin(broadcast(cand))
       .join(train.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")

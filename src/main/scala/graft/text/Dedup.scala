@@ -41,7 +41,13 @@ object Dedup {
     * |shingles|×nBands (the r2 shape exploded each shingle per band
     * before the exchange). Counts ride along with the candidate pairs,
     * so the only other shuffles are the (b, h) bucket self-join and the
-    * candidate-only intersection count. */
+    * candidate-only intersection count.
+    *
+    * Lifecycle: the returned pair table comes back persisted and
+    * materialized (the shingle working set is released before
+    * returning); callers owning its lifecycle should unpersist it when
+    * done, as q37's cluster pipeline does. Same contract for
+    * [[ngramJaccard]]. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
                  threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -2,9 +2,19 @@ package graft.text
 
 import scala.collection.mutable
 
-/** Exact reimplementation of the fuzzywuzzy/thefuzz `WRatio` scorer the
+/** Exact reimplementation of the classic fuzzywuzzy `WRatio` scorer
+  * (python-Levenshtein ratio + difflib matching blocks) that the
   * reference uses for entity disambiguation
   * (`thefuzz.process.extractOne`, `data_integration/movielens.py:127`).
+  *
+  * Backend precision: this matches the CLASSIC backend exactly —
+  * integer-rounded component scores fed through the scale factors, and
+  * partial-ratio windows anchored at difflib matching blocks. thefuzz
+  * builds ≥0.20 delegate to rapidfuzz, which keeps components as floats
+  * until one final round and scans additional partial alignments; on
+  * rare candidate pairs the two backends differ by ±1 (a known
+  * fuzzywuzzy↔rapidfuzz discrepancy), which can flip an extractOne pick
+  * whose top-2 scores are that close. Recorded in DEVIATIONS #4.
   *
   * Components, faithful to the published algorithm:
   *  - `full_process`: non-word chars (python `\W`, i.e. everything but

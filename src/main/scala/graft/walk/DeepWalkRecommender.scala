@@ -98,6 +98,7 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     // working set so repeated trainings don't accumulate blocks
     userEmb.count(); itemEmb.count()
     adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false) // relabel returns it persisted
     this
   }
 
