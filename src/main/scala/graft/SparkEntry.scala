@@ -108,12 +108,16 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(38,4)").as("sum_disc_price"),
-          // order-free: the decimal sum is exact, so the single double
-          // division is bit-identical in Spark and DuckDB — no round()
-          // needed (round() on a summation-order-noisy double sum kept
-          // crossing 6th-decimal boundaries, r1/r2's one red hash)
-          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          // avg as exact scaled-integer microunits: quantities are exact in
+          // centi-units, so (centi_sum * 10000) div n is a pure BIGINT
+          // computation with identical truncation semantics in Spark (`div`)
+          // and DuckDB (`//`) — no float anywhere, hash-stable by construction
+          // (the r1-r3 double division diverged in the last ulp between
+          // DuckDB's decimal→double cast path and Spark's)
+          sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")).as("_qty_centi"),
           count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty_micro", expr("(_qty_centi * 10000) div n_rows"))
+        .drop("_qty_centi")
     }),
 
     // P1-P4: projection, rename, filter
@@ -156,18 +160,22 @@ object SparkEntry {
       Preprocess.binarize(Tables.ratings(s, dir), 3.0)
         .select(col("user_id"), col("item_id"), col("rating").as("rating_bin"))),
 
-    // A2/M7: reference k-core loop (user pass, item pass, user pass)
+    // A2/M7: reference k-core loop (user pass, item pass, user pass).
+    // filterKCore is lazy (caller-owned materialization): each pass's
+    // convergence check reuses the previous passes' still-live kill
+    // caches, so chaining costs one degree-agg per pass, not a full
+    // materialization pass per call. Persist the final edge set once,
+    // then drop every loop cache.
     "q07_kcore" -> ((s, dir) => {
       val r0 = Tables.ratings(s, dir)
-      val r1 = Preprocess.filterKCore(r0, 25, "user", 1)
-      val r2 = Preprocess.filterKCore(r1, 20, "item", 1)
-      val r3 = Preprocess.filterKCore(r2, 25, "user", 1)
-      // the intermediate stages' caches are dead weight once r3 is
-      // materialized — but a pass that converges with nothing to kill
-      // returns its INPUT unchanged (r3 may BE r2), so only unpersist
-      // strictly-intermediate objects
-      Seq(r1, r2).filter(_ ne r3).foreach(_.unpersist(blocking = false))
-      r3.select("user_id", "item_id", "rating", "ts")
+      val r3 = Preprocess.filterKCore(
+        Preprocess.filterKCore(
+          Preprocess.filterKCore(r0, 25, "user", 1), 20, "item", 1), 25, "user", 1)
+      val out = r3.select("user_id", "item_id", "rating", "ts")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      Preprocess.releaseKCoreCaches()
+      out
     }),
 
     // W5/W6: k-fold assignment (ntile == sklearn KFold block sizes)
@@ -527,7 +535,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST((SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_qty_micro,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -155,17 +155,24 @@ object Experiment {
     var ratings = bundle.ratings
     val propertyEdges = bundle.propertyEdges
 
+    var ranKCore = false
     for (p <- list(exp, "preprocess")) {
       val params = sub(p, "parameters")
       str(p, "method") match {
         case "binarize" => ratings = Preprocess.binarize(ratings, dbl(params, "threshold", 3.0))
-        case "filter_kcore" => ratings = Preprocess.filterKCore(ratings,
-          int(params, "k", 2), str(params, "target", "user"), int(params, "iterations", 1))
+        case "filter_kcore" =>
+          ratings = Preprocess.filterKCore(ratings,
+            int(params, "k", 2), str(params, "target", "user"), int(params, "iterations", 1))
+          ranKCore = true
         case other => throw new IllegalArgumentException(
           s"Preprocessing method $other is not implemented.")
       }
     }
     ratings = ratings.cache()
+    // k-core leaves its kill-set caches live inside the lineage
+    // (caller-owned contract): materialize the preprocessed ratings once,
+    // then drop the loop caches before the fold runs
+    if (ranKCore) { ratings.count(); Preprocess.releaseKCoreCaches() }
 
     // split config (edge_splitter.py:28-73)
     val split = sub(exp, "split")

@@ -34,7 +34,11 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
   override def train(spark: SparkSession, trainRatings: DataFrame,
                      propertyEdges: Option[DataFrame],
                      socialEdges: Option[DataFrame]): Recommender = {
-    this.train = trainRatings
+    // train feeds triple export + both embedding sides here, then the
+    // maxRated agg and the anti-join in recommend(): persist once so the
+    // (often split-derived) lineage isn't re-derived per consumer —
+    // released in release(), mirroring PopularityRecommender
+    this.train = trainRatings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = i("embedding_dim", 32)
 
     // M5 triple export: `triples: all | ratings`
@@ -102,7 +106,7 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
       allRecs = cfg.get("all_recs").contains("true"))
 
   override def release(): Unit =
-    Seq(userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
+    Seq(train, userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
 }
 
 object KgeRecommender {

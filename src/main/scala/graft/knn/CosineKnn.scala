@@ -67,17 +67,19 @@ object CosineKnn {
     * Dispatch runs `count()` on the inputs (items always, queries below
     * the collect gate) — cache inputs with expensive lineage before
     * calling, as the recommenders do with their embedding tables, or
-    * the gating scan recomputes that lineage once more.
+    * pass the sizes you already know via `knownItemCount` /
+    * `knownQueryCount` (≥ 0) and the gating scan is skipped entirely.
     */
   def topK(queries: DataFrame, items: DataFrame, k: Int, excludeSelf: Boolean = false,
-           collectMaxRows: Long = 1000000L, fusedMinPairs: Long = 4000000L): DataFrame = {
+           collectMaxRows: Long = 1000000L, fusedMinPairs: Long = 4000000L,
+           knownItemCount: Long = -1L, knownQueryCount: Long = -1L): DataFrame = {
     import org.apache.spark.sql.types._
     val idType = queries.schema("id").dataType
     val fastIdOk = idType == items.schema("id").dataType && (idType match {
       case LongType | IntegerType | StringType | DoubleType => true
       case _ => false
     })
-    val m = items.count()
+    val m = if (knownItemCount >= 0L) knownItemCount else items.count()
     if (m > collectMaxRows) {
       return if (fastIdOk) {
         lastKernel = "shuffle-combine"
@@ -87,7 +89,8 @@ object CosineKnn {
         topKRelational(queries, items, k, excludeSelf, broadcastItems = false)
       }
     }
-    if (!fastIdOk || queries.count() * m < fusedMinPairs) {
+    val nQ = if (knownQueryCount >= 0L) knownQueryCount else queries.count()
+    if (!fastIdOk || nQ * m < fusedMinPairs) {
       lastKernel = "relational"
       topKRelational(queries, items, k, excludeSelf)
     } else {

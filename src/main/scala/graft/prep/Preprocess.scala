@@ -30,6 +30,14 @@ object Preprocess {
     * a large run most nodes fail the degree test, so the "tiny" kill set
     * can approach the full node dimension; AQE picks broadcast vs
     * shuffle from the actual materialized size.
+    *
+    * Cache contract (caller-owned): the result comes back LAZY — no
+    * forced materialization pass (r3's unconditional persist+count cost
+    * chained callers a full extra pass per call). The per-round kill
+    * caches stay live inside the returned lineage and are tracked in a
+    * registry; consume (or persist+materialize) the result, then call
+    * [[releaseKCoreCaches]]. Releasing before consumption is safe — the
+    * kill sets just recompute from lineage.
     */
   def filterKCore(ratings: DataFrame, k: Int, target: String, iterations: Int = 1): DataFrame = {
     val key = target match {
@@ -40,29 +48,31 @@ object Preprocess {
     var cur = ratings
     var it = 0
     var converged = false
-    val kills = scala.collection.mutable.Buffer.empty[DataFrame]
-    val curPersists = scala.collection.mutable.Buffer.empty[DataFrame]
     while (it < iterations && !converged) {
       val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (kill.count() == 0L) { converged = true; kill.unpersist() }
-      else { kills += kill; cur = cur.join(kill, Seq(key), "left_anti") }
+      else { cur = cur.join(kill, Seq(key), "left_anti"); track(kill) }
       it += 1
       // reference configs run 1-3 iterations: recomputing the shallow
       // anti-join lineage beats materializing each round; deep loops
       // get their lineage truncated periodically
-      if (it % 4 == 0) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); curPersists += cur }
+      if (it % 4 == 0) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); track(cur) }
     }
-    if (kills.isEmpty) cur
-    else {
-      // materialize the surviving edge set once, then release every
-      // per-round kill cache and intermediate lineage truncation —
-      // iterative loops must not accumulate session-long storage
-      val out = cur.persist(StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      kills.foreach(_.unpersist(blocking = false))
-      curPersists.filter(_ ne out).foreach(_.unpersist(blocking = false))
-      out
-    }
+    cur
+  }
+
+  // kill-set / lineage-truncation caches from filterKCore calls, alive
+  // until the caller releases them — iterative loops must not accumulate
+  // session-long storage (leaked MEMORY_AND_DISK blocks degraded
+  // unrelated queries 3-7× before r3's hygiene pass)
+  private val liveCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+  private def track(df: DataFrame): Unit = liveCaches.synchronized { liveCaches += df }
+
+  /** Release every cache created by [[filterKCore]] since the last call.
+    * Call after materializing (or finishing with) the returned edge set. */
+  def releaseKCoreCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(blocking = false))
+    liveCaches.clear()
   }
 }

@@ -38,7 +38,10 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
                      propertyEdges: Option[DataFrame],
                      socialEdges: Option[DataFrame]): Recommender = {
     this.spark = spark
-    this.train = trainRatings
+    // persist: train feeds the walk edges here plus the maxRated agg and
+    // anti-join in recommend() — without this the (split-derived) lineage
+    // re-derives per consumer; released in release()
+    this.train = trainRatings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = i("seed", 42)
     import graft.graph.KGraph
 
@@ -107,7 +110,7 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
       allRecs = cfg.get("all_recs").contains("true"))
 
   override def release(): Unit =
-    Seq(userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
+    Seq(train, userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
 }
 
 object DeepWalkRecommender {
@@ -127,7 +130,9 @@ object DeepWalkRecommender {
       .agg(max("c")).first().getLong(0)
     val nItems = itemEmb.count()
     val kPrime = if (allRecs) nItems.toInt else math.min(maxRated + k, nItems).toInt
-    val ranked = CosineKnn.topK(userEmb, itemEmb, kPrime)
+    // item count is in hand — thread it through so the dispatch gate
+    // doesn't rescan the (possibly uncached) item side
+    val ranked = CosineKnn.topK(userEmb, itemEmb, kPrime, knownItemCount = nItems)
       .withColumnRenamed("query_id", "user_id")
       .join(train.select(col("user_id").cast("string").as("user_id"),
         col("item_id").cast("string").as("item_id")), Seq("user_id", "item_id"), "left_anti")
