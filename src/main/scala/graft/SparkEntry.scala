@@ -523,6 +523,55 @@ object SparkEntry {
       val adj = RandomWalks.adjacency(edges)
       val walks = RandomWalks.biasedWalks(s, adj, adj.select(col("node")), 2, 5, 0.5, 2.0, 42)
       walks.select(col("start"), col("walk_idx"), size(col("path")).as("path_len"))
+    }),
+
+    // J7 end-to-end: the reference's process.extractOne replay — explode
+    // a candidate catalog per item, score with exact-thefuzz WRatio,
+    // keep the top-1 with URI tie-break (movielens.py:118-131). Expected
+    // names carry a movielens-style year suffix so the token-sort /
+    // partial-ratio paths genuinely fire. Bounded: ≤ 201 items × 201
+    // candidates at every sf. Golden-parquet oracle (WRatio is not
+    // SQL-expressible; the scorer itself is pinned against thefuzz's
+    // published values in TextAndEtlSpec).
+    "q49_fuzzy_extract_one" -> ((s, dir) => {
+      val p = T(s, dir, "part")
+      val items = p.filter(col("p_partkey") % 7 === 0 && col("p_partkey") <= 1400)
+        .select(col("p_partkey").as("item_id"),
+          concat(col("p_name"), lit(" (1994)")).as("expected"))
+      val catalog = p.filter(col("p_partkey") % 3 === 0 && col("p_partkey") <= 600)
+        .select(concat(lit("http://ex.org/part/"), col("p_partkey")).as("uri"),
+          col("p_name").as("candidate_label"))
+      graft.etl.SparqlSource.disambiguate(items.crossJoin(broadcast(catalog)))
+    }),
+
+    // S4/S5/S6/J7/F6 integration path under the hash check: item.csv ->
+    // map_URIs (fixture SPARQL JSON, two candidates, WRatio top-1) ->
+    // enrich_data (fixture CSV first-row, "::"-split lists) -> typed-CSV
+    // sinks read back (data_integration.py:34-45, dataset.py:225-262).
+    // Fixture responses are pure functions of the query text, so the
+    // oracle reconstructs every output column from `part` directly.
+    "q50_data_integration" -> ((s, dir) => {
+      val out = "/tmp/graft_q50_integration"
+      val items = T(s, dir, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey").cast("string").as("item_id"),
+          col("p_name").as("movie_title"),
+          (lit(1990) + col("p_partkey") % 10).cast("string").as("movie_year"))
+      graft.schema.TypedCsv.write(items, s"$out/item.csv")
+      graft.cli.DataIntegration.run(s, "ml-100k", inputDir = out, outputDir = out,
+        mapUris = true, enrichData = true,
+        transport = graft.etl.FixtureSparql.jsonTransport,
+        enrichTransport = graft.etl.FixtureSparql.csvTransport)
+      val mapped = graft.schema.TypedCsv.read(s, s"$out/map.csv")
+      val enriched = graft.schema.TypedCsv.read(s, s"$out/enriched.csv")
+      mapped.join(enriched, Seq("item_id"))
+        .select(col("item_id"), col("URI").as("uri"), col("abstract"),
+          array_join(col("producer"), "|").as("producer_j"),
+          array_join(col("distributor"), "|").as("distributor_j"),
+          array_join(col("writer"), "|").as("writer_j"),
+          array_join(col("cinematography"), "|").as("cinematography_j"),
+          array_join(col("subject"), "|").as("subject_j"),
+          array_join(col("starring"), "|").as("starring_j"),
+          array_join(col("director"), "|").as("director_j"))
     })
   )
 
@@ -883,6 +932,32 @@ object SparkEntry {
       """SELECT start, walk_idx, path_s
         |FROM '/root/repo/goldens/q45_deepwalk_walks.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // golden-file oracle, same scheme as q42/q45 (regenerate with
+    // `runMain graft.GoldenGen q49_fuzzy_extract_one <sfdirs...>`) —
+    // WRatio is not SQL-expressible; the scorer is pinned against
+    // thefuzz's published values in TextAndEtlSpec
+    "q49_fuzzy_extract_one" -> (R +
+      """SELECT item_id, uri, score
+        |FROM '/root/repo/goldens/q49_fuzzy_extract_one.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // pure-SQL reconstruction of the fixture-replayed integration run:
+    // the map winner is the exact expected URI by construction, and
+    // every enriched property is the same pure function of p_name the
+    // fixture transport computes
+    "q50_data_integration" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS item_id,
+        |  'http://dbpedia.org/resource/' || p_name AS uri,
+        |  'All about ' || p_name AS abstract,
+        |  replace(p_name, ' ', '|') AS producer_j,
+        |  'D1|D2' AS distributor_j,
+        |  'W_' || p_name AS writer_j,
+        |  'C' AS cinematography_j,
+        |  'Category:' || string_split(p_name, ' ')[1] AS subject_j,
+        |  'S1|' || p_name AS starring_j,
+        |  string_split(p_name, ' ')[-1] AS director_j
+        |FROM part WHERE p_partkey <= 400""".stripMargin,
 
     "q47_attr_map_filter" ->
       """SELECT p_partkey,
