@@ -36,46 +36,48 @@ object Dedup {
   /** MinHash-banded LSH candidate pairs with exact Jaccard filter.
     * Returns (doc_a, doc_b, jaccard) for candidates >= threshold.
     *
-    * One groupBy(doc_id) computes EVERY band minimum plus the shingle
-    * count — the signature shuffle carries |docs| rows, not
-    * |shingles|×nBands (the r2 shape exploded each shingle per band
-    * before the exchange). Counts ride along with the candidate pairs,
-    * so the only other shuffles are the (b, h) bucket self-join and the
-    * candidate-only intersection count.
+    * ONE pass over the shingle stream: the groupBy(doc_id) computes
+    * every band minimum AND carries the distinct shingle set itself
+    * (same bytes the stream held, shuffled once instead of re-shuffled
+    * per verification join — the r3 shape paid two more exchanges over
+    * the full shingle stream to count intersections). Candidate pairs
+    * from the (b, h) bucket self-join are tiny by construction, so the
+    * exact Jaccard is a per-pair array_intersect against the cached
+    * signature rows — the pair joins broadcast, nothing wide moves.
     *
     * Lifecycle: the returned pair table comes back persisted and
-    * materialized (the shingle working set is released before
+    * materialized (the signature working set is released before
     * returning); callers owning its lifecycle should unpersist it when
     * done, as q37's cluster pipeline does. Same contract for
     * [[ngramJaccard]]. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
                  threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sh = shingles(docs, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs, shingleK)
     val aggs = (0 until nBands).map(b =>
-      min(md5(concat(lit(s"$b|"), col("s")))).as(s"h$b")) :+ count(lit(1)).as("n")
+      min(md5(concat(lit(s"$b|"), col("s")))).as(s"h$b")) :+ collect_list(col("s")).as("sset")
     val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val stacked = sig.selectExpr("doc_id", "n",
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stacked = sig.selectExpr("doc_id",
       s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
     val pairs = stacked.as("x")
       .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
         && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.n").as("na"), col("y.n").as("nb"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
-    val out = inter
-      .withColumn("jaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+    val out = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("ni") * 1.0 / (size(col("sa")) + size(col("sb")) - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny) pair table, then release the shingle
+    // materialize the (tiny) pair table, then release the signature
     // working set — iterative/bench sessions must not accumulate it
     out.count()
-    sh.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
     out
   }
 

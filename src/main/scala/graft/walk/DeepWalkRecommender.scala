@@ -74,7 +74,11 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
       else
         RandomWalks.randomWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10), seed)
 
+    // persist: Word2Vec.fit scans its input at least twice (vocab pass,
+    // then its internal training cache) and the walk lineage recomputes
+    // the whole generation kernel per scan — cache once, drop after fit
     val sentences = walks.select(expr("transform(path, x -> cast(x as string))").as("words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w2v = new Word2Vec()
       .setInputCol("words").setOutputCol("w2v")
       .setVectorSize(i("embedding_size", 64))
@@ -100,6 +104,7 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     // materialize the (small) embedding tables, then drop the walk
     // working set so repeated trainings don't accumulate blocks
     userEmb.count(); itemEmb.count()
+    sentences.unpersist(blocking = false)
     adj.unpersist(blocking = false)
     nodes.unpersist(blocking = false) // relabel returns it persisted
     this
