@@ -572,6 +572,38 @@ object SparkEntry {
           array_join(col("subject"), "|").as("subject_j"),
           array_join(col("starring"), "|").as("starring_j"),
           array_join(col("director"), "|").as("director_j"))
+    }),
+
+    // S7 + the full CLI loop under the hash check: a YAML-configured
+    // experiment (experiment.py:38-106) — typed-CSV load, dedupe,
+    // timestamp split, popularity train/recommend, MAP@5 + nDCG@5, fold
+    // pivot — every stage SQL-replayable because each piece is already
+    // oracled on its own (q09/q10/q11/q12/q27). Execution-time columns
+    // are dropped (wall time is not deterministic). Bounded to ~300
+    // users at every sf.
+    "q51_experiment_yaml" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q51_exp"
+      graft.schema.TypedCsv.write(
+        Tables.ratings(s, dir).filter(col("user_id") < 300).select(
+          col("user_id").cast("string").as("user_id"),
+          col("item_id").cast("string").as("item_id"),
+          col("rating"), col("ts").cast("double").as("timestamp")),
+        s"$tmp/rating.csv")
+      val cfg =
+        s"""experiment:
+           |  dataset: {ratings: $tmp/rating.csv}
+           |  split:
+           |    seed: 42
+           |    test: {method: timestamp_by_ratio, p: 0.2, level: user}
+           |  models:
+           |    - {name: popularity}
+           |  evaluation: {k: 5, relevance_threshold: 4, metrics: [MAP, nDCG]}
+           |""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$tmp/exp.yml"), cfg)
+      graft.cli.Experiment.run(s, s"$tmp/exp.yml")
+        .select(col("model"),
+          col("fold-1_MAP@5"), col("MAP@5_mean"), col("MAP@5_std"),
+          col("fold-1_nDCG@5"), col("nDCG@5_mean"), col("nDCG@5_std"))
     })
   )
 
@@ -958,6 +990,50 @@ object SparkEntry {
         |  'S1|' || p_name AS starring_j,
         |  string_split(p_name, ' ')[-1] AS director_j
         |FROM part WHERE p_partkey <= 400""".stripMargin,
+
+    // the full YAML-experiment replay: typed-CSV load (reading the file
+    // the query wrote), last-wins dedupe, then the SAME split/popularity/
+    // metric fragments the piecewise oracles use; per-user metrics stay
+    // unrounded (the report rounds once, after the user mean, exactly as
+    // Reporter.foldPivot does). Single fold -> mean == fold value, std 0.
+    "q51_experiment_yaml" ->
+      ("""WITH raw AS (
+        |  SELECT "user_id::string" AS user_id, "item_id::string" AS item_id,
+        |         CAST("rating::number" AS DOUBLE) AS rating,
+        |         CAST("timestamp::number" AS DOUBLE) AS ts
+        |  FROM read_csv('/tmp/graft_q51_exp/rating.csv/*.csv', header=true, all_varchar=true))
+        |, ratings AS (
+        |  SELECT user_id, item_id, MAX(rating) AS rating, MAX(ts) AS ts
+        |  FROM raw GROUP BY 1, 2)""".stripMargin
+      + splitSql + popSql + relSql +
+      """, hits AS (
+        |    SELECT r.user_id, r.rank, n.nrel,
+        |           CASE WHEN x.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |    FROM recs r JOIN nrel n ON r.user_id = n.user_id
+        |    LEFT JOIN rel x ON x.user_id = r.user_id AND x.item_id = r.item_id)
+        |, cum AS (SELECT user_id, rank, nrel, hit,
+        |           SUM(hit) OVER (PARTITION BY user_id ORDER BY rank) AS cum_hits FROM hits)
+        |, ap AS (SELECT user_id,
+        |    SUM(hit * cum_hits / CAST(rank AS DOUBLE)) / LEAST(nrel, 5) AS ap
+        |  FROM cum GROUP BY user_id, nrel)
+        |, idcg AS (SELECT user_id, SUM(rating / LOG2(pos + 1.0)) AS idcg FROM (
+        |    SELECT user_id, rating,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS pos
+        |    FROM rel) WHERE pos <= 5 GROUP BY 1)
+        |, dcg AS (SELECT r.user_id, i.idcg,
+        |           SUM(COALESCE(x.rating, 0.0) / LOG2(r.rank + 1.0)) AS dcg
+        |    FROM recs r JOIN idcg i ON r.user_id = i.user_id
+        |    LEFT JOIN rel x ON x.user_id = r.user_id AND x.item_id = r.item_id
+        |    GROUP BY 1, 2)
+        |, nd AS (SELECT user_id,
+        |    CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg FROM dcg)
+        |SELECT 'popularity' AS model,
+        |  (SELECT ROUND(AVG(ap), 6) FROM ap) AS "fold-1_MAP@5",
+        |  (SELECT ROUND(AVG(ap), 6) FROM ap) AS "MAP@5_mean",
+        |  0.0 AS "MAP@5_std",
+        |  (SELECT ROUND(AVG(ndcg), 6) FROM nd) AS "fold-1_nDCG@5",
+        |  (SELECT ROUND(AVG(ndcg), 6) FROM nd) AS "nDCG@5_mean",
+        |  0.0 AS "nDCG@5_std"""".stripMargin),
 
     "q47_attr_map_filter" ->
       """SELECT p_partkey,
