@@ -178,10 +178,12 @@ object Experiment {
     val split = sub(exp, "split")
     val seed = int(split, "seed", 42).toLong
     val test = sub(split, "test")
+    val splitCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     val folds: Seq[(DataFrame, DataFrame)] = str(test, "method") match {
       case "k_fold" =>
         val k = int(test, "k", 2)
         val assigned = EdgeSplits.kFoldRandom(ratings, k, str(test, "level", "user"), seed).cache()
+        splitCaches += assigned
         (1 to k).map(i => (assigned.filter(col("fold") =!= i).drop("fold"),
           assigned.filter(col("fold") === i).drop("fold")))
       case "random_by_ratio" =>
@@ -244,6 +246,12 @@ object Experiment {
       val secs = (System.nanoTime() - t0) / 1e9
       (modelName, foldIdx + 1, vals, secs)
     }
+
+    // the metric rows above are local Scala values — the run's shared
+    // caches (preprocessed ratings, fold assignment) are dead weight for
+    // the report and must not outlive the experiment in a long session
+    ratings.unpersist(blocking = false)
+    splitCaches.foreach(_.unpersist(blocking = false))
 
     // mean±std report (experiment.py:93-106, report.py:31-63)
     import spark.implicits._
