@@ -21,10 +21,15 @@ object Bench {
     // SPARK_GRAFT_ONLY=q07_kcore,q41_transe_recs — substring-matched
     // subset for targeted perf iteration; absent = full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    // a typo'd filter silently timing zero queries would masquerade as a
+    // massive speedup — fail loudly instead
+    require(only.isEmpty || selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matched no query name")
     val results =
       if (sys.env.get("SPARK_GRAFT_QUERIES").contains("0")) Seq.empty // headline-only debug runs
-      else SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      else selected
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -70,7 +70,12 @@ object Preprocess {
   private def track(df: DataFrame): Unit = liveCaches.synchronized { liveCaches += df }
 
   /** Release every cache created by [[filterKCore]] since the last call.
-    * Call after materializing (or finishing with) the returned edge set. */
+    * Call after materializing (or finishing with) the returned edge set.
+    * The registry is engine-global: with overlapping consumers in one
+    * session, a release here evicts the other consumer's kill caches too
+    * (still correct — the sets recompute from lineage, they just stop
+    * being cached). The engine's callers are sequential, so in practice
+    * each release drains exactly its own loop's caches. */
   def releaseKCoreCaches(): Unit = liveCaches.synchronized {
     liveCaches.foreach(_.unpersist(blocking = false))
     liveCaches.clear()

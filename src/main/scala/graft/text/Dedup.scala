@@ -36,49 +36,80 @@ object Dedup {
   /** MinHash-banded LSH candidate pairs with exact Jaccard filter.
     * Returns (doc_a, doc_b, jaccard) for candidates >= threshold.
     *
-    * ONE pass over the shingle stream: the groupBy(doc_id) computes
-    * every band minimum AND carries the distinct shingle set itself
-    * (same bytes the stream held, shuffled once instead of re-shuffled
-    * per verification join — the r3 shape paid two more exchanges over
-    * the full shingle stream to count intersections). Candidate pairs
-    * from the (b, h) bucket self-join are tiny by construction, so the
-    * exact Jaccard is a per-pair array_intersect against the cached
-    * signature rows — the pair joins broadcast, nothing wide moves.
+    * Physical strategy by corpus size (same dispatch idiom as
+    * [[embeddingNearDup]] and `CosineKnn.topK`):
+    *
+    *  - up to `fatMaxDocs` documents, ONE shuffle over the shingle
+    *    stream: `collect_list(s)` rides the signature aggregation, so
+    *    exact Jaccard is a per-candidate-pair `array_intersect` against
+    *    the already-aggregated rows — nothing wide moves twice.
+    *  - above it, the signature aggregation stays SKINNY (band minima
+    *    only — fixed-width rows regardless of document size) and
+    *    verification semi-joins the shingle stream down to candidate
+    *    documents ONLY, so the per-row set blowup is confined to
+    *    dup-suspect docs (a vanishing fraction at scale). An all-docs
+    *    `collect_list` there would hold the entire corpus's shingle
+    *    stream as array rows through the exchange and the cache —
+    *    OOM-bait at the 100 TB design point.
+    *
+    * Both paths emit identical values (the band signatures and the
+    * exact Jaccard re-check are shared); only the verification plumbing
+    * differs.
     *
     * Lifecycle: the returned pair table comes back persisted and
-    * materialized (the signature working set is released before
+    * materialized (the shingle working set is released before
     * returning); callers owning its lifecycle should unpersist it when
     * done, as q37's cluster pipeline does. Same contract for
     * [[ngramJaccard]]. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
-                 threshold: Double): DataFrame = {
+                 threshold: Double, fatMaxDocs: Long = 200000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sh = shingles(docs, shingleK)
-    val aggs = (0 until nBands).map(b =>
-      min(md5(concat(lit(s"$b|"), col("s")))).as(s"h$b")) :+ collect_list(col("s")).as("sset")
-    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val stacked = sig.selectExpr("doc_id",
-      s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
-    val pairs = stacked.as("x")
-      .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val out = pairs
-      .join(sig.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
+    val bandMins = (0 until nBands).map(b =>
+      min(md5(concat(lit(s"$b|"), col("s")))).as(s"h$b"))
+    def bucketPairs(sig: DataFrame): DataFrame = {
+      val stacked = sig.selectExpr("doc_id",
+        s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
+      stacked.as("x")
+        .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
+    def verified(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("ni") * 1.0 / (size(col("sa")) + size(col("sb")) - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny) pair table, then release the signature
-    // working set — iterative/bench sessions must not accumulate it
-    out.count()
-    sig.unpersist(blocking = false)
-    out
+
+    // materialize the (tiny) pair table before releasing working sets —
+    // iterative/bench sessions must not accumulate them
+    if (docs.count() <= fatMaxDocs) {
+      val aggs = bandMins :+ collect_list(col("s")).as("sset")
+      val sig = shingles(docs, shingleK).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val out = verified(bucketPairs(sig), sig)
+      out.count()
+      sig.unpersist(blocking = false)
+      out
+    } else {
+      val sh = shingles(docs, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
+      val sig = sh.groupBy("doc_id").agg(bandMins.head, bandMins.tail: _*)
+      val pairs = bucketPairs(sig).persist(StorageLevel.MEMORY_AND_DISK)
+      // shingle sets for candidate docs only (either side of any pair)
+      val candDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val candSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_list(col("s")).as("sset"))
+      val out = verified(pairs, candSets)
+      out.count()
+      sh.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      out
+    }
   }
 
   /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit

@@ -69,6 +69,9 @@ class SchemaAndPrepSpec extends AnyFunSuite {
     assert(afterItem.select("item_id").distinct().as[Long].collect().toSet == Set(10L))
     // alternating semantics: one more user pass now kills u1,u2? deg=1 < 2 -> all gone
     assert(Preprocess.filterKCore(afterItem, 2, "user", 1).count() == 0)
+    // caller-owned cache contract: drop the kill-set caches so they don't
+    // outlive this test in the shared suite session
+    Preprocess.releaseKCoreCaches()
   }
 
   test("k-core respects the iterations bound") {
@@ -81,5 +84,6 @@ class SchemaAndPrepSpec extends AnyFunSuite {
     // second iteration removes nothing further (user degrees are stable)
     val twice = Preprocess.filterKCore(r, 2, "user", 5)
     assert(twice.count() == once.count())
+    Preprocess.releaseKCoreCaches()
   }
 }

@@ -67,6 +67,20 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getDouble(2) - 35.0 / 41) < 1e-4)
   }
 
+  test("minhash LSH skinny (at-scale) path emits the same pairs as the fat path") {
+    val texts = (0 until 12).map { d =>
+      (d.toLong, (1 to 30).map(i =>
+        if (d % 3 == 1 && i == 15) s"alt${d / 3}" else s"t${d / 3}w$i").mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val fat = Dedup.minhashLsh(spark, docs, 8, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // fatMaxDocs = 0 forces the candidate-semi-join shape on any input
+    val skinny = Dedup.minhashLsh(spark, docs, 8, 3, 0.5, fatMaxDocs = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(fat.nonEmpty && fat.sameElements(skinny))
+  }
+
   test("simhash: 64-bit strings, identical texts collide, different texts differ") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z"))
       .toDF("doc_id", "text")
