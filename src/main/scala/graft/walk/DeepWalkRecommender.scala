@@ -74,26 +74,52 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
       else
         RandomWalks.randomWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10), seed)
 
-    // persist: Word2Vec.fit scans its input at least twice (vocab pass,
-    // then its internal training cache) and the walk lineage recomputes
-    // the whole generation kernel per scan — cache once, drop after fit
-    val sentences = walks.select(expr("transform(path, x -> cast(x as string))").as("words"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w2v = new Word2Vec()
-      .setInputCol("words").setOutputCol("w2v")
-      .setVectorSize(i("embedding_size", 64))
-      .setWindowSize(i("window_size", 5))
-      .setMaxIter(i("epochs", 1))
-      .setStepSize(f("learning_rate", 0.025))
-      .setMinCount(i("min_count", 0))
-      .setNumPartitions(i("w2v_partitions", 8)) // gensim's workers analogue
-      .setSeed(seed)
-    val model = w2v.fit(sentences)
+    // trainer dispatch (mirrors KgeTrainer.fitAuto): below the gate the
+    // corpus is collected once and trained shared-memory on the driver
+    // ([[SkipGram]] — the gensim-shaped kernel, ~10× faster than MLlib's
+    // broadcast-replica-average cycle at headline scale); above it, or on
+    // request, MLlib's distributed Word2Vec keeps every replica on
+    // executors — the 100 TB-corpus path. Gate: ≤5e7 model params (same
+    // bound as KGE) and ≤1e8 corpus tokens (~400 MB of ints on the
+    // driver).
+    val nNodes = nodes.count()
+    val estTokens = nNodes * i("n_walks", 10).toLong * i("walk_len", 10).toLong
+    val impl = cfg.getOrElse("w2v_impl", "auto")
+    val useLocal = impl match {
+      case "local" => true
+      case "mllib" => false
+      case _ => 2L * nNodes * i("embedding_size", 64) <= 50000000L && estTokens <= 100000000L
+    }
+    val nodeVecs =
+      if (useLocal)
+        SkipGram.fit(spark, walks, vocabSize = nNodes.toInt,
+          dim = i("embedding_size", 64), window = i("window_size", 5),
+          epochs = i("epochs", 1), lr = f("learning_rate", 0.025),
+          negative = i("negative", 5), minCount = i("min_count", 0), seed = seed,
+          threads = i("w2v_threads", spark.sparkContext.defaultParallelism))
+      else {
+        // persist: Word2Vec.fit scans its input at least twice (vocab pass,
+        // then its internal training cache) and the walk lineage recomputes
+        // the whole generation kernel per scan — cache once, drop after fit
+        val sentences = walks.select(expr("transform(path, x -> cast(x as string))").as("words"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w2v = new Word2Vec()
+          .setInputCol("words").setOutputCol("w2v")
+          .setVectorSize(i("embedding_size", 64))
+          .setWindowSize(i("window_size", 5))
+          .setMaxIter(i("epochs", 1))
+          .setStepSize(f("learning_rate", 0.025))
+          .setMinCount(i("min_count", 0))
+          .setNumPartitions(i("w2v_partitions", 8)) // gensim's workers analogue
+          .setSeed(seed)
+        val model = w2v.fit(sentences)
+        sentences.unpersist(blocking = false)
+        model.getVectors
+          .select(col("word").cast("long").as("node_id"), vector_to_array(col("vector")).as("vec"))
+      }
 
     // J9 relabel join-back: embeddings keyed by original label
-    val emb = model.getVectors
-      .select(col("word").cast("long").as("node_id"), vector_to_array(col("vector")).as("vec"))
-      .join(nodes, Seq("node_id"))
+    val emb = nodeVecs.join(nodes, Seq("node_id"))
     // ids stay strings: the reference schema types them string (§1.2)
     userEmb = emb.filter(col("label").startsWith("User("))
       .select(regexp_extract(col("label"), "^User\\((.*)\\)$", 1).as("id"), col("vec"))
@@ -104,7 +130,6 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     // materialize the (small) embedding tables, then drop the walk
     // working set so repeated trainings don't accumulate blocks
     userEmb.count(); itemEmb.count()
-    sentences.unpersist(blocking = false)
     adj.unpersist(blocking = false)
     nodes.unpersist(blocking = false) // relabel returns it persisted
     this

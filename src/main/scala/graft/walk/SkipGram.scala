@@ -1,0 +1,247 @@
+package graft.walk
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-local skip-gram trainer with negative sampling (SURVEY §2.8
+  * M3) — the fast path behind [[DeepWalkRecommender]].
+  *
+  * The reference trains gensim `Word2Vec(sg=1)` over walk sentences
+  * (`deep_walk_based/model.py:62-76`); gensim is a multithreaded C
+  * kernel over in-memory sentences. MLlib's `Word2Vec` reproduces the
+  * semantics but pays a per-iteration broadcast + per-partition model
+  * replica + average cycle that costs ~35 s on the headline graph —
+  * 88% of a node2vec fold. This object is the gensim-shaped
+  * counterpart: walk corpora are tiny relative to their training cost
+  * (the headline corpus is ~10M ints ≈ 80 MB), so below a size gate we
+  * collect the sentences once and run shared-memory Hogwild SGD on the
+  * driver — the same plan shape as the classic word2vec.c / gensim
+  * implementation, with the walk GENERATION still fully distributed.
+  *
+  * Above the gate ([[DeepWalkRecommender]] dispatches), training stays
+  * on MLlib's distributed implementation — parameters there are
+  * per-partition replicas, the 100 TB-corpus path.
+  *
+  * Algorithm: standard SGNS (word2vec.c lines 522-599 shape):
+  * dynamic window shrink `b ∈ [1, window]`, unigram^0.75 negative
+  * table, sigmoid lookup table, linear lr decay to 1e-4·lr. Node ids
+  * are the dense ints produced by `KGraph.relabel`, so the "vocab" is
+  * an array index — no string hashing anywhere.
+  *
+  * Determinism: with `threads = 1` the result is bit-exact for a fixed
+  * seed (specs pin this); with more threads Hogwild races make runs
+  * differ by design (as in gensim with workers > 1). Embedding VALUES
+  * are seed-sensitive everywhere (SURVEY §7), so q40/q41 stay
+  * rows-only regardless.
+  */
+object SkipGram {
+
+  /** Sigmoid lookup: EXP_TABLE_SIZE entries over [-MAX_EXP, MAX_EXP]. */
+  private val MaxExp = 6.0f
+  private val ExpTableSize = 1024
+  private val expTable: Array[Float] = Array.tabulate(ExpTableSize) { i =>
+    val x = (i.toDouble / ExpTableSize * 2.0 - 1.0) * MaxExp
+    val e = math.exp(x)
+    (e / (e + 1.0)).toFloat
+  }
+
+  private def sigmoid(f: Float): Float =
+    if (f >= MaxExp) 1.0f
+    else if (f <= -MaxExp) 0.0f
+    else expTable(((f / MaxExp + 1.0f) * (ExpTableSize / 2)).toInt.min(ExpTableSize - 1))
+
+  /** xorshift64* — fast thread-private RNG (public-domain Vigna
+    * construction), seeded per thread so runs are reproducible at
+    * threads = 1. */
+  private final class Rng(seedIn: Long) {
+    private var s: Long = if (seedIn == 0L) 0x9e3779b97f4a7c15L else seedIn
+    def nextLong(): Long = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      s * 0x2545f4914f6cdd1dL
+    }
+    /** uniform in [0, n) */
+    def nextInt(n: Int): Int = {
+      val r = nextLong() >>> 1
+      (r % n).toInt
+    }
+  }
+
+  /** Train SGNS over integer sentences.
+    *
+    * @param sentences walk paths; token values must lie in [0, vocabSize)
+    * @param vocabSize dense id domain (relabel's node count)
+    * @return input-embedding matrix, row i = vector of token i; rows for
+    *         tokens below `minCount` are null (dropped downstream)
+    */
+  private[graft] def fitLocal(sentences: Array[Array[Int]], vocabSize: Int, dim: Int,
+                              window: Int, epochs: Int, lr: Double, negative: Int,
+                              minCount: Int, seed: Long, threads: Int): Array[Array[Float]] = {
+    require(vocabSize > 0 && dim > 0 && window > 0 && epochs > 0 && negative >= 0)
+    // --- vocab frequencies (for minCount + the unigram^0.75 table)
+    val freq = new Array[Long](vocabSize)
+    var si = 0
+    var corpusTokens = 0L
+    while (si < sentences.length) {
+      val s = sentences(si)
+      var j = 0
+      while (j < s.length) { freq(s(j)) += 1L; j += 1 }
+      corpusTokens += s.length
+      si += 1
+    }
+    val kept: Array[Boolean] = freq.map(_ >= math.max(minCount, 1).toLong)
+
+    // cumulative unigram^0.75 mass over kept tokens; negatives drawn by
+    // binary search — O(log vocab) per draw, no 1e8-int table
+    val cum = new Array[Double](vocabSize)
+    var acc = 0.0
+    var i = 0
+    while (i < vocabSize) {
+      if (kept(i)) acc += math.pow(freq(i).toDouble, 0.75)
+      cum(i) = acc
+      i += 1
+    }
+    val totalMass = acc
+    def drawNegative(rng: Rng): Int = {
+      val x = (rng.nextLong() >>> 11).toDouble / (1L << 53).toDouble * totalMass
+      // first index with cum(idx) > x
+      var lo = 0; var hi = vocabSize - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) > x) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+
+    // --- parameters: input (syn0) random-init, output (syn1neg) zero.
+    // Init is indexed by (seed, position) so it does not depend on
+    // thread count.
+    val syn0 = new Array[Float](vocabSize * dim)
+    val syn1 = new Array[Float](vocabSize * dim)
+    val initRng = new Rng(seed * 0x9e3779b9L + 17)
+    i = 0
+    while (i < syn0.length) {
+      syn0(i) = (((initRng.nextLong() >>> 11).toDouble / (1L << 53).toDouble - 0.5) / dim).toFloat
+      i += 1
+    }
+
+    val totalWork = corpusTokens * epochs.toLong
+    val processed = new AtomicLong(0L)
+    val lrFloor = lr * 1e-4
+
+    def trainSlice(threadIdx: Int): Unit = {
+      val rng = new Rng(seed + 0x51ab1e * (threadIdx + 1))
+      val neu1e = new Array[Float](dim)
+      var localProcessed = 0L
+      var alpha = lr
+      var epoch = 0
+      while (epoch < epochs) {
+        // contiguous slice per thread — no work queue, no locks
+        val lo = (sentences.length.toLong * threadIdx / threads).toInt
+        val hi = (sentences.length.toLong * (threadIdx + 1) / threads).toInt
+        var s = lo
+        while (s < hi) {
+          val sent = sentences(s)
+          val n = sent.length
+          var pos = 0
+          while (pos < n) {
+            val center = sent(pos)
+            if (kept(center)) {
+              // refresh lr every sentence-ish: cheap enough per token
+              val b = 1 + rng.nextInt(window) // dynamic window, word2vec.c:536
+              var cpos = math.max(0, pos - b)
+              val cend = math.min(n - 1, pos + b)
+              while (cpos <= cend) {
+                val ctx = sent(cpos)
+                if (cpos != pos && kept(ctx)) {
+                  // SGNS update: input = center (syn0), outputs = ctx +
+                  // negatives (syn1)
+                  val l1 = center * dim
+                  java.util.Arrays.fill(neu1e, 0.0f)
+                  var d = 0
+                  while (d <= negative) {
+                    var target = 0
+                    var label = 0.0f
+                    if (d == 0) { target = ctx; label = 1.0f }
+                    else {
+                      target = drawNegative(rng)
+                      if (target == ctx) target = -1 // skip collision
+                    }
+                    if (target >= 0) {
+                      val l2 = target * dim
+                      var f = 0.0f
+                      var k = 0
+                      while (k < dim) { f += syn0(l1 + k) * syn1(l2 + k); k += 1 }
+                      val g = ((label - sigmoid(f)) * alpha).toFloat
+                      k = 0
+                      while (k < dim) {
+                        neu1e(k) += g * syn1(l2 + k)
+                        syn1(l2 + k) += g * syn0(l1 + k)
+                        k += 1
+                      }
+                    }
+                    d += 1
+                  }
+                  var k = 0
+                  while (k < dim) { syn0(l1 + k) += neu1e(k); k += 1 }
+                }
+                cpos += 1
+              }
+            }
+            pos += 1
+            localProcessed += 1L
+            // decay lr in 10k-token strides to keep the atomic cold
+            if ((localProcessed & 0x3fff) == 0L) {
+              val done = processed.addAndGet(0x4000L)
+              alpha = math.max(lrFloor, lr * (1.0 - done.toDouble / totalWork))
+            }
+          }
+          s += 1
+        }
+        epoch += 1
+      }
+    }
+
+    if (threads <= 1) trainSlice(0)
+    else {
+      val pool = new Array[Thread](threads)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      var t = 0
+      while (t < threads) {
+        val idx = t
+        pool(t) = new Thread(() =>
+          try trainSlice(idx)
+          catch { case e: Throwable => failure.compareAndSet(null, e) },
+          s"graft-sgns-$idx")
+        pool(t).start()
+        t += 1
+      }
+      pool.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
+    }
+
+    Array.tabulate(vocabSize) { v =>
+      if (!kept(v)) null
+      else java.util.Arrays.copyOfRange(syn0, v * dim, v * dim + dim)
+    }
+  }
+
+  /** DataFrame front door: walks (path: array<long>) → (node_id: long,
+    * vec: array<double>) matching MLlib's `getVectors` + relabel
+    * join-back shape. One distributed scan collects the corpus; tokens
+    * are assumed dense in [0, vocabSize) — `KGraph.relabel`'s contract. */
+  def fit(spark: SparkSession, walks: DataFrame, vocabSize: Int, dim: Int, window: Int,
+          epochs: Int, lr: Double, negative: Int = 5, minCount: Int = 0, seed: Long = 42L,
+          threads: Int = Runtime.getRuntime.availableProcessors()): DataFrame = {
+    val sentences: Array[Array[Int]] = walks.select(col("path").cast("array<int>"))
+      .rdd.map(_.getSeq[Int](0).toArray).collect()
+    val emb = fitLocal(sentences, vocabSize, dim, window, epochs, lr, negative,
+      minCount, seed, threads)
+    val rows = emb.iterator.zipWithIndex.collect {
+      case (v, id) if v != null => (id.toLong, v.map(_.toDouble))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("node_id", "vec").repartition(spark.sparkContext.defaultParallelism)
+  }
+}
