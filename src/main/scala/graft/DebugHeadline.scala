@@ -53,8 +53,13 @@ object DebugHeadline {
           50, 10, 1.0, 1.0, 42).persist()
         w.count(); w
       })
-      val sentences = walks.select(expr("transform(path, x -> cast(x as string))").as("words"))
-      time("w2v-fit") {
+      val nNodes = nodes.count()
+      val corpus = time("sgns-collect")(
+        walks.select(col("path").cast("array<int>")).rdd.map(_.getSeq[Int](0).toArray).collect())
+      time("sgns-fit")(graft.walk.SkipGram.fitLocal(corpus, nNodes.toInt, 64, 5, 1,
+        0.025, 5, 0, 42L, Runtime.getRuntime.availableProcessors()))
+      time("mllib-w2v-fit") {
+        val sentences = walks.select(expr("transform(path, x -> cast(x as string))").as("words"))
         new org.apache.spark.ml.feature.Word2Vec()
           .setInputCol("words").setOutputCol("w2v").setVectorSize(64)
           .setWindowSize(5).setMaxIter(1).setMinCount(0).setNumPartitions(32)

@@ -30,9 +30,11 @@ object RandomWalks {
   def adjacency(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      // collect_set dedups inside the aggregation (with map-side partial
+      // combine) — a separate distinct() would pay a second shuffle on
+      // the same key
       .groupBy(col("src").as("node"))
-      .agg(sort_array(collect_list("dst")).as("nbrs"))
+      .agg(sort_array(collect_set("dst")).as("nbrs"))
 
   private def hash01(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     (pmod(xxhash64(cols: _*), lit(1000000007L)).cast("double") / 1000000007.0)

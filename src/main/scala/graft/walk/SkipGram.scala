@@ -92,26 +92,37 @@ object SkipGram {
     }
     val kept: Array[Boolean] = freq.map(_ >= math.max(minCount, 1).toLong)
 
-    // cumulative unigram^0.75 mass over kept tokens; negatives drawn by
-    // binary search — O(log vocab) per draw, no 1e8-int table
-    val cum = new Array[Double](vocabSize)
-    var acc = 0.0
-    var i = 0
-    while (i < vocabSize) {
-      if (kept(i)) acc += math.pow(freq(i).toDouble, 0.75)
-      cum(i) = acc
-      i += 1
-    }
-    val totalMass = acc
-    def drawNegative(rng: Rng): Int = {
-      val x = (rng.nextLong() >>> 11).toDouble / (1L << 53).toDouble * totalMass
-      // first index with cum(idx) > x
-      var lo = 0; var hi = vocabSize - 1
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (cum(mid) > x) hi = mid else lo = mid + 1
+    // Walker alias table over kept tokens' unigram^0.75 mass — O(1) per
+    // negative draw (one index, one coin, two reads), vs the ~log(vocab)
+    // branchy binary search a cumulative table costs: negatives are drawn
+    // ~5× per pair, so the sampler is on the innermost path
+    val keptTok = (0 until vocabSize).filter(kept).toArray
+    val m = keptTok.length
+    require(m > 0, "minCount filtered out every token")
+    val aliasProb = new Array[Double](m)
+    val alias = new Array[Int](m)
+    locally {
+      val mass = keptTok.map(t => math.pow(freq(t).toDouble, 0.75))
+      val total = mass.sum
+      val scaled = mass.map(_ * m / total)
+      val small = new java.util.ArrayDeque[Int](); val large = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < m) { if (scaled(j) < 1.0) small.add(j) else large.add(j); j += 1 }
+      while (!small.isEmpty && !large.isEmpty) {
+        val s = small.poll(); val l = large.poll()
+        aliasProb(s) = scaled(s); alias(s) = l
+        scaled(l) -= 1.0 - scaled(s)
+        if (scaled(l) < 1.0) small.add(l) else large.add(l)
       }
-      lo
+      while (!large.isEmpty) { val l = large.poll(); aliasProb(l) = 1.0; alias(l) = l }
+      while (!small.isEmpty) { val s = small.poll(); aliasProb(s) = 1.0; alias(s) = s }
+    }
+    def drawNegative(rng: Rng): Int = {
+      // two independent draws: sharing one word's bits between the slot
+      // index and the coin correlates them on small m
+      val k = ((rng.nextLong() >>> 1) % m).toInt
+      val u = (rng.nextLong() >>> 11).toDouble / (1L << 53).toDouble
+      keptTok(if (u < aliasProb(k)) k else alias(k))
     }
 
     // --- parameters: input (syn0) random-init, output (syn1neg) zero.
@@ -120,7 +131,7 @@ object SkipGram {
     val syn0 = new Array[Float](vocabSize * dim)
     val syn1 = new Array[Float](vocabSize * dim)
     val initRng = new Rng(seed * 0x9e3779b9L + 17)
-    i = 0
+    var i = 0
     while (i < syn0.length) {
       syn0(i) = (((initRng.nextLong() >>> 11).toDouble / (1L << 53).toDouble - 0.5) / dim).toFloat
       i += 1
