@@ -641,6 +641,18 @@ object SparkEntry {
         .select(col("model"),
           col("fold-1_MAP@5"), col("MAP@5_mean"), col("MAP@5_std"),
           col("fold-1_nDCG@5"), col("nDCG@5_mean"), col("nDCG@5_std"))
+    }),
+
+    // approximate similarity search, IVF variant: k-means inverted lists,
+    // nProbe-list candidate scan, exact re-rank (rows-only like q22:
+    // k-means|| init isn't SQL-replayable; recall and the
+    // nProbe=nLists==exact degeneracy are spec-pinned)
+    "q52_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      CosineKnn.ivfTopK(e.filter(col("id") < 50), e, 5, nProbe = 16, excludeSelf = true)
+        .select("query_id", "item_id", "rank")
     })
   )
 

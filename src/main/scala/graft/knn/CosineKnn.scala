@@ -304,4 +304,84 @@ object CosineKnn {
         Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN — the second scale path next to the LSH
+    * variant: a k-means coarse quantizer partitions the item side into
+    * `nLists` inverted lists; each query probes only its `nProbe`
+    * nearest lists and re-ranks exactly inside them, scanning
+    * ~nProbe/nLists of the items instead of all of them.
+    *
+    * Spark shape: the quantizer is fit on a bounded sample (≤100k rows);
+    * item assignment is a narrow map under broadcast centroids; query →
+    * probe-list ranking is a broadcast crossJoin against the (tiny)
+    * centroid table; the candidate join shuffles BOTH sides by list id —
+    * co-located, never all-pairs. Uneven list sizes are the classic IVF
+    * skew; AQE's skew-join split handles the hot lists, and `nLists ~
+    * sqrt(n)` keeps lists near sqrt-sized. All scoring is the codegen'd
+    * [[graft.functions.ArrayDot]] on L2-normalized vectors (cosine =
+    * dot on the unit sphere; probing uses the same Euclidean metric the
+    * quantizer assigns by, d² = |c|² − 2·q·c + 1).
+    *
+    * With `nProbe >= nLists` the candidate set is the full item side and
+    * the result equals the exact [[topK]] pair set — pinned by spec.
+    * Like [[approxTopK]], an ANN search may return < k rows per query. */
+  def ivfTopK(queries: DataFrame, items: DataFrame, k: Int,
+              nLists: Int = 0, nProbe: Int = 8, seed: Long = 42L,
+              excludeSelf: Boolean = false, maxFitRows: Int = 100000): DataFrame = {
+    val spark = items.sparkSession
+    def unit(df: DataFrame, idCol: String, vecCol: String) = df.select(
+      col("id").as(idCol),
+      expr("transform(vec, x -> x / sqrt(aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)))")
+        .as(vecCol))
+    val it = unit(items, "item_id", "ivec")
+    val q = unit(queries, "query_id", "qvec")
+
+    val nItems = it.count()
+    val lists = if (nLists > 0) nLists else math.max(2, math.sqrt(nItems.toDouble).toInt)
+    // quantizer centroids only need to be REPRESENTATIVE — fit on a
+    // bounded sample so training never scans a 100 TB item side
+    val fitInput = {
+      val base = it.select(array_to_vector(col("ivec")).as("features"))
+      if (nItems > maxFitRows) base.sample(withReplacement = false,
+        maxFitRows.toDouble / nItems, seed) else base
+    }
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(lists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+    val model = km.fit(fitInput)
+
+    // a single broadcast row carrying every centroid: per-row assignment
+    // is then a narrow HOF over that array — row counts stay n × probes,
+    // never n × nLists (a crossJoin-and-rank here would materialize
+    // nItems × nLists rows, which does not survive a 100× scale-up)
+    import spark.implicits._
+    val centRow = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      (i, arr, arr.map(x => x * x).sum)
+    }.toSeq.toDF("list_id", "cvec", "cnorm2")
+      .agg(collect_list(struct(col("cnorm2"), col("list_id"), col("cvec"))).as("cents"))
+
+    // nearest `probes` lists by the quantizer's own metric: for unit v,
+    // argmin |v - c|^2 = argmin |c|^2 - 2 v·c
+    def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int) = df
+      .crossJoin(broadcast(centRow))
+      .select(col(idCol), col(vecCol),
+        explode(expr(
+          s"""transform(
+             |  slice(array_sort(transform(cents, c -> named_struct(
+             |    'cdist', c.cnorm2 - 2.0D * aggregate(zip_with($vecCol, c.cvec, (x, y) -> x * y),
+             |                                         cast(0.0 as double), (a, v) -> a + v),
+             |    'list_id', c.list_id))), 1, $probes),
+             |  p -> p.list_id)""".stripMargin)).as("list_id"))
+    val assigned = assign(it, "item_id", "ivec", 1)
+    val probed = assign(q, "query_id", "qvec", math.min(nProbe, lists))
+
+    probed.join(assigned, Seq("list_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+      .withColumn("score", graft.functions.ArrayDot(col("qvec"), col("ivec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "score", "rank")
+  }
 }

@@ -119,6 +119,35 @@ class GraphAndKnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("ivfTopK recall >= 0.9 against exact top-k on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val q = base.filter(col("id") < 50)
+    val exact = CosineKnn.topK(q, base, 5, excludeSelf = true)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ~sqrt(n) lists; 16 probes ≈ a third of them — the classic IVF
+    // recall/scan-fraction trade (8 probes measured 0.82 on this data)
+    val ivf = CosineKnn.ivfTopK(q, base, 5, nProbe = 16, excludeSelf = true)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("ivfTopK with nProbe >= nLists degenerates to the exact pair set") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .filter(col("id") < 120)
+    val q = base.filter(col("id") < 20)
+    val exact = CosineKnn.topK(q, base, 4, excludeSelf = true)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every list probed -> candidate set is the full item side
+    val ivf = CosineKnn.ivfTopK(q, base, 4, nLists = 6, nProbe = 6, excludeSelf = true)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact)
+  }
+
   test("approxTopK recalls the exact nearest neighbor on clustered data") {
     val base = (0 until 40).map { i =>
       val c = if (i % 2 == 0) 1.0 else -1.0
