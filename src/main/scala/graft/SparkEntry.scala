@@ -653,6 +653,22 @@ object SparkEntry {
           expr("transform(embedding, x -> cast(x as double))").as("vec"))
       CosineKnn.ivfTopK(e.filter(col("id") < 50), e, 5, nProbe = 16, excludeSelf = true)
         .select("query_id", "item_id", "rank")
+    }),
+
+    // IVF in its exact-degenerate configuration (nProbe = nLists): every
+    // list is probed, so the quantize -> probe -> re-rank plumbing must
+    // reproduce the exhaustive top-k — which IS SQL-replayable, putting
+    // the IVF path itself under the hash check. Score parity: both sides
+    // normalize then dot with left-to-right accumulation (unlike q21's
+    // dot/(|q||i|) form), bit-identical doubles before the round.
+    "q53_ann_ivf_exact" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      CosineKnn.ivfTopK(e.filter(col("id") < 30), e, 4, nLists = 16, nProbe = 16,
+          excludeSelf = true)
+        .select(col("query_id"), col("item_id"), col("rank"),
+          round(col("score"), 6).as("cos_r"))
     })
   )
 
@@ -1075,6 +1091,19 @@ object SparkEntry {
 
     "q44_delimited_scan" ->
       ("SELECT split_part(line, '::', 1) AS region_key, split_part(line, '::', 2) AS region_name\n" +
-       "FROM read_csv('/tmp/graft_q44_mcsep/*.txt', header=false, delim='\t', columns={'line':'VARCHAR'})")
+       "FROM read_csv('/tmp/graft_q44_mcsep/*.txt', header=false, delim='\t', columns={'line':'VARCHAR'})"),
+
+    // IVF-exhaustive == exact top-k; normalize-then-dot on both sides
+    // (list_transform mirrors Spark's transform, both fold left-to-right)
+    "q53_ann_ivf_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+        |sc AS (SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+        |        list_dot_product(q.nv, i.nv) AS cos
+        |      FROM n q, n i WHERE q.vec_id < 30 AND q.vec_id <> i.vec_id)
+        |SELECT query_id, item_id, rank, ROUND(cos, 6) AS cos_r FROM (
+        |  SELECT query_id, item_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM sc) WHERE rank <= 4""".stripMargin
   )
 }
