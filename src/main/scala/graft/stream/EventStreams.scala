@@ -30,6 +30,20 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Streaming exact dedup — the at-least-once ingest gate of a
+    * training-data pipeline: duplicates by `keys` are dropped within the
+    * `watermark` event-time horizon, so dedup state is BOUNDED — key
+    * state older than the watermark evicts, unlike `dropDuplicates`,
+    * whose streaming state grows without bound. A batch frame dedups
+    * whole (Spark rejects the watermark variant outside streaming), so
+    * backfill and the live stream share this one entry point. */
+  def dedupEvents(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
   /** Shared batch/stream transform: tumbling (or sliding) window
     * aggregation with an event-time watermark when streaming. */
   def windowedAgg(events: DataFrame, windowLen: String, slide: Option[String] = None,

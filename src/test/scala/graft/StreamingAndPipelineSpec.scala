@@ -76,6 +76,36 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupEvents: streaming watermark dedup == batch dedup on the same data") {
+    import EventStreams.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(min: Long) = new java.sql.Timestamp((1000 + min) * 60000)
+    // event 1 redelivered twice (same event_id), once in the same batch
+    // and once a later batch still inside the watermark horizon
+    val rows = Seq(
+      Event(1, m(0), 1L, "click", 1.0), Event(1, m(0), 1L, "click", 1.0),
+      Event(2, m(5), 1L, "view", 2.0), Event(3, m(6), 2L, "click", 3.0))
+    val late = Event(1, m(1), 1L, "click", 1.0)
+
+    val batch = EventStreams.dedupEvents(
+      (rows :+ late).toDS().toDF(), Seq("event_id"), "30 minutes")
+      .select("event_id").as[Long].collect().sorted
+    assert(batch.toSeq == Seq(1L, 2L, 3L))
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(input.toDS().toDF(), Seq("event_id"), "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(late) // redelivery in a later trigger: state still live
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("multimodal plumbing: deterministic stub features, frame sampling") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
