@@ -333,7 +333,12 @@ object CosineKnn {
       col("id").as(idCol),
       expr("transform(vec, x -> x / sqrt(aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)))")
         .as(vecCol))
+    // persist through the quantizer fit: count + every Lloyd iteration
+    // scans this (MLlib KMeans does not cache its input); released below
+    // once the centroids are extracted — the final candidate join then
+    // re-derives the (cheap) normalize once
     val it = unit(items, "item_id", "ivec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = unit(queries, "query_id", "qvec")
 
     val nItems = it.count()
@@ -345,10 +350,14 @@ object CosineKnn {
       if (nItems > maxFitRows) base.sample(withReplacement = false,
         maxFitRows.toDouble / nItems, seed) else base
     }
+    // a coarse quantizer needs representative cells, not converged
+    // clusters: random init + a few Lloyd iterations (k-means|| init
+    // alone costs more scans than the whole training afterwards)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(lists).setSeed(seed).setMaxIter(10)
+      .setK(lists).setSeed(seed).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("list_id")
     val model = km.fit(fitInput)
+    it.unpersist(blocking = false)
 
     // a single broadcast row carrying every centroid: per-row assignment
     // is then a narrow HOF over that array — row counts stay n × probes,
