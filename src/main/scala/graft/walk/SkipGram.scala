@@ -47,11 +47,6 @@ object SkipGram {
     (e / (e + 1.0)).toFloat
   }
 
-  private def sigmoid(f: Float): Float =
-    if (f >= MaxExp) 1.0f
-    else if (f <= -MaxExp) 0.0f
-    else expTable(((f / MaxExp + 1.0f) * (ExpTableSize / 2)).toInt.min(ExpTableSize - 1))
-
   /** xorshift64* — fast thread-private RNG (public-domain Vigna
     * construction), seeded per thread so runs are reproducible at
     * threads = 1. */
@@ -117,13 +112,9 @@ object SkipGram {
       while (!large.isEmpty) { val l = large.poll(); aliasProb(l) = 1.0; alias(l) = l }
       while (!small.isEmpty) { val s = small.poll(); aliasProb(s) = 1.0; alias(s) = s }
     }
-    def drawNegative(rng: Rng): Int = {
-      // two independent draws: sharing one word's bits between the slot
-      // index and the coin correlates them on small m
-      val k = ((rng.nextLong() >>> 1) % m).toInt
-      val u = (rng.nextLong() >>> 11).toDouble / (1L << 53).toDouble
-      keptTok(if (u < aliasProb(k)) k else alias(k))
-    }
+    // negative draws happen inline in the training loop (two independent
+    // RNG words per draw: sharing one word's bits between the slot index
+    // and the coin would correlate them on small m)
 
     // --- parameters: input (syn0) random-init, output (syn1neg) zero.
     // Init is indexed by (seed, position) so it does not depend on
@@ -144,6 +135,12 @@ object SkipGram {
     def trainSlice(threadIdx: Int): Unit = {
       val rng = new Rng(seed + 0x51ab1e * (threadIdx + 1))
       val neu1e = new Array[Float](dim)
+      // hoist closure-captured state into locals: everything below sits on
+      // the innermost loop, and JIT treats locals better than the closure
+      // fields scalac would otherwise read through
+      val s0 = syn0; val s1 = syn1; val keptL = kept
+      val tokL = keptTok; val probL = aliasProb; val aliasL = alias; val mL = m
+      val exp = expTable
       var localProcessed = 0L
       var alpha = lr
       var epoch = 0
@@ -158,14 +155,13 @@ object SkipGram {
           var pos = 0
           while (pos < n) {
             val center = sent(pos)
-            if (kept(center)) {
-              // refresh lr every sentence-ish: cheap enough per token
+            if (keptL(center)) {
               val b = 1 + rng.nextInt(window) // dynamic window, word2vec.c:536
               var cpos = math.max(0, pos - b)
               val cend = math.min(n - 1, pos + b)
               while (cpos <= cend) {
                 val ctx = sent(cpos)
-                if (cpos != pos && kept(ctx)) {
+                if (cpos != pos && keptL(ctx)) {
                   // SGNS update: input = center (syn0), outputs = ctx +
                   // negatives (syn1)
                   val l1 = center * dim
@@ -176,26 +172,33 @@ object SkipGram {
                     var label = 0.0f
                     if (d == 0) { target = ctx; label = 1.0f }
                     else {
-                      target = drawNegative(rng)
+                      // inline alias draw (drawNegative) on hoisted locals
+                      val kk = ((rng.nextLong() >>> 1) % mL).toInt
+                      val u = (rng.nextLong() >>> 11).toDouble / (1L << 53).toDouble
+                      target = tokL(if (u < probL(kk)) kk else aliasL(kk))
                       if (target == ctx) target = -1 // skip collision
                     }
                     if (target >= 0) {
                       val l2 = target * dim
                       var f = 0.0f
                       var k = 0
-                      while (k < dim) { f += syn0(l1 + k) * syn1(l2 + k); k += 1 }
-                      val g = ((label - sigmoid(f)) * alpha).toFloat
+                      while (k < dim) { f += s0(l1 + k) * s1(l2 + k); k += 1 }
+                      val sg =
+                        if (f >= MaxExp) 1.0f
+                        else if (f <= -MaxExp) 0.0f
+                        else exp(((f / MaxExp + 1.0f) * (ExpTableSize / 2)).toInt.min(ExpTableSize - 1))
+                      val g = ((label - sg) * alpha).toFloat
                       k = 0
                       while (k < dim) {
-                        neu1e(k) += g * syn1(l2 + k)
-                        syn1(l2 + k) += g * syn0(l1 + k)
+                        neu1e(k) += g * s1(l2 + k)
+                        s1(l2 + k) += g * s0(l1 + k)
                         k += 1
                       }
                     }
                     d += 1
                   }
                   var k = 0
-                  while (k < dim) { syn0(l1 + k) += neu1e(k); k += 1 }
+                  while (k < dim) { s0(l1 + k) += neu1e(k); k += 1 }
                 }
                 cpos += 1
               }
