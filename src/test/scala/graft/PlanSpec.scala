@@ -105,4 +105,18 @@ class PlanSpec extends AnyFunSuite {
     val afterJoin = plan.substring(0, plan.indexOf("BroadcastNestedLoopJoin"))
     assert(!afterJoin.contains("Exchange hashpartitioning"))
   }
+
+  test("ivfTopK: candidate join keys on list_id; no cartesian between queries and items") {
+    import spark.implicits._
+    val emb = (1 to 60).map(i => (i.toLong, Seq.fill(4)(math.sin(i * 1.7) + i * 0.01)))
+      .toDF("id", "vec")
+    val plan = graft.knn.CosineKnn.ivfTopK(emb.filter($"id" <= 10), emb, 3,
+      nLists = 4, nProbe = 2, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    // the only acceptable all-pairs shape is each side against the
+    // single broadcast centroid row — queries × items must go through
+    // the list_id equi-join
+    assert(plan.contains("list_id"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
