@@ -76,18 +76,20 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
 
     // trainer dispatch (mirrors KgeTrainer.fitAuto): below the gate the
     // corpus is collected once and trained shared-memory on the driver
-    // ([[SkipGram]] — the gensim-shaped kernel, ~10× faster than MLlib's
-    // broadcast-replica-average cycle at headline scale); above it, or on
-    // request, MLlib's distributed Word2Vec keeps every replica on
-    // executors — the 100 TB-corpus path. Gate: ≤5e7 model params (same
-    // bound as KGE) and ≤1e8 corpus tokens (~400 MB of ints on the
-    // driver).
+    // ([[SkipGram.fit]] — the gensim-shaped kernel, ~5× faster than a
+    // broadcast-replica-average cycle at headline scale); above it the
+    // corpus stays an RDD and [[SkipGram.fitDistributed]] trains
+    // partition replicas + token-weighted averaging — the unbounded-
+    // corpus path (model stays driver-sized, as in MLlib). Gate: ≤5e7
+    // model params (same bound as KGE) and ≤1e8 corpus tokens (~400 MB
+    // of ints on the driver). `w2v_impl` forces a path explicitly
+    // (`mllib` keeps the stock MLlib Word2Vec for comparison).
     val nNodes = nodes.count()
     val estTokens = nNodes * i("n_walks", 10).toLong * i("walk_len", 10).toLong
     val impl = cfg.getOrElse("w2v_impl", "auto")
     val useLocal = impl match {
       case "local" => true
-      case "mllib" => false
+      case "mllib" | "distributed" => false
       case _ => 2L * nNodes * i("embedding_size", 64) <= 50000000L && estTokens <= 100000000L
     }
     val nodeVecs =
@@ -97,6 +99,12 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
           epochs = i("epochs", 1), lr = f("learning_rate", 0.025),
           negative = i("negative", 5), minCount = i("min_count", 0), seed = seed,
           threads = i("w2v_threads", spark.sparkContext.defaultParallelism))
+      else if (impl != "mllib")
+        SkipGram.fitDistributed(spark, walks, vocabSize = nNodes.toInt,
+          dim = i("embedding_size", 64), window = i("window_size", 5),
+          epochs = i("epochs", 1), lr = f("learning_rate", 0.025),
+          negative = i("negative", 5), minCount = i("min_count", 0), seed = seed,
+          numPartitions = i("w2v_partitions", 0))
       else {
         // persist: Word2Vec.fit scans its input at least twice (vocab pass,
         // then its internal training cache) and the walk lineage recomputes

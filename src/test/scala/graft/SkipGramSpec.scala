@@ -67,6 +67,28 @@ class SkipGramSpec extends AnyFunSuite {
     assert(within.sum / within.size > across.sum / across.size + 0.2)
   }
 
+  test("distributed trainer recovers community structure (replica averaging)") {
+    val sentenceRows = twoCliqueWalks(nWalks = 30, walkLen = 8).toSeq
+      .map(s => Tuple1(s.map(_.toLong).toSeq)).toDF("path")
+    val embDf = SkipGram.fitDistributed(spark, sentenceRows, vocabSize = 10, dim = 16,
+      window = 4, epochs = 5, lr = 0.025, numPartitions = 4)
+    val emb = embDf.collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).map(_.toFloat).toArray).toMap
+    assert(emb.size == 10)
+    val within = for (i <- 0 to 3; j <- 0 to 3 if i < j) yield cosine(emb(i), emb(j))
+    val across = for (i <- 0 to 3; j <- 6 to 9) yield cosine(emb(i), emb(j))
+    assert(within.sum / within.size > across.sum / across.size + 0.2,
+      s"within ${within.sum / within.size} vs across ${across.sum / across.size}")
+  }
+
+  test("distributed trainer drops sub-minCount tokens like the local one") {
+    val sentenceRows = (Seq.fill(20)(Seq(0L, 1L, 2L, 0L, 1L, 2L)) :+ Seq(0L, 3L))
+      .map(Tuple1(_)).toDF("path")
+    val emb = SkipGram.fitDistributed(spark, sentenceRows, vocabSize = 4, dim = 4,
+      window = 2, epochs = 1, lr = 0.025, negative = 2, minCount = 2, numPartitions = 2)
+    val ids = emb.select("node_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L))
+  }
+
   test("DeepWalkRecommender local trainer end-to-end matches the recommend contract") {
     val train = Seq(
       (1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 10L, 5.0), (2L, 12L, 3.0),
@@ -85,6 +107,23 @@ class SkipGramSpec extends AnyFunSuite {
       .select("rk").as[Seq[Int]].collect()
     ranks.foreach(r => assert(r.sorted == (1 to r.size).toList))
     assert(recs.count() > 0)
+    rec.release()
+  }
+
+  test("DeepWalkRecommender distributed trainer wires end-to-end") {
+    val train = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 10L, 5.0), (2L, 12L, 3.0),
+      (3L, 11L, 4.0), (3L, 12L, 2.0)
+    ).toDF("user_id", "item_id", "rating")
+    val rec = new DeepWalkRecommender(Map(
+      "n_walks" -> "5", "walk_len" -> "5", "embedding_size" -> "8",
+      "epochs" -> "1", "seed" -> "42", "w2v_impl" -> "distributed",
+      "w2v_partitions" -> "2"))
+      .train(spark, train, None)
+    val recs = rec.recommend(2)
+    assert(recs.count() > 0)
+    assert(recs.join(train,
+      recs("user_id") === train("user_id") && recs("item_id") === train("item_id")).count() == 0)
     rec.release()
   }
 }
