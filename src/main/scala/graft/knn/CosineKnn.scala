@@ -342,13 +342,20 @@ object CosineKnn {
     val q = unit(queries, "query_id", "qvec")
 
     val nItems = it.count()
-    val lists = if (nLists > 0) nLists else math.max(2, math.sqrt(nItems.toDouble).toInt)
+    require(nItems > 0, "ivfTopK: empty item side")
+    // never ask the quantizer for more cells than points
+    val lists = math.min(nItems,
+      if (nLists > 0) nLists.toLong else math.max(2, math.sqrt(nItems.toDouble).toInt).toLong).toInt
     // quantizer centroids only need to be REPRESENTATIVE — fit on a
     // bounded sample so training never scans a 100 TB item side
     val fitInput = {
       val base = it.select(array_to_vector(col("ivec")).as("features"))
-      if (nItems > maxFitRows) base.sample(withReplacement = false,
-        maxFitRows.toDouble / nItems, seed) else base
+      // oversample 1.2x then hard-limit: sample() is probabilistic and a
+      // tiny fraction could return fewer rows than lists
+      if (nItems > maxFitRows)
+        base.sample(withReplacement = false,
+          math.min(1.0, 1.2 * maxFitRows / nItems), seed).limit(maxFitRows)
+      else base
     }
     // a coarse quantizer needs representative cells, not converged
     // clusters: random init + a few Lloyd iterations (k-means|| init

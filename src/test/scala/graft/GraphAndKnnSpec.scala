@@ -148,6 +148,15 @@ class GraphAndKnnSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("ivfTopK handles an item side smaller than the default list count") {
+    val base = (0 until 3).map(i => (i.toLong, Seq(1.0 + i, 0.5 * i, 1.0)))
+      .toDF("id", "vec")
+    // nItems=3 < default sqrt-lists floor of 2? exercise lists clamp + probe clamp
+    val out = CosineKnn.ivfTopK(base, base, 2, nLists = 10, nProbe = 10, excludeSelf = true)
+    assert(out.count() > 0)
+    assert(out.groupBy("query_id").count().select(max("count")).first().getLong(0) <= 2)
+  }
+
   test("approxTopK recalls the exact nearest neighbor on clustered data") {
     val base = (0 until 40).map { i =>
       val c = if (i % 2 == 0) 1.0 else -1.0
