@@ -328,43 +328,56 @@ object CosineKnn {
   def ivfTopK(queries: DataFrame, items: DataFrame, k: Int,
               nLists: Int = 0, nProbe: Int = 8, seed: Long = 42L,
               excludeSelf: Boolean = false, maxFitRows: Int = 100000): DataFrame = {
+    require(k > 0 && nProbe > 0, s"ivfTopK: k and nProbe must be positive (k=$k, nProbe=$nProbe)")
     val spark = items.sparkSession
-    def unit(df: DataFrame, idCol: String, vecCol: String) = df.select(
-      col("id").as(idCol),
-      expr("transform(vec, x -> x / sqrt(aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)))")
-        .as(vecCol))
+    // zero vectors (the F14 zero-fill sentinel) normalize to zeros, not
+    // NaN — NaN scores sort FIRST under desc and would silently break the
+    // nProbe >= nLists == topK degeneracy the spec pins. The `zero` flag
+    // lets scoring assign them the same -2.0 rank-last sentinel the exact
+    // kernels use.
+    def unit(df: DataFrame, idCol: String, vecCol: String, zeroCol: String) = df
+      // hoist the squared norm out of the per-element lambda (computing
+      // it inside transform would be O(dim²) per row)
+      .withColumn("_n2", expr("aggregate(vec, cast(0.0 as double), (a, v) -> a + v * v)"))
+      .select(
+        col("id").as(idCol),
+        expr("transform(vec, x -> if(_n2 = 0.0d, 0.0d, x / sqrt(_n2)))").as(vecCol),
+        (col("_n2") === 0.0).as(zeroCol))
     // persist through the quantizer fit: count + every Lloyd iteration
-    // scans this (MLlib KMeans does not cache its input); released below
-    // once the centroids are extracted — the final candidate join then
-    // re-derives the (cheap) normalize once
-    val it = unit(items, "item_id", "ivec")
+    // scans this (MLlib KMeans does not cache its input); released once
+    // the centroids are extracted (try/finally — a fit failure must not
+    // leak the cached blocks) — the final candidate join then re-derives
+    // the (cheap) normalize once
+    val it = unit(items, "item_id", "ivec", "izero")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = unit(queries, "query_id", "qvec")
+    val q = unit(queries, "query_id", "qvec", "qzero")
 
-    val nItems = it.count()
-    require(nItems > 0, "ivfTopK: empty item side")
-    // never ask the quantizer for more cells than points
-    val lists = math.min(nItems,
-      if (nLists > 0) nLists.toLong else math.max(2, math.sqrt(nItems.toDouble).toInt).toLong).toInt
-    // quantizer centroids only need to be REPRESENTATIVE — fit on a
-    // bounded sample so training never scans a 100 TB item side
-    val fitInput = {
-      val base = it.select(array_to_vector(col("ivec")).as("features"))
-      // oversample 1.2x then hard-limit: sample() is probabilistic and a
-      // tiny fraction could return fewer rows than lists
-      if (nItems > maxFitRows)
-        base.sample(withReplacement = false,
-          math.min(1.0, 1.2 * maxFitRows / nItems), seed).limit(maxFitRows)
-      else base
-    }
-    // a coarse quantizer needs representative cells, not converged
-    // clusters: random init + a few Lloyd iterations (k-means|| init
-    // alone costs more scans than the whole training afterwards)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(lists).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("list_id")
-    val model = km.fit(fitInput)
-    it.unpersist(blocking = false)
+    val (model, lists) =
+      try {
+        val nItems = it.count()
+        require(nItems > 0, "ivfTopK: empty item side")
+        // never ask the quantizer for more cells than points
+        val lists = math.min(nItems,
+          if (nLists > 0) nLists.toLong else math.max(2, math.sqrt(nItems.toDouble).toInt).toLong).toInt
+        // quantizer centroids only need to be REPRESENTATIVE — fit on a
+        // bounded sample so training never scans a 100 TB item side
+        val fitInput = {
+          val base = it.select(array_to_vector(col("ivec")).as("features"))
+          // oversample 1.2x then hard-limit: sample() is probabilistic and a
+          // tiny fraction could return fewer rows than lists
+          if (nItems > maxFitRows)
+            base.sample(withReplacement = false,
+              math.min(1.0, 1.2 * maxFitRows / nItems), seed).limit(maxFitRows)
+          else base
+        }
+        // a coarse quantizer needs representative cells, not converged
+        // clusters: random init + a few Lloyd iterations (k-means|| init
+        // alone costs more scans than the whole training afterwards)
+        (new org.apache.spark.ml.clustering.KMeans()
+          .setK(lists).setSeed(seed).setMaxIter(5).setInitMode("random")
+          .setFeaturesCol("features").setPredictionCol("list_id")
+          .fit(fitInput), lists)
+      } finally it.unpersist(blocking = false)
 
     // a single broadcast row carrying every centroid: per-row assignment
     // is then a narrow HOF over that array — row counts stay n × probes,
@@ -379,22 +392,41 @@ object CosineKnn {
 
     // nearest `probes` lists by the quantizer's own metric: for unit v,
     // argmin |v - c|^2 = argmin |c|^2 - 2 v·c
-    def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int) = df
+    def cdist(vecCol: String) =
+      s"""c.cnorm2 - 2.0D * aggregate(zip_with($vecCol, c.cvec, (x, y) -> x * y),
+         |                            cast(0.0 as double), (a, v) -> a + v)""".stripMargin
+    def assign(df: DataFrame, idCol: String, vecCol: String, zeroCol: String,
+               probes: Int) = df
       .crossJoin(broadcast(centRow))
-      .select(col(idCol), col(vecCol),
-        explode(expr(
-          s"""transform(
-             |  slice(array_sort(transform(cents, c -> named_struct(
-             |    'cdist', c.cnorm2 - 2.0D * aggregate(zip_with($vecCol, c.cvec, (x, y) -> x * y),
-             |                                         cast(0.0 as double), (a, v) -> a + v),
-             |    'list_id', c.list_id))), 1, $probes),
-             |  p -> p.list_id)""".stripMargin)).as("list_id"))
-    val assigned = assign(it, "item_id", "ivec", 1)
-    val probed = assign(q, "query_id", "qvec", math.min(nProbe, lists))
+      .select(col(idCol), col(vecCol), col(zeroCol),
+        explode(
+          if (probes == 1)
+            // top-1 is a running argmin — O(L) with no struct array or
+            // sort; at nLists ~ sqrt(n) the O(L log L) sort below would
+            // be the dominant per-item cost of the assignment stage
+            expr(
+              s"""array(aggregate(cents,
+                 |  named_struct('cdist', cast('Infinity' as double), 'list_id', -1),
+                 |  (acc, c) -> if (${cdist(vecCol)} < acc.cdist,
+                 |              named_struct('cdist', ${cdist(vecCol)}, 'list_id', c.list_id),
+                 |              acc)).list_id)""".stripMargin)
+          else
+            expr(
+              s"""transform(
+                 |  slice(array_sort(transform(cents, c -> named_struct(
+                 |    'cdist', ${cdist(vecCol)},
+                 |    'list_id', c.list_id))), 1, $probes),
+                 |  p -> p.list_id)""".stripMargin)).as("list_id"))
+    val assigned = assign(it, "item_id", "ivec", "izero", 1)
+    val probed = assign(q, "query_id", "qvec", "qzero", math.min(nProbe, lists))
 
     probed.join(assigned, Seq("list_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
-      .withColumn("score", graft.functions.ArrayDot(col("qvec"), col("ivec")))
+      // zero vectors carry the same -2.0 rank-last sentinel the exact
+      // kernels use (cosine is undefined for them)
+      .withColumn("score",
+        when(col("qzero") || col("izero"), lit(-2.0))
+          .otherwise(graft.functions.ArrayDot(col("qvec"), col("ivec"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
       .filter(col("rank") <= k)

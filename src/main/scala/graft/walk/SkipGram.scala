@@ -106,6 +106,12 @@ object SkipGram {
     * does not depend on thread or partition count. Input vectors
     * uniform(-0.5/dim, 0.5/dim), output vectors zero. */
   private def initParams(vocabSize: Int, dim: Int, seed: Long): (Array[Float], Array[Float]) = {
+    // both paths keep the model in driver/task arrays; past this bound is
+    // parameter-server territory (KgeTrainer.fitDistributed's trade) —
+    // fail with that message, not a wrapped-Int array crash
+    require(vocabSize.toLong * dim <= Int.MaxValue - 8,
+      s"SkipGram model $vocabSize×$dim exceeds JVM array bounds; " +
+        "shard the vocabulary or use a parameter-server-style trainer")
     val syn0 = new Array[Float](vocabSize * dim)
     val initRng = new Rng(seed * 0x9e3779b9L + 17)
     var i = 0
@@ -216,6 +222,7 @@ object SkipGram {
                               window: Int, epochs: Int, lr: Double, negative: Int,
                               minCount: Int, seed: Long, threads: Int): Array[Array[Float]] = {
     require(vocabSize > 0 && dim > 0 && window > 0 && epochs > 0 && negative >= 0)
+    val nThreads = math.max(1, threads) // 0 would divide the slice bounds by zero
     val freq = new Array[Long](vocabSize)
     var si = 0
     while (si < sentences.length) {
@@ -230,8 +237,8 @@ object SkipGram {
     def alphaAt(epoch: Int, frac: Double) =
       math.max(lr * 1e-4, lr * (1.0 - (epoch + frac) / epochs))
     def runThread(threadIdx: Int): Unit = {
-      val lo = (sentences.length.toLong * threadIdx / threads).toInt
-      val hi = (sentences.length.toLong * (threadIdx + 1) / threads).toInt
+      val lo = (sentences.length.toLong * threadIdx / nThreads).toInt
+      val hi = (sentences.length.toLong * (threadIdx + 1) / nThreads).toInt
       var epoch = 0
       while (epoch < epochs) {
         trainRange(sentences, lo, hi, syn0, syn1, sampler, dim, window, negative,
@@ -241,12 +248,12 @@ object SkipGram {
       }
     }
 
-    if (threads <= 1) runThread(0)
+    if (nThreads <= 1) runThread(0)
     else {
-      val pool = new Array[Thread](threads)
+      val pool = new Array[Thread](nThreads)
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
       var t = 0
-      while (t < threads) {
+      while (t < nThreads) {
         val idx = t
         pool(t) = new Thread(() =>
           try runThread(idx)

@@ -148,6 +148,22 @@ class GraphAndKnnSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("ivfTopK ranks zero vectors last (the exact kernels' -2.0 sentinel, not NaN-first)") {
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0)), // F14-style zero fill
+      (3L, Seq(-1.0, 0.0, 0.0))).toDF("id", "vec")
+    val out = CosineKnn.ivfTopK(base.filter($"id" === 0), base, 4,
+      nLists = 2, nProbe = 2, excludeSelf = true)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L)) // zero vector LAST
+    assert(out.last.getDouble(2) == -2.0)
+    // and the exhaustive configuration still equals exact topK pairs
+    val exact = CosineKnn.topK(base.filter($"id" === 0), base, 4, excludeSelf = true)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(out.map(_.getLong(1)).toSeq == exact)
+  }
+
   test("ivfTopK handles an item side smaller than the default list count") {
     val base = (0 until 3).map(i => (i.toLong, Seq(1.0 + i, 0.5 * i, 1.0)))
       .toDF("id", "vec")

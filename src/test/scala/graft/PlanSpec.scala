@@ -114,9 +114,12 @@ class PlanSpec extends AnyFunSuite {
       nLists = 4, nProbe = 2, excludeSelf = true)
       .queryExecution.executedPlan.toString
     // the only acceptable all-pairs shape is each side against the
-    // single broadcast centroid row — queries × items must go through
-    // the list_id equi-join
-    assert(plan.contains("list_id"))
+    // single broadcast centroid row — queries × items must go through a
+    // list_id EQUI-join (a projection merely naming list_id, or a
+    // nested-loop join with a list_id filter, must not satisfy this)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("list_id") && !l.contains("NestedLoop")),
+      s"no equi-join on list_id in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 }
