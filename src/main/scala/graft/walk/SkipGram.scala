@@ -128,7 +128,7 @@ object SkipGram {
     * schedule with the global counter replaced by slice-local progress,
     * which drops the cross-thread atomic entirely. Shared verbatim by
     * the threaded local path and the per-partition distributed path. */
-  private[walk] def trainRange(sentences: IndexedSeq[Array[Int]], lo: Int, hi: Int,
+  private[walk] def trainRange(sentences: Array[Array[Int]], lo: Int, hi: Int,
                                syn0: Array[Float], syn1: Array[Float], sampler: Sampler,
                                dim: Int, window: Int, negative: Int, rngSeed: Long,
                                aStart: Double, aEnd: Double): Unit = {
