@@ -38,11 +38,13 @@ object EventStreams {
     * whole (Spark rejects the watermark variant outside streaming), so
     * backfill and the live stream share this one entry point. */
   def dedupEvents(events: DataFrame, keys: Seq[String],
-                  watermark: String = "2 hours"): DataFrame =
+                  watermark: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "dedupEvents: at least one key column")
     if (events.isStreaming)
       events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else events.dropDuplicates(keys)
+  }
 
   /** Shared batch/stream transform: tumbling (or sliding) window
     * aggregation with an event-time watermark when streaming. */
