@@ -155,6 +155,7 @@ object Experiment {
     var ratings = bundle.ratings
     val propertyEdges = bundle.propertyEdges
 
+    val kcoreCaches = new graft.prep.KCoreCaches
     var ranKCore = false
     for (p <- list(exp, "preprocess")) {
       val params = sub(p, "parameters")
@@ -162,7 +163,8 @@ object Experiment {
         case "binarize" => ratings = Preprocess.binarize(ratings, dbl(params, "threshold", 3.0))
         case "filter_kcore" =>
           ratings = Preprocess.filterKCore(ratings,
-            int(params, "k", 2), str(params, "target", "user"), int(params, "iterations", 1))
+            int(params, "k", 2), str(params, "target", "user"),
+            int(params, "iterations", 1), kcoreCaches)
           ranKCore = true
         case other => throw new IllegalArgumentException(
           s"Preprocessing method $other is not implemented.")
@@ -172,7 +174,7 @@ object Experiment {
     // k-core leaves its kill-set caches live inside the lineage
     // (caller-owned contract): materialize the preprocessed ratings once,
     // then drop the loop caches before the fold runs
-    if (ranKCore) { ratings.count(); Preprocess.releaseKCoreCaches() }
+    if (ranKCore) { ratings.count(); kcoreCaches.release() }
 
     // split config (edge_splitter.py:28-73)
     val split = sub(exp, "split")

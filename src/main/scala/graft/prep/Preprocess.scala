@@ -34,12 +34,16 @@ object Preprocess {
     * Cache contract (caller-owned): the result comes back LAZY — no
     * forced materialization pass (r3's unconditional persist+count cost
     * chained callers a full extra pass per call). The per-round kill
-    * caches stay live inside the returned lineage and are tracked in a
-    * registry; consume (or persist+materialize) the result, then call
-    * [[releaseKCoreCaches]]. Releasing before consumption is safe — the
-    * kill sets just recompute from lineage.
+    * caches stay live inside the returned lineage and are tracked in the
+    * caller's [[KCoreCaches]] scope; consume (or persist+materialize)
+    * the result, then `caches.release()`. Releasing before consumption
+    * is safe — the kill sets just recompute from lineage. Each call site
+    * constructs its own scope, so a leak is visible where it happens and
+    * concurrent consumers can't evict each other's caches (the
+    * engine-global registry this replaces had both flaws).
     */
-  def filterKCore(ratings: DataFrame, k: Int, target: String, iterations: Int = 1): DataFrame = {
+  def filterKCore(ratings: DataFrame, k: Int, target: String,
+                  iterations: Int = 1, caches: KCoreCaches): DataFrame = {
     val key = target match {
       case "user" => "user_id"
       case "item" => "item_id"
@@ -52,32 +56,32 @@ object Preprocess {
       val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (kill.count() == 0L) { converged = true; kill.unpersist() }
-      else { cur = cur.join(kill, Seq(key), "left_anti"); track(kill) }
+      else { cur = cur.join(kill, Seq(key), "left_anti"); caches.track(kill) }
       it += 1
       // reference configs run 1-3 iterations: recomputing the shallow
       // anti-join lineage beats materializing each round; deep loops
       // get their lineage truncated periodically
-      if (it % 4 == 0) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); track(cur) }
+      if (it % 4 == 0) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); caches.track(cur) }
     }
     cur
   }
+}
 
-  // kill-set / lineage-truncation caches from filterKCore calls, alive
-  // until the caller releases them — iterative loops must not accumulate
-  // session-long storage (leaked MEMORY_AND_DISK blocks degraded
-  // unrelated queries 3-7× before r3's hygiene pass)
-  private val liveCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-  private def track(df: DataFrame): Unit = liveCaches.synchronized { liveCaches += df }
+/** Per-call-site cache scope for [[Preprocess.filterKCore]]: kill-set /
+  * lineage-truncation caches live here until the owner releases them —
+  * iterative loops must not accumulate session-long storage (leaked
+  * MEMORY_AND_DISK blocks degraded unrelated queries 3-7× before r3's
+  * hygiene pass). Chained k-core passes share one scope so each pass's
+  * convergence check reuses the previous passes' still-live kill caches.
+  */
+final class KCoreCaches {
+  private val live = scala.collection.mutable.Buffer.empty[DataFrame]
+  private[prep] def track(df: DataFrame): Unit = synchronized { live += df }
 
-  /** Release every cache created by [[filterKCore]] since the last call.
-    * Call after materializing (or finishing with) the returned edge set.
-    * The registry is engine-global: with overlapping consumers in one
-    * session, a release here evicts the other consumer's kill caches too
-    * (still correct — the sets recompute from lineage, they just stop
-    * being cached). The engine's callers are sequential, so in practice
-    * each release drains exactly its own loop's caches. */
-  def releaseKCoreCaches(): Unit = liveCaches.synchronized {
-    liveCaches.foreach(_.unpersist(blocking = false))
-    liveCaches.clear()
+  /** Release every cache tracked in this scope. Call after materializing
+    * (or finishing with) the returned edge set. */
+  def release(): Unit = synchronized {
+    live.foreach(_.unpersist(blocking = false))
+    live.clear()
   }
 }

@@ -36,7 +36,16 @@ object EventStreams {
     * state older than the watermark evicts, unlike `dropDuplicates`,
     * whose streaming state grows without bound. A batch frame dedups
     * whole (Spark rejects the watermark variant outside streaming), so
-    * backfill and the live stream share this one entry point. */
+    * backfill and the live stream share this one entry point.
+    *
+    * KNOWN DIVERGENCE between the two paths, inherent to bounded state:
+    * duplicates spaced FURTHER apart than `watermark` in event time
+    * survive the live stream (the first copy's state already evicted)
+    * but are dropped by a batch replay of the same data, which dedups
+    * globally. The two paths agree exactly when all duplicate pairs
+    * arrive within the watermark horizon — the at-least-once-redelivery
+    * case this gate exists for. Pick `watermark` ≥ the source's maximum
+    * redelivery window to make the divergence unobservable. */
   def dedupEvents(events: DataFrame, keys: Seq[String],
                   watermark: String = "2 hours"): DataFrame = {
     require(keys.nonEmpty, "dedupEvents: at least one key column")

@@ -312,6 +312,10 @@ object SkipGram {
       val freq = sentences.treeAggregate(new Array[Long](vocabSize))(
         (acc, s) => { var j = 0; while (j < s.length) { acc(s(j)) += 1L; j += 1 }; acc },
         (a, b) => { var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a })
+      // guard before the epoch loop: an empty corpus (no walks, or every
+      // sentence zero-length) would otherwise surface as treeReduce's
+      // opaque "empty collection" UnsupportedOperationException
+      require(freq.sum > 0L, "SkipGram.fitDistributed: empty corpus (no tokens in walks)")
       val sampler = buildSampler(freq, minCount)
       val samplerBc = sc.broadcast(sampler)
       var model = initParams(vocabSize, dim, seed)

@@ -62,16 +62,17 @@ class SchemaAndPrepSpec extends AnyFunSuite {
       (2L, 10L, 5.0), (2L, 12L, 5.0),
       (3L, 11L, 5.0)
     ).toDF("user_id", "item_id", "rating")
-    val afterUser = Preprocess.filterKCore(r, 2, "user", 10)
+    val kc = new graft.prep.KCoreCaches
+    val afterUser = Preprocess.filterKCore(r, 2, "user", 10, kc)
     assert(afterUser.select("user_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
     // item pass with k=2 on the result: item 10 deg 2 survives; 11,12 deg 1 die
-    val afterItem = Preprocess.filterKCore(afterUser, 2, "item", 1)
+    val afterItem = Preprocess.filterKCore(afterUser, 2, "item", 1, kc)
     assert(afterItem.select("item_id").distinct().as[Long].collect().toSet == Set(10L))
     // alternating semantics: one more user pass now kills u1,u2? deg=1 < 2 -> all gone
-    assert(Preprocess.filterKCore(afterItem, 2, "user", 1).count() == 0)
-    // caller-owned cache contract: drop the kill-set caches so they don't
-    // outlive this test in the shared suite session
-    Preprocess.releaseKCoreCaches()
+    assert(Preprocess.filterKCore(afterItem, 2, "user", 1, kc).count() == 0)
+    // caller-owned cache contract: drop this scope's kill-set caches so
+    // they don't outlive this test in the shared suite session
+    kc.release()
   }
 
   test("k-core respects the iterations bound") {
@@ -79,11 +80,12 @@ class SchemaAndPrepSpec extends AnyFunSuite {
     // single-target pass converges after one effective iteration
     val r = Seq((1L, 10L, 1.0), (2L, 10L, 1.0), (2L, 11L, 1.0))
       .toDF("user_id", "item_id", "rating")
-    val once = Preprocess.filterKCore(r, 2, "user", 1)
+    val kc = new graft.prep.KCoreCaches
+    val once = Preprocess.filterKCore(r, 2, "user", 1, kc)
     assert(once.select("user_id").distinct().as[Long].collect().toSet == Set(2L))
     // second iteration removes nothing further (user degrees are stable)
-    val twice = Preprocess.filterKCore(r, 2, "user", 5)
+    val twice = Preprocess.filterKCore(r, 2, "user", 5, kc)
     assert(twice.count() == once.count())
-    Preprocess.releaseKCoreCaches()
+    kc.release()
   }
 }
