@@ -678,7 +678,15 @@ object SparkEntry {
           excludeSelf = true)
         .select(col("query_id"), col("item_id"), col("rank"),
           round(col("score"), 6).as("cos_r"))
-    })
+    }),
+
+    // SimHash near-dup pairing: banded Hamming join (pigeonhole: a pair
+    // within distance 3 agrees exactly on one of 4 16-bit bands) + exact
+    // distance re-check on candidates only. Deterministic md5 bit
+    // algebra — the one dedup *join* fully under the hash check (the
+    // minhash/embedding LSH joins are seeded)
+    "q54_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(T(s, dir, "documents"), maxHamming = 3))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1113,6 +1121,31 @@ object SparkEntry {
         |SELECT query_id, item_id, rank, ROUND(cos, 6) AS cos_r FROM (
         |  SELECT query_id, item_id, cos,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |  FROM sc) WHERE rank <= 4""".stripMargin
+        |  FROM sc) WHERE rank <= 4""".stripMargin,
+
+    // simhash CTE identical to q17 (minus the doc_id bound), then the
+    // same 4-band pigeonhole join + exact Hamming re-check
+    "q54_simhash_neardup" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, md5(t.tk) AS h FROM docs, UNNEST(w) AS t(tk)),
+        |bits AS (SELECT doc_id, j,
+        |         SUM(CASE WHEN ((strpos('0123456789abcdef', h[1 + j // 4]) - 1)
+        |                        // CAST(pow(2, 3 - (j % 4)) AS INT)) % 2 = 1
+        |             THEN 1 ELSE -1 END) AS sgn
+        |         FROM tok, UNNEST(generate_series(0, 63)) AS tj(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, STRING_AGG(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, b,
+        |           substring(simhash, (b * 64) // 4 + 1,
+        |                     ((b + 1) * 64) // 4 - (b * 64) // 4) AS chunk
+        |           FROM sig, UNNEST(generate_series(0, 3)) AS tb(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.simhash AS sa, y.simhash AS sb
+        |         FROM banded x JOIN banded y
+        |           ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b, CAST(list_sum(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substring(sa, i, 1) = substring(sb, i, 1) THEN 0 ELSE 1 END)) AS INT) AS hamming
+        |  FROM cand) WHERE hamming <= 3""".stripMargin
   )
 }

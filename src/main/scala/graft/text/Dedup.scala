@@ -135,6 +135,56 @@ object Dedup {
         "array_join(transform(array_sort(collect_list(struct(j, CASE WHEN sgn > 0 THEN '1' ELSE '0' END AS c))), x -> x.c), '')")
         .as("simhash"))
 
+  /** SimHash near-duplicate pairs: banded Hamming-distance join over
+    * the 64-bit fingerprints of [[simhash]] — the missing half of the
+    * SimHash dedup story (a fingerprint without the pairing step dedups
+    * nothing). Pigeonhole banding: any pair within Hamming distance
+    * `maxHamming` agrees EXACTLY on at least one of (maxHamming + 1)
+    * contiguous bit bands, so candidate generation is an equi-join on
+    * (band, chunk) — never an all-pairs scan — and the exact distance
+    * re-check runs on candidates only. At 16-bit bands (the default
+    * maxHamming = 3) random collisions are ~2⁻¹⁶ per band, so the
+    * candidate set stays within a small constant factor of the true
+    * near-dup set at any corpus size. Deterministic end to end (md5 bit
+    * algebra, no seeds): the whole pipeline sits under the DuckDB
+    * oracle, unlike the randomized LSH families.
+    *
+    * Returns (doc_a, doc_b, hamming) with doc_a < doc_b and
+    * hamming <= maxHamming. Same lifecycle contract as [[minhashLsh]]:
+    * the result comes back persisted+materialized, working sets
+    * released. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"simhashNearDup: maxHamming must be in [0, 64), got $maxHamming")
+    val nBands = maxHamming + 1
+    // band b covers bit positions [b*64/nBands, (b+1)*64/nBands) — integer
+    // division so uneven band widths distribute deterministically
+    val sig = simhash(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}), b -> struct(b AS b,
+           |substring(simhash, (b * 64) div $nBands + 1,
+           |((b + 1) * 64) div $nBands - (b * 64) div $nBands) AS chunk))""".stripMargin))
+        .as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.b").as("b"), col("bc.chunk").as("chunk"))
+    val out = banded.as("x")
+      .join(banded.as("y"), col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct() // a pair can match in several bands
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sig.unpersist(blocking = false)
+    out
+  }
+
   /** Exact pairwise n-gram Jaccard >= threshold (no LSH) — the
     * brute-force baseline, for bounded candidate sets. */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {

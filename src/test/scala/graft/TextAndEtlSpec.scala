@@ -90,6 +90,30 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(out(1L) != out(3L))
   }
 
+  test("simhashNearDup: banded Hamming join finds planted near-dups, never misses within radius") {
+    // near-dup pair: 40 shared tokens, one swapped -> tiny Hamming distance;
+    // identical pair -> distance 0; unrelated doc -> far
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base)).toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // ground truth from the signatures themselves: every pair within the
+    // radius MUST appear (pigeonhole guarantees recall = 1), none beyond
+    val maxH = 3
+    val expected = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if ham(sig(a), sig(b)) <= maxH
+    } yield (a, b, ham(sig(a), sig(b)))).toSet
+    val out = Dedup.simhashNearDup(docs, maxH)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    out.unpersist(blocking = false)
+    assert(expected.contains((1L, 4L, 0)), "identical docs must be distance 0")
+    assert(got == expected)
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
+  }
+
   test("SPARQL source replays fixtures through the executor-side transport (S4)") {
     val fixture: SparqlSource.Transport = (_, q, _) =>
       s"""{"results":{"bindings":[{"uri":{"value":"http://dbpedia.org/resource/$q"},"label":{"value":"Label $q"}}]}}"""
