@@ -686,7 +686,13 @@ object SparkEntry {
     // algebra — the one dedup *join* fully under the hash check (the
     // minhash/embedding LSH joins are seeded)
     "q54_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDup(T(s, dir, "documents"), maxHamming = 3))
+      Dedup.simhashNearDup(T(s, dir, "documents"), maxHamming = 3)),
+
+    // unigram LM perplexity scoring: corpus-MLE vocab, per-doc mean
+    // token log-prob (the CCNet/Gopher-style quality filter, unigram
+    // baseline). One token-keyed shuffle + one doc-keyed aggregation.
+    "q55_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(T(s, dir, "documents")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1146,6 +1152,19 @@ object SparkEntry {
         |SELECT doc_a, doc_b, hamming FROM (
         |  SELECT doc_a, doc_b, CAST(list_sum(list_transform(generate_series(1, 64),
         |    i -> CASE WHEN substring(sa, i, 1) = substring(sb, i, 1) THEN 0 ELSE 1 END)) AS INT) AS hamming
-        |  FROM cand) WHERE hamming <= 3""".stripMargin
+        |  FROM cand) WHERE hamming <= 3""".stripMargin,
+
+    // avg over ≤10² ln-doubles round(6)-matches (same parity class as
+    // q11/q12's per-user means); counts stay exact integers
+    "q55_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, t.tk
+        |              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |                   UNNEST(w) AS t(tk)),
+        |vocab AS (SELECT tk, COUNT(*) AS c FROM toks GROUP BY tk),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM vocab)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logp
+        |FROM toks JOIN vocab USING (tk), tot
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -72,4 +72,34 @@ object TextOps {
     * portable to the SQL oracle). */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(stripPunctuation(lower(c)), " +", " ")))
+
+  /** Corpus-level unigram LM scoring — the perplexity quality filter of
+    * large-scale training-data pipelines (CCNet/Gopher style): documents
+    * whose mean token log-probability is far below the corpus norm are
+    * boilerplate/noise candidates. A unigram model is the deterministic,
+    * SQL-replayable baseline; the pipeline shape (estimate on the corpus,
+    * score each document) is what a KenLM-grade model would drop into.
+    *
+    * Returns (doc_id, n_tokens, avg_logp) with avg_logp = round-6 mean of
+    * ln P̂(token); P̂ is corpus MLE, so every scored token is in-vocab by
+    * construction (no smoothing needed).
+    *
+    * Scale shape: vocab is ONE hash-aggregation keyed by token (map-side
+    * partial combine collapses hot tokens before the exchange); scoring
+    * re-shuffles the token stream once onto the same key where the
+    * equi-join meets it (hot-token skew is AQE's skew-join case), then
+    * one aggregation keyed by doc. The corpus total rides a broadcast
+    * 1-row aggregate. No driver-side state, vocab never collected. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tk"))
+    val vocab = toks.groupBy("tk").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").cast("double").as("n_total"))
+    toks.join(vocab, Seq("tk"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n_total"))), 6).as("avg_logp"))
+  }
 }

@@ -114,6 +114,18 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
   }
 
+  test("unigramLogProb scores hand-computed corpus MLE log-probs") {
+    // corpus: tokens a:2 b:2 c:1, total 5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: mean(ln .4, ln .4, ln .4) = ln .4 ; doc 2: (ln .4 + ln .2)/2
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - math.log(0.4)) < 1e-6)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
+  }
+
   test("SPARQL source replays fixtures through the executor-side transport (S4)") {
     val fixture: SparqlSource.Transport = (_, q, _) =>
       s"""{"results":{"bindings":[{"uri":{"value":"http://dbpedia.org/resource/$q"},"label":{"value":"Label $q"}}]}}"""
