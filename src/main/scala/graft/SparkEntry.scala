@@ -692,7 +692,17 @@ object SparkEntry {
     // token log-prob (the CCNet/Gopher-style quality filter, unigram
     // baseline). One token-keyed shuffle + one doc-keyed aggregation.
     "q55_unigram_logprob" -> ((s, dir) =>
-      TextOps.unigramLogProb(T(s, dir, "documents")))
+      TextOps.unigramLogProb(T(s, dir, "documents"))),
+
+    // exposure→outcome interval label join (view→click attribution
+    // within 30 min) — batch form of the watermarked stream-stream join;
+    // StreamingAndPipelineSpec pins stream == batch on the same pairs
+    "q56_label_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.stream.EventStreams.labelJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "30 minutes")
+    })
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1165,6 +1175,14 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |       ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logp
         |FROM toks JOIN vocab USING (tk), tot
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    "q56_label_join" ->
+      """SELECT e.event_id AS exposure_id, o.event_id AS outcome_id, e.user_id,
+        |       epoch_ms(o.ts) - epoch_ms(e.ts) AS lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'view') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') o
+        |  ON e.user_id = o.user_id
+        | AND o.ts > e.ts AND o.ts <= e.ts + INTERVAL 30 MINUTE""".stripMargin
   )
 }

@@ -55,6 +55,34 @@ object EventStreams {
     else events.dropDuplicates(keys)
   }
 
+  /** Exposure→outcome interval label join — the attribution join of a
+    * training-data pipeline (impression→click, send→open, …): emit every
+    * (exposure, outcome) pair from the same user where the outcome lands
+    * strictly after the exposure and within `horizon` of it. The pair
+    * stream is what a labeler aggregates into positives; exposures that
+    * never pair are the negatives (batch: left_anti against these pairs).
+    *
+    * Batch and streaming share this entry point. When both inputs
+    * stream, pass `watermark`: Spark requires watermarks plus the
+    * time-interval condition to bound stream-stream join state — each
+    * side's buffer evicts once it falls `watermark + horizon` behind the
+    * stream, so state is bounded regardless of run length. At scale the
+    * join shuffles both sides on user_id only (the time predicate is
+    * evaluated within the key group). */
+  def labelJoin(exposures: DataFrame, outcomes: DataFrame, horizon: String,
+                watermark: Option[String] = None): DataFrame = {
+    val e = watermark.fold(exposures)(w => exposures.withWatermark("ts", w))
+      .select(col("event_id").as("exposure_id"), col("user_id"), col("ts").as("exp_ts"))
+    val o = watermark.fold(outcomes)(w => outcomes.withWatermark("ts", w))
+      .select(col("event_id").as("outcome_id"), col("user_id").as("__ou"), col("ts").as("out_ts"))
+    e.join(o, col("user_id") === col("__ou")
+        && col("out_ts") > col("exp_ts")
+        && col("out_ts") <= col("exp_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("exposure_id"), col("outcome_id"), col("user_id"),
+        (unix_millis(col("out_ts").cast("timestamp")) -
+          unix_millis(col("exp_ts").cast("timestamp"))).as("lag_ms"))
+  }
+
   /** Shared batch/stream transform: tumbling (or sliding) window
     * aggregation with an event-time watermark when streaming. */
   def windowedAgg(events: DataFrame, windowLen: String, slide: Option[String] = None,

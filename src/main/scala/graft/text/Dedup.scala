@@ -114,26 +114,31 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit
     * string (portable; avoids signed-int hex pitfalls). Bit j of a
-    * token is bit (3 - j%4) of hex digit j/4 of md5(token). */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    // Shuffle-lean formulation: explode per HEX DIGIT (16/token, not
-    // 64/token), partially aggregate (doc, pos, digit) counts — the
-    // shuffle then carries at most |docs|×16×16 rows — and expand each
-    // digit count into its 4 bit contributions after the exchange.
-    // Integer-identical to summing ±1 per (token, bit).
+    * token is bit (3 - j%4) of hex digit j/4 of md5(token).
+    *
+    * One-pass formulation: 64 integer `sum` columns ride a single
+    * partial-aggregated groupBy over the token stream, so the only
+    * exchange carries |docs| rows of 64 longs — no per-bit explode ever
+    * materializes (the previous (doc, pos, digit) three-stage shape
+    * shuffled ~20× more rows and was the whole cost of q17/q54).
+    * Integer-identical to summing ±1 per (token, bit). */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // hex digits decoded once per token (16 convs), then each of the 64
+    // bit sums is a shift-and-mask off its digit — contribution ±1
+    val digits = (0 until 16).map(d =>
+      expr(s"cast(conv(substring(h, ${d + 1}, 1), 16, 10) as int)").as(s"d$d"))
+    val bitSums = (0 until 64).map { j =>
+      val shift = 1 << (3 - j % 4)
+      sum(expr(s"(d${j / 4} div $shift) % 2 * 2 - 1")).as(s"s$j")
+    }
+    val bitChars = (0 until 64).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
     docs.select(col("doc_id"), explode(split(lower(col(textCol)), " ")).as("tk"))
       .withColumn("h", md5(col("tk")))
-      .withColumn("pos", explode(sequence(lit(0), lit(15))))
-      .withColumn("digit", expr("cast(conv(substring(h, pos + 1, 1), 16, 10) as int)"))
-      .groupBy("doc_id", "pos", "digit").agg(count(lit(1)).as("c"))
-      .withColumn("b", explode(sequence(lit(0), lit(3))))
-      .select(col("doc_id"), (col("pos") * 4 + col("b")).as("j"),
-        (col("c") * (expr("(digit div cast(pow(2, 3 - b) as int)) % 2") * 2 - 1)).as("sgn_part"))
-      .groupBy("doc_id", "j").agg(sum("sgn_part").as("sgn"))
+      .select(col("doc_id") +: digits: _*)
       .groupBy("doc_id")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(j, CASE WHEN sgn > 0 THEN '1' ELSE '0' END AS c))), x -> x.c), '')")
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), concat(bitChars: _*).as("simhash"))
+  }
 
   /** SimHash near-duplicate pairs: banded Hamming-distance join over
     * the 64-bit fingerprints of [[simhash]] — the missing half of the

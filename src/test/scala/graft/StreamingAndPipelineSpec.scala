@@ -106,6 +106,40 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("labelJoin: watermarked stream-stream interval join == batch on the same pairs") {
+    import EventStreams.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(min: Long) = new java.sql.Timestamp((1000 + min) * 60000)
+    val views = Seq(
+      Event(10, m(0), 1L, "view", 0.0), Event(11, m(40), 1L, "view", 0.0),
+      Event(12, m(0), 2L, "view", 0.0))
+    val clicks = Seq(
+      Event(20, m(10), 1L, "click", 1.0), // pairs with 10 (lag 10 min)
+      Event(21, m(45), 1L, "click", 1.0), // pairs with 11 only (45 > 30 from 10's view)
+      Event(22, m(200), 2L, "click", 1.0)) // beyond horizon for 12
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batch = EventStreams.labelJoin(
+      views.toDS().toDF(), clicks.toDS().toDF(), "30 minutes").collect().map(key).toSet
+    assert(batch.map(p => (p._1, p._2)) == Set((10L, 20L), (11L, 21L)))
+    assert(batch.forall { case (_, _, _, lag) => lag > 0 && lag <= 30 * 60000 })
+
+    val vIn = MemoryStream[Event]; val cIn = MemoryStream[Event]
+    val q = EventStreams.labelJoin(vIn.toDS().toDF(), cIn.toDS().toDF(),
+        "30 minutes", watermark = Some("10 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("labeljoin").start()
+    try {
+      // outcomes arrive across triggers; inner-join state held under the
+      // watermark + horizon bound pairs them when both sides are present
+      vIn.addData(views: _*)
+      q.processAllAvailable()
+      cIn.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("labeljoin").collect().map(key).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("multimodal plumbing: deterministic stub features, frame sampling") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
