@@ -702,6 +702,15 @@ object SparkEntry {
       graft.stream.EventStreams.labelJoin(
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"), "30 minutes")
+    }),
+
+    // training-set assembly over the label join: one row per exposure,
+    // binary label, match count, earliest-outcome lag (null on negatives)
+    "q57_labeled_exposures" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.stream.EventStreams.labeledExposures(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "30 minutes")
     })
   )
 
@@ -1183,6 +1192,21 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'view') e
         |JOIN (SELECT * FROM events WHERE event_type = 'click') o
         |  ON e.user_id = o.user_id
-        | AND o.ts > e.ts AND o.ts <= e.ts + INTERVAL 30 MINUTE""".stripMargin
+        | AND o.ts > e.ts AND o.ts <= e.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    "q57_labeled_exposures" ->
+      """WITH pairs AS (
+        |  SELECT e.event_id AS exposure_id, COUNT(*) AS n_outcomes,
+        |         MIN(epoch_ms(o.ts) - epoch_ms(e.ts)) AS first_lag_ms
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') e
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') o
+        |    ON e.user_id = o.user_id
+        |   AND o.ts > e.ts AND o.ts <= e.ts + INTERVAL 30 MINUTE
+        |  GROUP BY 1)
+        |SELECT v.event_id AS exposure_id, v.user_id, epoch_ms(v.ts) AS exp_ms,
+        |       CASE WHEN p.n_outcomes IS NULL THEN 0 ELSE 1 END AS label,
+        |       COALESCE(p.n_outcomes, 0) AS n_outcomes, p.first_lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN pairs p ON p.exposure_id = v.event_id""".stripMargin
   )
 }

@@ -83,6 +83,26 @@ object EventStreams {
           unix_millis(col("exp_ts").cast("timestamp"))).as("lag_ms"))
   }
 
+  /** Training-set assembly over [[labelJoin]]: one row per exposure with
+    * a binary label — 1 if ANY outcome landed within the horizon, else 0
+    * — plus the match count and the earliest-outcome lag (null on
+    * negatives). Batch form of the labeler that closes the
+    * exposure→outcome pipeline; the left join keeps every negative, which
+    * is most of the training set. */
+  def labeledExposures(exposures: DataFrame, outcomes: DataFrame,
+                       horizon: String): DataFrame = {
+    val pairs = labelJoin(exposures, outcomes, horizon)
+      .groupBy(col("exposure_id"))
+      .agg(count(lit(1)).as("n_outcomes"), min("lag_ms").as("first_lag_ms"))
+    exposures.select(col("event_id").as("exposure_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("exp_ms"))
+      .join(pairs, Seq("exposure_id"), "left")
+      .select(col("exposure_id"), col("user_id"), col("exp_ms"),
+        when(col("n_outcomes").isNull, 0).otherwise(1).as("label"),
+        coalesce(col("n_outcomes"), lit(0L)).as("n_outcomes"),
+        col("first_lag_ms"))
+  }
+
   /** Shared batch/stream transform: tumbling (or sliding) window
     * aggregation with an event-time watermark when streaming. */
   def windowedAgg(events: DataFrame, windowLen: String, slide: Option[String] = None,

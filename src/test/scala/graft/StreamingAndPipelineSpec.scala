@@ -140,6 +140,25 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("labeledExposures: binary labels, counts, earliest lag; negatives kept") {
+    import EventStreams.Event
+    def m(min: Long) = new java.sql.Timestamp((1000 + min) * 60000)
+    val views = Seq(
+      Event(10, m(0), 1L, "view", 0.0),   // two clicks inside horizon
+      Event(11, m(40), 1L, "view", 0.0),  // one click (lag 5 min)
+      Event(12, m(0), 2L, "view", 0.0))   // negative
+    val clicks = Seq(
+      Event(20, m(10), 1L, "click", 1.0), Event(21, m(20), 1L, "click", 1.0),
+      Event(22, m(45), 1L, "click", 1.0), Event(23, m(200), 2L, "click", 1.0))
+    val out = EventStreams.labeledExposures(
+        views.toDS().toDF(), clicks.toDS().toDF(), "30 minutes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(3), r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(out(10L) == ((1, 2L, 10 * 60000L))) // clicks 20/21 in horizon; 22 (min 45) out
+    assert(out(11L) == ((1, 1L, 5 * 60000L)))
+    assert(out(12L) == ((0, 0L, -1L))) // negative row kept, null lag
+  }
+
   test("multimodal plumbing: deterministic stub features, frame sampling") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
