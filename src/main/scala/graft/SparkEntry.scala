@@ -711,6 +711,18 @@ object SparkEntry {
       graft.stream.EventStreams.labeledExposures(
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"), "30 minutes")
+    }),
+
+    // negative downsampling over the labeled exposures: class-0 rows
+    // hash-Bernoulli'd at 50%, positives untouched — deterministic
+    // (md5-prefix threshold), shuffle-free, oracle-replayable
+    "q58_downsample_negatives" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val labeled = graft.stream.EventStreams.labeledExposures(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "30 minutes")
+      graft.util.Sampling.downsampleClass(
+        labeled, "label", 0, keep = 0.5, seed = 42L, keyCols = Seq("exposure_id"))
     })
   )
 
@@ -1207,6 +1219,27 @@ object SparkEntry {
         |       CASE WHEN p.n_outcomes IS NULL THEN 0 ELSE 1 END AS label,
         |       COALESCE(p.n_outcomes, 0) AS n_outcomes, p.first_lag_ms
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
-        |LEFT JOIN pairs p ON p.exposure_id = v.event_id""".stripMargin
+        |LEFT JOIN pairs p ON p.exposure_id = v.event_id""".stripMargin,
+
+    // same labeled CTE as q57, then the md5-prefix Bernoulli gate on
+    // class 0: floor(0.5 * 2^32) = 0x80000000
+    "q58_downsample_negatives" ->
+      """WITH pairs AS (
+        |  SELECT e.event_id AS exposure_id, COUNT(*) AS n_outcomes,
+        |         MIN(epoch_ms(o.ts) - epoch_ms(e.ts)) AS first_lag_ms
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') e
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') o
+        |    ON e.user_id = o.user_id
+        |   AND o.ts > e.ts AND o.ts <= e.ts + INTERVAL 30 MINUTE
+        |  GROUP BY 1),
+        |labeled AS (
+        |  SELECT v.event_id AS exposure_id, v.user_id, epoch_ms(v.ts) AS exp_ms,
+        |         CASE WHEN p.n_outcomes IS NULL THEN 0 ELSE 1 END AS label,
+        |         COALESCE(p.n_outcomes, 0) AS n_outcomes, p.first_lag_ms
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |  LEFT JOIN pairs p ON p.exposure_id = v.event_id)
+        |SELECT * FROM labeled
+        |WHERE label <> 0
+        |   OR substring(md5(CAST(exposure_id AS VARCHAR) || '|42'), 1, 8) < '80000000'""".stripMargin
   )
 }

@@ -28,6 +28,23 @@ class ScaleJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-Bernoulli sampling: deterministic, rate-accurate, class-preserving") {
+    import graft.util.Sampling
+    val df = (1L to 10000L).map(i => (i, if (i % 100 == 0) 1 else 0)).toDF("id", "label")
+    val kept = Sampling.bernoulli(df, 0.5, 42L, Seq("id"))
+    val n = kept.count()
+    assert(math.abs(n - 5000L) < 300, s"expected ~5000 of 10000 at keep=0.5, got $n")
+    // pure function of (key, seed): same call -> identical membership
+    assert(Sampling.bernoulli(df, 0.5, 42L, Seq("id")).collect().toSet == kept.collect().toSet)
+    // different seed -> different membership (overwhelmingly)
+    assert(Sampling.bernoulli(df, 0.5, 43L, Seq("id")).collect().toSet != kept.collect().toSet)
+    // class downsample keeps EVERY positive, samples only negatives
+    val ds = Sampling.downsampleClass(df, "label", 0, 0.25, 7L, Seq("id"))
+    assert(ds.filter($"label" === 1).count() == 100)
+    val negs = ds.filter($"label" === 0).count()
+    assert(math.abs(negs - 2475L) < 250, s"expected ~2475 negatives at keep=0.25, got $negs")
+  }
+
   test("salted join equals the plain join and spreads hot keys") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong % 100, i))
       .toDF("k", "v") // key 1 is hot
