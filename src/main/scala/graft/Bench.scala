@@ -27,15 +27,32 @@ object Bench {
     // massive speedup — fail loudly instead
     require(only.isEmpty || selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matched no query name")
+    // wall time is the graded metric, but this box is a shared-host VM
+    // with bursty CPU steal (observed 1.7× swings between back-to-back
+    // identical runs): record process-CPU seconds and GC ms per query
+    // alongside, so a wall blowup with flat cpuSec reads as host noise,
+    // not a plan regression.
+    import scala.jdk.CollectionConverters._
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case s: com.sun.management.OperatingSystemMXBean => s.getProcessCpuTime
+      case _ => 0L
+    }
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results =
       if (sys.env.get("SPARK_GRAFT_QUERIES").contains("0")) Seq.empty // headline-only debug runs
       else selected
         .map { case (name, fn) =>
-        val t0 = System.nanoTime()
+        val t0 = System.nanoTime(); val c0 = cpuNanos; val g0 = gcMs
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, gcMs - g0)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val qsGc = results.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -81,7 +98,7 @@ object Bench {
       Map("transe_fold_sec" -> t, "node2vec_fold_sec" -> n)
     }
     val hl = headline.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline":$hl,"baseline_transe_fold_sec":23.94,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpuSec":$qsCpu,"queriesGcMs":$qsGc,"headline":$hl,"baseline_transe_fold_sec":23.94,"sf":"$sfDir"}"""
     println(json)
     // sbt's logger prefixes both stdout ("[info] ") and stderr
     // ("[error] "), which broke the driver's JSON parse (BENCH_r01

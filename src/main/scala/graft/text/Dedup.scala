@@ -64,8 +64,19 @@ object Dedup {
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
                  threshold: Double, fatMaxDocs: Long = 200000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val bandMins = (0 until nBands).map(b =>
-      min(md5(concat(lit(s"$b|"), col("s")))).as(s"h$b"))
+    require(nBands >= 1 && nBands <= 16, s"nBands must be in [1,16], got $nBands")
+    // ONE md5 per shingle; band b's hash is the hex string rotated left by
+    // 2b chars — the standard slice-one-strong-hash trick (md5 hex chars
+    // are independent uniform nibbles, so each rotation induces an
+    // effectively independent ordering, and the full 128 bits survive in
+    // every band: no collision-space shrink at scale). Cuts the map-side
+    // hash work nBands× vs hashing (band|shingle) per band.
+    def rot(b: Int) =
+      if (b == 0) col("__mh")
+      else concat(substring(col("__mh"), 2 * b + 1, 32 - 2 * b),
+        substring(col("__mh"), 1, 2 * b))
+    val bandMins = (0 until nBands).map(b => min(rot(b)).as(s"h$b"))
+    def withH(sh: DataFrame): DataFrame = sh.withColumn("__mh", md5(col("s")))
     def bucketPairs(sig: DataFrame): DataFrame = {
       val stacked = sig.selectExpr("doc_id",
         s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
@@ -86,19 +97,29 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // materialize the (tiny) pair table before releasing working sets —
-    // iterative/bench sessions must not accumulate them
+    // iterative/bench sessions must not accumulate them.
+    //
+    // Persisted intermediates are materialized EAGERLY (count() right
+    // after persist) because each is scanned 2-4× downstream (both sides
+    // of the bucket self-join, both sides of the verification join): a
+    // lazy persist lets one action schedule those scans concurrently
+    // BEFORE the cache populates, recomputing the whole shingle+hash
+    // aggregation per scan — measured 4-8× wall blowup at sf0.1.
     if (docs.count() <= fatMaxDocs) {
       val aggs = bandMins :+ collect_list(col("s")).as("sset")
-      val sig = shingles(docs, shingleK).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val sig = withH(shingles(docs, shingleK)).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      sig.count()
       val out = verified(bucketPairs(sig), sig)
       out.count()
       sig.unpersist(blocking = false)
       out
     } else {
       val sh = shingles(docs, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
-      val sig = sh.groupBy("doc_id").agg(bandMins.head, bandMins.tail: _*)
+      sh.count()
+      val sig = withH(sh).groupBy("doc_id").agg(bandMins.head, bandMins.tail: _*)
       val pairs = bucketPairs(sig).persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       // shingle sets for candidate docs only (either side of any pair)
       val candDocs = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
