@@ -740,7 +740,28 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"), "30 minutes")
       graft.util.Sampling.downsampleClass(
         labeled, "label", 0, keep = 0.5, seed = 42L, keyCols = Seq("exposure_id"))
-    })
+    }),
+
+    // O5/F6 under the hash check: the full SPARQL map-query BUILDER
+    // (prefix block + typed UNION branches + regex/category template
+    // substitution) materialized as text per item row — the oracle
+    // reconstructs the exact string independently
+    "q59_sparql_query_text" -> ((s, dir) =>
+      graft.etl.Datasets.MovieLens100k.mapQueries(
+        T(s, dir, "part").filter(col("p_partkey") < 100)
+          .select(col("p_partkey").as("item_id"),
+            col("p_name").as("movie_title"),
+            (lit(1970) + col("p_size") % 50).cast("string").as("movie_year"))).get),
+
+    // BM25 keyword extraction over whole-corpus (tf, df, dl) statistics
+    "q60_bm25_keywords" -> ((s, dir) =>
+      graft.text.Keywords.bm25Keywords(T(s, dir, "documents"), 3)
+        .filter(col("doc_id") < 300)),
+
+    // fixed-block sequence packing via the decomposed global prefix sum
+    // (groupWidth forced small so the two-level path really executes)
+    "q61_sequence_pack" -> ((s, dir) =>
+      graft.prep.SequencePack.pack(T(s, dir, "documents"), 512, groupWidth = 256L))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1259,6 +1280,71 @@ object SparkEntry {
         |  LEFT JOIN pairs p ON p.exposure_id = v.event_id)
         |SELECT * FROM labeled
         |WHERE label <> 0
-        |   OR substring(md5(CAST(exposure_id AS VARCHAR) || '|42'), 1, 8) < '80000000'""".stripMargin
+        |   OR substring(md5(CAST(exposure_id AS VARCHAR) || '|42'), 1, 8) < '80000000'""".stripMargin,
+
+    // the oracle reconstructs the builder's exact output text from a
+    // sentinel template: NAMEREGEXSENTINEL <- regex form of the title
+    // (spaces -> .*), YEARSENTINEL <- the category year
+    "q59_sparql_query_text" ->
+      """WITH tpl AS (SELECT 'PREFIX dct:  <http://purl.org/dc/terms/>
+        |PREFIX dbo:  <http://dbpedia.org/ontology/>
+        |PREFIX dbr:  <http://dbpedia.org/resource/>
+        |PREFIX rdf:  <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        |SELECT DISTINCT ?film WHERE {
+        |{
+        |  ?film rdf:type dbo:Film .
+        |  ?film dct:subject dbr:Category:YEARSENTINEL_films .
+        |  ?film rdfs:label ?label .
+        |  FILTER regex(?label, "^NAMEREGEXSENTINEL", "i")
+        |}
+        |UNION
+        |{
+        |  ?film rdf:type dbo:Film .
+        |  ?film dct:subject dbr:Category:YEARSENTINEL_films .
+        |  ?tmp dbo:wikiPageRedirects ?film .
+        |  ?tmp rdfs:label ?label .
+        |  FILTER regex(?label, "^NAMEREGEXSENTINEL", "i") .
+        |}
+        |}' AS t)
+        |SELECT p_partkey AS item_id,
+        |  replace(replace(t, 'NAMEREGEXSENTINEL', replace(p_name, ' ', '.*')),
+        |          'YEARSENTINEL', CAST(1970 + p_size % 50 AS VARCHAR)) AS query,
+        |  'http://dbpedia.org/resource/' || p_name AS expected
+        |FROM part, tpl WHERE p_partkey < 100""".stripMargin,
+
+    "q60_bm25_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |       UNNEST(w) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+        |         (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * s.n / s.tot))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |           FROM scored)
+        |SELECT doc_id, term, tf, df, ROUND(score, 6) AS score, rank
+        |FROM ranked WHERE rank <= 3 AND doc_id < 300""".stripMargin,
+
+    "q61_sequence_pack" ->
+      """WITH cnt AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |      FROM cnt)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 512 AS block_id, start_off % 512 AS block_off,
+        |  ((start_off + GREATEST(n_tokens, 1) - 1) // 512) <> (start_off // 512) AS spans_blocks
+        |FROM c""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.prep.SequencePack
+import graft.text.Keywords
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KeywordsAndPackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25Keywords: hand-computed scores, global df, deterministic ties") {
+    // corpus: 3 docs; "rare" appears only in doc 0 and must outscore the
+    // ubiquitous "the" there despite equal tf
+    val docs = Seq(
+      (0L, "the rare term the"),
+      (1L, "the common words here"),
+      (2L, "the common words again and again")
+    ).toDF("doc_id", "text")
+    val out = Keywords.bm25Keywords(docs, 2)
+      .orderBy("doc_id", "rank").collect()
+
+    // corpus stats: N=3, totTok=4+4+6=14
+    val n = 3.0; val tot = 14.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def norm(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n / tot))
+    def score(tf: Double, df: Double, dl: Double) =
+      BigDecimal(idf(df) * norm(tf, dl)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val doc0 = out.filter(_.getLong(0) == 0L)
+    assert(doc0.map(_.getString(1)).toSeq == Seq("rare", "term")) // "the" (df=3) loses
+    assert(doc0.head.getDouble(4) == score(1, 1, 4))
+    // doc 2: "again" tf=2 df=1 dominates; "and" (df=1) outranks the
+    // df=2 terms on idf
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.map(_.getString(1)).toSeq == Seq("again", "and"))
+    assert(doc2.head.getDouble(4) == score(2, 1, 6))
+    // ties break on term ascending: doc 1 has four tf=1 terms; "common"
+    // and "words" (df=2) tie below "here" (df=1)
+    val doc1 = out.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq
+    assert(doc1 == Seq("here", "common"))
+  }
+
+  test("sequencePack: offsets are the exact global prefix sum across group boundaries") {
+    // groupWidth=2 forces multiple groups; blockSize=5 forces straddles
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, ""), (4L, "j k")
+    ).toDF("doc_id", "text")
+    val out = SequencePack.pack(docs, 5, groupWidth = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_off", "block_id", "block_off", "spans_blocks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+
+    assert(out(0) == (0L, 3L, 0L, 0L, 0L, false))
+    assert(out(1) == (1L, 2L, 3L, 0L, 3L, false)) // tokens 3..4 fit block 0
+    assert(out(2) == (2L, 4L, 5L, 1L, 0L, false))
+    assert(out(3) == (3L, 0L, 9L, 1L, 4L, false)) // empty doc: point-like
+    assert(out(4) == (4L, 2L, 9L, 1L, 4L, true))  // tokens 9..10 straddle
+  }
+
+  test("sequencePack: two-level decomposition equals a single global cumsum") {
+    val docs = (0L until 300L).map(i => (i, ("w " * (i % 7).toInt).trim)).toDF("doc_id", "text")
+    val packed = SequencePack.pack(docs, 64, groupWidth = 16L)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    for ((id, off) <- packed) {
+      assert(off == acc, s"doc $id")
+      acc += (id % 7) // token count of doc id
+    }
+  }
+}
