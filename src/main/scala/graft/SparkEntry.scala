@@ -47,8 +47,16 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def tsSplit(s: SparkSession, dir: String): DataFrame = {
     val key = (System.identityHashCode(s), dir)
-    // guard against identity-hash reuse across stopped test sessions
-    tsSplitMemo.get(key).filter(_.sparkSession eq s).getOrElse {
+    // identity guard (hash reuse across stopped test sessions) + storage
+    // guard (clearCache() drops the cache but not the memo — re-persist
+    // so memo hits never degrade to recompute-per-scan)
+    tsSplitMemo.get(key).filter(_.sparkSession eq s).map { df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
+      df
+    }.getOrElse {
       val df = EdgeSplits.timestampByRatio(Tables.ratings(s, dir), 0.2, "user")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
@@ -761,7 +769,18 @@ object SparkEntry {
     // fixed-block sequence packing via the decomposed global prefix sum
     // (groupWidth forced small so the two-level path really executes)
     "q61_sequence_pack" -> ((s, dir) =>
-      graft.prep.SequencePack.pack(T(s, dir, "documents"), 512, groupWidth = 256L))
+      graft.prep.SequencePack.pack(T(s, dir, "documents"), 512, groupWidth = 256L)),
+
+    // train->eval n-gram containment (decontamination gate): last tenth
+    // of the corpus checked against the rest
+    "q62_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // scale-independent holdout boundary (one skinny agg, inlined)
+      val cut = docs.agg(max("doc_id")).head().getLong(0) * 9L / 10L
+      graft.text.Contamination.containment(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut), 3)
+    })
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1345,6 +1364,22 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_off,
         |  start_off // 512 AS block_id, start_off % 512 AS block_off,
         |  ((start_off + GREATEST(n_tokens, 1) - 1) // 512) <> (start_off // 512) AS spans_blocks
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q62_contamination" ->
+      """WITH cut AS (SELECT MAX(doc_id) * 9 // 10 AS c FROM documents),
+        |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |            UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        |       WHERE len(w) >= 3
+        |       GROUP BY 1, 2),
+        |train_sh AS (SELECT DISTINCT s FROM sh, cut WHERE doc_id <= c),
+        |eval_sh AS (SELECT doc_id, s FROM sh, cut WHERE doc_id > c),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM eval_sh GROUP BY 1),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM eval_sh
+        |        WHERE s IN (SELECT s FROM train_sh) GROUP BY 1)
+        |SELECT c.doc_id, c.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+        |       ROUND(COALESCE(h.n_hit, 0) * 1.0 / c.n_shingles, 6) AS containment
+        |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin
   )
 }

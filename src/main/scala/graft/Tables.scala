@@ -20,23 +20,42 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Rating edges derived from orders ⋈ lineitem (shuffle join on
-    * orderkey, then a partial-aggregated groupBy on (user, item)). */
+    * orderkey, then a partial-aggregated groupBy on (user, item)).
+    *
+    * Persisted AND eagerly materialized once per (session, dir): several
+    * consumers scan the view 2-3× inside a single action (triple export
+    * unions, anti-join recommenders), and a lazy persist lets those
+    * scans race the cache population, each recomputing the join. */
+  private val ratingsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   def ratings(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
-    val l = t(spark, dir, "lineitem")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(
-        o("o_custkey").as("user_id"),
-        l("l_partkey").as("item_id"),
-        least(lit(5), lit(1) + floor((l("l_quantity") - 1) / 10)).cast("double").as("rating"),
-        unix_millis(l("l_shipdate").cast("timestamp")).as("ts")) // NTZ -> UTC instant (session TZ is UTC)
-      .groupBy("user_id", "item_id")
-      .agg(max("rating").as("rating"), max("ts").as("ts"))
-      // persist: every recommender-graph query starts from this view, and
-      // Spark's CacheManager matches it by canonicalized plan across
-      // separate query invocations in the same session (repeat persist
-      // calls on the same plan are no-ops).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val key = (System.identityHashCode(spark), dir)
+    // identity guard: hash reuse across stopped test sessions.
+    // storage-level guard: a session-wide clearCache() (bench hygiene)
+    // drops the cache entry but not the memo — re-persist + re-materialize
+    // so memo hits never degrade to recompute-per-scan.
+    ratingsMemo.get(key).filter(_.sparkSession eq spark).map { df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
+      df
+    }.getOrElse {
+      val o = t(spark, dir, "orders")
+      val l = t(spark, dir, "lineitem")
+      val df = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(
+          o("o_custkey").as("user_id"),
+          l("l_partkey").as("item_id"),
+          least(lit(5), lit(1) + floor((l("l_quantity") - 1) / 10)).cast("double").as("rating"),
+          unix_millis(l("l_shipdate").cast("timestamp")).as("ts")) // NTZ -> UTC instant (session TZ is UTC)
+        .groupBy("user_id", "item_id")
+        .agg(max("rating").as("rating"), max("ts").as("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      ratingsMemo.put(key, df)
+      df
+    }
   }
 
   /** The events table carries TIMESTAMP(NANOS) which Spark's vectorized

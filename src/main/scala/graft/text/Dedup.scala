@@ -188,6 +188,7 @@ object Dedup {
     // band b covers bit positions [b*64/nBands, (b+1)*64/nBands) — integer
     // division so uneven band widths distribute deterministically
     val sig = simhash(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count() // eager: both self-join sides scan sig before a lazy cache fills
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(b AS b,
@@ -216,6 +217,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager: cnt + both join sides scan sh within one action
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -239,10 +241,19 @@ object Dedup {
     * pipeline. Documents in no pair form singleton clusters. */
   def clusters(spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
+    // Pregel pays per-partition machinery EVERY iteration (shuffle files,
+    // task scheduling, vertex/edge cache scans): on a near-dup graph of
+    // thousands of nodes spread over default parallelism that fixed cost
+    // dwarfs the actual CC work. Gate the partition count by edge count
+    // (~1M edges/partition) — at 100 TB the same formula yields full
+    // parallelism, so the gate only trims the small regime.
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (pairs.count() / 1000000L).toInt + 1))
     val edgeRdd = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())).coalesce(nParts)
     val vertexRdd = docs.select(col("doc_id").cast("long"))
-      .rdd.map(r => (r.getLong(0), ()))
+      .rdd.map(r => (r.getLong(0), ())).coalesce(nParts)
     val graph = Graph(vertexRdd, edgeRdd)
     val cc = graph.connectedComponents().vertices // (doc_id, min doc in component)
     val out = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })

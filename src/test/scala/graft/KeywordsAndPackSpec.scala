@@ -59,6 +59,26 @@ class KeywordsAndPackSpec extends AnyFunSuite {
     assert(out(4) == (4L, 2L, 9L, 1L, 4L, true))  // tokens 9..10 straddle
   }
 
+  test("containment: asymmetric n-gram leak detection with exact fractions") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta"),       // shingles: abc, bcd
+      (1L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta"),      // fully contained
+      (11L, "alpha beta gamma zeta"),       // 1 of 2 shingles hit
+      (12L, "totally novel text here"),     // zero hits
+      (13L, "xy")                           // < k tokens: omitted
+    ).toDF("doc_id", "text")
+    val out = graft.text.Contamination.containment(train, eval, 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (10L, 2L, 2L, 1.0),
+      (11L, 2L, 1L, 0.5),
+      (12L, 2L, 0L, 0.0)))
+  }
+
   test("sequencePack: two-level decomposition equals a single global cumsum") {
     val docs = (0L until 300L).map(i => (i, ("w " * (i % 7).toInt).trim)).toDF("doc_id", "text")
     val packed = SequencePack.pack(docs, 64, groupWidth = 16L)
