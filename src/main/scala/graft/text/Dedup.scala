@@ -202,8 +202,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .distinct() // a pair can match in several bands
-      .withColumn("hamming", expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      // codegen'd byte loop (graft.functions.HammingDist) — the HOF
+      // formulation allocated 2 single-char strings per bit per pair and
+      // dominated this query's CPU
+      .withColumn("hamming", graft.functions.HammingDist(col("sa"), col("sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .persist(StorageLevel.MEMORY_AND_DISK)

