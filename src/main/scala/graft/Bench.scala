@@ -72,12 +72,16 @@ object Bench {
     }
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val failed = scala.collection.mutable.Buffer.empty[String]
     val results =
       if (sys.env.get("SPARK_GRAFT_QUERIES").contains("0")) Seq.empty // headline-only debug runs
       else selected
         .map { case (name, fn) =>
         val t0 = System.nanoTime(); val c0 = cpuNanos; val g0 = gcMs
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (name, (System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, gcMs - g0)
       }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
@@ -143,7 +147,8 @@ object Bench {
         "node2vec_fold_sec" -> n, "node2vec_fold_run1_sec" -> n1, "node2vec_fold_run2_sec" -> n2)
     }
     val hl = headline.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpuSec":$qsCpu,"queriesGcMs":$qsGc,"headline":$hl,"baseline_transe_fold_sec":23.94,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpuSec":$qsCpu,"queriesGcMs":$qsGc,"failed":$failedJson,"headline":$hl,"baseline_transe_fold_sec":23.94,"sf":"$sfDir"}"""
     println(json)
     // sbt's logger prefixes both stdout ("[info] ") and stderr
     // ("[error] "), which broke the driver's JSON parse (BENCH_r01

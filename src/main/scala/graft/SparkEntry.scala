@@ -780,7 +780,13 @@ object SparkEntry {
       graft.text.Contamination.containment(
         docs.filter(col("doc_id") <= cut),
         docs.filter(col("doc_id") > cut), 3)
-    })
+    }),
+
+    // single-pass multi-column table profile (ANALYZE primitive):
+    // one Expand-fused aggregate, native-typed extrema
+    "q63_profile" -> ((s, dir) =>
+      graft.util.Profile.profile(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1380,6 +1386,20 @@ object SparkEntry {
         |        WHERE s IN (SELECT s FROM train_sh) GROUP BY 1)
         |SELECT c.doc_id, c.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
         |       ROUND(COALESCE(h.n_hit, 0) * 1.0 / c.n_shingles, 6) AS containment
-        |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin
+        |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+
+    "q63_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_orderkey) AS l_orderkey_nonnull, COUNT(DISTINCT l_orderkey) AS l_orderkey_distinct,
+        |  MIN(l_orderkey) AS l_orderkey_min, MAX(l_orderkey) AS l_orderkey_max,
+        |  COUNT(l_partkey) AS l_partkey_nonnull, COUNT(DISTINCT l_partkey) AS l_partkey_distinct,
+        |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
+        |  COUNT(l_quantity) AS l_quantity_nonnull, COUNT(DISTINCT l_quantity) AS l_quantity_distinct,
+        |  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
+        |  COUNT(l_returnflag) AS l_returnflag_nonnull, COUNT(DISTINCT l_returnflag) AS l_returnflag_distinct,
+        |  MIN(l_returnflag) AS l_returnflag_min, MAX(l_returnflag) AS l_returnflag_max,
+        |  COUNT(l_shipdate) AS l_shipdate_nonnull, COUNT(DISTINCT l_shipdate) AS l_shipdate_distinct,
+        |  MIN(l_shipdate) AS l_shipdate_min, MAX(l_shipdate) AS l_shipdate_max
+        |FROM lineitem""".stripMargin
   )
 }

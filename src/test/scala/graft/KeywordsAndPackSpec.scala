@@ -59,6 +59,20 @@ class KeywordsAndPackSpec extends AnyFunSuite {
     assert(out(4) == (4L, 2L, 9L, 1L, 4L, true))  // tokens 9..10 straddle
   }
 
+  test("profile: one-row stats with nulls, exact distincts, typed extrema") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(1L), None, Some(-1.0)),
+      (Some(3L), Some("b"), None)
+    ).toDF("k", "s", "v")
+    val r = graft.util.Profile.profile(df, Seq("k", "s", "v")).collect().head
+    val m = r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap
+    assert(m("n_rows") == 3L)
+    assert(m("k_nonnull") == 3L && m("k_distinct") == 2L && m("k_min") == 1L && m("k_max") == 3L)
+    assert(m("s_nonnull") == 2L && m("s_distinct") == 2L && m("s_min") == "a" && m("s_max") == "b")
+    assert(m("v_nonnull") == 2L && m("v_distinct") == 2L && m("v_min") == -1.0 && m("v_max") == 2.5)
+  }
+
   test("containment: asymmetric n-gram leak detection with exact fractions") {
     val train = Seq(
       (0L, "alpha beta gamma delta"),       // shingles: abc, bcd
