@@ -59,6 +59,13 @@ class KeywordsAndPackSpec extends AnyFunSuite {
     assert(out(4) == (4L, 2L, 9L, 1L, 4L, true))  // tokens 9..10 straddle
   }
 
+  test("bm25Keywords: empty corpus yields the schema with zero rows, no NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Keywords.bm25Keywords(empty, 3)
+    assert(out.columns.toSeq == Seq("doc_id", "term", "tf", "df", "score", "rank"))
+    assert(out.count() == 0L)
+  }
+
   test("profile: one-row stats with nulls, exact distincts, typed extrema") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
