@@ -60,8 +60,14 @@ object SparkEntry {
       val df = EdgeSplits.timestampByRatio(Tables.ratings(s, dir), 0.2, "user")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
-      tsSplitMemo.put(key, df)
-      df
+      // atomic insert mirroring Tables.ratings: racer's copy wins,
+      // loser unpersists; stale same-hash entries are replaced
+      tsSplitMemo.putIfAbsent(key, df) match {
+        case Some(prev) if prev.sparkSession eq s =>
+          df.unpersist(blocking = false); prev
+        case Some(_) => tsSplitMemo.put(key, df); df
+        case None => df
+      }
     }
   }
 
@@ -775,8 +781,10 @@ object SparkEntry {
     // of the corpus checked against the rest
     "q62_contamination" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      // scale-independent holdout boundary (one skinny agg, inlined)
-      val cut = docs.agg(max("doc_id")).head().getLong(0) * 9L / 10L
+      // scale-independent holdout boundary (one skinny agg, inlined);
+      // empty table -> NULL max -> cut 0 (both splits empty, no NPE)
+      val maxRow = docs.agg(max("doc_id")).head()
+      val cut = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) * 9L / 10L
       graft.text.Contamination.containment(
         docs.filter(col("doc_id") <= cut),
         docs.filter(col("doc_id") > cut), 3)

@@ -53,8 +53,15 @@ object Tables {
         .agg(max("rating").as("rating"), max("ts").as("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
-      ratingsMemo.put(key, df)
-      df
+      // atomic insert: a stale same-hash entry (stopped session) is
+      // replaced; a concurrent racer's fresh copy wins and this one
+      // unpersists — no cache entry leaks untracked
+      ratingsMemo.putIfAbsent(key, df) match {
+        case Some(prev) if prev.sparkSession eq spark =>
+          df.unpersist(blocking = false); prev
+        case Some(_) => ratingsMemo.put(key, df); df // stale loser: replace
+        case None => df
+      }
     }
   }
 

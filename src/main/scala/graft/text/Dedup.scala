@@ -246,16 +246,18 @@ object Dedup {
     // Pregel pays per-partition machinery EVERY iteration (shuffle files,
     // task scheduling, vertex/edge cache scans): on a near-dup graph of
     // thousands of nodes spread over default parallelism that fixed cost
-    // dwarfs the actual CC work. Gate the partition count by edge count
-    // (~1M edges/partition) — at 100 TB the same formula yields full
-    // parallelism, so the gate only trims the small regime.
-    val nParts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism,
-      (pairs.count() / 1000000L).toInt + 1))
+    // dwarfs the actual CC work. Gate the partition count by row count
+    // per side (~1M rows/partition) — a sparse corpus (billions of docs,
+    // few dup pairs) still spreads its VERTEX set over full parallelism;
+    // the gate only trims the genuinely small regime.
+    def gate(n: Long): Int = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (n / 1000000L).toInt + 1))
+    val edgeParts = gate(pairs.count())
+    val vertexParts = gate(docs.count())
     val edgeRdd = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())).coalesce(nParts)
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())).coalesce(edgeParts)
     val vertexRdd = docs.select(col("doc_id").cast("long"))
-      .rdd.map(r => (r.getLong(0), ())).coalesce(nParts)
+      .rdd.map(r => (r.getLong(0), ())).coalesce(vertexParts)
     val graph = Graph(vertexRdd, edgeRdd)
     val cc = graph.connectedComponents().vertices // (doc_id, min doc in component)
     val out = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })

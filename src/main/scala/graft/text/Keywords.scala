@@ -41,10 +41,12 @@ object Keywords {
     // op consumes integer-exact operands — bit-identical across engines,
     // unlike a float avg() whose summation order is engine-defined
     val statsRow = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
-    // empty corpus: sum("dl") is NULL — return the output schema, no rows
+    // empty corpus: sum("dl") is NULL — return the output schema, no
+    // rows; doc_id keeps the INPUT's type so both branches union cleanly
     if (statsRow.getLong(0) == 0L)
       return tf.sparkSession.emptyDataFrame.select(
-        lit(0L).as("doc_id"), lit("").as("term"), lit(0L).as("tf"),
+        lit(null).cast(docs.schema("doc_id").dataType).as("doc_id"),
+        lit("").as("term"), lit(0L).as("tf"),
         lit(0L).as("df"), lit(0.0).as("score"), lit(0).as("rank"))
     val nDocs = statsRow.getLong(0).toDouble
     val totTok = statsRow.getLong(1).toDouble

@@ -16,11 +16,21 @@ object Sampling {
 
   /** Keep-predicate: true for ~`keep` of the key space. `keep` strictly
     * in (0, 1); key columns are rendered with '|' separators exactly as
-    * `CAST(col AS VARCHAR)` would in the oracle. */
+    * `CAST(col AS VARCHAR) || '|' || ...` renders them in the oracle.
+    *
+    * NULL semantics match SQL concatenation: a NULL key column nulls the
+    * whole key, the predicate evaluates NULL, and the row is DROPPED —
+    * concat (not concat_ws, which silently skips nulls and would keep or
+    * drop every null-key row as one correlated block). Keys containing
+    * the '|' separator make multi-column keys ambiguous (('x|y','z') ==
+    * ('x','y|z')); both engines render identically so parity holds, but
+    * pick separator-free key columns (ids) for independence. */
   def hashKeep(keep: Double, seed: Long, keyCols: Seq[Column]): Column = {
     require(keep > 0 && keep < 1, s"keep must be in (0,1), got $keep")
     val threshold = f"${(keep * 4294967296L).toLong}%08x"
-    substring(md5(concat_ws("|", keyCols :+ lit(seed): _*)), 1, 8) < lit(threshold)
+    val key = keyCols.map(_.cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 8) < lit(threshold)
   }
 
   /** Hash-Bernoulli sample: keep each row iff [[hashKeep]] holds on its
