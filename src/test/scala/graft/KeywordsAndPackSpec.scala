@@ -110,4 +110,15 @@ class KeywordsAndPackSpec extends AnyFunSuite {
       acc += (id % 7) // token count of doc id
     }
   }
+
+  test("GraftExtensions: array_dot and hamming_dist reachable from pure SQL") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    val r = spark.sql(
+      """SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |       hamming_dist('10110', '10011') AS h""".stripMargin).collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getInt(1) == 2)
+    // arity errors surface at analysis, not execution
+    intercept[Exception](spark.sql("SELECT hamming_dist('a')").collect())
+  }
 }
