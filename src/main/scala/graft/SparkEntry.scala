@@ -1372,11 +1372,14 @@ object SparkEntry {
         |         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |        -- DuckDB's SUM(BIGINT) widens to HUGEINT (decimal128) —
+        |        -- cast back so every derived column is BIGINT like Spark's
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         |      FROM cnt)
         |SELECT doc_id, n_tokens, start_off,
-        |  start_off // 512 AS block_id, start_off % 512 AS block_off,
+        |  CAST(start_off // 512 AS BIGINT) AS block_id,
+        |  CAST(start_off % 512 AS BIGINT) AS block_off,
         |  ((start_off + GREATEST(n_tokens, 1) - 1) // 512) <> (start_off // 512) AS spans_blocks
         |FROM c""".stripMargin,
 
