@@ -911,8 +911,11 @@ object SparkEntry {
         |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
         |       WHERE len(w) >= 3),
         |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
-        |sig AS (SELECT doc_id, b, MIN(substr(h, 2*b+1, 32-2*b) || substr(h, 1, 2*b)) AS h
-        |        FROM mh, UNNEST(generate_series(0, 7)) AS tb(b) GROUP BY 1, 2),
+        |rots AS (SELECT doc_id, j, MIN(substr(h, 2*j+1, 32-2*j) || substr(h, 1, 2*j)) AS m
+        |         FROM mh, UNNEST(generate_series(0, 15)) AS tj(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, j // 2 AS b,
+        |               MIN(m) FILTER (WHERE j % 2 = 0) || MIN(m) FILTER (WHERE j % 2 = 1) AS h
+        |        FROM rots GROUP BY 1, 2),
         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         |          FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -1082,8 +1085,11 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
         |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
-        |sig AS (SELECT doc_id, b, MIN(substr(h, 2*b+1, 32-2*b) || substr(h, 1, 2*b)) AS h
-        |        FROM mh, UNNEST(generate_series(0, 7)) AS tb(b) GROUP BY 1, 2),
+        |rots AS (SELECT doc_id, j, MIN(substr(h, 2*j+1, 32-2*j) || substr(h, 1, 2*j)) AS m
+        |         FROM mh, UNNEST(generate_series(0, 15)) AS tj(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, j // 2 AS b,
+        |               MIN(m) FILTER (WHERE j % 2 = 0) || MIN(m) FILTER (WHERE j % 2 = 1) AS h
+        |        FROM rots GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         |         FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

@@ -62,24 +62,40 @@ object Dedup {
     * done, as q37's cluster pipeline does. Same contract for
     * [[ngramJaccard]]. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
-                 threshold: Double, fatMaxDocs: Long = 200000L): DataFrame = {
+                 threshold: Double, fatMaxDocs: Long = 200000L,
+                 rowsPerBand: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(nBands >= 1 && nBands <= 16, s"nBands must be in [1,16], got $nBands")
-    // ONE md5 per shingle; band b's hash is the hex string rotated left by
-    // 2b chars — the standard slice-one-strong-hash trick (md5 hex chars
+    require(nBands >= 1 && rowsPerBand >= 1 && nBands * rowsPerBand <= 16,
+      s"nBands*rowsPerBand must be in [1,16], got $nBands*$rowsPerBand")
+    // ONE md5 per shingle; minhash j is the hex string rotated left by
+    // 2j chars — the standard slice-one-strong-hash trick (md5 hex chars
     // are independent uniform nibbles, so each rotation induces an
     // effectively independent ordering, and the full 128 bits survive in
     // every band: no collision-space shrink at scale). Cuts the map-side
-    // hash work nBands× vs hashing (band|shingle) per band.
-    def rot(b: Int) =
-      if (b == 0) col("__mh")
-      else concat(substring(col("__mh"), 2 * b + 1, 32 - 2 * b),
-        substring(col("__mh"), 1, 2 * b))
-    val bandMins = (0 until nBands).map(b => min(rot(b)).as(s"h$b"))
+    // hash work (nBands·rowsPerBand)× vs hashing (j|shingle) per minhash.
+    //
+    // Banding: each band's key is the CONCATENATION of `rowsPerBand`
+    // minhashes, so an unrelated pair collides in a band with probability
+    // J^rowsPerBand, not J — the classic b×r S-curve with knee at
+    // (1/b)^(1/r). rowsPerBand=1 made every common low-hash shingle a
+    // bucket: at sf0.1 the r=1 scheme emitted 82k candidate pairs for 256
+    // true near-dups (all J ≥ 0.8), and verification dominated q16's
+    // runtime (58 CPU-s). r=2 with b=8 puts the knee at ~0.35 and cuts
+    // junk candidates ~J× each — recall at the J ≥ 0.5 range production
+    // dedup targets stays ≥ 1-(1-J²)⁸ ≈ 0.9997 (J=0.8). Pairs with
+    // threshold ≤ J < knee are best found by raising nBands, not by
+    // r=1's every-shared-shingle candidacy.
+    def rot(j: Int) =
+      if (j == 0) col("__mh")
+      else concat(substring(col("__mh"), 2 * j + 1, 32 - 2 * j),
+        substring(col("__mh"), 1, 2 * j))
+    val bandMins = (0 until nBands * rowsPerBand).map(j => min(rot(j)).as(s"m$j"))
     def withH(sh: DataFrame): DataFrame = sh.withColumn("__mh", md5(col("s")))
+    def bandKey(b: Int) = (0 until rowsPerBand)
+      .map(r => s"m${b * rowsPerBand + r}").mkString("concat(", ", ", ")")
     def bucketPairs(sig: DataFrame): DataFrame = {
       val stacked = sig.selectExpr("doc_id",
-        s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
+        s"stack($nBands, ${(0 until nBands).map(b => s"$b, ${bandKey(b)}").mkString(", ")}) AS (b, h)")
       stacked.as("x")
         .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
           && col("x.doc_id") < col("y.doc_id"))
