@@ -159,28 +159,34 @@ object SparkEntry {
 
     // A-family: aggregation over scan with pushed filter (S, P, A5-A7)
     "q01_pricing_summary" -> ((s, dir) => {
+      // All money/quantity sums as exact BIGINT scaled integers: quantities
+      // and prices are exact in centi-units (2 dp) and the discounted price
+      // in ten-thousandths (2 dp × 2 dp), so every sum is a pure int64
+      // computation with identical semantics in Spark and DuckDB — no
+      // decimal128 anywhere on the hashed surface. (r1-r5 carried
+      // DECIMAL(38,x) sums whose VALUES matched the oracle bit-for-bit yet
+      // hash-red every round; decimal128 is the only type no green query
+      // emits, so it is off the hashed surface for good.)
+      val qtyC   = (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+      val priceC = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val discTt = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
+        10000).cast("bigint")
       T(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
-          // avg as exact scaled-integer microunits: quantities are exact in
-          // centi-units, so (centi_sum * 10000) div n is a pure BIGINT
-          // computation with identical truncation semantics in Spark (`div`)
-          // and DuckDB (`//`) — no float anywhere, hash-stable by construction
-          // (the r1-r3 double division diverged in the last ulp between
-          // DuckDB's decimal→double cast path and Spark's)
-          sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")).as("_qty_centi"),
+          sum(qtyC).as("sum_qty_centi"),
+          sum(priceC).as("sum_base_price_centi"),
+          sum(discTt).as("sum_disc_price_tt"),
           count(lit(1)).as("n_rows"))
-        .withColumn("avg_qty_micro", expr("(_qty_centi * 10000) div n_rows"))
+        // avg as exact scaled-integer microunits: (centi_sum * 10000) div n
+        // with identical truncation in Spark (`div`) and DuckDB (`//`)
+        .withColumn("avg_qty_micro", expr("(sum_qty_centi * 10000) div n_rows"))
         // explicit final projection: the harness row-hash is column-order
-        // sensitive, so mirror the oracle's (…, avg_qty_micro, n_rows) order
-        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-          col("sum_base_price"), col("sum_disc_price"),
+        // sensitive, so mirror the oracle's column order
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty_centi"),
+          col("sum_base_price_centi"), col("sum_disc_price_tt"),
           col("avg_qty_micro"), col("n_rows"))
     }),
 
@@ -803,9 +809,9 @@ object SparkEntry {
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_centi,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_tt,
         |  CAST((SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_qty_micro,
         |  COUNT(*) AS n_rows
         |FROM lineitem

@@ -18,9 +18,11 @@ object Verify {
     // SPARK_GRAFT_ONLY=q16,q37 — substring-matched subset for targeted
     // iteration (same contract as Bench); absent = full dump
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .foreach { case (name, fn) =>
+    require(only.isEmpty || selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matched no queries")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
