@@ -333,9 +333,12 @@ object SparkEntry {
       EdgeSplits.fixedTimestamp(Tables.ratings(s, dir), FixedTs)
         .groupBy("is_test").agg(count(lit(1)).as("n"), round(avg("rating"), 6).as("avg_rating"))),
 
-    // MinHash + banded LSH near-dup candidates with exact Jaccard
+    // MinHash + banded LSH near-dup candidates with exact Jaccard.
+    // threshold 0.2 sits BELOW the default (b=8, r=2) S-curve knee of
+    // ~0.35, so this call uses r=1 with 16 bands (knee 0.0625, ~97%
+    // recall at J=0.2) — the honest parameterization for its contract.
     "q16_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(s, T(s, dir, "documents"), 8, 3, 0.2)),
+      Dedup.minhashLsh(s, T(s, dir, "documents"), 16, 3, 0.2, rowsPerBand = 1)),
 
     // 64-bit SimHash fingerprints
     "q17_simhash" -> ((s, dir) =>
@@ -805,6 +808,39 @@ object SparkEntry {
 
   // ---- oracles --------------------------------------------------------
 
+  /** DuckDB CTE chain replaying [[graft.text.Dedup.minhashLsh]] exactly:
+    * shingles → md5 → 48-bit x (digit-weighted hex parse, validated ==
+    * Spark's conv(_,16,10)) → affine minhashes from the SAME
+    * [[graft.text.Dedup.MinhashA]] constants → banded self-join →
+    * count-based exact Jaccard. Ends with CTEs `sh` (doc_id, s), `cand`
+    * (doc_a, doc_b) and `cnt`/`inter`; callers append the final select. */
+  private def minhashCtes(nBands: Int, rowsPerBand: Int): String = {
+    import graft.text.Dedup.{MinhashA, MinhashP}
+    val nHash = nBands * rowsPerBand
+    val abValues = (0 until nHash).map(j => s"($j, ${MinhashA(j)})").mkString(", ")
+    val keyCols = (0 until rowsPerBand)
+      .map(r => s"MIN(m) FILTER (WHERE j % $rowsPerBand = $r) AS h${r + 1}")
+      .mkString(", ")
+    val keyEq = (1 to rowsPerBand).map(r => s"a.h$r = c.h$r").mkString(" AND ")
+    s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+       |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |xh AS (SELECT doc_id, CAST(SUM((strpos('0123456789abcdef', h[i]) - 1)
+       |         * CAST(pow(16, 12 - i) AS BIGINT)) AS BIGINT) AS x
+       |       FROM mh, UNNEST(generate_series(1, 12)) AS ti(i) GROUP BY doc_id, h),
+       |mins AS (SELECT doc_id, ab.j, MIN((ab.a * x + ab.j) % $MinhashP) AS m
+       |         FROM xh CROSS JOIN (VALUES $abValues) AS ab(j, a) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, j // $rowsPerBand AS b, $keyCols
+       |        FROM mins GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM sig a JOIN sig c ON a.b = c.b AND $keyEq AND a.doc_id < c.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+       |          FROM cand p JOIN sh x ON x.doc_id = p.doc_a
+       |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s GROUP BY 1, 2)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -911,27 +947,11 @@ object SparkEntry {
         |  ROUND(AVG(rating), 6) AS avg_rating
         |FROM ratings GROUP BY 1""".stripMargin),
 
-    "q16_minhash_lsh" ->
-      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-        |       WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
-        |rots AS (SELECT doc_id, j, MIN(substr(h, 2*j+1, 32-2*j) || substr(h, 1, 2*j)) AS m
-        |         FROM mh, UNNEST(generate_series(0, 15)) AS tj(j) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, j // 2 AS b,
-        |               MIN(m) FILTER (WHERE j % 2 = 0) || MIN(m) FILTER (WHERE j % 2 = 1) AS h
-        |        FROM rots GROUP BY 1, 2),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-        |          FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
-        |          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
-        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s
-        |          GROUP BY 1, 2)
+    "q16_minhash_lsh" -> (minhashCtes(16, 1) +
+      """
         |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
         |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
-        |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.2""".stripMargin,
+        |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.2""".stripMargin),
 
     "q17_simhash" ->
       """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -1086,22 +1106,8 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n_events DESC, user_id) AS rank
         |  FROM w) WHERE rank <= 3""".stripMargin,
 
-    "q37_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
-        |rots AS (SELECT doc_id, j, MIN(substr(h, 2*j+1, 32-2*j) || substr(h, 1, 2*j)) AS m
-        |         FROM mh, UNNEST(generate_series(0, 15)) AS tj(j) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, j // 2 AS b,
-        |               MIN(m) FILTER (WHERE j % 2 = 0) || MIN(m) FILTER (WHERE j % 2 = 1) AS h
-        |        FROM rots GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-        |         FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
-        |          FROM cand p JOIN sh x ON x.doc_id = p.doc_a
-        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s GROUP BY 1, 2),
+    "q37_dedup_clusters" -> (minhashCtes(8, 2).replace("WITH ", "WITH RECURSIVE ") +
+      """,
         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
         |          JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
         |          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8),
@@ -1109,7 +1115,7 @@ object SparkEntry {
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |cc AS (SELECT doc_id AS node, doc_id AS comp FROM documents
         |       UNION SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a)
-        |SELECT node AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY node""".stripMargin,
+        |SELECT node AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY node""".stripMargin),
 
     "q38_multimodal_features" ->
       """WITH pos AS (

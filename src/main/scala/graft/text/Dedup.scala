@@ -33,120 +33,121 @@ object Dedup {
         s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $grams)))")).as("s"))
   }
 
+  /** Fixed affine minhash family: h_j(x) = (A(j)·x + j) mod [[MinhashP]]
+    * over x = the first 12 hex chars (48 bits) of md5(shingle) read as an
+    * integer. One strong hash per shingle, then pure 64-bit arithmetic per
+    * minhash — and every step (md5, hex→int, affine mod) is expressible
+    * verbatim in ANSI SQL, so the DuckDB oracle replays it bit-for-bit.
+    * A(j) < 2^14 and x < 2^48 keep A(j)·x + j < 2^62: no overflow in
+    * Spark (ANSI) or DuckDB. */
+  private[graft] val MinhashP = 281474976710677L // prime just above 2^48
+  private[graft] val MinhashA: Array[Long] = Array(
+    1009L, 1471L, 1931L, 2389L, 2857L, 3319L, 3779L, 4241L,
+    4721L, 5167L, 5639L, 6101L, 6563L, 7019L, 7487L, 7949L,
+    8419L, 8887L, 9337L, 9803L, 10267L, 10723L, 11197L, 11657L,
+    12113L, 12577L, 13043L, 13513L, 13967L, 14431L, 14891L, 15359L)
+
   /** MinHash-banded LSH candidate pairs with exact Jaccard filter.
     * Returns (doc_a, doc_b, jaccard) for candidates >= threshold.
     *
-    * Physical strategy by corpus size (same dispatch idiom as
-    * [[embeddingNearDup]] and `CosineKnn.topK`):
+    * Banding: band b's key is the CONCATENATION of `rowsPerBand` affine
+    * minhashes, so an unrelated pair collides in a band with probability
+    * J^rowsPerBand — the classic b×r S-curve with knee at (1/b)^(1/r).
+    * Defaults (b=8, r=2, knee ≈ 0.35) fit the J ≥ 0.5 range production
+    * dedup targets (recall ≥ 1-(1-J²)⁸ ≈ 0.9997 at J=0.8); callers with
+    * threshold BELOW the knee must use rowsPerBand=1 and raise nBands
+    * (b=16, r=1 puts the knee at 0.0625 with ~97% recall at J=0.2) —
+    * otherwise pairs in [threshold, knee) are systematically missed.
+    * Up to 32 minhashes are available (nBands·rowsPerBand ≤ 32; was ≤ 16
+    * under the pre-r6 rotated-hex scheme — r=1 callers can now go to 32
+    * bands).
     *
-    *  - up to `fatMaxDocs` documents, ONE shuffle over the shingle
-    *    stream: `collect_list(s)` rides the signature aggregation, so
-    *    exact Jaccard is a per-candidate-pair `array_intersect` against
-    *    the already-aggregated rows — nothing wide moves twice.
-    *  - above it, the signature aggregation stays SKINNY (band minima
-    *    only — fixed-width rows regardless of document size) and
-    *    verification semi-joins the shingle stream down to candidate
-    *    documents ONLY, so the per-row set blowup is confined to
-    *    dup-suspect docs (a vanishing fraction at scale). An all-docs
-    *    `collect_list` there would hold the entire corpus's shingle
-    *    stream as array rows through the exchange and the cache —
-    *    OOM-bait at the 100 TB design point.
+    * ONE logical plan at every size: the signature aggregation is
+    * FIXED-WIDTH — nBands·rowsPerBand long minima (plus the per-doc
+    * shingle count) per doc, a narrow codegen'd HashAggregate regardless
+    * of document size — which is both the 100 TB shape and the fastest
+    * small-corpus shape (the old fat path carried collect_list(shingles)
+    * plus 16 rotated-hex string mins through the same groupBy: ~20×
+    * the aggregation CPU, and OOM-bait at scale). Candidate generation is
+    * a (band, key...) equi-self-join; exact-Jaccard verification is
+    * count-based (pairs ⋈ shingles ⋈ shingles) so nothing wider than one
+    * shingle row ever moves, and the verification volume is confined to
+    * dup-suspect documents — a vanishing fraction at scale.
     *
-    * Both paths emit identical values (the band signatures and the
-    * exact Jaccard re-check are shared); only the verification plumbing
-    * differs.
+    * The only physical dispatch is WHERE verification's shingles come
+    * from: up to `cacheShinglesMaxDocs` documents the shingle stream is
+    * persisted once and shared by the signature and verification scans
+    * (fewer stages — measured fastest locally); above it the shingle
+    * stream is never materialized anywhere — signatures fold the explode
+    * into their one pass over docs, and verification RE-shingles only
+    * candidate documents (semi-join on the pair ids), because holding
+    * |corpus|·|shingles| rows hot is exactly what a 100 TB corpus cannot
+    * afford.
     *
     * Lifecycle: the returned pair table comes back persisted and
-    * materialized (the shingle working set is released before
-    * returning); callers owning its lifecycle should unpersist it when
-    * done, as q37's cluster pipeline does. Same contract for
-    * [[ngramJaccard]]. */
+    * materialized (all working sets are released before returning);
+    * callers owning its lifecycle should unpersist it when done, as
+    * q37's cluster pipeline does. Same contract for [[ngramJaccard]]. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int, shingleK: Int,
-                 threshold: Double, fatMaxDocs: Long = 200000L,
-                 rowsPerBand: Int = 2): DataFrame = {
+                 threshold: Double, rowsPerBand: Int = 2,
+                 cacheShinglesMaxDocs: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(nBands >= 1 && rowsPerBand >= 1 && nBands * rowsPerBand <= 16,
-      s"nBands*rowsPerBand must be in [1,16], got $nBands*$rowsPerBand")
-    // ONE md5 per shingle; minhash j is the hex string rotated left by
-    // 2j chars — the standard slice-one-strong-hash trick (md5 hex chars
-    // are independent uniform nibbles, so each rotation induces an
-    // effectively independent ordering, and the full 128 bits survive in
-    // every band: no collision-space shrink at scale). Cuts the map-side
-    // hash work (nBands·rowsPerBand)× vs hashing (j|shingle) per minhash.
-    //
-    // Banding: each band's key is the CONCATENATION of `rowsPerBand`
-    // minhashes, so an unrelated pair collides in a band with probability
-    // J^rowsPerBand, not J — the classic b×r S-curve with knee at
-    // (1/b)^(1/r). rowsPerBand=1 made every common low-hash shingle a
-    // bucket: at sf0.1 the r=1 scheme emitted 82k candidate pairs for 256
-    // true near-dups (all J ≥ 0.8), and verification dominated q16's
-    // runtime (58 CPU-s). r=2 with b=8 puts the knee at ~0.35 and cuts
-    // junk candidates ~J× each — recall at the J ≥ 0.5 range production
-    // dedup targets stays ≥ 1-(1-J²)⁸ ≈ 0.9997 (J=0.8). Pairs with
-    // threshold ≤ J < knee are best found by raising nBands, not by
-    // r=1's every-shared-shingle candidacy.
-    def rot(j: Int) =
-      if (j == 0) col("__mh")
-      else concat(substring(col("__mh"), 2 * j + 1, 32 - 2 * j),
-        substring(col("__mh"), 1, 2 * j))
-    val bandMins = (0 until nBands * rowsPerBand).map(j => min(rot(j)).as(s"m$j"))
-    def withH(sh: DataFrame): DataFrame = sh.withColumn("__mh", md5(col("s")))
-    def bandKey(b: Int) = (0 until rowsPerBand)
-      .map(r => s"m${b * rowsPerBand + r}").mkString("concat(", ", ", ")")
-    def bucketPairs(sig: DataFrame): DataFrame = {
-      val stacked = sig.selectExpr("doc_id",
-        s"stack($nBands, ${(0 until nBands).map(b => s"$b, ${bandKey(b)}").mkString(", ")}) AS (b, h)")
-      stacked.as("x")
-        .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
+    val nHash = nBands * rowsPerBand
+    require(nBands >= 1 && rowsPerBand >= 1 && nHash <= MinhashA.length,
+      s"nBands*rowsPerBand must be in [1,${MinhashA.length}], got $nBands*$rowsPerBand")
+    val cacheSh = docs.count() <= cacheShinglesMaxDocs
+    val sh = shingles(docs, shingleK)
+    val cachedSh = if (cacheSh) {
+      val c = sh.persist(StorageLevel.MEMORY_AND_DISK)
+      c.count() // eager: downstream scans must not race the cache fill
+      c
+    } else sh
+    val withX = cachedSh.withColumn("__x",
+      expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)"))
+    // per-doc shingle count rides the signature aggregation (free partial
+    // agg) and then the candidate self-join carries both sides' counts, so
+    // exact-Jaccard verification never needs a separate per-doc count pass
+    // or a candidate semi-join: the pair⋈shingle hash joins themselves
+    // confine the shingle traffic to candidate documents.
+    val bandMins = (0 until nHash).map(j =>
+      min(expr(s"(${MinhashA(j)}L * __x + ${j}L) % ${MinhashP}L")).as(s"m$j"))
+    val sigAggs = bandMins :+ count(lit(1)).as("n")
+    val sig = withX.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val hCols = (1 to rowsPerBand).map(r => s"h$r")
+    val stackArgs = (0 until nBands).map(b =>
+      (s"$b" +: (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")).mkString(", "))
+      .mkString(", ")
+    val stacked = sig.selectExpr("doc_id", "n",
+      s"stack($nBands, $stackArgs) AS (b, ${hCols.mkString(", ")})")
+    val pairs = stacked.as("x")
+      .join(stacked.as("y"),
+        ("b" +: hCols).map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
           && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // one action: shingles → signatures → banded self-join
+    // exact Jaccard on candidates only: count shared shingle rows —
+    // all narrow codegen'd joins; candidates with no shared shingle
+    // (J = 0) drop out of the inner join, which any threshold > 0 implies
+    val candSh = if (cacheSh) cachedSh else {
+      val candDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"), shingleK)
     }
-    def verified(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
-      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("ni") * 1.0 / (size(col("sa")) + size(col("sb")) - col("ni")))
+    val out = pairs
+      .join(candSh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
+      .withColumn("jaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // materialize the (tiny) pair table before releasing working sets —
-    // iterative/bench sessions must not accumulate them.
-    //
-    // Persisted intermediates are materialized EAGERLY (count() right
-    // after persist) because each is scanned 2-4× downstream (both sides
-    // of the bucket self-join, both sides of the verification join): a
-    // lazy persist lets one action schedule those scans concurrently
-    // BEFORE the cache populates, recomputing the whole shingle+hash
-    // aggregation per scan — measured 4-8× wall blowup at sf0.1.
-    if (docs.count() <= fatMaxDocs) {
-      val aggs = bandMins :+ collect_list(col("s")).as("sset")
-      val sig = withH(shingles(docs, shingleK)).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      sig.count()
-      val out = verified(bucketPairs(sig), sig)
-      out.count()
-      sig.unpersist(blocking = false)
-      out
-    } else {
-      val sh = shingles(docs, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
-      sh.count()
-      val sig = withH(sh).groupBy("doc_id").agg(bandMins.head, bandMins.tail: _*)
-      val pairs = bucketPairs(sig).persist(StorageLevel.MEMORY_AND_DISK)
-      pairs.count()
-      // shingle sets for candidate docs only (either side of any pair)
-      val candDocs = pairs.select(col("doc_a").as("doc_id"))
-        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val candSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_list(col("s")).as("sset"))
-      val out = verified(pairs, candSets)
-      out.count()
-      sh.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
-      out
-    }
+    out.count()
+    if (cacheSh) cachedSh.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit

@@ -67,18 +67,28 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getDouble(2) - 35.0 / 41) < 1e-4)
   }
 
-  test("minhash LSH skinny (at-scale) path emits the same pairs as the fat path") {
+  test("minhash LSH agrees with brute-force n-gram Jaccard on a high-J corpus") {
     val texts = (0 until 12).map { d =>
       (d.toLong, (1 to 30).map(i =>
         if (d % 3 == 1 && i == 15) s"alt${d / 3}" else s"t${d / 3}w$i").mkString(" "))
     }
     val docs = texts.toDF("doc_id", "text")
-    val fat = Dedup.minhashLsh(spark, docs, 8, 3, 0.5).collect()
+    // every true pair here has J >= 27/29 ~ 0.93, far above both
+    // parameterizations' S-curve knees, so LSH recall is ~certain and
+    // both must equal the exact all-pairs baseline — values included
+    // (both verify with the same exact-Jaccard count join)
+    val brute = Dedup.ngramJaccard(docs, 3, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
-    // fatMaxDocs = 0 forces the candidate-semi-join shape on any input
-    val skinny = Dedup.minhashLsh(spark, docs, 8, 3, 0.5, fatMaxDocs = 0L).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
-    assert(fat.nonEmpty && fat.sameElements(skinny))
+    for (rpb <- Seq(1, 2)) {
+      val lsh = Dedup.minhashLsh(spark, docs, 8, 3, 0.5, rowsPerBand = rpb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(brute.nonEmpty && lsh.sameElements(brute), s"rowsPerBand=$rpb")
+    }
+    // cacheShinglesMaxDocs = 0 forces the at-scale path (shingles never
+    // cached; verification re-shingles candidate docs) — values identical
+    val atScale = Dedup.minhashLsh(spark, docs, 8, 3, 0.5, cacheShinglesMaxDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(atScale.sameElements(brute))
   }
 
   test("simhash: 64-bit strings, identical texts collide, different texts differ") {

@@ -3,8 +3,10 @@ package graft.perf
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Throwaway perf probe — run with `sbt "Test/runMain graft.perf.MinhashProbe"`.
-  * Times each internal stage of Dedup.minhashLsh at sf0.001 and prints
-  * per-Spark-stage wall/task breakdowns.
+  * Times Dedup.minhashLsh end-to-end (the SHIPPED kernel, both the q16
+  * r=1 and the q37 r=2 parameterizations) and prints per-Spark-stage
+  * wall/task breakdowns, so probe numbers always reflect what production
+  * executes.
   */
 object MinhashProbe {
   def main(args: Array[String]): Unit = {
@@ -21,7 +23,6 @@ object MinhashProbe {
         println(f"    stage ${si.stageId}%3d ${si.name.takeWhile(_ != '\n').take(60)}%-62s wall=${ms.getOrElse(-1L)}%6d ms tasks=${si.numTasks}")
       }
     })
-    import org.apache.spark.sql.functions._
     val dir = sys.env.getOrElse("SFDIR", "/root/testdata/sf0.001")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -32,27 +33,16 @@ object MinhashProbe {
     t("docs.count")(docs.count())
     val sh = graft.text.Dedup.shingles(docs, 3)
     t("shingles.count")(sh.count())
-    t("shingles.count AGAIN")(sh.count())
-    val withH = sh.withColumn("__mh", md5(col("s")))
-    val nBands = 8
-    def rot(b: Int) =
-      if (b == 0) col("__mh")
-      else concat(substring(col("__mh"), 2 * b + 1, 32 - 2 * b),
-        substring(col("__mh"), 1, 2 * b))
-    val bandMins = (0 until nBands).map(b => min(rot(b)).as(s"h$b"))
-    val aggs = bandMins :+ collect_list(col("s")).as("sset")
-    val sig = withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("sig.count (agg+collect)")(sig.count())
-    val stacked = sig.selectExpr("doc_id",
-      s"stack($nBands, ${(0 until nBands).map(b => s"$b, h$b").mkString(", ")}) AS (b, h)")
-    val pairs = stacked.as("x")
-      .join(stacked.as("y"), col("x.b") === col("y.b") && col("x.h") === col("y.h")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    t("bucketPairs.count")(println("pairs=" + pairs.count()))
-    t("bucketPairs.count AGAIN")(pairs.count())
+    val q16 = t("minhashLsh b=16 r=1 thr=0.2") {
+      graft.text.Dedup.minhashLsh(spark, docs, 16, 3, 0.2, rowsPerBand = 1)
+    }
+    println("q16-shape pairs=" + q16.count())
+    q16.unpersist(blocking = false)
+    val q37 = t("minhashLsh b=8 r=2 thr=0.8") {
+      graft.text.Dedup.minhashLsh(spark, docs, 8, 3, 0.8)
+    }
+    println("q37-shape pairs=" + q37.count())
+    q37.unpersist(blocking = false)
     spark.stop()
   }
 }
