@@ -56,12 +56,20 @@ object Preprocess {
       val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (kill.count() == 0L) { converged = true; kill.unpersist() }
-      else { cur = cur.join(kill, Seq(key), "left_anti"); caches.track(kill) }
+      else {
+        // persist (lazily) each round's surviving edge set: the next
+        // round's kill-agg — or the caller's materialization — fills the
+        // cache on its single scan, so every edge set is computed exactly
+        // once. Without this, round n's kill-agg replays rounds 1..n-1's
+        // anti-join chain from the base scan (O(n²) scans across a
+        // chained-pass pipeline — q07 measured 45 process-CPU-s at sf0.1
+        // from exactly that replay, vs ~7 with per-round persists).
+        cur = cur.join(kill, Seq(key), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches.track(kill)
+        caches.track(cur)
+      }
       it += 1
-      // reference configs run 1-3 iterations: recomputing the shallow
-      // anti-join lineage beats materializing each round; deep loops
-      // get their lineage truncated periodically
-      if (it % 4 == 0) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); caches.track(cur) }
     }
     cur
   }
