@@ -236,12 +236,15 @@ object Experiment {
       // users×candidates ranking window — recomputing it per metric
       // doubles the most expensive stage of the whole experiment
       val recs = rec.recommend(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one fused job computes both means (Metrics.meansAtK) — the
+      // sequential per-metric loop cost one full pass over the cached
+      // ranking per metric
+      metricNames.foreach(mn => require(mn == "MAP" || mn == "nDCG",
+        s"Metric $mn is not implemented."))
+      val mm = Metrics.meansAtK(recs, testDf, k, relThr).first()
       val vals = metricNames.map {
-        case "MAP" => "MAP" ->
-          Metrics.mapAtK(recs, testDf, k, relThr).first().getDouble(0)
-        case "nDCG" => "nDCG" ->
-          Metrics.ndcgAtK(recs, testDf, k, relThr).first().getDouble(0)
-        case other => throw new IllegalArgumentException(s"Metric $other is not implemented.")
+        case "MAP" => "MAP" -> mm.getDouble(mm.fieldIndex("map"))
+        case "nDCG" => "nDCG" -> mm.getDouble(mm.fieldIndex("ndcg"))
       }
       recs.unpersist(blocking = false)
       rec.release() // per-fold embedding/vocab caches must not outlive the fold

@@ -87,4 +87,37 @@ object Metrics {
   /** Mean nDCG@k over qualifying users (ndcg.py:13-19). */
   def ndcgAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame =
     ndcgPerUser(recs, test, k, relevanceThreshold).agg(avg("ndcg").as("ndcg"))
+
+  /** MAP@k AND nDCG@k in ONE pass — both means ride a single join tree
+    * and one exchange over the (cached) recommendations, instead of the
+    * two separate jobs the sequential metric loop costs. Returns one row
+    * (map, ndcg). Value-identical to [[mapAtK]]/[[ndcgAtK]] (spec-pinned):
+    * the AP hit dedup (first occurrence by rank) and the un-deduped DCG
+    * graded relevance both match their standalone formulations. */
+  def meansAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame = {
+    val rel = relevant(test, relevanceThreshold)
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("nrel"))
+    val iw = Window.partitionBy("user_id").orderBy(col("rating").desc, col("item_id"))
+    val idcg = rel.withColumn("pos", row_number().over(iw))
+      .filter(col("pos") <= k)
+      .groupBy("user_id")
+      .agg(sum(col("rating") / log2(col("pos").cast("double") + 1.0)).as("idcg"))
+    val occ = Window.partitionBy("user_id", "item_id").orderBy("rank")
+    val w = Window.partitionBy("user_id").orderBy("rank")
+    recs.filter(col("rank") <= k)
+      .join(nrel.join(idcg, Seq("user_id")), Seq("user_id")) // inner: qualifying users only
+      .join(rel.select(col("user_id"), col("item_id"), lit(1).as("hit"),
+        col("rating").as("rel_rating")), Seq("user_id", "item_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .withColumn("hit", when(row_number().over(occ) === 1, col("hit")).otherwise(0))
+      .withColumn("rel_rating", coalesce(col("rel_rating"), lit(0.0)))
+      .withColumn("cum_hits", sum("hit").over(w))
+      .groupBy("user_id", "nrel", "idcg")
+      .agg(sum(col("hit") * col("cum_hits") / col("rank").cast("double")).as("ap_sum"),
+        sum(col("rel_rating") / log2(col("rank").cast("double") + 1.0)).as("dcg"))
+      .select(
+        (col("ap_sum") / least(col("nrel"), lit(k)).cast("double")).as("ap"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg"))
+      .agg(avg("ap").as("map"), avg("ndcg").as("ndcg"))
+  }
 }

@@ -67,4 +67,19 @@ class MetricsSpec extends AnyFunSuite {
     val nd = Metrics.ndcgPerUser(recs, testDf, 5, 4.0).collect().map(_.getDouble(1))
     (ap ++ nd).foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
+
+  test("fused meansAtK equals the standalone MAP@k and nDCG@k means") {
+    // hand-worked fixture PLUS a duplicate-recommendation user so the
+    // fused path's hit dedup and un-deduped DCG are both exercised
+    val recs2 = recs.union(Seq((3L, 20L, 1), (3L, 20L, 2), (3L, 21L, 3))
+      .toDF("user_id", "item_id", "rank"))
+    val test2 = testDf.union(Seq((3L, 20L, 5.0)).toDF("user_id", "item_id", "rating"))
+    for (k <- Seq(2, 5)) {
+      val m = Metrics.mapAtK(recs2, test2, k, 4.0).first().getDouble(0)
+      val n = Metrics.ndcgAtK(recs2, test2, k, 4.0).first().getDouble(0)
+      val fused = Metrics.meansAtK(recs2, test2, k, 4.0).first()
+      assert(math.abs(fused.getDouble(0) - m) < 1e-12, s"map k=$k")
+      assert(math.abs(fused.getDouble(1) - n) < 1e-12, s"ndcg k=$k")
+    }
+  }
 }
