@@ -310,8 +310,9 @@ object SparkEntry {
     }),
 
     // approximate similarity search: LSH-bucketed ANN over embeddings
-    // (rows-only: MLlib's random hyperplanes aren't SQL-replayable;
-    // exactness is cross-checked against CosineKnn.topK in tests)
+    // (golden-parquet oracle: deterministic under seed 42, but MLlib's
+    // random hyperplanes aren't SQL-replayable; exactness is
+    // cross-checked against CosineKnn.topK in tests)
     "q22_ann_lsh" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
@@ -693,8 +694,8 @@ object SparkEntry {
     }),
 
     // approximate similarity search, IVF variant: k-means inverted lists,
-    // nProbe-list candidate scan, exact re-rank (rows-only like q22:
-    // k-means|| init isn't SQL-replayable; recall and the
+    // nProbe-list candidate scan, exact re-rank (golden-parquet oracle
+    // like q22: k-means|| init isn't SQL-replayable; recall and the
     // nProbe=nLists==exact degeneracy are spec-pinned)
     "q52_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -1153,6 +1154,22 @@ object SparkEntry {
     "q45_deepwalk_walks" -> (R +
       """SELECT start, walk_idx, path_s
         |FROM '/root/repo/goldens/q45_deepwalk_walks.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // golden-file oracles, same scheme as q42/q45: both ANN paths are
+    // fully deterministic for their fixed seed 42 (BRP-LSH hyperplanes /
+    // k-means|| init + deterministic treeAggregate reduction — output
+    // verified identical across 8- and 32-partition runs) but neither is
+    // SQL-replayable; recall and the exact-degenerate IVF configuration
+    // stay spec-pinned (q53 puts the IVF plumbing under the live hash
+    // check)
+    "q22_ann_lsh" -> (R +
+      """SELECT query_id, item_id, rank
+        |FROM '/root/repo/goldens/q22_ann_lsh.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q52_ann_ivf" -> (R +
+      """SELECT query_id, item_id, rank
+        |FROM '/root/repo/goldens/q52_ann_ivf.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // golden-file oracle, same scheme as q42/q45 (regenerate with
