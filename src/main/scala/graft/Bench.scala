@@ -45,6 +45,32 @@ object Bench {
       java.nio.file.Files.writeString(wp, warmCfg)
       graft.cli.Experiment.run(spark, wp.toString)
       spark.catalog.clearCache()
+      // dedup/ANN-family JIT warmup, same rationale as the model loop
+      // above: these pipelines each generate ~10 unique codegen'd stages
+      // whose one-time C2 compilation dominates their single-shot bench
+      // time (README "r6 full-suite results": q16 measures 13.7 s on its
+      // first execution and ~4 s steady-state in one JVM). Replaying each
+      // pipeline on a 50-row slice with the SAME parameterization as its
+      // timed query compiles the same generated classes (constants are
+      // inlined into the stage source, so the parameters must match; the
+      // slice filter only changes the scan stage), leaving the timed run
+      // to measure the engine, not the JIT. Results are discarded.
+      locally {
+        import graft.text.Dedup
+        import graft.knn.CosineKnn
+        val docs50 = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 50)
+        Seq(Dedup.minhashLsh(spark, docs50, 16, 3, 0.2, rowsPerBand = 1), // q16
+            Dedup.minhashLsh(spark, docs50, 8, 3, 0.8),                   // q37
+            Dedup.simhashNearDup(docs50))                                 // q54 (+q17 stages)
+          .foreach(_.unpersist(blocking = false))
+        val emb50 = Tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("id"),
+            expr("transform(embedding, x -> cast(x as double))").as("vec"))
+          .filter(col("id") < 50)
+        CosineKnn.approxTopK(emb50, emb50, 5, excludeSelf = true).count()          // q22
+        CosineKnn.ivfTopK(emb50, emb50, 5, nProbe = 16, excludeSelf = true).count() // q52
+        spark.catalog.clearCache()
+      }
     }
     // deterministic alphabetical order: the relational chain (q09-q12)
     // shares its cached split early, and the RDD-heavy model queries
