@@ -827,7 +827,13 @@ object SparkEntry {
     // one Expand-fused aggregate, native-typed extrema
     "q63_profile" -> ((s, dir) =>
       graft.util.Profile.profile(T(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")))
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"))),
+
+    // Gopher-style within-document repetition quality signals: duplicate
+    // 3-gram occurrence fraction (narrow, shuffle-free) + top-2-gram
+    // share (one (doc, gram)-keyed exchange with partial combine)
+    "q64_repetition" -> ((s, dir) =>
+      graft.text.TextOps.repetitionStats(T(s, dir, "documents")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1469,6 +1475,28 @@ object SparkEntry {
         |  MIN(l_returnflag) AS l_returnflag_min, MAX(l_returnflag) AS l_returnflag_max,
         |  COUNT(l_shipdate) AS l_shipdate_nonnull, COUNT(DISTINCT l_shipdate) AS l_shipdate_distinct,
         |  MIN(l_shipdate) AS l_shipdate_min, MAX(l_shipdate) AS l_shipdate_max
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // replays TextOps.repetitionStats: 1-based list indexing and
+    // end-exclusive range() mirror Spark's element_at/sequence; SUM over
+    // BIGINT counts re-cast to BIGINT (DuckDB widens to HUGEINT)
+    "q64_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |d3 AS (SELECT doc_id,
+        |         CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) ELSE [] END AS g3
+        |       FROM w),
+        |dup3 AS (SELECT doc_id, CASE WHEN len(g3) > 0
+        |           THEN ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) END AS dup_3gram_frac
+        |         FROM d3),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i + 1])) AS g
+        |       FROM w WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |         ROUND(MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT), 6) AS top_2gram_frac
+        |       FROM c2 GROUP BY 1)
+        |SELECT d.doc_id, d.dup_3gram_frac, m.n_2grams, m.top_2gram_frac
+        |FROM dup3 d LEFT JOIN m2 m ON m.doc_id = d.doc_id""".stripMargin
   )
 }

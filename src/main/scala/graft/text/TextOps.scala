@@ -102,4 +102,44 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("c").cast("double") / col("n_total"))), 6).as("avg_logp"))
   }
+
+  /** Gopher-style within-document repetition signals — the standard
+    * quality filter next to perplexity in large-scale training-data
+    * pipelines (Rae et al. 2021 §A1.1 "repetitious" heuristics):
+    * documents dominated by repeated n-grams are boilerplate/spam
+    * candidates. Per document:
+    *
+    *  - `dup_3gram_frac`: fraction of 3-gram OCCURRENCES that are
+    *    repeats of an earlier one, 1 − distinct/total (null when the
+    *    document has fewer than 3 tokens);
+    *  - `n_2grams` / `top_2gram_frac`: total 2-gram occurrences and the
+    *    share taken by the single most frequent 2-gram (null row side
+    *    when fewer than 2 tokens).
+    *
+    * Scale shape: the 3-gram signal is a pure narrow column expression
+    * (array built and reduced inside one codegen'd projection — no
+    * shuffle, no explode). The 2-gram mode genuinely needs grouping, so
+    * it pays exactly one exchange keyed by (doc, gram) with map-side
+    * partial combine — hot grams collapse before the shuffle — then one
+    * per-doc aggregation; the same two-aggregation shape as
+    * [[unigramLogProb]], linear at any corpus size. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def grams(k: Int): Column = {
+      val parts = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
+      expr(s"if(size(w) >= $k, transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $parts)), cast(array() as array<string>))")
+    }
+    val base = docs.select(col("doc_id"), tokens(col(textCol)).as("w"))
+    val dup3 = base.select(col("doc_id"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        when(size(col("g3")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6))
+          .as("dup_3gram_frac"))
+    val mode2 = base.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_2grams"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_2grams"),
+        round(col("top_c").cast("double") / col("n_2grams"), 6).as("top_2gram_frac"))
+    dup3.join(mode2, Seq("doc_id"), "left")
+      .select("doc_id", "dup_3gram_frac", "n_2grams", "top_2gram_frac")
+  }
 }

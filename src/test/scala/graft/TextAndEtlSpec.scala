@@ -136,6 +136,22 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
   }
 
+  test("repetitionStats: hand-worked Gopher repetition signals, short-doc nulls") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 2-grams: ab,ba,ab,ba -> top 2/4; 3-grams: aba,bab,aba -> dup 1-2/3
+      (2L, "x y z"),     // all distinct: dup 0; top 2-gram 1/2
+      (3L, "w"),         // too short for any gram
+      (4L, "p q")        // one 2-gram, no 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(1) == BigDecimal(1.0 - 2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L).getLong(2) == 4L && out(1L).getDouble(3) == 0.5)
+    assert(out(2L).getDouble(1) == 0.0 && out(2L).getLong(2) == 2L && out(2L).getDouble(3) == 0.5)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+    assert(out(4L).isNullAt(1) && out(4L).getLong(2) == 1L && out(4L).getDouble(3) == 1.0)
+  }
+
   test("SPARQL source replays fixtures through the executor-side transport (S4)") {
     val fixture: SparqlSource.Transport = (_, q, _) =>
       s"""{"results":{"bindings":[{"uri":{"value":"http://dbpedia.org/resource/$q"},"label":{"value":"Label $q"}}]}}"""
