@@ -31,6 +31,15 @@ object Experiment {
   private def list(m: Cfg, k: String): Seq[Cfg] =
     Option(m.get(k)).map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.asInstanceOf[Cfg]))
       .getOrElse(Seq.empty)
+  /** `properties:` entries — plain column names in the shipped reference
+    * configs (config_files/test.yml:17), `{type: ...}` maps in its
+    * README; both forms resolve to the column name. */
+  private def propertyNames(enrich: Cfg): Seq[String] =
+    Option(enrich.get("properties"))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map {
+        case s: String => s
+        case m         => str(m.asInstanceOf[Cfg], "type")
+      }).getOrElse(Seq.empty)
 
   def main(args: Array[String]): Unit = {
     val configPath = args.sliding(2).collectFirst { case Array("-c", p) => p }
@@ -99,7 +108,35 @@ object Experiment {
       .withColumnRenamed("timestamp", "ts")
       .withColumn("rating", col("rating").cast("double"))
     val users = cfgPath(ds, "user").map(TypedCsv.read(spark, _))
-    val items = cfgPath(ds, "item").map(TypedCsv.read(spark, _))
+    val itemsRaw = cfgPath(ds, "item").map(TypedCsv.read(spark, _))
+
+    // enrich block (graph.py:222-230): `map.csv` left-merges its match
+    // columns (URI, ...) into the item table — matched items gain an
+    // Item -has-> Property(value, col) edge per non-id map column — and
+    // `remove_unmatched: true` drops UNmatched items from the graph
+    // entirely, which cascades into the rating-edge validation below
+    // (exactly as dropping the item node does in nx). The shipped
+    // reference configs key the enriched table as `enrich_path`
+    // (config_files/test.yml:15) and list `properties` as plain column
+    // names; the README shows `{type: ...}` maps — both are accepted,
+    // plus this repo's earlier `enriched_path`/`path` aliases.
+    val enrichCfg = Option(sub(ds, "enrich"))
+    val mapDf = for { e <- enrichCfg; p <- Option(str(e, "map_path")) }
+      yield TypedCsv.read(spark, p)
+    val removeUnmatched =
+      enrichCfg.exists(e => str(e, "remove_unmatched", "false").toBoolean)
+    // match predicate: non-null URI (graph.py:226-227); fall back to the
+    // first non-id column for map files with a differently-named key
+    val matchedIds = mapDf.map { m =>
+      val uriCol = if (m.columns.contains("URI")) "URI"
+        else m.columns.filterNot(_ == "item_id").headOption.getOrElse("item_id")
+      m.filter(col(uriCol).isNotNull).select("item_id").distinct()
+    }
+    val items = (itemsRaw, matchedIds) match {
+      case (Some(i), Some(mm)) if removeUnmatched =>
+        Some(i.join(mm, Seq("item_id"), "left_semi"))
+      case _ => itemsRaw
+    }
     // duplicate (user,item) edges: last-wins in nx — deterministic analogue max
     var ratings = ratingsRaw.groupBy("user_id", "item_id")
       .agg(max("rating").as("rating"),
@@ -108,24 +145,34 @@ object Experiment {
     for (u <- users) ratings = ratings.join(u.select("user_id"), Seq("user_id"), "left_semi")
     for (i <- items) ratings = ratings.join(i.select("item_id"), Seq("item_id"), "left_semi")
 
-    // property edges, three sources into one channel:
-    // item extra_features + enriched-table columns (Item -has-> Property,
-    // graph.py:217-244) and user extra_features (User -is-> Property,
-    // graph.py:271-286)
+    // property edges, four sources into one channel:
+    // item extra_features + map-match columns + enriched-table columns
+    // (Item -has-> Property, graph.py:217-244) and user extra_features
+    // (User -is-> Property, graph.py:271-286); with an item table
+    // present, map/enrich sources are confined to its (possibly
+    // remove_unmatched-filtered) item set, mirroring the reference's
+    // left-merge onto df_item
     val itemFeatureEdges = items.flatMap(i =>
       propertyEdgesFrom(i, "item_id", isUser = false, features(ds, "item")))
+    val mapEdges: Option[DataFrame] = mapDf.flatMap { m =>
+      val base = items.map(i => i.select("item_id").join(m, Seq("item_id"), "left")).getOrElse(m)
+      propertyEdgesFrom(base, "item_id", isUser = false,
+        m.columns.filterNot(_ == "item_id").toSeq)
+    }
     val enrichEdges: Option[DataFrame] = for {
-      enrich <- Option(sub(ds, "enrich"))
-      path <- Option(str(enrich, "enriched_path", str(enrich, "path")))
+      enrich <- enrichCfg
+      path <- Option(str(enrich, "enrich_path",
+        str(enrich, "enriched_path", str(enrich, "path"))))
       edges <- {
-        val enriched = TypedCsv.read(spark, path)
-        propertyEdgesFrom(enriched, "item_id", isUser = false,
-          list(enrich, "properties").map(p => str(p, "type")))
+        val enriched0 = TypedCsv.read(spark, path)
+        val enriched = items.map(i =>
+          enriched0.join(i.select("item_id"), Seq("item_id"), "left_semi")).getOrElse(enriched0)
+        propertyEdgesFrom(enriched, "item_id", isUser = false, propertyNames(enrich))
       }
     } yield edges
     val userFeatureEdges = users.flatMap(u =>
       propertyEdgesFrom(u, "user_id", isUser = true, features(ds, "user")))
-    val propertyEdges = Seq(itemFeatureEdges, enrichEdges, userFeatureEdges)
+    val propertyEdges = Seq(itemFeatureEdges, mapEdges, enrichEdges, userFeatureEdges)
       .flatten.reduceOption(_ unionByName _)
 
     // social links (graph.py:304-314): User–User edges, both endpoints

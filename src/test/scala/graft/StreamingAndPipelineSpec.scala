@@ -310,4 +310,54 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     // report CSV landed on disk
     assert(new java.io.File(tmp.resolve("report").toString).exists())
   }
+
+  test("enrich block reference parity: enrich_path key, string properties, map URI edges, remove_unmatched cascade (graph.py:222-230)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftenrich")
+    java.nio.file.Files.writeString(tmp.resolve("rating.csv"),
+      "user_id::string,item_id::string,rating::number\n" +
+        "u1,i1,5\nu1,i2,4\nu2,i2,3\nu2,i3,5\n") // i3: unmatched -> dropped
+    java.nio.file.Files.writeString(tmp.resolve("item.csv"),
+      "item_id::string,year::string\ni1,1995\ni2,1996\ni3,1997\n")
+    // i3 has no URI row; i2's URI is null-equivalent (empty field)
+    java.nio.file.Files.writeString(tmp.resolve("map.csv"),
+      "item_id::string,URI::string\ni1,dbr:One\ni2,dbr:Two\n")
+    java.nio.file.Files.writeString(tmp.resolve("enriched.csv"),
+      "item_id::string,subject::string_list\ni1,S1::S2\ni3,S3\n")
+    val cfg =
+      s"""experiment:
+         |  dataset:
+         |    ratings: ${tmp.resolve("rating.csv")}
+         |    item:
+         |      path: ${tmp.resolve("item.csv")}
+         |      extra_features: [year]
+         |    enrich:
+         |      map_path: ${tmp.resolve("map.csv")}
+         |      enrich_path: ${tmp.resolve("enriched.csv")}
+         |      remove_unmatched: True
+         |      properties: [subject]
+         |""".stripMargin
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](cfg)
+      .get("experiment").asInstanceOf[java.util.Map[String, Object]]
+    val ds = root.get("dataset").asInstanceOf[java.util.Map[String, Object]]
+    val bundle = graft.cli.Experiment.loadDataset(spark, ds)
+    // remove_unmatched: i3 is gone from the item set and its rating dropped
+    assert(bundle.items.get.select("item_id").collect().map(_.getString(0)).sorted
+      .sameElements(Array("i1", "i2")))
+    assert(bundle.ratings.filter(col("item_id") === "i3").count() == 0
+      && bundle.ratings.count() == 3)
+    val edges = bundle.propertyEdges.get.collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    // map match columns become URI property edges for matched items only
+    assert(edges.contains(("Item(i1)", "Property(dbr:One, URI)")))
+    assert(edges.contains(("Item(i2)", "Property(dbr:Two, URI)")))
+    // enriched string_list fans out; i3's enrich row is filtered with the item
+    assert(edges.contains(("Item(i1)", "Property(S1, subject)")))
+    assert(edges.contains(("Item(i1)", "Property(S2, subject)")))
+    assert(!edges.exists(_._2 == "Property(S3, subject)"))
+    // extra_features survive the filtered item set
+    assert(edges.contains(("Item(i1)", "Property(1995, year)")))
+    assert(!edges.exists(_._1 == "Item(i3)"))
+  }
 }
