@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * cfg: model (transE|transH|distMult|complEx|rotatE), embedding_dim,
   * epochs, learning_rate, margin, seed, triples (all|ratings — M5,
-  * config_files/test_transE.yml:66-74).
+  * config_files/test_transE.yml:66-74), scoring_fct_norm (1|2 — the
+  * translational trio's distance norm, reference default 1;
+  * transE/model.py:24).
   */
 class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
   private def i(key: String, d: Int) = cfg.get(key).map(_.toInt).getOrElse(d)
@@ -66,8 +68,13 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
       .withColumnRenamed("node_id", "t")
       .select("h", "r", "t")
 
+    // scoring_fct_norm (transE/model.py:24): the translational trio
+    // defaults to L1 exactly as the reference's pykeen models do;
+    // other models ignore the norm (pykeen parity)
+    val fctNorm = i("scoring_fct_norm",
+      if (Set("transE", "transH", "transR")(model)) 1 else 2)
     val trainer = new KgeTrainer(model, dim, i("epochs", 5), f("learning_rate", 0.05),
-      f("margin", 1.0), i("seed", 42).toLong)
+      f("margin", 1.0), i("seed", 42).toLong, fctNorm = fctNorm)
     // fitEmb dispatches driver-resident vs fully distributed training by
     // parameter count; either way the embeddings arrive as a DataFrame
     // and the driver never materializes the entity dimension here

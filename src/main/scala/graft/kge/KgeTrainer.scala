@@ -40,22 +40,32 @@ object KgeModels {
     case other                 => throw new IllegalArgumentException(s"unsupported KGE model: $other")
   }
 
-  /** Higher is better. */
+  /** Higher is better. `fctNorm` is the reference's `scoring_fct_norm`
+    * (transE/transH/transR model.py:24, pykeen default 1): the distance
+    * norm of the translational models — L1 `-Σ|x|` or L2 `-√Σx²`.
+    * Multiplicative/complex models ignore it, as in pykeen. */
   def score(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float],
-            core: Array[Float] = null): Double =
+            core: Array[Float] = null, fctNorm: Int = 2): Double =
     model match {
       case "transE" =>
         var s = 0.0; var i = 0
-        while (i < d) { val x = h(i) + r(i) - t(i); s += x * x; i += 1 }
-        -math.sqrt(s)
+        if (fctNorm == 1) { while (i < d) { s += math.abs(h(i) + r(i) - t(i)); i += 1 }; -s }
+        else { while (i < d) { val x = h(i) + r(i) - t(i); s += x * x; i += 1 }; -math.sqrt(s) }
       case "transH" =>
         var wh = 0.0; var wt = 0.0; var i = 0
         while (i < d) { wh += r(d + i) * h(i); wt += r(d + i) * t(i); i += 1 }
         var s = 0.0; i = 0
-        while (i < d) {
-          val x = (h(i) - wh * r(d + i)) + r(i) - (t(i) - wt * r(d + i)); s += x * x; i += 1
+        if (fctNorm == 1) {
+          while (i < d) {
+            s += math.abs((h(i) - wh * r(d + i)) + r(i) - (t(i) - wt * r(d + i))); i += 1
+          }
+          -s
+        } else {
+          while (i < d) {
+            val x = (h(i) - wh * r(d + i)) + r(i) - (t(i) - wt * r(d + i)); s += x * x; i += 1
+          }
+          -math.sqrt(s)
         }
-        -math.sqrt(s)
       case "distMult" =>
         var s = 0.0; var i = 0
         while (i < d) { s += h(i) * r(i) * t(i); i += 1 }
@@ -84,9 +94,10 @@ object KgeModels {
         while (i < d) {
           var ph = 0.0; var pt = 0.0; var j = 0
           while (j < d) { val m = r(d + i * d + j); ph += m * h(j); pt += m * t(j); j += 1 }
-          val x = ph + r(i) - pt; s += x * x; i += 1
+          val x = ph + r(i) - pt
+          s += (if (fctNorm == 1) math.abs(x) else x * x); i += 1
         }
-        -math.sqrt(s)
+        if (fctNorm == 1) -s else -math.sqrt(s)
       case "transD" =>
         var hp = 0.0; var tp = 0.0; var i = 0
         while (i < d) { hp += h(d + i) * h(i); tp += t(d + i) * t(i); i += 1 }
@@ -119,10 +130,14 @@ object KgeModels {
     }
 
   /** Gradient of `score` wrt (h, r, t), scaled by `g` (dLoss/dScore).
-    * Accumulates into the given arrays. */
+    * Accumulates into the given arrays. For the translational models the
+    * per-component weight u_i = g·∂score/∂diff_i is the only place the
+    * norm enters: L2 gives diff_i·(-g/√n), L1 gives -g·sign(diff_i)
+    * (the subgradient at 0 is 0); every projection chain rule below is
+    * expressed in u_i and is norm-agnostic. */
   def addGrad(model: String, d: Int, h: Array[Float], r: Array[Float], t: Array[Float],
               g: Double, gh: Array[Float], gr: Array[Float], gt: Array[Float],
-              core: Array[Float] = null, gcore: Array[Float] = null): Unit =
+              core: Array[Float] = null, gcore: Array[Float] = null, fctNorm: Int = 2): Unit =
     model match {
       case "transE" =>
         var n = 0.0; var i = 0
@@ -130,7 +145,8 @@ object KgeModels {
         val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n) // d(-sqrt(n))/dx = -x/sqrt(n)
         i = 0
         while (i < d) {
-          val x = (h(i) + r(i) - t(i)) * inv
+          val diff = h(i) + r(i) - t(i)
+          val x = if (fctNorm == 1) -g * math.signum(diff) else diff * inv
           gh(i) += x.toFloat; gr(i) += x.toFloat; gt(i) -= x.toFloat; i += 1
         }
       case "transH" =>
@@ -143,17 +159,19 @@ object KgeModels {
           n += diff(i) * diff(i); i += 1
         }
         val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n)
-        var dw = 0.0 // Σ diff_i * w_i, reused for the projected-gradient terms
+        def u(i: Int): Double =
+          if (fctNorm == 1) -g * math.signum(diff(i)) else diff(i) * inv
+        var su = 0.0 // Σ u_i · w_i — the projected-gradient coupling term
         i = 0
-        while (i < d) { dw += diff(i) * r(d + i); i += 1 }
+        while (i < d) { su += u(i) * r(d + i); i += 1 }
         i = 0
         while (i < d) {
-          val u = diff(i) * inv
+          val ui = u(i)
           val w = r(d + i)
-          gh(i) += (u - inv * dw * w).toFloat
-          gt(i) -= (u - inv * dw * w).toFloat
-          gr(i) += u.toFloat
-          gr(d + i) += (inv * (-dw * (h(i) - t(i)) - (wh - wt) * diff(i))).toFloat
+          gh(i) += (ui - su * w).toFloat
+          gt(i) -= (ui - su * w).toFloat
+          gr(i) += ui.toFloat
+          gr(d + i) += (-su * (h(i) - t(i)) - (wh - wt) * ui).toFloat
           i += 1
         }
       case "distMult" =>
@@ -208,7 +226,7 @@ object KgeModels {
         val inv = if (n < 1e-12) 0.0 else -g / math.sqrt(n)
         i = 0
         while (i < d) {
-          val u = diff(i) * inv
+          val u = if (fctNorm == 1) -g * math.signum(diff(i)) else diff(i) * inv
           gr(i) += u.toFloat
           var j = 0
           while (j < d) {
@@ -287,7 +305,8 @@ object KgeModels {
 }
 
 class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Double,
-                 val margin: Double, val seed: Long, val trainFraction: Double = 0.95) extends Serializable {
+                 val margin: Double, val seed: Long, val trainFraction: Double = 0.95,
+                 val fctNorm: Int = 2) extends Serializable {
 
   /** triples: (h, r, t) dense int ids. Returns entity embeddings
     * (nEntities × entityFloats) and relation embeddings. */
@@ -324,7 +343,7 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
       .rdd.map(row => (row.getInt(0), row.getInt(1), row.getInt(2)))
       .persist()
     val n = data.count().toDouble
-    val mdl = model; val d = dim; val m = margin; val nE = nEntities; val sd = seed
+    val mdl = model; val d = dim; val m = margin; val nE = nEntities; val sd = seed; val fn = fctNorm
 
     for (epoch <- 0 until epochs) {
       val bcE = spark.sparkContext.broadcast(ent)
@@ -343,11 +362,11 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
           val corruptHead = (hsh & 1) == 0
           val fake = math.floorMod(hsh >> 1, nE)
           val (nh, nt) = if (corruptHead) (fake, t) else (h, fake)
-          val sPos = KgeModels.score(mdl, d, e(h), r(rr), e(t), core)
-          val sNeg = KgeModels.score(mdl, d, e(nh), r(rr), e(nt), core)
+          val sPos = KgeModels.score(mdl, d, e(h), r(rr), e(t), core, fn)
+          val sNeg = KgeModels.score(mdl, d, e(nh), r(rr), e(nt), core, fn)
           if (m + sNeg - sPos > 0) { // hinge active: raise sPos, lower sNeg
-            KgeModels.addGrad(mdl, d, e(h), r(rr), e(t), 1.0, accE(h), accR(rr), accE(t), core, gcore)
-            KgeModels.addGrad(mdl, d, e(nh), r(rr), e(nt), -1.0, accE(nh), accR(rr), accE(nt), core, gcore)
+            KgeModels.addGrad(mdl, d, e(h), r(rr), e(t), 1.0, accE(h), accR(rr), accE(t), core, gcore, fn)
+            KgeModels.addGrad(mdl, d, e(nh), r(rr), e(nt), -1.0, accE(nh), accR(rr), accE(nt), core, gcore, fn)
           }
         }
         Iterator.single((ge, gr))
@@ -431,7 +450,7 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
     val initBound =
       if (multiplicative) 0.5f / math.sqrt(dim).toFloat else 6.0f / math.sqrt(dim).toFloat
     val coreBound = 1.0f / dim
-    val mdl = model; val d = dim; val m = margin; val sd = seed; val nE = nEntities
+    val mdl = model; val d = dim; val m = margin; val sd = seed; val nE = nEntities; val fn = fctNorm
     val hasCore = mdl == "tuckER"
     val coreId = nRelations // extra relation row for the shared tuckER core
 
@@ -495,15 +514,15 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
           val nh = row.getInt(3); val nt = row.getInt(4)
           def arr(i: Int) = row.getSeq[Float](i).toArray
           val hv = arr(5); val tv = arr(6); val nhv = arr(7); val ntv = arr(8); val rv = arr(9)
-          val sPos = KgeModels.score(mdl, d, hv, rv, tv, coreArr)
-          val sNeg = KgeModels.score(mdl, d, nhv, rv, ntv, coreArr)
+          val sPos = KgeModels.score(mdl, d, hv, rv, tv, coreArr, fn)
+          val sNeg = KgeModels.score(mdl, d, nhv, rv, ntv, coreArr, fn)
           if (m + sNeg - sPos > 0) {
             val gh = new Array[Float](hv.length); val gt = new Array[Float](tv.length)
             val gnh = new Array[Float](nhv.length); val gnt = new Array[Float](ntv.length)
             val gr = new Array[Float](rv.length)
             val gcore = if (coreArr != null) new Array[Float](coreArr.length) else null
-            KgeModels.addGrad(mdl, d, hv, rv, tv, 1.0, gh, gr, gt, coreArr, gcore)
-            KgeModels.addGrad(mdl, d, nhv, rv, ntv, -1.0, gnh, gr, gnt, coreArr, gcore)
+            KgeModels.addGrad(mdl, d, hv, rv, tv, 1.0, gh, gr, gt, coreArr, gcore, fn)
+            KgeModels.addGrad(mdl, d, nhv, rv, ntv, -1.0, gnh, gr, gnt, coreArr, gcore, fn)
             val base = Seq((true, h, gh), (true, t, gt), (true, nh, gnh), (true, nt, gnt),
               (false, r, gr))
             if (gcore != null) base :+ ((false, coreId, gcore)) else base

@@ -121,6 +121,19 @@ class WalkAndModelSpec extends AnyFunSuite {
       val negMean = negScores.sum / negScores.size
       assert(posMean > negMean, s"$model: pos $posMean <= neg $negMean")
     }
+    // the reference-default L1 norm (scoring_fct_norm=1) trains just as
+    // well on the translational trio — the KgeRecommender default path
+    for (model <- Seq("transE", "transH", "transR")) {
+      val tr = new KgeTrainer(model, 8, 30, 0.1, 1.0, 42L, trainFraction = 1.0, fctNorm = 1)
+      val (ent, rel) = tr.fit(spark, triples, 14, 1)
+      val d = 8
+      val posScores = for (u <- 0 to 3; i <- 0 to 1)
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + (u / 2) * 2 + i), null, 1)
+      val negScores = for (u <- 0 to 3; i <- 0 to 1)
+        yield KgeModels.score(model, d, ent(u), rel(0), ent(10 + ((u / 2 + 1) % 2) * 2 + i), null, 1)
+      assert(posScores.sum / posScores.size > negScores.sum / negScores.size,
+        s"$model L1: positives do not outscore corrupted triples")
+    }
   }
 
   test("KGE triples:all folds property edges (incl. User-is-Property) into the vocabulary") {
@@ -198,6 +211,40 @@ class WalkAndModelSpec extends AnyFunSuite {
           assert(math.abs(fd - grad(i)) < 0.05, s"$model d$label($i): fd=$fd grad=${grad(i)}")
         }
       fdCheck(h, gh, "h"); fdCheck(r, gr, "r"); fdCheck(t, gt, "t")
+    }
+  }
+
+  test("KGE L1 (scoring_fct_norm=1) gradients are finite-difference consistent (translational trio)") {
+    val d = 4
+    val rng = new scala.util.Random(7)
+    for (model <- Seq("transE", "transH", "transR")) {
+      val (ed, rd) = KgeModels.dims(model, d)
+      val h = Array.fill(ed)(rng.nextFloat()); val r = Array.fill(rd)(rng.nextFloat())
+      val t = Array.fill(ed)(rng.nextFloat())
+      val gh = new Array[Float](ed); val gr = new Array[Float](rd); val gt = new Array[Float](ed)
+      KgeModels.addGrad(model, d, h, r, t, 1.0, gh, gr, gt, null, null, fctNorm = 1)
+      // L1 is piecewise-linear: a central difference sits on one linear
+      // piece unless a diff component crosses 0 inside the eps window —
+      // seeded values keep all components away from 0
+      val eps = 1e-3f
+      def fdCheck(arr: Array[Float], grad: Array[Float], label: String): Unit =
+        for (i <- arr.indices) {
+          val ap = arr.clone(); ap(i) += eps
+          val am = arr.clone(); am(i) -= eps
+          def sc(a: Array[Float]) = label match {
+            case "h" => KgeModels.score(model, d, a, r, t, null, 1)
+            case "r" => KgeModels.score(model, d, h, a, t, null, 1)
+            case "t" => KgeModels.score(model, d, h, r, a, null, 1)
+          }
+          val fd = (sc(ap) - sc(am)) / (2 * eps)
+          assert(math.abs(fd - grad(i)) < 0.05, s"$model L1 d$label($i): fd=$fd grad=${grad(i)}")
+        }
+      fdCheck(h, gh, "h"); fdCheck(r, gr, "r"); fdCheck(t, gt, "t")
+      // and the L1 score really is the negated L1 distance for transE
+      if (model == "transE") {
+        val expect = -(0 until d).map(i => math.abs(h(i) + r(i) - t(i))).sum
+        assert(math.abs(KgeModels.score(model, d, h, r, t, null, 1) - expect) < 1e-6)
+      }
     }
   }
 }
