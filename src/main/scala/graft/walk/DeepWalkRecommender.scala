@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * cfg keys (YAML `parameters` block, config_files/test.yml:67-74):
   * walk_len, n_walks, p, q, biased, embedding_size, window_size,
-  * epochs, learning_rate, min_count, seed.
+  * epochs, learning_rate, min_count, workers, seed. Defaults mirror the
+  * reference wrapper's (model.py:20-29): window_size 3, learning_rate
+  * 0.05, min_count 1 (all-kept, as gensim min_count=1), workers =
+  * local parallelism (`w2v_threads` remains an explicit alias).
   */
 class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
   private def i(key: String, d: Int) = cfg.get(key).map(_.toInt).getOrElse(d)
@@ -95,15 +98,15 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     val nodeVecs =
       if (useLocal)
         SkipGram.fit(spark, walks, vocabSize = nNodes.toInt,
-          dim = i("embedding_size", 64), window = i("window_size", 5),
-          epochs = i("epochs", 1), lr = f("learning_rate", 0.025),
-          negative = i("negative", 5), minCount = i("min_count", 0), seed = seed,
-          threads = i("w2v_threads", spark.sparkContext.defaultParallelism))
+          dim = i("embedding_size", 64), window = i("window_size", 3),
+          epochs = i("epochs", 1), lr = f("learning_rate", 0.05),
+          negative = i("negative", 5), minCount = i("min_count", 1), seed = seed,
+          threads = i("w2v_threads", i("workers", spark.sparkContext.defaultParallelism)))
       else if (impl != "mllib")
         SkipGram.fitDistributed(spark, walks, vocabSize = nNodes.toInt,
-          dim = i("embedding_size", 64), window = i("window_size", 5),
-          epochs = i("epochs", 1), lr = f("learning_rate", 0.025),
-          negative = i("negative", 5), minCount = i("min_count", 0), seed = seed,
+          dim = i("embedding_size", 64), window = i("window_size", 3),
+          epochs = i("epochs", 1), lr = f("learning_rate", 0.05),
+          negative = i("negative", 5), minCount = i("min_count", 1), seed = seed,
           numPartitions = i("w2v_partitions", 0))
       else {
         // persist: Word2Vec.fit scans its input at least twice (vocab pass,
@@ -114,10 +117,10 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
         val w2v = new Word2Vec()
           .setInputCol("words").setOutputCol("w2v")
           .setVectorSize(i("embedding_size", 64))
-          .setWindowSize(i("window_size", 5))
+          .setWindowSize(i("window_size", 3))
           .setMaxIter(i("epochs", 1))
-          .setStepSize(f("learning_rate", 0.025))
-          .setMinCount(i("min_count", 0))
+          .setStepSize(f("learning_rate", 0.05))
+          .setMinCount(i("min_count", 1))
           .setNumPartitions(i("w2v_partitions", 8)) // gensim's workers analogue
           .setSeed(seed)
         val model = w2v.fit(sentences)
