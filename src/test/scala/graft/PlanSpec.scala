@@ -172,4 +172,19 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
       s"tf exchange not reused — token stream shuffled per branch:\n$executed")
   }
+
+  test("q64 repetition: dup-3gram side is shuffle-free (array expression, no explode); 2-gram mode pays one gram-keyed exchange with partial combine") {
+    val p = plan("q64_repetition")
+    // the 3-gram fraction must never explode the gram stream — grams are
+    // built and reduced inside one projection; the ONLY explode in the
+    // whole plan is the 2-gram mode's (each physical op appears once in
+    // the formatted detail section as "(n) Generate")
+    assert("""\(\d+\) Generate""".r.findAllIn(p).length == 1,
+      s"expected exactly one explode (2-gram mode), got:\n$p")
+    // 2-gram mode: (doc, gram)-keyed partial agg before its exchange
+    // (hot grams collapse map-side), then the per-doc agg
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("Partial"),
+      s"no partial aggregation before the gram exchange:\n$p")
+  }
 }
