@@ -296,7 +296,11 @@ object Experiment {
       recs.unpersist(blocking = false)
       rec.release() // per-fold embedding/vocab caches must not outlive the fold
       val secs = (System.nanoTime() - t0) / 1e9
-      (modelName, foldIdx + 1, vals, secs)
+      // report rows key on the model's verbose parameter-bearing name()
+      // (experiment.py:88 `model_metrics[model.name()]`) — the config
+      // `name:` alone cannot tell two parameterizations of one model
+      // apart, and the reference's run1.csv relies on this distinction
+      (rec.name, foldIdx + 1, vals, secs)
     }
 
     // the metric rows above are local Scala values — the run's shared

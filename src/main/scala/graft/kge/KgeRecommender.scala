@@ -24,7 +24,29 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
   private def f(key: String, d: Double) = cfg.get(key).map(_.toDouble).getOrElse(d)
 
   val model: String = cfg.getOrElse("model", "transE")
-  override def name: String = model
+
+  /** Reference-format report name (`<model>/model.py name()`): verbose,
+    * parameter-bearing — this is what disambiguates two configs of the
+    * same model in one report (run1.csv carries two node2vec rows told
+    * apart only by this string). transE embeds its full parameter tail
+    * (transE/model.py:53-56); the others embed embedding_dim. The
+    * reference's transD names itself "TransR" (model.py:52, a
+    * copy-paste slip that makes transD and transR collide in a shared
+    * report) — deliberately corrected to "TransD" here. */
+  override def name: String = {
+    val cap = model match {
+      case "transE" => "TransE"; case "transH" => "TransH"
+      case "transR" => "TransR"; case "transD" => "TransD"
+      case "rotatE" => "RotatE"; case "tuckER" => "TuckER"
+      case "distMult" => "DistMult"; case "rescal" => "RESCAL"
+      case "complEx" => "ComplEx"; case other => other
+    }
+    val dim = i("embedding_dim", 50)
+    if (model == "transE")
+      s"$cap based model + cosine similarity;embedding_dim=$dim;epochs=${i("epochs", 5)};" +
+        s"seed=${i("seed", 42)};triples=${cfg.getOrElse("triples", "ratings")}"
+    else s"$cap based model + cosine similarity;embedding_dim=$dim"
+  }
 
   private var train: DataFrame = _
   private var userEmb: DataFrame = _
@@ -41,7 +63,7 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     // (often split-derived) lineage isn't re-derived per consumer —
     // released in release(), mirroring PopularityRecommender
     this.train = trainRatings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = i("embedding_dim", 32)
+    val dim = i("embedding_dim", 50) // reference default (transE/model.py:23)
 
     // M5 triple export: `triples: all | ratings`
     val triples = (cfg.getOrElse("triples", "ratings"), propertyEdges) match {

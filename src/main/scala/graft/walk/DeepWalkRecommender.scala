@@ -30,7 +30,13 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
   private def i(key: String, d: Int) = cfg.get(key).map(_.toInt).getOrElse(d)
   private def f(key: String, d: Double) = cfg.get(key).map(_.toDouble).getOrElse(d)
 
-  override def name: String = if (cfg.get("biased").contains("true")) "node2vec" else "deepwalk"
+  /** Reference-format report name (deep_walk_based/model.py:45-48):
+    * verbose and parameter-bearing — q before p, as the reference
+    * prints it — so two configs of the same model stay distinct rows
+    * in one report (run1.csv relies on exactly this). */
+  override def name: String =
+    "Node2Vec based model + cosine similarity" +
+      s";q=${f("q", 1.0)};p=${f("p", 1.0)};embedding_size=${i("embedding_size", 64)}"
 
   private var spark: SparkSession = _
   private var train: DataFrame = _
