@@ -323,7 +323,10 @@ object Experiment {
     val report = (reports :+ timeReport).reduce((a, b) => a.join(b, Seq("model")))
 
     for (r <- Option(sub(exp, "report")); f <- Option(str(r, "file"))) {
-      Reporter.writeCsv(report, f)
+      // the FILE takes the reference's artifact shape (fold-major, no
+      // execution_time columns, hold-out collapse — report.py:31-63);
+      // the returned DataFrame keeps the full layout for callers
+      Reporter.writeCsv(Reporter.referenceArtifact(report, metricNames, k, folds.size), f)
     }
     // separate execution-times CSV with the machine spec folded into the
     // model name (experiment.py:108-113, report.py:86-101)

@@ -28,6 +28,27 @@ object Reporter {
   def writeCsv(report: DataFrame, path: String): Unit =
     report.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Project the wide in-memory report onto the reference's CSV artifact
+    * shape (report.py:31-63): FOLD-major metric columns then per-metric
+    * mean/std for k-fold runs; plain `{metric}@{k}` columns — no fold
+    * prefix, no mean/std — for the single-split (hold-out) case; never
+    * any execution_time columns (those live in the separate
+    * ExecutionTimesReporter file). The returned DataFrame keeps the full
+    * metric-major layout for programmatic consumers; only the written
+    * artifact takes this shape. */
+  def referenceArtifact(report: DataFrame, metricNames: Seq[String], k: Int,
+                        nFolds: Int): DataFrame = {
+    if (nFolds > 1) {
+      val foldCols = for (f <- 1 to nFolds; m <- metricNames)
+        yield col(s"fold-${f}_$m@$k")
+      val statCols = metricNames.flatMap(m =>
+        Seq(col(s"$m@${k}_mean"), col(s"$m@${k}_std")))
+      report.select(col("model") +: (foldCols ++ statCols): _*)
+    } else
+      report.select(col("model") +:
+        metricNames.map(m => col(s"fold-1_$m@$k").as(s"$m@$k")): _*)
+  }
+
   /** Machine-spec string embedded in the execution-times report's model
     * name (report.py:99: `{model} (CPU: ...; RAM: ...GB; GPUs: [...])`).
     * JVM equivalents of cpuinfo/psutil/GPUtil; no GPU probe exists in

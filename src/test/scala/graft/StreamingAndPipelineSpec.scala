@@ -307,8 +307,15 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(row.getString(row.fieldIndex("model")) == "popularity")
     val mapMean = row.getDouble(row.fieldIndex("MAP@3_mean"))
     assert(mapMean >= 0.0 && mapMean <= 1.0)
-    // report CSV landed on disk
-    assert(new java.io.File(tmp.resolve("report").toString).exists())
+    // report CSV landed on disk in the reference's artifact shape
+    // (report.py:31-63): fold-major metric columns, then mean/std pairs,
+    // and NO execution_time columns (those live in the times file)
+    val reportHeader = spark.read.option("header", "true")
+      .csv(tmp.resolve("report").toString).columns.toSeq
+    assert(reportHeader == Seq("model",
+      "fold-1_MAP@3", "fold-1_nDCG@3", "fold-2_MAP@3", "fold-2_nDCG@3",
+      "MAP@3_mean", "MAP@3_std", "nDCG@3_mean", "nDCG@3_std"),
+      s"report artifact header mismatch: $reportHeader")
   }
 
   test("enrich block reference parity: enrich_path key, string properties, map URI edges, remove_unmatched cascade (graph.py:222-230)") {
