@@ -228,34 +228,45 @@ object Experiment {
     val seed = int(split, "seed", 42).toLong
     val test = sub(split, "test")
     val splitCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-    val folds: Seq[(DataFrame, DataFrame)] = str(test, "method") match {
-      case "k_fold" =>
-        val k = int(test, "k", 2)
-        val assigned = EdgeSplits.kFoldRandom(ratings, k, str(test, "level", "user"), seed).cache()
-        splitCaches += assigned
-        (1 to k).map(i => (assigned.filter(col("fold") =!= i).drop("fold"),
-          assigned.filter(col("fold") === i).drop("fold")))
-      case "random_by_ratio" =>
-        val a = EdgeSplits.randomByRatio(ratings, dbl(test, "p", 0.2), str(test, "level", "user"), seed)
-        Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
-      case "timestamp_by_ratio" =>
-        val a = EdgeSplits.timestampByRatio(ratings, dbl(test, "p", 0.2), str(test, "level", "user"))
-        Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
-      case "fixed_timestamp" =>
-        val a = EdgeSplits.fixedTimestamp(ratings, str(test, "timestamp").toLong)
-        Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
-      case other => throw new IllegalArgumentException(s"Invalid split method $other")
-    }
+    // one splitter application — shared by the test split and the nested
+    // validation split, which accepts the SAME method surface and seed
+    // (dataloader.py:23-40 constructs a second EdgeSplitter(G_train,
+    // seed=seed) and dispatches split_config['validation'] through it)
+    def applySplit(df: DataFrame, c: Cfg, defaultMethod: String): Seq[(DataFrame, DataFrame)] =
+      str(c, "method", defaultMethod) match {
+        case "k_fold" =>
+          val k = int(c, "k", 2)
+          val assigned = EdgeSplits.kFoldRandom(df, k, str(c, "level", "user"), seed).cache()
+          splitCaches += assigned
+          (1 to k).map(i => (assigned.filter(col("fold") =!= i).drop("fold"),
+            assigned.filter(col("fold") === i).drop("fold")))
+        case "random_by_ratio" =>
+          val a = EdgeSplits.randomByRatio(df, dbl(c, "p", 0.2), str(c, "level", "user"), seed)
+          Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
+        case "timestamp_by_ratio" =>
+          val a = EdgeSplits.timestampByRatio(df, dbl(c, "p", 0.2), str(c, "level", "user"))
+          Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
+        case "fixed_timestamp" =>
+          val a = EdgeSplits.fixedTimestamp(df, str(c, "timestamp").toLong)
+          Seq((a.filter(!col("is_test")).drop("is_test"), a.filter(col("is_test")).drop("is_test")))
+        case other => throw new IllegalArgumentException(s"Invalid split method $other")
+      }
+    val folds: Seq[(DataFrame, DataFrame)] = applySplit(ratings, test, null)
 
     // optional nested validation split (dataloader.py:32-40): carve a
-    // validation set out of each fold's train part with the same engine
+    // validation set out of each fold's train part with the same engine —
+    // any splitter method (default random_by_ratio), k_fold-on-k_fold
+    // rejected with the reference's error
     val foldsWithVal: Seq[(DataFrame, DataFrame)] = Option(split.get("validation")) match {
       case Some(v) =>
         val vc = v.asInstanceOf[Cfg]
-        folds.map { case (train, test) =>
-          val a = EdgeSplits.randomByRatio(train, dbl(vc, "p", 0.1),
-            str(vc, "level", "user"), seed + 1)
-          (a.filter(!col("is_test")).drop("is_test"), test)
+        if (str(test, "method") == "k_fold" && str(vc, "method", "random_by_ratio") == "k_fold")
+          throw new IllegalArgumentException("Validation split does not support k_fold method.")
+        folds.map { case (train, tst) =>
+          // .last mirrors the reference's generator loop, whose final
+          // iteration's G_train is what reaches training
+          val (carved, _) = applySplit(train, vc, "random_by_ratio").last
+          (carved, tst)
         }
       case None => folds
     }

@@ -248,6 +248,23 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(cfgPath, config)
     val report = graft.cli.Experiment.run(spark, cfgPath.toString)
     assert(report.count() == 1) // runs end-to-end with the carved train set
+
+    // validation accepts the full splitter method surface (dataloader.py
+    // dispatches split_config['validation'] through a second EdgeSplitter)
+    val cfgTs = config.replace("validation: {p: 0.25, level: user}",
+      "validation: {method: timestamp_by_ratio, p: 0.25, level: user}")
+    java.nio.file.Files.writeString(tmp.resolve("config_ts.yml"), cfgTs)
+    assert(graft.cli.Experiment.run(spark, tmp.resolve("config_ts.yml").toString).count() == 1)
+
+    // k_fold validation under a k_fold test split raises the reference's
+    // exact error (dataloader.py:33-34)
+    val cfgKk = config.replace("validation: {p: 0.25, level: user}",
+      "validation: {method: k_fold, k: 2, level: user}")
+    java.nio.file.Files.writeString(tmp.resolve("config_kk.yml"), cfgKk)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Experiment.run(spark, tmp.resolve("config_kk.yml").toString)
+    }
+    assert(err.getMessage.contains("Validation split does not support k_fold method."))
   }
 
   test("Experiment CLI: YAML config -> report CSV end-to-end (§3.1)") {
