@@ -44,7 +44,7 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     val dim = i("embedding_dim", 50)
     if (model == "transE")
       s"$cap based model + cosine similarity;embedding_dim=$dim;epochs=${i("epochs", 5)};" +
-        s"seed=${i("seed", 42)};triples=${cfg.getOrElse("triples", "ratings")}"
+        s"seed=${i("seed", 42)};triples=${cfg.getOrElse("triples", "all")}"
     else s"$cap based model + cosine similarity;embedding_dim=$dim"
   }
 
@@ -65,8 +65,10 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     this.train = trainRatings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = i("embedding_dim", 50) // reference default (transE/model.py:23)
 
-    // M5 triple export: `triples: all | ratings`
-    val triples = (cfg.getOrElse("triples", "ratings"), propertyEdges) match {
+    // M5 triple export: `triples: all | ratings` — reference default
+    // "all" (transE/model.py:34): property edges fold into the vocabulary
+    // whenever the graph has them
+    val triples = (cfg.getOrElse("triples", "all"), propertyEdges) match {
       case ("all", Some(p)) =>
         KGraph.ratingTriples(trainRatings).unionByName(
           p.select(col("src_label").as("head"), col("relation"), col("dst_label").as("tail")))
