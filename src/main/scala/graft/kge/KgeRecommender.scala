@@ -144,5 +144,8 @@ object KgeRecommender {
   def registry: Map[String, Map[String, String] => Recommender] =
     Seq("transE", "transH", "transR", "transD", "distMult", "complEx", "rotatE", "rescal", "tuckER")
       .map(m => m -> ((cfg: Map[String, String]) => new KgeRecommender(cfg + ("model" -> m)): Recommender))
-      .toMap
+      .toMap +
+      // the reference's model2class spells it 'rESCAL' — accept the
+      // verbatim config name alongside the plain key
+      ("rESCAL" -> ((cfg: Map[String, String]) => new KgeRecommender(cfg + ("model" -> "rescal")): Recommender))
 }

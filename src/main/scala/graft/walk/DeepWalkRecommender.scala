@@ -163,7 +163,13 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
 object DeepWalkRecommender {
   def registry: Map[String, Map[String, String] => Recommender] = Map(
     "deepwalk" -> (cfg => new DeepWalkRecommender(cfg)),
-    "node2vec" -> (cfg => new DeepWalkRecommender(cfg + ("biased" -> "true")))
+    "node2vec" -> (cfg => new DeepWalkRecommender(cfg + ("biased" -> "true"))),
+    // the reference's registry name (model2class.py: 'deepwalk_based') —
+    // mapped to the BIASED walker so a config's p/q take effect as its
+    // author intended (the reference accepts them but never forwards
+    // them to its walker; DEVIATIONS row 7). At the p=q=1.0 its shipped
+    // configs mostly use, biased == first-order.
+    "deepwalk_based" -> (cfg => new DeepWalkRecommender(cfg + ("biased" -> "true")))
   )
 
   /** Shared kNN recommendation path (J6 + J5 + W7): score k' =

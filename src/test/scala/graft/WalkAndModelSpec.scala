@@ -10,6 +10,15 @@ class WalkAndModelSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("model registry resolves every reference model2class name verbatim") {
+    // the exact keys of model2class.py:1-42 — a reference config's
+    // `name:` must resolve without edits (incl. 'rESCAL' spelling)
+    val referenceNames = Seq("deepwalk_based", "transE", "transH", "transR",
+      "transD", "rotatE", "tuckER", "distMult", "rESCAL", "complEx")
+    for (n <- referenceNames)
+      assert(graft.model.Recommenders.registry.contains(n), s"missing registry entry: $n")
+  }
+
   private val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     .toDF("src", "dst")
 
