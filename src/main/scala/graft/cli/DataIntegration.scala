@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
 object DataIntegration {
 
   def main(args: Array[String]): Unit = {
-    def flag(f: String) = args.contains(f)
-    def arg(f: String) = args.sliding(2).collectFirst { case Array(`f`, v) => v }
-    val dataset = arg("-d").getOrElse(sys.error("usage: DataIntegration -d <dataset> -i <in> -o <out> [-ci -cu -cr -cs -map -enrich]"))
+    // both argparse spellings resolve (data_integration.py:16-25):
+    // short (-d) and long (--dataset)
+    val longForm = Map("-d" -> "--dataset", "-i" -> "--input_path",
+      "-o" -> "--output_path", "-ci" -> "--convert_item", "-cu" -> "--convert_user",
+      "-cr" -> "--convert_rating", "-cs" -> "--convert_social",
+      "-map" -> "--map_URIs", "-enrich" -> "--enrich_data", "-w" -> "--n_workers")
+    def flag(f: String) = args.contains(f) || longForm.get(f).exists(args.contains)
+    def arg(f: String) = args.sliding(2).collectFirst {
+      case Array(k, v) if k == f || longForm.get(f).contains(k) => v
+    }
+    val dataset = arg("-d").getOrElse(sys.error("usage: DataIntegration -d <dataset> -i <in> -o <out> [-ci -cu -cr -cs -map -enrich -w N]"))
     val in = arg("-i").getOrElse(sys.error("-i input path required"))
     val out = arg("-o").getOrElse(sys.error("-o output path required"))
     val spark = SparkSession.builder()
@@ -34,7 +42,8 @@ object DataIntegration {
       convertItem = flag("-ci"), convertUser = flag("-cu"),
       convertRating = flag("-cr"), convertSocial = flag("-cs"),
       mapUris = flag("-map"), enrichData = flag("-enrich"),
-      parallelism = arg("-w").map(_.toInt).getOrElse(8))
+      // reference default n_workers=1 (data_integration.py:25)
+      parallelism = arg("-w").map(_.toInt).getOrElse(1))
     spark.stop()
   }
 
