@@ -125,12 +125,18 @@ object Experiment {
       yield TypedCsv.read(spark, p)
     val removeUnmatched =
       enrichCfg.exists(e => str(e, "remove_unmatched", "false").toBoolean)
-    // match predicate: non-null URI (graph.py:226-227); fall back to the
-    // first non-id column for map files with a differently-named key
+    // match predicate: non-null URI (graph.py:226-227). With
+    // remove_unmatched set the reference hard-fails (KeyError on
+    // df_item['URI']) when the map file lacks a URI column — fail fast
+    // the same way rather than silently guessing a match column and
+    // filtering the item set on the wrong thing.
     val matchedIds = mapDf.map { m =>
-      val uriCol = if (m.columns.contains("URI")) "URI"
-        else m.columns.filterNot(_ == "item_id").headOption.getOrElse("item_id")
-      m.filter(col(uriCol).isNotNull).select("item_id").distinct()
+      if (removeUnmatched) require(m.columns.contains("URI"),
+        s"enrich map file has no 'URI' column (found: ${m.columns.mkString(", ")}); " +
+          "remove_unmatched filters on non-null URI (graph.py:226-227)")
+      if (m.columns.contains("URI"))
+        m.filter(col("URI").isNotNull).select("item_id").distinct()
+      else m.select("item_id").distinct()
     }
     val items = (itemsRaw, matchedIds) match {
       case (Some(i), Some(mm)) if removeUnmatched =>
@@ -192,6 +198,26 @@ object Experiment {
 
   /** Parse + run; returns the report DataFrame (also written to the
     * configured report file). */
+  /** Two configured models can produce the same name() string (the
+    * unbiased 'deepwalk' and 'node2vec' registry entries when p/q/
+    * embedding_size match, or two same-dim configs of one KGE model,
+    * whose names embed only embedding_dim). Report rows key on name(),
+    * so a collision would let foldPivot's first()/mean/std mix metrics
+    * from two different models into one row nondeterministically —
+    * dedup last-wins per (model, fold) so a collision degrades
+    * deterministically (the later-listed model's numbers win), the
+    * closest per-fold analogue of the reference's dict-keyed rows. */
+  private[graft] def dedupLastWins[V, T](
+      rows: Seq[(String, Int, V, T)]): Seq[(String, Int, V, T)] = {
+    val d = rows.zipWithIndex
+      .groupBy { case ((model, fold, _, _), _) => (model, fold) }
+      .map(_._2.last).toSeq.sortBy(_._2).map(_._1)
+    if (d.size < rows.size)
+      System.err.println(s"warning: ${rows.size - d.size} report row(s) dropped — " +
+        "multiple configured models share the same name(); last configuration wins")
+    d
+  }
+
   def run(spark: SparkSession, configPath: String): DataFrame = {
     val root = new Yaml().load(new java.io.FileInputStream(configPath))
       .asInstanceOf[Cfg]
@@ -320,15 +346,17 @@ object Experiment {
     ratings.unpersist(blocking = false)
     splitCaches.foreach(_.unpersist(blocking = false))
 
+    val dedupedRows = dedupLastWins(rows)
+
     // mean±std report (experiment.py:93-106, report.py:31-63)
     import spark.implicits._
     val reports = metricNames.map { mn =>
-      val df = rows.map { case (model, fold, vals, _) =>
+      val df = dedupedRows.map { case (model, fold, vals, _) =>
         (model, fold, vals.toMap.apply(mn))
       }.toDF("model", "fold", "value")
       Reporter.foldPivot(df, folds.size, s"$mn@$k")
     }
-    val times = rows.map { case (model, fold, _, secs) => (model, fold, secs) }
+    val times = dedupedRows.map { case (model, fold, _, secs) => (model, fold, secs) }
       .toDF("model", "fold", "value")
     val timeReport = Reporter.foldPivot(times, folds.size, "execution_time")
     val report = (reports :+ timeReport).reduce((a, b) => a.join(b, Seq("model")))

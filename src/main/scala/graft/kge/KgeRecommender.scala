@@ -25,6 +25,13 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
 
   val model: String = cfg.getOrElse("model", "transE")
 
+  /** Model-dependent embedding_dim default: rotatE/tuckER/complEx
+    * construct with 200 (their model.py:23), every other model with 50
+    * (transE/model.py:23) — shared by train() and name() so the report
+    * string matches reference artifacts for default-config runs. */
+  private def defaultDim: Int =
+    if (Set("rotatE", "tuckER", "complEx")(model)) 200 else 50
+
   /** Reference-format report name (`<model>/model.py name()`): verbose,
     * parameter-bearing — this is what disambiguates two configs of the
     * same model in one report (run1.csv carries two node2vec rows told
@@ -41,7 +48,7 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
       case "distMult" => "DistMult"; case "rescal" => "RESCAL"
       case "complEx" => "ComplEx"; case other => other
     }
-    val dim = i("embedding_dim", 50)
+    val dim = i("embedding_dim", defaultDim)
     if (model == "transE")
       s"$cap based model + cosine similarity;embedding_dim=$dim;epochs=${i("epochs", 5)};" +
         s"seed=${i("seed", 42)};triples=${cfg.getOrElse("triples", "all")}"
@@ -63,7 +70,7 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     // (often split-derived) lineage isn't re-derived per consumer —
     // released in release(), mirroring PopularityRecommender
     this.train = trainRatings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = i("embedding_dim", 50) // reference default (transE/model.py:23)
+    val dim = i("embedding_dim", defaultDim) // reference defaults (model.py:23 per model)
 
     // M5 triple export: `triples: all | ratings` — reference default
     // "all" (transE/model.py:34): property edges fold into the vocabulary

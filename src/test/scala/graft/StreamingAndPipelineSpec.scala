@@ -384,4 +384,56 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(edges.contains(("Item(i1)", "Property(1995, year)")))
     assert(!edges.exists(_._1 == "Item(i3)"))
   }
+
+  test("remove_unmatched with a URI-less map file fails fast (graph.py:226-227 KeyError parity)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftnouri")
+    java.nio.file.Files.writeString(tmp.resolve("rating.csv"),
+      "user_id::string,item_id::string,rating::number\nu1,i1,5\n")
+    java.nio.file.Files.writeString(tmp.resolve("item.csv"),
+      "item_id::string\ni1\n")
+    // the match column is misnamed: the reference KeyErrors on
+    // df_item['URI'] here — we must not silently guess 'uri_link'
+    java.nio.file.Files.writeString(tmp.resolve("map.csv"),
+      "item_id::string,uri_link::string\ni1,dbr:One\n")
+    def ds(removeUnmatched: Boolean) = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](
+        s"""ratings: ${tmp.resolve("rating.csv")}
+           |item: {path: ${tmp.resolve("item.csv")}}
+           |enrich:
+           |  map_path: ${tmp.resolve("map.csv")}
+           |  remove_unmatched: $removeUnmatched
+           |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Experiment.loadDataset(spark, ds(removeUnmatched = true))
+    }
+    assert(e.getMessage.contains("URI"))
+    // without remove_unmatched the reference never touches URI — loading
+    // proceeds and the map columns still become property edges
+    val bundle = graft.cli.Experiment.loadDataset(spark, ds(removeUnmatched = false))
+    assert(bundle.ratings.count() == 1)
+    assert(bundle.propertyEdges.get.collect()
+      .exists(_.getString(2) == "Property(dbr:One, uri_link)"))
+  }
+
+  test("report rows dedup last-wins on (model, fold) when names collide") {
+    // 'deepwalk' (unbiased) and 'node2vec' produce the identical
+    // "Node2Vec based model..." string at matching p/q/embedding_size;
+    // the reference's dict-keyed rows never mix two models into one
+    // mean — the later-listed configuration must win per fold
+    val rows = Seq(
+      ("Node2Vec based model;q=1.0;p=1.0", 1, Seq("MAP" -> 0.1), 1.0),
+      ("Node2Vec based model;q=1.0;p=1.0", 2, Seq("MAP" -> 0.2), 1.0),
+      ("popularity", 1, Seq("MAP" -> 0.5), 2.0),
+      ("Node2Vec based model;q=1.0;p=1.0", 1, Seq("MAP" -> 0.3), 3.0), // collides with row 1
+      ("Node2Vec based model;q=1.0;p=1.0", 2, Seq("MAP" -> 0.4), 3.0), // collides with row 2
+      ("popularity", 2, Seq("MAP" -> 0.6), 2.0))
+    val d = graft.cli.Experiment.dedupLastWins(rows)
+    assert(d.size == 4)
+    // last-wins: the second node2vec-named config's values survive
+    val n2v = d.filter(_._1.startsWith("Node2Vec")).sortBy(_._2)
+    assert(n2v.map(_._3.head._2) == Seq(0.3, 0.4))
+    // non-colliding rows pass through in original order
+    assert(d.map(_._1) == Seq("popularity", "Node2Vec based model;q=1.0;p=1.0",
+      "Node2Vec based model;q=1.0;p=1.0", "popularity"))
+  }
 }

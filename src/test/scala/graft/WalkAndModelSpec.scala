@@ -19,6 +19,20 @@ class WalkAndModelSpec extends AnyFunSuite {
       assert(graft.model.Recommenders.registry.contains(n), s"missing registry entry: $n")
   }
 
+  test("KGE embedding_dim defaults are model-dependent (model.py:23 per model)") {
+    // rotatE/tuckER/complEx construct with embedding_dim=200, everyone
+    // else with 50 — the report name() must reflect the same default
+    for (m <- Seq("rotatE", "tuckER", "complEx"))
+      assert(new graft.kge.KgeRecommender(Map("model" -> m)).name
+        .contains("embedding_dim=200"), s"$m should default to 200")
+    for (m <- Seq("transE", "transH", "transR", "transD", "distMult", "rescal"))
+      assert(new graft.kge.KgeRecommender(Map("model" -> m)).name
+        .contains("embedding_dim=50"), s"$m should default to 50")
+    // explicit config still wins
+    assert(new graft.kge.KgeRecommender(Map("model" -> "rotatE",
+      "embedding_dim" -> "16")).name.contains("embedding_dim=16"))
+  }
+
   private val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     .toDF("src", "dst")
 
