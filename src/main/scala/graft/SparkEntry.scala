@@ -502,13 +502,18 @@ object SparkEntry {
           round(expr("cast(features[3] as double)"), 6).as("f3"))
     }),
 
-    // M1-M3/M6: DeepWalk on a bounded subgraph (rows-only check:
-    // Word2Vec training is seed-sensitive across implementations)
+    // M1-M3/M6: DeepWalk on a bounded subgraph. Fully pinned for the
+    // golden-parquet oracle: local SGNS with threads=1 (bit-exact for a
+    // fixed seed — SkipGram.scala:38-40) over a (start, walk_idx)-sorted
+    // corpus (pin_order), so the output is partitioning- and
+    // session-independent. No SQL engine can replay the fit itself; the
+    // golden records spec-verified output (SkipGramSpec invariants).
     "q40_deepwalk_recs" -> ((s, dir) => {
       val train = trainRatings(s, dir).filter(col("user_id") < 200)
       val rec = new graft.walk.DeepWalkRecommender(Map(
         "n_walks" -> "3", "walk_len" -> "6", "embedding_size" -> "16",
-        "epochs" -> "1", "seed" -> "42", "w2v_partitions" -> "16"))
+        "epochs" -> "1", "seed" -> "42", "w2v_impl" -> "local",
+        "w2v_threads" -> "1", "pin_order" -> "true"))
         .train(s, train, None)
       // q07 pattern: materialize the output once, then release() the
       // recommender's userEmb/itemEmb/train caches — per-run cache
@@ -519,11 +524,16 @@ object SparkEntry {
       out
     }),
 
-    // M4-M6: TransE KGE on a bounded subgraph (rows-only check)
+    // M4-M6: TransE KGE on a bounded subgraph. Pinned for the golden-
+    // parquet oracle: pin_order sorts the training triples onto one
+    // partition so the full-batch gradient accumulates in a fixed float
+    // order — bit-exact across sessions (KgeTrainer.fit). The fit
+    // itself is fd-gradient spec-verified; the golden records it.
     "q41_transe_recs" -> ((s, dir) => {
       val train = trainRatings(s, dir).filter(col("user_id") < 200)
       val rec = new graft.kge.KgeRecommender(Map(
-        "model" -> "transE", "embedding_dim" -> "16", "epochs" -> "2", "seed" -> "42"))
+        "model" -> "transE", "embedding_dim" -> "16", "epochs" -> "2", "seed" -> "42",
+        "pin_order" -> "true"))
         .train(s, train, None)
       val out = rec.recommend(5).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
@@ -1168,6 +1178,21 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_dot_product(a.v, b.v) /
         |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin,
+
+    // golden-file oracles, same scheme as q42/q45: both embedding fits
+    // are pinned bit-exact (q40: local single-thread SGNS over a sorted
+    // corpus; q41: single-partition sorted full-batch gradient) so the
+    // (user_id, item_id, rank) output is session-independent, but no SQL
+    // engine can replay the training itself (regenerate with
+    // `runMain graft.GoldenGen q40_deepwalk_recs <sfdirs...>`)
+    "q40_deepwalk_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q40_deepwalk_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q41_transe_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q41_transe_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // golden-file oracle: the walks are fully deterministic (seeded
     // xxhash64 transitions), but no SQL engine can replay them —

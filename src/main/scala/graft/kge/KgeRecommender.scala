@@ -105,7 +105,8 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     val fctNorm = i("scoring_fct_norm",
       if (Set("transE", "transH", "transR")(model)) 1 else 2)
     val trainer = new KgeTrainer(model, dim, i("epochs", 5), f("learning_rate", 0.05),
-      f("margin", 1.0), i("seed", 42).toLong, fctNorm = fctNorm)
+      f("margin", 1.0), i("seed", 42).toLong, fctNorm = fctNorm,
+      pinOrder = cfg.get("pin_order").contains("true"))
     // fitEmb dispatches driver-resident vs fully distributed training by
     // parameter count; either way the embeddings arrive as a DataFrame
     // and the driver never materializes the entity dimension here

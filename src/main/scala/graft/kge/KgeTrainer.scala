@@ -306,7 +306,7 @@ object KgeModels {
 
 class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Double,
                  val margin: Double, val seed: Long, val trainFraction: Double = 0.95,
-                 val fctNorm: Int = 2) extends Serializable {
+                 val fctNorm: Int = 2, val pinOrder: Boolean = false) extends Serializable {
 
   /** triples: (h, r, t) dense int ids. Returns entity embeddings
     * (nEntities × entityFloats) and relation embeddings. */
@@ -337,11 +337,18 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
 
     // the reference's internal 95/5/0 split (transE/model.py:163-174):
     // train on `trainFraction` of triples, selected by seeded hash
-    val data = triples.select(col("h").cast("int"), col("r").cast("int"), col("t").cast("int"))
+    val dataRaw = triples.select(col("h").cast("int"), col("r").cast("int"), col("t").cast("int"))
       .filter(pmod(xxhash64(col("h"), col("r"), col("t"), lit(seed)), lit(10000L))
         < lit((trainFraction * 10000).toLong))
       .rdd.map(row => (row.getInt(0), row.getInt(1), row.getInt(2)))
-      .persist()
+    // pinOrder: gradient VALUES per key are a full-batch sum whose float
+    // rounding depends on accumulation order (partition layout +
+    // treeReduce arrival order). Sorting onto ONE partition fixes the
+    // iteration order completely, making the fit bit-exact across
+    // sessions (golden-parquet oracle, q41) — only sensible for bounded
+    // driver-path training; the default stays fully parallel.
+    val data = (if (pinOrder) dataRaw.sortBy(identity, numPartitions = 1)
+                else dataRaw).persist()
     val n = data.count().toDouble
     val mdl = model; val d = dim; val m = margin; val nE = nEntities; val sd = seed; val fn = fctNorm
 

@@ -76,12 +76,20 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
 
     val adj = RandomWalks.adjacency(intEdges).cache()
     val starts = nodes.select(col("node_id").as("node"))
-    val walks =
+    val walksRaw =
       if (cfg.get("biased").contains("true"))
         RandomWalks.biasedWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10),
           f("p", 1.0), f("q", 1.0), seed)
       else
         RandomWalks.randomWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10), seed)
+    // pin_order: total-order the corpus by its unique (start, walk_idx)
+    // key so the SGNS kernel consumes sentences in a partitioning-
+    // independent order — walk CONTENT is already seed-deterministic
+    // (q42/q45 goldens), but collect order is partition order, and SGD
+    // is order-sensitive. With w2v_threads=1 this makes the embedding
+    // fit bit-exact across sessions (golden-parquet oracle, q40).
+    val walks = if (cfg.get("pin_order").contains("true"))
+      walksRaw.orderBy("start", "walk_idx") else walksRaw
 
     // trainer dispatch (mirrors KgeTrainer.fitAuto): below the gate the
     // corpus is collected once and trained shared-memory on the driver

@@ -110,6 +110,31 @@ class SkipGramSpec extends AnyFunSuite {
     rec.release()
   }
 
+  test("pin_order + threads=1 makes DeepWalk recs invariant to input partitioning") {
+    // the golden-parquet oracle contract for q40: the same seed must
+    // produce the identical (user_id, item_id, rank) set no matter how
+    // the input happens to be partitioned (sessions differ in
+    // parallelism; collect order is partition order without the pin)
+    val train = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 10L, 5.0), (2L, 12L, 3.0),
+      (3L, 11L, 4.0), (3L, 12L, 2.0), (4L, 10L, 1.0), (4L, 13L, 5.0),
+      (5L, 11L, 2.0), (5L, 13L, 4.0), (6L, 12L, 5.0), (6L, 10L, 2.0)
+    ).toDF("user_id", "item_id", "rating")
+    val cfg = Map(
+      "n_walks" -> "4", "walk_len" -> "6", "embedding_size" -> "8",
+      "epochs" -> "2", "seed" -> "42", "w2v_impl" -> "local",
+      "w2v_threads" -> "1", "pin_order" -> "true")
+    def run(in: org.apache.spark.sql.DataFrame) = {
+      val rec = new DeepWalkRecommender(cfg).train(spark, in, None)
+      val out = rec.recommend(3).select("user_id", "item_id", "rank")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      rec.release(); out
+    }
+    val a = run(train.repartition(1))
+    val b = run(train.repartition(7))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("DeepWalkRecommender distributed trainer wires end-to-end") {
     val train = Seq(
       (1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 10L, 5.0), (2L, 12L, 3.0),

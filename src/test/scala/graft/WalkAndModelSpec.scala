@@ -177,6 +177,22 @@ class WalkAndModelSpec extends AnyFunSuite {
     assert(recR.recommend(2).count() > 0)
   }
 
+  test("pinOrder makes the KGE fit bit-exact under any triple partitioning") {
+    // the golden-parquet oracle contract for q41: full-batch gradients
+    // are float sums whose rounding depends on accumulation order;
+    // pinOrder sorts the triples onto one partition so the order — and
+    // therefore every embedding bit — is session-independent
+    val triples = (for { u <- 0 to 5; i <- 0 to 2 }
+      yield (u, 0, 10 + (u + i) % 3)).toDF("h", "r", "t")
+    def emb(parts: Int): Seq[Seq[Float]] = {
+      val tr = new KgeTrainer("transE", 8, 3, 0.1, 1.0, 42L,
+        trainFraction = 1.0, fctNorm = 1, pinOrder = true)
+      val (ent, _) = tr.fit(spark, triples.repartition(parts), 13, 1)
+      ent.toSeq.map(_.toSeq)
+    }
+    assert(emb(1) == emb(8))
+  }
+
   test("distributed KGE trainer separates positives from corrupted (scale path)") {
     // same bipartite 2-block graph; fitEmb with driverMaxParams=0 forces
     // the fully distributed (DataFrame-parameter) path
