@@ -144,6 +144,10 @@ class KgeRecommender(cfg: Map[String, String] = Map.empty) extends Recommender {
     DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k,
       allRecs = cfg.get("all_recs").contains("true"))
 
+  override def recommendUser(user: String, k: Int): DataFrame =
+    DeepWalkRecommender.knnRecommendUser(train, userEmb, itemEmb, user, k,
+      allRecs = cfg.get("all_recs").contains("true"))
+
   override def release(): Unit =
     Seq(train, userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
 }

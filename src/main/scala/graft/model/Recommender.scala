@@ -33,9 +33,12 @@ trait Recommender {
 
   /** Single-user recommendation (`get_user_recommendation`,
     * recommender.py:30-31; deep_walk_based/model.py:84-103): the
-    * per-user slice of [[recommend]]. Catalyst pushes the user_id
-    * filter below the ranking window, so only that user's partition
-    * is scored — no model recomputes anything per call. */
+    * per-user slice of [[recommend]]. This default filters the full
+    * ranking — fine for fully relational models, where Catalyst pushes
+    * the user_id filter below the ranking window. Models whose scoring
+    * kernel is an opaque RDD (the embedding recommenders) override it to
+    * filter the query side BEFORE the kernel, so a single-user call
+    * scores one row instead of every user. */
   def recommendUser(user: String, k: Int): DataFrame =
     recommend(k).filter(org.apache.spark.sql.functions.col("user_id") ===
       org.apache.spark.sql.functions.lit(user))

@@ -164,6 +164,10 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     DeepWalkRecommender.knnRecommend(train, userEmb, itemEmb, k,
       allRecs = cfg.get("all_recs").contains("true"))
 
+  override def recommendUser(user: String, k: Int): DataFrame =
+    DeepWalkRecommender.knnRecommendUser(train, userEmb, itemEmb, user, k,
+      allRecs = cfg.get("all_recs").contains("true"))
+
   override def release(): Unit =
     Seq(train, userEmb, itemEmb).filter(_ != null).foreach(_.unpersist(blocking = false))
 }
@@ -201,5 +205,29 @@ object DeepWalkRecommender {
         Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))))
     (if (allRecs) ranked else ranked.filter(col("rank") <= k))
       .select("user_id", "item_id", "rank")
+  }
+
+  /** Single-user push-down of [[knnRecommend]]
+    * (`get_user_recommendation`, deep_walk_based/model.py:84-103): the
+    * reference filters to the user's UNRATED items first, then runs kNN
+    * with n_neighbors = k over that candidate set. Same here — one query
+    * row and a pre-anti-joined item side reach [[CosineKnn.topK]], so
+    * every dispatch tier (fused/shuffle-combine/relational) scores a
+    * single user instead of ranking all users and slicing after (which
+    * is what filter-on-recommend costs at the opaque-RDD tiers, where no
+    * Catalyst pushdown can reach below the kernel). Row-identical to the
+    * per-user slice of [[knnRecommend]]: the full path's
+    * k' = maxRated + k guarantees ≥ k unrated survivors per user, and
+    * all kernels share the (score desc, item_id asc) tie-break. */
+  def knnRecommendUser(train: DataFrame, userEmb: DataFrame, itemEmb: DataFrame,
+                       user: String, k: Int, allRecs: Boolean = false): DataFrame = {
+    val query = userEmb.filter(col("id") === lit(user))
+    val rated = train.filter(col("user_id").cast("string") === lit(user))
+      .select(col("item_id").cast("string").as("id")).distinct()
+    val candidates = itemEmb.join(rated, Seq("id"), "left_anti")
+    val nCand = candidates.count()
+    val kk = if (allRecs) nCand.toInt else math.min(k.toLong, nCand).toInt
+    CosineKnn.topK(query, candidates, kk, knownItemCount = nCand, knownQueryCount = 1L)
+      .select(col("query_id").as("user_id"), col("item_id"), col("rank"))
   }
 }

@@ -110,6 +110,33 @@ class SkipGramSpec extends AnyFunSuite {
     rec.release()
   }
 
+  test("embedding recommendUser == per-user slice of recommend (pushed-down query side)") {
+    // the override filters the query embedding BEFORE CosineKnn.topK —
+    // one scored row at any dispatch tier — and must stay row-identical
+    // to slicing the full ranking (k' = maxRated + k guarantees enough
+    // unrated survivors; all kernels tie-break (score desc, item_id))
+    val train = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 10L, 5.0), (2L, 12L, 3.0),
+      (3L, 11L, 4.0), (3L, 12L, 2.0), (4L, 10L, 1.0), (4L, 13L, 5.0)
+    ).toDF("user_id", "item_id", "rating")
+    val recs: Seq[graft.model.Recommender] = Seq(
+      new DeepWalkRecommender(Map(
+        "n_walks" -> "6", "walk_len" -> "6", "embedding_size" -> "8",
+        "epochs" -> "2", "seed" -> "42", "w2v_impl" -> "local", "w2v_threads" -> "1"))
+        .train(spark, train, None),
+      new graft.kge.KgeRecommender(Map(
+        "model" -> "transE", "embedding_dim" -> "8", "epochs" -> "2", "seed" -> "42"))
+        .train(spark, train, None))
+    for (rec <- recs; u <- Seq("2", "4")) {
+      val slice = rec.recommend(2).filter($"user_id" === u)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val single = rec.recommendUser(u, 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(single == slice && single.nonEmpty, s"user $u mismatch: $single vs $slice")
+    }
+    recs.foreach(_.release())
+  }
+
   test("pin_order + threads=1 makes DeepWalk recs invariant to input partitioning") {
     // the golden-parquet oracle contract for q40: the same seed must
     // produce the identical (user_id, item_id, rank) set no matter how
