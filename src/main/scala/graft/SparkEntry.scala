@@ -843,7 +843,25 @@ object SparkEntry {
     // 3-gram occurrence fraction (narrow, shuffle-free) + top-2-gram
     // share (one (doc, gram)-keyed exchange with partial combine)
     "q64_repetition" -> ((s, dir) =>
-      graft.text.TextOps.repetitionStats(T(s, dir, "documents")))
+      graft.text.TextOps.repetitionStats(T(s, dir, "documents"))),
+
+    // REAL image decode under the hash check: each doc gets a synthetic
+    // 8×8 gray PNG whose pixel p is (doc_id·31+p) mod 256; extractFeatures
+    // decodes it with javax.imageio and pools per-channel sums. The
+    // emitted value is the integer RGB sum per stride bucket
+    // (feature·3·255 rounded back — float-exact at this magnitude), which
+    // the oracle recomputes from the pixel formula with no codec at all:
+    // any decode defect breaks the hash.
+    "q65_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.multimodal.MultimodalOps.Media(
+          id, "image", graft.multimodal.MultimodalOps.syntheticPng(id, 8, 8), 8, 8, 0))
+      graft.multimodal.MultimodalOps.extractFeatures(media, dim = 4).toDF()
+        .select(col("id").as("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("int").as("feat_idx"),
+          expr("cast(round(col * 765) as bigint)").as("sum_rgb"))
+    })
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1522,6 +1540,17 @@ object SparkEntry {
         |         ROUND(MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT), 6) AS top_2gram_frac
         |       FROM c2 GROUP BY 1)
         |SELECT d.doc_id, d.dup_3gram_frac, m.n_2grams, m.top_2gram_frac
-        |FROM dup3 d LEFT JOIN m2 m ON m.doc_id = d.doc_id""".stripMargin
+        |FROM dup3 d LEFT JOIN m2 m ON m.doc_id = d.doc_id""".stripMargin,
+
+    // codec-free replay of the q65 synthetic-PNG pipeline: the pixel
+    // content is the known pure function (doc_id·31 + p) mod 256, so the
+    // pooled per-bucket RGB sums the javax.imageio decode produces are
+    // recomputable straight from arithmetic — the PNG encode→decode
+    // roundtrip is the only thing that can break this hash
+    "q65_image_decode" ->
+      """SELECT d.doc_id, CAST(t.i % 4 AS INT) AS feat_idx,
+        |  CAST(SUM(3 * ((d.doc_id * 31 + t.i) % 256)) AS BIGINT) AS sum_rgb
+        |FROM documents d, range(64) t(i)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

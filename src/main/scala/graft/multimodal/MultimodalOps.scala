@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (driver mandate): image/audio/video as
   * opaque `binary` columns with typed metadata. The Spark-side shape —
   * schema, partition sizing, per-partition batch decode — is real and
-  * tested; the actual codec call is STUBBED (no image/audio libraries
-  * in this container) behind [[MultimodalOps.decodeStub]], which
-  * produces a deterministic fake feature vector from the bytes. Swap
+  * tested. IMAGE decode is real (JDK-only `javax.imageio`, see
+  * [[decodeImage]]); audio/video stay STUBBED (no codec libraries in
+  * this container) behind [[MultimodalOps.decodeStub]], which produces
+  * a deterministic fake feature vector from the bytes. Swap
   * `decodeStub` for a JNI/FFI codec without touching the plumbing — or
   * use the WORKING PySpark `mapInPandas` recipe in
   * `python/multimodal_decode.py` (same schema in/out, Pillow/soundfile
@@ -46,14 +47,70 @@ object MultimodalOps {
     acc.map(s => (s / 255.0).toFloat)
   }
 
-  /** Per-partition batch "decode": the mapPartitions boundary is where
-    * a real codec would amortize model/library init per partition —
-    * exactly the batch shape `mapInPandas` gives on the Python surface. */
+  /** REAL image decode, JDK-only: `javax.imageio` parses the container
+    * (PNG/JPEG/GIF/BMP), then features pool per-channel pixel sums in
+    * row-major stride-`dim` buckets — feature i = (Σ of r+g+b at pixel
+    * positions ≡ i mod dim) / (3·255). Integer accumulation with one
+    * final division keeps the pooling exactly replayable from known
+    * pixel values (the q65 oracle recomputes it in SQL). Returns None
+    * when the bytes are not a decodable image — callers fall back to
+    * [[decodeStub]], which keeps text-derived fixtures (q38) intact. */
+  def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val acc = new Array[Long](dim)
+      var idx = 0
+      var y = 0
+      while (y < bi.getHeight) {
+        var x = 0
+        while (x < bi.getWidth) {
+          val rgb = bi.getRGB(x, y)
+          acc(idx % dim) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          idx += 1; x += 1
+        }
+        y += 1
+      }
+      acc.map(s => (s / (3.0 * 255.0)).toFloat)
+    }
+  }
+
+  /** Deterministic 8-bit gray synthetic PNG: pixel p (row-major) of
+    * image `id` has gray level `(id·31 + p) mod 256` in all three
+    * channels. Paired with [[decodeImage]] it puts the encode→decode
+    * roundtrip under an exact SQL oracle (q65): the pooled features are
+    * a pure integer function of (id, w, h, dim) a SQL engine can
+    * recompute without any codec. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val g = ((id * 31 + p) % 256).toInt
+      bi.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
+      p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
+
+  /** Per-partition batch decode: the mapPartitions boundary is where a
+    * real codec stack amortizes library/model init per partition —
+    * exactly the batch shape `mapInPandas` gives on the Python surface.
+    * Image rows go through the real [[decodeImage]]; non-image kinds
+    * (and image rows whose bytes aren't a decodable image, e.g. the
+    * text-derived test fixtures) take the deterministic stub. */
   def extractFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
-      it.map(m => MediaFeatures(m.id, m.kind, m.content.length, decodeStub(m.content, dim)))
+      it.map { m =>
+        val feats =
+          if (m.kind == "image") decodeImage(m.content, dim).getOrElse(decodeStub(m.content, dim))
+          else decodeStub(m.content, dim)
+        MediaFeatures(m.id, m.kind, m.content.length, feats)
+      }
     }
   }
 

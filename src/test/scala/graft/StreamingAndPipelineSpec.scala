@@ -159,6 +159,26 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(out(12L) == ((0, 0L, -1L))) // negative row kept, null lag
   }
 
+  test("real image decode: javax.imageio roundtrip matches the pixel formula; non-images fall back to the stub") {
+    import graft.multimodal.MultimodalOps
+    // synthetic 8×8 gray PNG for id=7: pixel p has gray (7·31+p) mod 256
+    val png = MultimodalOps.syntheticPng(7L, 8, 8)
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val feats = MultimodalOps.decodeImage(png, 4).get
+    val expected = Array.tabulate(4) { b =>
+      val s = (0 until 64).filter(_ % 4 == b).map(p => 3L * ((7L * 31 + p) % 256)).sum
+      (s / 765.0).toFloat
+    }
+    assert(feats.toSeq == expected.toSeq)
+    // bytes that aren't an image: decodeImage declines, extractFeatures
+    // falls back to the deterministic stub (q38 fixtures stay intact)
+    assert(MultimodalOps.decodeImage("not a png".getBytes, 4).isEmpty)
+    val docs = Seq((1L, "plain text")).toDF("doc_id", "text")
+    val viaStub = MultimodalOps.extractFeatures(MultimodalOps.asMedia(docs), 4).collect().head
+    assert(viaStub.features.toSeq ==
+      MultimodalOps.decodeStub("plain text".getBytes("UTF-8"), 4).toSeq)
+  }
+
   test("multimodal plumbing: deterministic stub features, frame sampling") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
