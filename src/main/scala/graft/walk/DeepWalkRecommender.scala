@@ -78,8 +78,15 @@ class DeepWalkRecommender(cfg: Map[String, String] = Map.empty) extends Recommen
     val starts = nodes.select(col("node_id").as("node"))
     val walksRaw =
       if (cfg.get("biased").contains("true"))
-        RandomWalks.biasedWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10),
-          f("p", 1.0), f("q", 1.0), seed)
+        // walk_impl: alias — the extreme-scale per-edge-alias-table
+        // kernel (O(1) steps, shuffle-joined tables, nothing broadcast);
+        // default stays the class-sampling kernels the q42 golden pins
+        if (cfg.get("walk_impl").contains("alias"))
+          RandomWalks.biasedWalksAlias(spark, adj, starts, i("n_walks", 10), i("walk_len", 10),
+            f("p", 1.0), f("q", 1.0), seed)
+        else
+          RandomWalks.biasedWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10),
+            f("p", 1.0), f("q", 1.0), seed)
       else
         RandomWalks.randomWalks(spark, adj, starts, i("n_walks", 10), i("walk_len", 10), seed)
     // pin_order: total-order the corpus by its unique (start, walk_idx)
