@@ -187,4 +187,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("Partial"),
       s"no partial aggregation before the gram exchange:\n$p")
   }
+
+  test("alias-table walk kernel: edge join carries no forced broadcast — it degrades to a shuffle join when the tables outgrow the threshold") {
+    // the kernel's scale claim is that neither the adjacency nor the
+    // E×deg alias tables ever NEED to fit on one executor. Catalyst
+    // auto-broadcasting a small table is fine (and happens at test
+    // scale); what must never exist is a broadcast() hint that would
+    // force the alias side onto every executor at 100 TB. Turning the
+    // auto threshold off simulates "too big to broadcast" — the join
+    // must then plan as a shuffled equi-join.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = (0L until 40L).map(i => (i, (i + 1) % 40)).toDF("src", "dst")
+      val adj = graft.walk.RandomWalks.adjacency(edges)
+      val aliasDf = graft.walk.RandomWalks.edgeAliasTables(adj, 0.5, 2.0)
+      val state = adj.select(col("node").as("start"))
+        .withColumn("cur", col("start")).withColumn("prev", col("start"))
+      val at = aliasDf.select(col("prev").as("a_prev"), col("cur").as("a_cur"), col("prob"))
+      val joined = state.join(at,
+        state("prev") === at("a_prev") && state("cur") === at("a_cur"), "left")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        s"alias join must not carry a forced broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"alias join should degrade to a shuffled equi-join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
