@@ -82,6 +82,16 @@ object Bench {
           .filter(col("id") < 50)
         CosineKnn.approxTopK(emb50, emb50, 5, excludeSelf = true).count()          // q22
         CosineKnn.ivfTopK(emb50, emb50, 5, nProbe = 16, excludeSelf = true).count() // q52
+        // q65: ImageIO's PNG reader plugin init + decode loops JIT on
+        // first use — replay the pipeline on a 20-doc slice
+        locally {
+          import spark.implicits._
+          val m = Tables.t(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+            .filter(_ < 20)
+            .map(id => graft.multimodal.MultimodalOps.Media(
+              id, "image", graft.multimodal.MultimodalOps.syntheticPng(id, 8, 8), 8, 8, 0))
+          graft.multimodal.MultimodalOps.extractFeatures(m, dim = 4).toDF().count()
+        }
         spark.catalog.clearCache()
       }
     }
