@@ -61,8 +61,11 @@ object Bench {
       // dedup/ANN-family JIT warmup, same rationale as the model loop
       // above: these pipelines each generate ~10 unique codegen'd stages
       // whose one-time C2 compilation dominates their single-shot bench
-      // time (README "r6 full-suite results": q16 measures 13.7 s on its
-      // first execution and ~4 s steady-state in one JVM). Replaying each
+      // time (the MinhashPhases probe measures q16 at 13.7 s on its
+      // first execution in a fresh JVM and ~4 s steady-state; the r6
+      // DRIVER suite measured 15.7 s in-suite — same phenomenon, the
+      // extra coming from codegen-cache eviction, fixed by the
+      // maxEntries raise in the session builder above). Replaying each
       // pipeline on a 50-row slice with the SAME parameterization as its
       // timed query compiles the same generated classes (constants are
       // inlined into the stage source, so the parameters must match; the

@@ -129,18 +129,17 @@ object Experiment {
     // remove_unmatched set the reference hard-fails (KeyError on
     // df_item['URI']) when the map file lacks a URI column — fail fast
     // the same way rather than silently guessing a match column and
-    // filtering the item set on the wrong thing.
-    val matchedIds = mapDf.map { m =>
-      if (removeUnmatched) require(m.columns.contains("URI"),
+    // filtering the item set on the wrong thing. Without
+    // remove_unmatched the reference never touches URI, so no matched
+    // set is needed at all.
+    val matchedIds = if (removeUnmatched) mapDf.map { m =>
+      require(m.columns.contains("URI"),
         s"enrich map file has no 'URI' column (found: ${m.columns.mkString(", ")}); " +
           "remove_unmatched filters on non-null URI (graph.py:226-227)")
-      if (m.columns.contains("URI"))
-        m.filter(col("URI").isNotNull).select("item_id").distinct()
-      else m.select("item_id").distinct()
-    }
+      m.filter(col("URI").isNotNull).select("item_id").distinct()
+    } else None
     val items = (itemsRaw, matchedIds) match {
-      case (Some(i), Some(mm)) if removeUnmatched =>
-        Some(i.join(mm, Seq("item_id"), "left_semi"))
+      case (Some(i), Some(mm)) => Some(i.join(mm, Seq("item_id"), "left_semi"))
       case _ => itemsRaw
     }
     // duplicate (user,item) edges: last-wins in nx — deterministic analogue max
@@ -196,8 +195,6 @@ object Experiment {
     DatasetBundle(ratings, users, items, propertyEdges, socialEdges)
   }
 
-  /** Parse + run; returns the report DataFrame (also written to the
-    * configured report file). */
   /** Two configured models can produce the same name() string (the
     * unbiased 'deepwalk' and 'node2vec' registry entries when p/q/
     * embedding_size match, or two same-dim configs of one KGE model,
@@ -218,6 +215,8 @@ object Experiment {
     d
   }
 
+  /** Parse + run; returns the report DataFrame (also written to the
+    * configured report file). */
   def run(spark: SparkSession, configPath: String): DataFrame = {
     val root = new Yaml().load(new java.io.FileInputStream(configPath))
       .asInstanceOf[Cfg]

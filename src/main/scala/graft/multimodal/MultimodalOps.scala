@@ -56,9 +56,14 @@ object MultimodalOps {
     * when the bytes are not a decodable image — callers fall back to
     * [[decodeStub]], which keeps text-derived fixtures (q38) intact. */
   def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    // NonFatal, not just IOException: the JDK readers throw
+    // IllegalArgumentException / index errors on bytes that carry a
+    // valid magic number but a malformed body (fuzzed or truncated
+    // images, text that happens to start with 'GIF89a') — the contract
+    // is "undecodable → None → caller falls back", never a failed task
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { bi =>
       val acc = new Array[Long](dim)
       var idx = 0

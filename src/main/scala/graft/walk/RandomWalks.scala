@@ -272,6 +272,13 @@ object RandomWalks {
   private[graft] def buildAlias(w: Array[Double]): (Array[Double], Array[Int]) = {
     val n = w.length
     val sum = w.sum
+    // p=0 or q=0 would give 1/p = Infinity → all-NaN scaled weights →
+    // a silently UNIFORM table (every slot lands on the `large` stack),
+    // the opposite of the intended return-dominated distribution. The
+    // class kernels would diverge too (Inf draw mass); fail fast instead.
+    require(w.forall(v => java.lang.Double.isFinite(v) && v >= 0) &&
+      java.lang.Double.isFinite(sum) && sum > 0,
+      s"alias weights must be finite, non-negative, with positive mass (p/q must be > 0); got ${w.mkString(",")}")
     val prob = new Array[Double](n)
     val alias = new Array[Int](n)
     val scaled = w.map(_ * n / sum)

@@ -173,6 +173,11 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     // bytes that aren't an image: decodeImage declines, extractFeatures
     // falls back to the deterministic stub (q38 fixtures stay intact)
     assert(MultimodalOps.decodeImage("not a png".getBytes, 4).isEmpty)
+    // a valid magic number with a malformed body makes the JDK readers
+    // throw RuntimeExceptions, not IOException — still None, never a
+    // failed task
+    assert(MultimodalOps.decodeImage("GIF89a then garbage".getBytes, 4).isEmpty)
+    assert(MultimodalOps.decodeImage(png.take(30), 4).isEmpty) // truncated PNG
     val docs = Seq((1L, "plain text")).toDF("doc_id", "text")
     val viaStub = MultimodalOps.extractFeatures(MultimodalOps.asMedia(docs), 4).collect().head
     assert(viaStub.features.toSeq ==

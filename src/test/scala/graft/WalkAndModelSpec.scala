@@ -83,6 +83,12 @@ class WalkAndModelSpec extends AnyFunSuite {
     val total = w.sum
     for (i <- w.indices)
       assert(math.abs(mass(i) - w(i) / total) < 1e-12, s"index $i: ${mass(i)} vs ${w(i) / total}")
+    // p=0 / q=0 weights (1/p = Infinity) must fail fast, not silently
+    // collapse to a uniform table
+    intercept[IllegalArgumentException] {
+      RandomWalks.buildAlias(Array(Double.PositiveInfinity, 1.0))
+    }
+    intercept[IllegalArgumentException] { RandomWalks.buildAlias(Array(0.0, 0.0)) }
 
     // (b) walks only traverse real edges, full length, deterministic
     // under input repartitioning
