@@ -861,6 +861,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), posexplode(col("features")))
         .select(col("doc_id"), col("pos").cast("int").as("feat_idx"),
           expr("cast(round(col * 765) as bigint)").as("sum_rgb"))
+    }),
+
+    // REAL image resize under the hash check, same synthetic-PNG scheme
+    // as q65: 8×8 → nearest-neighbor 4×4 → decode → pooled sums. NN maps
+    // dst pixel (x, y) to src (2x, 2y), so dst pixel p reads src pixel
+    // 16·(p div 4) + 2·(p mod 4) — pure integer arithmetic the oracle
+    // replays with no codec; any resize defect breaks the hash.
+    "q66_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val ops = graft.multimodal.MultimodalOps
+          val small = ops.resizeNearest(ops.syntheticPng(id, 8, 8), 4, 4).get
+          ops.Media(id, "image", small, 4, 4, 0)
+        }
+      graft.multimodal.MultimodalOps.extractFeatures(media, dim = 4).toDF()
+        .select(col("id").as("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("int").as("feat_idx"),
+          expr("cast(round(col * 765) as bigint)").as("sum_rgb"))
     })
   )
 
@@ -1551,6 +1570,15 @@ object SparkEntry {
       """SELECT d.doc_id, CAST(t.i % 4 AS INT) AS feat_idx,
         |  CAST(SUM(3 * ((d.doc_id * 31 + t.i) % 256)) AS BIGINT) AS sum_rgb
         |FROM documents d, range(64) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // codec-free replay of the q66 resize pipeline: dst pixel p of the
+    // 4×4 nearest-neighbor downscale reads src pixel 16*(p//4)+2*(p%4)
+    // of the (doc_id·31 + p) mod 256 gray pattern
+    "q66_image_resize" ->
+      """SELECT d.doc_id, CAST(t.i % 4 AS INT) AS feat_idx,
+        |  CAST(SUM(3 * ((d.doc_id * 31 + (16 * (t.i // 4) + 2 * (t.i % 4))) % 256)) AS BIGINT) AS sum_rgb
+        |FROM documents d, range(16) t(i)
         |GROUP BY 1, 2""".stripMargin
   )
 }

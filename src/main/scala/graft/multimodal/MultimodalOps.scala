@@ -119,6 +119,36 @@ object MultimodalOps {
     }
   }
 
+  /** REAL image resize, JDK-only: decode via [[decodeImage]]'s reader,
+    * explicit nearest-neighbor pixel loop (src = (x·srcW/dstW,
+    * y·srcH/dstH), integer floor — deliberately NOT Graphics2D
+    * interpolation, whose rounding is implementation-defined; the NN
+    * map is exact integer arithmetic a SQL oracle can replay), PNG
+    * re-encode. None when the bytes aren't a decodable image. */
+  def resizeNearest(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0)
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { src =>
+      val out = new java.awt.image.BufferedImage(dstW, dstH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * src.getHeight / dstH
+        var x = 0
+        while (x < dstW) {
+          out.setRGB(x, y, src.getRGB(x * src.getWidth / dstW, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Frame sampling plumbing for video-kind rows: emits (id, frame_idx)
     * stride-sampled — the decode of each frame is the same stub. */
   def sampleFrames(media: Dataset[Media], everyN: Int): DataFrame = {

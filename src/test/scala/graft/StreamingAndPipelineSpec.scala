@@ -170,6 +170,16 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
       (s / 765.0).toFloat
     }
     assert(feats.toSeq == expected.toSeq)
+    // nearest-neighbor resize: dst (x, y) reads src (2x, 2y) exactly
+    val small = MultimodalOps.resizeNearest(png, 4, 4).get
+    val smallFeats = MultimodalOps.decodeImage(small, 4).get
+    val expectedSmall = Array.tabulate(4) { b =>
+      val s = (0 until 16).filter(_ % 4 == b)
+        .map(p => 3L * ((7L * 31 + 16 * (p / 4) + 2 * (p % 4)) % 256)).sum
+      (s / 765.0).toFloat
+    }
+    assert(smallFeats.toSeq == expectedSmall.toSeq)
+    assert(MultimodalOps.resizeNearest("junk".getBytes, 4, 4).isEmpty)
     // bytes that aren't an image: decodeImage declines, extractFeatures
     // falls back to the deterministic stub (q38 fixtures stay intact)
     assert(MultimodalOps.decodeImage("not a png".getBytes, 4).isEmpty)
