@@ -254,12 +254,12 @@ object SparkEntry {
         .select(col("user_id"), col("item_id"), col("rating").as("rating_bin"))),
 
     // A2/M7: reference k-core loop (user pass, item pass, user pass).
-    // filterKCore is lazy (caller-owned materialization): each pass's
-    // convergence check reuses the previous passes' still-live kill
-    // caches, so chaining costs one degree-agg per pass, not a full
-    // materialization pass per call. Persist the final edge set once
-    // (the returned relation — callers own its release, the standard
-    // contract here), then drop every loop cache.
+    // filterKCore is lazy (caller-owned materialization) and never
+    // persists the final round itself, so THIS persist registers a fresh
+    // cache entry (not a duplicate of a loop-internal one) and survives
+    // kc.release(). Each pass replays the prior pass's anti-join from
+    // the cached ratings base — one cached scan + broadcast anti-joins
+    // per pass, no per-round columnar cache builds.
     "q07_kcore" -> ((s, dir) => {
       val r0 = Tables.ratings(s, dir)
       val kc = new graft.prep.KCoreCaches

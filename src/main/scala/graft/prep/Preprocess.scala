@@ -41,6 +41,24 @@ object Preprocess {
     * constructs its own scope, so a leak is visible where it happens and
     * concurrent consumers can't evict each other's caches (the
     * engine-global registry this replaces had both flaws).
+    *
+    * The FINAL round's edge set is deliberately NEVER persisted here:
+    * the caller's own `result.persist()` would canonicalize to the same
+    * analyzed plan, so Spark's CacheManager would treat it as a no-op
+    * duplicate — and the subsequent `caches.release()` would then evict
+    * the one shared entry, leaving the caller's "persisted" result
+    * uncached. Downstream actions would replay the whole loop with the
+    * kill caches also gone, recomputing each kill-agg from lineage —
+    * near-exponential in pass count (q07's three chained passes measured
+    * 161-321 process-CPU-s in r7 driver draws from exactly this, vs ~40
+    * with the caller-owned cache intact). Intermediate rounds persist
+    * on demand: a round's survivors are cached only when the NEXT round
+    * is about to re-scan them, so intermediate sets inside a multi-round
+    * call are computed once while the result plan stays unregistered.
+    * Chained single-round passes (q07's user→item→user) replay the
+    * prior pass's anti-join from the caller-cached base scan instead —
+    * one cached-scan + small broadcast anti-joins per pass, cheaper than
+    * a columnar cache build of the full edge set per round.
     */
   def filterKCore(ratings: DataFrame, k: Int, target: String,
                   iterations: Int = 1, caches: KCoreCaches): DataFrame = {
@@ -50,27 +68,32 @@ object Preprocess {
       case other  => throw new IllegalArgumentException(s"k-core target must be user|item, got $other")
     }
     var cur = ratings
+    var curDerived = false // produced by a prior round of this loop, not yet persisted
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
+      if (curDerived) {
+        // the previous round's survivors are about to be scanned by this
+        // round's kill-agg AND by whatever consumes the next round's
+        // result — persist now so they're computed exactly once.
+        cur.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.track(cur)
+        curDerived = false
+      }
       val kill = cur.groupBy(key).count().filter(col("count") < k).select(key)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (kill.count() == 0L) { converged = true; kill.unpersist() }
       else {
-        // persist (lazily) each round's surviving edge set: the next
-        // round's kill-agg — or the caller's materialization — fills the
-        // cache on its single scan, so every edge set is computed exactly
-        // once. Without this, round n's kill-agg replays rounds 1..n-1's
-        // anti-join chain from the base scan (O(n²) scans across a
-        // chained-pass pipeline — q07 measured 45 process-CPU-s at sf0.1
-        // from exactly that replay, vs ~7 with per-round persists).
         cur = cur.join(kill, Seq(key), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        curDerived = true
         caches.track(kill)
-        caches.track(cur)
       }
       it += 1
     }
+    // Converged-at-round-n>1 returns the previous round's ALREADY
+    // persisted survivors: hand that cache to the caller (untrack) so
+    // release() can't evict the result out from under them.
+    if (converged && (cur ne ratings)) caches.untrack(cur)
     cur
   }
 }
@@ -85,6 +108,10 @@ object Preprocess {
 final class KCoreCaches {
   private val live = scala.collection.mutable.Buffer.empty[DataFrame]
   private[prep] def track(df: DataFrame): Unit = synchronized { live += df }
+  private[prep] def untrack(df: DataFrame): Unit = synchronized {
+    val i = live.indexWhere(_ eq df)
+    if (i >= 0) live.remove(i)
+  }
 
   /** Release every cache tracked in this scope. Call after materializing
     * (or finishing with) the returned edge set. */
