@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // TIMESTAMP_NTZ event columns cast through the session TZ; pin it
+      // so bench plans match Verify/oracle (epoch_ms parity)
+      .config("spark.sql.session.timeZone", "UTC")
       // the default 100-entry codegen class cache evicts the dedup/ANN
       // stages this main warms up below before their timed queries run
       // (~10 generated stages per query × 40+ queries): an evicted stage

@@ -65,15 +65,42 @@ object Tables {
     }
   }
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader refuses; read nanos as long and convert to a
-    * microsecond timestamp with integral division (ns values exceed
-    * 2^53, so double math would corrupt them). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Normalize the events `ts` column to TimestampType whatever the
+    * on-disk layout (the driver has shipped two so far):
+    *  - TIMESTAMP(NANOS) parquet (pre-r9 testdata) arrives as LongType
+    *    under `nanosAsLong` — integral-divide to micros (ns values
+    *    exceed 2^53, so double math would corrupt them);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current testdata)
+    *    arrives as TIMESTAMP_NTZ — cast to TimestampType; every entry
+    *    point pins the session TZ to UTC, so the resulting instant
+    *    equals DuckDB's naive-UTC `epoch_ms(ts)` reading;
+    *  - an already-adjusted TIMESTAMP passes through. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType  => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-decoded type $other")
+    }
   }
+
+  /** Read an events parquet path; only if the footer carries the legacy
+    * TIMESTAMP(NANOS) type (which the vectorized reader refuses) fall
+    * back to `nanosAsLong`. The conf is set only on that branch — and
+    * left set, because the lazy scan re-consults it at action time. */
+  private[graft] def readEventsRaw(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception if Option(e.getMessage).exists(m =>
+          m.contains("NANOS") || m.contains("nanosAsLong")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(readEventsRaw(spark, s"$dir/events.parquet"))
 
   /** DuckDB CTE matching [[ratings]] byte-for-byte (same column names,
     * same arithmetic). Compose with `, name AS (...)` continuations. */

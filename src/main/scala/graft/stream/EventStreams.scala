@@ -13,21 +13,19 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events schema with nanos pre-converted to a usable timestamp
-    * (matches Tables.events' batch output). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Open a file-source stream over a directory of events parquet.
-    * (`maxFilesPerTrigger` keeps local smoke tests incremental.) */
+    * File streams need an explicit schema; probe it from a batch read of
+    * the same directory so both testdata layouts (legacy nanos-long and
+    * current TIMESTAMP_MICROS — see [[graft.Tables.normalizeEventTs]])
+    * stream with the correct reader schema, then normalize `ts` exactly
+    * as the batch loader does. (`maxFilesPerTrigger` keeps local smoke
+    * tests incremental.) */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val probed = graft.Tables.readEventsRaw(spark, dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(probed)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 
   /** Streaming exact dedup — the at-least-once ingest gate of a

@@ -471,4 +471,35 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     assert(d.map(_._1) == Seq("popularity", "Node2Vec based model;q=1.0;p=1.0",
       "Node2Vec based model;q=1.0;p=1.0", "popularity"))
   }
+
+  test("Tables.events normalizes all three ts layouts to the same instants") {
+    // The driver's testdata has shipped as TIMESTAMP(NANOS) (read as
+    // Long under nanosAsLong) and later as TIMESTAMP(MICROS, ntz); the
+    // loader must produce identical TimestampType instants from either,
+    // and pass an already-adjusted TIMESTAMP through untouched.
+    val millis = Seq(1700000000123L, 1700000060456L, 1700003600789L)
+    def base = millis.zipWithIndex.map { case (ms, i) =>
+      (i.toLong, ms, i.toLong % 2, "view", 1.0, """{"k":1}""") }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_layouts")
+    def dir(name: String) = { val d = root.resolve(name); d.toFile.mkdirs(); d.toString }
+    val (dLong, dNtz, dUtc) = (dir("long"), dir("ntz"), dir("utc"))
+    // legacy layout analogue: ts as raw int64 nanos (a true TIMESTAMP(NANOS)
+    // footer is unwritable from Spark; the Long branch is what the
+    // nanosAsLong fallback decodes it to, so this exercises the same math)
+    base.withColumn("ts", col("ms") * 1000000L).drop("ms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dLong/events.parquet")
+    // current layout: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    base.withColumn("ts", timestamp_millis(col("ms")).cast("timestamp_ntz")).drop("ms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    // adjusted-UTC layout: plain TimestampType pass-through
+    base.withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dUtc/events.parquet")
+    val out = Seq(dLong, dNtz, dUtc).map { d =>
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+      ev.orderBy("event_id").select(unix_millis(col("ts"))).as[Long].collect().toSeq
+    }
+    assert(out.forall(_ == millis), s"layouts disagree: $out vs $millis")
+  }
 }
