@@ -77,6 +77,25 @@ object SparkEntry {
   private def testRatings(s: SparkSession, dir: String): DataFrame =
     tsSplit(s, dir).filter(col("is_test")).drop("is_test")
 
+  /** M4-M6 (q41/q67-q69): one KGE model on the bounded subgraph, pinned
+    * for a golden-parquet oracle: pin_order sorts the training triples
+    * onto one partition so the full-batch gradient accumulates in a
+    * fixed float order — bit-exact across sessions (KgeTrainer.fit).
+    * Each fit is fd-gradient spec-verified; the golden records it. */
+  private def kgeRecsPinned(s: SparkSession, dir: String, model: String): DataFrame = {
+    val train = trainRatings(s, dir).filter(col("user_id") < 200)
+    val rec = new graft.kge.KgeRecommender(Map(
+      "model" -> model, "embedding_dim" -> "16", "epochs" -> "2", "seed" -> "42",
+      "pin_order" -> "true"))
+      .train(s, train, None)
+    // q07 pattern: materialize the output once, then release() the
+    // recommender's userEmb/itemEmb/train caches
+    val out = rec.recommend(5).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rec.release()
+    out
+  }
+
   // memoized like tsSplit: q10/q11/q12 (and the flagship) all consume
   // the same popularity ranking — the users×candidates window is the
   // most expensive relational stage in the chain and must run once
@@ -529,17 +548,20 @@ object SparkEntry {
     // partition so the full-batch gradient accumulates in a fixed float
     // order — bit-exact across sessions (KgeTrainer.fit). The fit
     // itself is fd-gradient spec-verified; the golden records it.
-    "q41_transe_recs" -> ((s, dir) => {
-      val train = trainRatings(s, dir).filter(col("user_id") < 200)
-      val rec = new graft.kge.KgeRecommender(Map(
-        "model" -> "transE", "embedding_dim" -> "16", "epochs" -> "2", "seed" -> "42",
-        "pin_order" -> "true"))
-        .train(s, train, None)
-      val out = rec.recommend(5).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      rec.release() // see q40 — materialize, then drop the training caches
-      out
-    }),
+    "q41_transe_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "transE")),
+
+    // M4: the three headline non-translational scoring families of the
+    // reference's 9-model zoo (model2class.py:1-42) under the same
+    // golden-parquet scheme as q41 — pin_order full-batch gradient on
+    // the bounded subgraph, so each model's (user_id, item_id, rank)
+    // output is session-independent. distMult: bilinear-diagonal
+    // (distMult/model.py), rotatE: complex rotation + modulus distance
+    // (rotatE/model.py:108-109), complEx: Hermitian trilinear product
+    // (complEx/model.py:106-107). Gradients fd-spec-verified in
+    // WalkAndModelSpec; the goldens record that verified output.
+    "q67_distmult_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "distMult")),
+    "q68_rotate_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "rotatE")),
+    "q69_complex_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "complEx")),
 
     // S1/S6/F7: typed-header CSV sink + source roundtrip — the oracle
     // reads the file this query WRITES, so write and read are both under
@@ -1229,6 +1251,22 @@ object SparkEntry {
     "q41_transe_recs" -> (R +
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q41_transe_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // golden-file oracles, same scheme as q41, one per non-translational
+    // scoring family (regenerate with `runMain graft.GoldenGen <name>
+    // <sfdirs...>` after spec-verifying a trainer change)
+    "q67_distmult_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q67_distmult_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q68_rotate_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q68_rotate_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q69_complex_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q69_complex_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // golden-file oracle: the walks are fully deterministic (seeded
