@@ -1278,12 +1278,12 @@ object SparkEntry {
         |FROM '/root/repo/goldens/q42_node2vec_walks.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
-    // golden-file oracle, same scheme as q42 (regenerate with
-    // `runMain graft.GoldenGen q45_deepwalk_walks <sfdirs...>`)
-    "q45_deepwalk_walks" -> (R +
-      """SELECT start, walk_idx, path_s
-        |FROM '/root/repo/goldens/q45_deepwalk_walks.parquet'
-        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    // INDEPENDENT SQL replay (upgraded from a golden parquet): the
+    // uniform walks are a pure function of the seeded XXH64 chain, so
+    // the oracle re-derives XXH64 in DuckDB HUGEINT arithmetic and
+    // replays every transition in a recursive CTE — see
+    // graft.oracle.XxhWalkSql
+    "q45_deepwalk_walks" -> graft.oracle.XxhWalkSql.q45Sql(R),
 
     // golden-file oracles, same scheme as q42/q45: both ANN paths are
     // fully deterministic for their fixed seed 42 (BRP-LSH hyperplanes /
