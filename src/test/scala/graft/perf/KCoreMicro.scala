@@ -3,10 +3,14 @@ package graft.perf
 import org.apache.spark.sql.functions._
 
 /** Minimal repro: cost of one kill-agg over the cached ratings view,
-  * across shuffle-writer / local-dir configs (pass via -DMODE). */
+  * across shuffle-writer / local-dir configs. Select the config with
+  * `MODE` (env var or -DMODE system property), e.g. `MODE=shm,nobypass`.
+  * The `shm` mode points spark.local.dir at /dev/shm/graft-tmp and
+  * assumes a roomy tmpfs (≥ a few GiB at sf0.1) — a small /dev/shm
+  * fails mid-run with a confusing disk-full error. */
 object KCoreMicro {
   def main(args: Array[String]): Unit = {
-    val mode = sys.env.getOrElse("MODE", "base")
+    val mode = sys.props.getOrElse("MODE", sys.env.getOrElse("MODE", "base"))
     var b = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -26,13 +26,24 @@ object KCoreProbe {
     // paths via a cheap query, so ROUND 1 measures q07 under in-suite
     // conditions (JVM warm, ratings cached) rather than cold-JVM cost.
     graft.SparkEntry.queries("q06_binarize")(spark, dir).count()
+    // listener events arrive asynchronously (the bus drain API is
+    // private[spark]): poll until the queue stops growing before
+    // clearing, so late warmup stages can't leak into ROUND 1's output
+    def drain(): Unit = {
+      var prev = -1
+      var spins = 0
+      while (stages.size != prev && spins < 100) {
+        prev = stages.size; spins += 1; Thread.sleep(100)
+      }
+    }
+    drain()
     stages.clear()
     val fn = graft.SparkEntry.queries("q07_kcore")
     for (round <- 1 to 3) {
       val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
       val n = fn(spark, dir).count()
       println(f"ROUND $round n=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%.2f s")
-      Thread.sleep(300)
+      drain()
       stages.forEach(s => println(s)); stages.clear()
       spark.catalog.clearCache()
     }
