@@ -308,10 +308,12 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
                  val margin: Double, val seed: Long, val trainFraction: Double = 0.95,
                  val fctNorm: Int = 2, val pinOrder: Boolean = false) extends Serializable {
 
-  /** triples: (h, r, t) dense int ids. Returns entity embeddings
-    * (nEntities × entityFloats) and relation embeddings. */
-  def fit(spark: SparkSession, triples: DataFrame, nEntities: Int, nRelations: Int):
-      (Array[Array[Float]], Array[Array[Float]]) = {
+  /** Driver-path parameter init (sequential seeded RNG — the layout the
+    * q41/q67-q69 goldens pin). Protected as a TEST SEAM: the
+    * driver-vs-distributed parity spec overrides this and
+    * [[initTables]] with one deterministic formula so both tiers start
+    * from identical parameters. */
+  protected def initArrays(nEntities: Int, nRelations: Int): (Array[Array[Float]], Array[Array[Float]]) = {
     val (ed, rd) = KgeModels.dims(model, dim)
     val rng = new java.util.Random(seed)
     // translational models tolerate the classic 6/sqrt(d) uniform init;
@@ -334,6 +336,30 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
         init(nRelations, rd) ++
           Array(Array.fill(dim * dim * dim)((rng.nextFloat() * 2 - 1) * coreBound))
       } else init(nRelations, rd)
+    (ent, rel)
+  }
+
+  /** Driver-path negative corruption `(h, r, t, epoch, nE) => (nh, nt)`.
+    * Returns a self-contained function (captures only primitives — the
+    * closure ships into mapPartitions without dragging the trainer
+    * along). TEST SEAM: the parity spec overrides this and
+    * [[corruptNegatives]] with one shared rule. */
+  protected def corruptFn: (Int, Int, Int, Int, Int) => (Int, Int) = {
+    val sd = seed
+    (h, rr, t, epoch, nE) => {
+      // corrupt head or tail with a seeded hash (Bernoulli-uniform)
+      val hsh = MurmurHash3.productHash((h, rr, t, epoch, sd))
+      val corruptHead = (hsh & 1) == 0
+      val fake = math.floorMod(hsh >> 1, nE)
+      if (corruptHead) (fake, t) else (h, fake)
+    }
+  }
+
+  /** triples: (h, r, t) dense int ids. Returns entity embeddings
+    * (nEntities × entityFloats) and relation embeddings. */
+  def fit(spark: SparkSession, triples: DataFrame, nEntities: Int, nRelations: Int):
+      (Array[Array[Float]], Array[Array[Float]]) = {
+    val (ent, rel) = initArrays(nEntities, nRelations)
 
     // the reference's internal 95/5/0 split (transE/model.py:163-174):
     // train on `trainFraction` of triples, selected by seeded hash
@@ -350,7 +376,8 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
     val data = (if (pinOrder) dataRaw.sortBy(identity, numPartitions = 1)
                 else dataRaw).persist()
     val n = data.count().toDouble
-    val mdl = model; val d = dim; val m = margin; val nE = nEntities; val sd = seed; val fn = fctNorm
+    val mdl = model; val d = dim; val m = margin; val nE = nEntities; val fn = fctNorm
+    val corrupt = corruptFn
 
     for (epoch <- 0 until epochs) {
       val bcE = spark.sparkContext.broadcast(ent)
@@ -364,11 +391,7 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
         val core = if (mdl == "tuckER") r(r.length - 1) else null
         def gcore = if (mdl == "tuckER") accR(r.length - 1) else null
         it.foreach { case (h, rr, t) =>
-          // corrupt head or tail with a seeded hash (Bernoulli-uniform)
-          val hsh = MurmurHash3.productHash((h, rr, t, epoch, sd))
-          val corruptHead = (hsh & 1) == 0
-          val fake = math.floorMod(hsh >> 1, nE)
-          val (nh, nt) = if (corruptHead) (fake, t) else (h, fake)
+          val (nh, nt) = corrupt(h, rr, t, epoch, nE)
           val sPos = KgeModels.score(mdl, d, e(h), r(rr), e(t), core, fn)
           val sNeg = KgeModels.score(mdl, d, e(nh), r(rr), e(nt), core, fn)
           if (m + sNeg - sPos > 0) { // hinge active: raise sPos, lower sNeg
@@ -430,6 +453,54 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
     } else fitDistributed(spark, triples, nEntities, nRelations)
   }
 
+  /** Distributed-path parameter init: per-element hash, uniform in
+    * [-bound, bound], reproducible under any partitioning (a retried
+    * task recomputes identical numbers). TEST SEAM paired with
+    * [[initArrays]]. */
+  protected def initTables(spark: SparkSession, nEntities: Int,
+                           nRelations: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (ed, rd) = KgeModels.dims(model, dim)
+    val multiplicative = Set("distMult", "complEx", "rescal", "tuckER")(model)
+    val initBound =
+      if (multiplicative) 0.5f / math.sqrt(dim).toFloat else 6.0f / math.sqrt(dim).toFloat
+    val coreBound = 1.0f / dim
+    val d = dim; val sd = seed
+    val hasCore = model == "tuckER"
+    def unif(id: Int, slot: Int, salt: Long, bound: Float): Float = {
+      val h = MurmurHash3.productHash((id, slot, salt))
+      (h.toFloat / Int.MaxValue) * bound
+    }
+    def initTable(n: Int, width: Int, salt: Long, extraCore: Boolean): DataFrame = {
+      val ib = initBound; val cb = coreBound; val dd = d
+      val rows = spark.range(if (extraCore) n + 1 else n).select(col("id").cast("int"))
+        .as[Int].mapPartitions { it =>
+          it.map { id =>
+            val w = if (extraCore && id == n) dd * dd * dd else width
+            val b = if (extraCore && id == n) cb else ib
+            (id, Array.tabulate(w)(s => unif(id, s, salt, b)))
+          }
+        }
+      rows.toDF("id", "vec")
+    }
+    (initTable(nEntities, ed, sd, extraCore = false),
+      initTable(nRelations, rd, sd + 101, extraCore = hasCore))
+  }
+
+  /** Distributed-path negative corruption: columnar seeded-hash
+    * Bernoulli head/tail swap. TEST SEAM paired with [[corruptFn]]. */
+  protected def corruptNegatives(data: DataFrame, epoch: Int, nE: Int): DataFrame = {
+    val sd = seed
+    data.select(col("h"), col("r"), col("t"),
+        (pmod(xxhash64(col("h"), col("r"), col("t"), lit(epoch), lit(sd)), lit(2L)) === 0)
+          .as("corruptHead"),
+        pmod(xxhash64(col("h"), col("r"), col("t"), lit(epoch), lit(sd + 13)), lit(nE.toLong))
+          .cast("int").as("fake"))
+      .select(col("h"), col("r"), col("t"),
+        when(col("corruptHead"), col("fake")).otherwise(col("h")).as("nh"),
+        when(col("corruptHead"), col("t")).otherwise(col("fake")).as("nt"))
+  }
+
   /** Fully distributed trainer: parameters live as DataFrame rows
     * partitioned by id — the >1e7-entity path the driver-resident
     * variant cannot reach. Each epoch:
@@ -452,35 +523,13 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
   def fitDistributed(spark: SparkSession, triples: DataFrame,
                      nEntities: Int, nRelations: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val (ed, rd) = KgeModels.dims(model, dim)
-    val multiplicative = Set("distMult", "complEx", "rescal", "tuckER")(model)
-    val initBound =
-      if (multiplicative) 0.5f / math.sqrt(dim).toFloat else 6.0f / math.sqrt(dim).toFloat
-    val coreBound = 1.0f / dim
-    val mdl = model; val d = dim; val m = margin; val sd = seed; val nE = nEntities; val fn = fctNorm
+    val mdl = model; val d = dim; val m = margin; val nE = nEntities; val fn = fctNorm
     val hasCore = mdl == "tuckER"
     val coreId = nRelations // extra relation row for the shared tuckER core
 
-    // per-element hash init: uniform in [-bound, bound], reproducible
-    // under any partitioning
-    def unif(id: Int, slot: Int, salt: Long, bound: Float): Float = {
-      val h = MurmurHash3.productHash((id, slot, salt))
-      (h.toFloat / Int.MaxValue) * bound
-    }
-    def initTable(n: Int, width: Int, salt: Long, extraCore: Boolean): DataFrame = {
-      val ib = initBound; val cb = coreBound; val dd = d
-      val rows = spark.range(if (extraCore) n + 1 else n).select(col("id").cast("int"))
-        .as[Int].mapPartitions { it =>
-          it.map { id =>
-            val w = if (extraCore && id == n) dd * dd * dd else width
-            val b = if (extraCore && id == n) cb else ib
-            (id, Array.tabulate(w)(s => unif(id, s, salt, b)))
-          }
-        }
-      rows.toDF("id", "vec")
-    }
-    var ent = initTable(nEntities, ed, sd, extraCore = false).persist()
-    var rel = initTable(nRelations, rd, sd + 101, extraCore = hasCore).persist()
+    val (entInit, relInit) = initTables(spark, nEntities, nRelations)
+    var ent = entInit.persist()
+    var rel = relInit.persist()
     ent.count(); rel.count()
 
     // the reference's internal 95/5 split, same predicate as fit()
@@ -497,14 +546,7 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
         if (hasCore) rel.filter(col("id") === coreId).head().getSeq[Float](1).toArray else null
       val bcCore = spark.sparkContext.broadcast(core)
 
-      val withNeg = data.select(col("h"), col("r"), col("t"),
-          (pmod(xxhash64(col("h"), col("r"), col("t"), lit(epoch), lit(sd)), lit(2L)) === 0)
-            .as("corruptHead"),
-          pmod(xxhash64(col("h"), col("r"), col("t"), lit(epoch), lit(sd + 13)), lit(nE.toLong))
-            .cast("int").as("fake"))
-        .select(col("h"), col("r"), col("t"),
-          when(col("corruptHead"), col("fake")).otherwise(col("h")).as("nh"),
-          when(col("corruptHead"), col("t")).otherwise(col("fake")).as("nt"))
+      val withNeg = corruptNegatives(data, epoch, nE)
 
       val gathered = withNeg
         .join(ent.select(col("id").as("h"), col("vec").as("hv")), Seq("h"))
