@@ -563,6 +563,18 @@ object SparkEntry {
     "q68_rotate_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "rotatE")),
     "q69_complex_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "complEx")),
 
+    // M4: the remaining five scoring families — with these, all 9
+    // reference models (model2class.py:1-42) are hash-checked
+    // end-to-end. transH: hyperplane projection (transH/model.py),
+    // transR: per-relation d×d projection, transD: dynamic projection
+    // vectors, rescal: bilinear d×d relation matrix, tuckER: shared d³
+    // core tensor. Same pinned-fit golden scheme as q41/q67-q69.
+    "q70_transh_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "transH")),
+    "q71_transr_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "transR")),
+    "q72_transd_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "transD")),
+    "q73_rescal_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "rescal")),
+    "q74_tucker_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "tuckER")),
+
     // S1/S6/F7: typed-header CSV sink + source roundtrip — the oracle
     // reads the file this query WRITES, so write and read are both under
     // the hash check (previously ScalaTest-only)
@@ -1267,6 +1279,26 @@ object SparkEntry {
     "q69_complex_recs" -> (R +
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q69_complex_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q70_transh_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q70_transh_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q71_transr_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q71_transr_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q72_transd_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q72_transd_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q73_rescal_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q73_rescal_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    "q74_tucker_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q74_tucker_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // golden-file oracle: the walks are fully deterministic (seeded
