@@ -670,13 +670,17 @@ object SparkEntry {
     }),
 
     // M2: node2vec biased walks — deterministic (seeded xxhash64
-    // transitions), verified against goldens/q42_node2vec_walks.parquet
+    // transitions), replayed independently by the DuckDB oracle
+    // (graft.oracle.XxhWalkSql.q42Sql). Full path content is under the
+    // hash check — the golden era hashed only path_len, which is
+    // constantly 5 on this connected graph and never saw a transition.
     "q42_node2vec_walks" -> ((s, dir) => {
       val edges = trainRatings(s, dir).filter(col("user_id") < 100)
         .select(col("user_id").as("src"), (col("item_id") + lit(1000000)).as("dst"))
       val adj = RandomWalks.adjacency(edges)
       val walks = RandomWalks.biasedWalks(s, adj, adj.select(col("node")), 2, 5, 0.5, 2.0, 42)
-      walks.select(col("start"), col("walk_idx"), size(col("path")).as("path_len"))
+      walks.select(col("start"), col("walk_idx"),
+        concat_ws(",", expr("transform(path, x -> cast(x as string))")).as("path_s"))
     }),
 
     // J7 end-to-end: the reference's process.extractOne replay — explode
@@ -1301,14 +1305,10 @@ object SparkEntry {
         |FROM '/root/repo/goldens/q74_tucker_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
-    // golden-file oracle: the walks are fully deterministic (seeded
-    // xxhash64 transitions), but no SQL engine can replay them —
-    // goldens/q42_node2vec_walks.parquet holds the verified output at
-    // sf0.001 and sf0.01, keyed by each scale's distinct-ratings count
-    "q42_node2vec_walks" -> (R +
-      """SELECT start, walk_idx, path_len
-        |FROM '/root/repo/goldens/q42_node2vec_walks.parquet'
-        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+    // INDEPENDENT SQL replay of the biased (node2vec) kernel — full
+    // path content under the hash (the golden era hashed only the
+    // constant path_len); see graft.oracle.XxhWalkSql.q42Sql
+    "q42_node2vec_walks" -> graft.oracle.XxhWalkSql.q42Sql(R),
 
     // INDEPENDENT SQL replay (upgraded from a golden parquet): the
     // uniform walks are a pure function of the seeded XXH64 chain, so

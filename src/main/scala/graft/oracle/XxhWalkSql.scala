@@ -171,4 +171,116 @@ object XxhWalkSql {
     "WITH RECURSIVE " + ratingsPrefix.drop("WITH ".length) +
       walkSql(nWalks, walkLen, seed)
   }
+
+  // ——— q42: the biased (node2vec) kernel ———————————————————————————
+  // Two XXH64 chains per step — `stepHash(…, seed)` drives the class
+  // draw, `stepHash(…, seed+1)` the within-class index — sharing their
+  // first three calls (start, walk_idx, step), so a step is 16 phases:
+  // 9 shared-prefix + 3 chainB-final + 3 chainA-final + 1 transition.
+  // The p/q class algebra (`RandomWalks.biasedWalks` local kernel:
+  // back = prev, common = nbrs(cur)∖{prev} ∩ nbrs(prev) in nbrs(cur)
+  // order, far = the rest) maps onto DuckDB list lambdas, and the draw
+  // `r · (w_back + w_common + w_far)` is plain IEEE double arithmetic —
+  // identical bit-for-bit across engines.
+
+  private val PH42 = 16
+
+  private def k1Long(inp: String): String =
+    mul(rotl(mul(inp, u(P2)), 31), u(P1))
+
+  private def combLong(seedIn: String, t: String): String =
+    add(mul(rotl(xor(seedIn, t), 27), u(P1)), u(P4))
+
+  private def combInt(seedIn: String, t: String): String =
+    add(mul(rotl(xor(seedIn, t), 23), u(P2)), u(P3))
+
+  /** Full q42 oracle statement (same WITH RECURSIVE upgrade as q45). */
+  def q42Sql(ratingsPrefix: String, nWalks: Int = 2, walkLen: Int = 5,
+             p: Double = 0.5, q: Double = 2.0, seed: Long = 42L): String = {
+    require(ratingsPrefix.startsWith("WITH "), "expected a WITH-prefix ratings CTE")
+    val nit = PH42 * (walkLen - 1)
+    val tr = PH42 - 1
+    val wis = (0 until nWalks).map(i => s"($i)").mkString(", ")
+    val tB = Map(
+      0 -> k1Long("w.start::UBIGINT"),
+      3 -> k1Long("w.walk_idx::UBIGINT"),
+      6 -> mul(s"(w.it // $PH42 + 1)::UBIGINT", u(P1)),
+      9 -> k1Long(s"${seed + 1}::UBIGINT"),
+      12 -> k1Long(s"$seed::UBIGINT"))
+    val hB = Map(
+      1 -> combLong(u(seed + P5 + 8), "w.t"), // chain reseeds at the walk seed
+      2 -> fmix("w.h"),
+      4 -> combLong(add("w.h", u(P5 + 8)), "w.t"),
+      5 -> fmix("w.h"),
+      7 -> combInt(add("w.h", u(P5 + 4)), "w.t"),
+      8 -> fmix("w.h"),
+      13 -> combLong(add("w.h", u(P5 + 8)), "w.t"),
+      14 -> fmix("w.h"))
+    val h2B = Map(
+      10 -> combLong(add("w.h", u(P5 + 8)), "w.t"), // chainB branches off prefix h
+      11 -> fmix("w.h2"))
+    def cases(m: Map[Int, String], reg: String) =
+      s"CASE w.it % $PH42 " +
+        m.toSeq.sortBy(_._1).map { case (ph, e) => s"WHEN $ph THEN $e" }.mkString(" ") +
+        s" ELSE w.$reg END"
+    def signed(c: String) =
+      s"(CASE WHEN $c >= 9223372036854775808::UBIGINT THEN $c::HUGEINT - $M ELSE $c::HUGEINT END)"
+    val pm = "1000000007"
+    val rdraw = s"(((${signed("w.h")} % $pm) + $pm) % $pm)::DOUBLE / 1000000007.0"
+    val idx = s"(((${signed("w.h2")} % $pm) + $pm) % $pm)::BIGINT"
+    val invP = 1.0 / p; val invQ = 1.0 / q
+    val wback = s"(CASE WHEN list_contains(a.nbrs, w.prev) THEN $invP ELSE 0.0 END)"
+    val common = "list_filter(a.nbrs, x -> x != w.prev AND list_contains(b.nbrs, x))"
+    val far = "list_filter(a.nbrs, x -> x != w.prev AND NOT list_contains(b.nbrs, x))"
+    val total = s"($wback + len($common)::DOUBLE + len($far)::DOUBLE * $invQ)"
+    val nxt =
+      s"""(CASE
+         |      WHEN a.nbrs IS NULL THEN NULL
+         |      WHEN w.it // $PH42 + 1 = 1 THEN a.nbrs[($idx % greatest(len(a.nbrs), 1)) + 1]
+         |      ELSE (CASE
+         |        WHEN $rdraw * $total < $wback THEN w.prev
+         |        WHEN $rdraw * $total < $wback + len($common)::DOUBLE
+         |          THEN ($common)[($idx % greatest(len($common), 1)) + 1]
+         |        WHEN len($far) > 0 THEN ($far)[($idx % len($far)) + 1]
+         |        ELSE NULL END)
+         |      END)""".stripMargin
+    "WITH RECURSIVE " + ratingsPrefix.drop("WITH ".length) +
+      s""", split AS (
+         |  SELECT user_id, item_id,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, item_id, user_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM ratings
+         |), train AS (
+         |  SELECT user_id, item_id FROM split
+         |  WHERE rn <= n - CEIL(n * 0.2) AND user_id < 100
+         |), iedges AS (
+         |  SELECT user_id::BIGINT AS src, (item_id + 1000000)::BIGINT AS dst FROM train
+         |), sym AS (
+         |  SELECT src, dst FROM iedges UNION SELECT dst, src FROM iedges
+         |), adj AS MATERIALIZED (
+         |  SELECT src AS node, LIST(DISTINCT dst ORDER BY dst) AS nbrs FROM sym GROUP BY src
+         |), walk AS (
+         |  SELECT node AS start, t.wi AS walk_idx, node AS cur,
+         |         NULL::BIGINT AS prev, CAST(node AS VARCHAR) AS path_s, 0 AS it,
+         |         0::UBIGINT AS h, 0::UBIGINT AS t, 0::UBIGINT AS h2
+         |  FROM adj, (VALUES $wis) t(wi)
+         |  UNION ALL
+         |  SELECT w.start, w.walk_idx,
+         |         CASE WHEN w.it % $PH42 = $tr THEN $nxt ELSE w.cur END AS cur,
+         |         CASE WHEN w.it % $PH42 = $tr AND $nxt IS NOT NULL THEN w.cur
+         |              ELSE w.prev END AS prev,
+         |         CASE WHEN w.it % $PH42 = $tr AND $nxt IS NOT NULL
+         |              THEN w.path_s || ',' || CAST($nxt AS VARCHAR)
+         |              ELSE w.path_s END AS path_s,
+         |         w.it + 1 AS it,
+         |         ${cases(hB, "h")} AS h,
+         |         ${cases(tB, "t")} AS t,
+         |         ${cases(h2B, "h2")} AS h2
+         |  FROM walk w
+         |    LEFT JOIN adj a ON w.it % $PH42 = $tr AND a.node = w.cur
+         |    LEFT JOIN adj b ON w.it % $PH42 = $tr AND b.node = w.prev
+         |  WHERE w.it < $nit
+         |)
+         |SELECT start, walk_idx, path_s FROM walk WHERE it = $nit""".stripMargin
+  }
 }
