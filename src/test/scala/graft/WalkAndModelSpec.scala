@@ -126,7 +126,7 @@ class WalkAndModelSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
     // the broadcast-local kernel must realize bit-identical walks to the
-    // per-step join kernel — the q42 golden must not depend on dispatch
+    // per-step join kernel — q42's SQL-replayed paths must not depend on dispatch
     assert(canon(RandomWalks.randomWalks(spark, adj, nodes, 3, 6, 7L)) ==
       canon(RandomWalks.randomWalksJoins(spark, adj, nodes, 3, 6, 7L)))
     assert(canon(RandomWalks.biasedWalks(spark, adj, nodes, 3, 6, 0.5, 2.0, 7L)) ==
