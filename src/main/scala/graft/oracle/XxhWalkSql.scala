@@ -142,7 +142,7 @@ object XxhWalkSql {
        |), adj AS MATERIALIZED (
        |  SELECT src AS node, LIST(DISTINCT dst ORDER BY dst) AS nbrs FROM sym GROUP BY src
        |), walk AS (
-       |  SELECT node_id AS start, t.wi AS walk_idx, node_id AS cur,
+       |  SELECT node_id AS start, t.wi::BIGINT AS walk_idx, node_id AS cur,
        |         CAST(node_id AS VARCHAR) AS path_s, 0 AS it,
        |         0::UBIGINT AS h, 0::UBIGINT AS t
        |  FROM nodes, (VALUES $wis) t(wi)
@@ -260,7 +260,7 @@ object XxhWalkSql {
          |), adj AS MATERIALIZED (
          |  SELECT src AS node, LIST(DISTINCT dst ORDER BY dst) AS nbrs FROM sym GROUP BY src
          |), walk AS (
-         |  SELECT node AS start, t.wi AS walk_idx, node AS cur,
+         |  SELECT node AS start, t.wi::BIGINT AS walk_idx, node AS cur,
          |         NULL::BIGINT AS prev, CAST(node AS VARCHAR) AS path_s, 0 AS it,
          |         0::UBIGINT AS h, 0::UBIGINT AS t, 0::UBIGINT AS h2
          |  FROM adj, (VALUES $wis) t(wi)
