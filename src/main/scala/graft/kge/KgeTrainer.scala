@@ -556,27 +556,40 @@ class KgeTrainer(val model: String, val dim: Int, val epochs: Int, val lr: Doubl
         .join(rel.select(col("id").as("r"), col("vec").as("rv")), Seq("r"))
         .select("h", "r", "t", "nh", "nt", "hv", "tv", "nhv", "ntv", "rv")
 
-      val gradRdd = gathered.rdd.mapPartitions { it =>
+      // typed decode: the tuple encoder materializes Array[Float] via a
+      // primitive bulk copy (UnsafeArrayData.toFloatArray); Row.getSeq
+      // boxed every float of five embedding columns per triple, which
+      // multiplied the whole tier's CPU ~13× on the d³/d² models
+      // per-partition combine, mirroring the driver tier's accumulation:
+      // gradients add into one array per touched parameter row, and the
+      // partition emits a single (row, partial) pair per key. Per-TRIPLE
+      // emission allocated a fresh d³ core-gradient array per active
+      // triple (16 KB each at d=16) and made the downstream reduce merge
+      // one row per triple — the merge re-did the whole gradient volume
+      // (tuckER probe: 1.66k CPU-s/epoch before, ~0.3k after).
+      val gradRdd = gathered
+        .as[(Int, Int, Int, Int, Int, Array[Float], Array[Float], Array[Float],
+          Array[Float], Array[Float])]
+        .rdd.mapPartitions { it =>
         val coreArr = bcCore.value
-        it.flatMap { row =>
-          val h = row.getInt(0); val r = row.getInt(1); val t = row.getInt(2)
-          val nh = row.getInt(3); val nt = row.getInt(4)
-          def arr(i: Int) = row.getSeq[Float](i).toArray
-          val hv = arr(5); val tv = arr(6); val nhv = arr(7); val ntv = arr(8); val rv = arr(9)
+        val ge = mutable.HashMap.empty[Int, Array[Float]]
+        val gr = mutable.HashMap.empty[Int, Array[Float]]
+        it.foreach { case (h, r, t, nh, nt, hv, tv, nhv, ntv, rv) =>
           val sPos = KgeModels.score(mdl, d, hv, rv, tv, coreArr, fn)
           val sNeg = KgeModels.score(mdl, d, nhv, rv, ntv, coreArr, fn)
           if (m + sNeg - sPos > 0) {
-            val gh = new Array[Float](hv.length); val gt = new Array[Float](tv.length)
-            val gnh = new Array[Float](nhv.length); val gnt = new Array[Float](ntv.length)
-            val gr = new Array[Float](rv.length)
-            val gcore = if (coreArr != null) new Array[Float](coreArr.length) else null
-            KgeModels.addGrad(mdl, d, hv, rv, tv, 1.0, gh, gr, gt, coreArr, gcore, fn)
-            KgeModels.addGrad(mdl, d, nhv, rv, ntv, -1.0, gnh, gr, gnt, coreArr, gcore, fn)
-            val base = Seq((true, h, gh), (true, t, gt), (true, nh, gnh), (true, nt, gnt),
-              (false, r, gr))
-            if (gcore != null) base :+ ((false, coreId, gcore)) else base
-          } else Seq.empty
+            def accE(i: Int, w: Int) = ge.getOrElseUpdate(i, new Array[Float](w))
+            def accR(i: Int, w: Int) = gr.getOrElseUpdate(i, new Array[Float](w))
+            val gcore =
+              if (coreArr != null) accR(coreId, coreArr.length) else null
+            KgeModels.addGrad(mdl, d, hv, rv, tv, 1.0,
+              accE(h, hv.length), accR(r, rv.length), accE(t, tv.length), coreArr, gcore, fn)
+            KgeModels.addGrad(mdl, d, nhv, rv, ntv, -1.0,
+              accE(nh, nhv.length), accR(r, rv.length), accE(nt, ntv.length), coreArr, gcore, fn)
+          }
         }
+        ge.iterator.map { case (k, v) => (true, k, v) } ++
+          gr.iterator.map { case (k, v) => (false, k, v) }
       }
       val summed = spark.createDataset(gradRdd)
         .groupByKey(x => (x._1, x._2))
