@@ -304,10 +304,15 @@ object SkipGram {
     require(vocabSize > 0 && dim > 0 && window > 0 && epochs > 0 && negative >= 0)
     val sc = spark.sparkContext
     val parts = if (numPartitions > 0) numPartitions else sc.defaultParallelism
-    val sentences = walks.select(col("path").cast("array<int>"))
-      .rdd.map(_.getSeq[Int](0).toArray)
-      .repartition(parts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sentences = {
+      import spark.implicits._
+      // typed decode: primitive bulk copy instead of per-token boxing
+      // (one-time cost, but it's the whole corpus)
+      walks.select(col("path").cast("array<int>")).as[Array[Int]]
+        .rdd
+        .repartition(parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       val freq = sentences.treeAggregate(new Array[Long](vocabSize))(
         (acc, s) => { var j = 0; while (j < s.length) { acc(s(j)) += 1L; j += 1 }; acc },
