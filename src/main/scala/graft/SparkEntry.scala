@@ -575,6 +575,25 @@ object SparkEntry {
     "q73_rescal_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "rescal")),
     "q74_tucker_recs" -> ((s, dir) => kgeRecsPinned(s, dir, "tuckER")),
 
+    // Mandate: PII scrub — the documents corpus is PII-free by
+    // construction, so the query injects deterministic synthetic PII
+    // (built from doc_id, identically in the oracle) and the scrubber
+    // must find and mask exactly those spans. Pure codegen'd per-row
+    // expressions: no shuffle, no UDF.
+    "q75_pii_scrub" -> ((s, dir) => {
+      val withPii = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10."),
+          col("doc_id") % 256, lit(".0.1 tel +1-555-"),
+          lit(1000) + col("doc_id") % 9000, lit("-"),
+          lit(100) + col("doc_id") % 900).as("text"))
+      withPii.select(col("doc_id"),
+        graft.text.Pii.countEmails(col("text")).as("n_emails"),
+        graft.text.Pii.countIps(col("text")).as("n_ips"),
+        graft.text.Pii.countPhones(col("text")).as("n_phones"),
+        md5(graft.text.Pii.scrub(col("text"))).as("scrubbed_fp"))
+    }),
+
     // S1/S6/F7: typed-header CSV sink + source roundtrip — the oracle
     // reads the file this query WRITES, so write and read are both under
     // the hash check (previously ScalaTest-only)
@@ -1304,6 +1323,26 @@ object SparkEntry {
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q74_tucker_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // The same regexes run under RE2 (no lookaround/backrefs, so Java
+    // and RE2 agree); DuckDB regexp_replace needs the explicit 'g' flag
+    "q75_pii_scrub" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or 10.' ||
+        |         (doc_id % 256) || '.0.1 tel +1-555-' || (1000 + doc_id % 9000) ||
+        |         '-' || (100 + doc_id % 900) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |      '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}', '<PHONE>', 'g')) AS scrubbed_fp
+        |FROM withpii""".stripMargin,
 
     // INDEPENDENT SQL replay of the biased (node2vec) kernel — full
     // path content under the hash (the golden era hashed only the

@@ -276,4 +276,34 @@ class TextAndEtlSpec extends AnyFunSuite {
     val r = SparqlSource.matchRate(mapped).first()
     assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getDouble(2) == 50.0)
   }
+
+  test("PII scrub masks emails, IPv4s, phones; counts match; clean text untouched") {
+    import graft.text.Pii
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("mail me at a.b+c@sub.example.org now", "mail me at <EMAIL> now", 1, 0, 0),
+      ("srv 192.168.0.1 and 10.0.255.254 up", "srv <IP> and <IP> up", 0, 2, 0),
+      ("call +1-555-1234-123 or +44 201 5551 212", "call <PHONE> or <PHONE>", 0, 0, 2),
+      ("x@y.io from 8.8.8.8 tel +1-555-1234-123", "<EMAIL> from <IP> tel <PHONE>", 1, 1, 1),
+      // near-misses stay: no TLD, 5-octet run is still bounded at 4,
+      // phone without leading + is not masked
+      ("not-an-email@nohost v1.2.3 call 555-123-4567", null, 0, 0, 0),
+      ("plain text, no pii at all", "plain text, no pii at all", 0, 0, 0)
+    ).toDF("text", "expect", "ne", "ni", "np")
+    val out = rows.select(col("expect"), col("ne"), col("ni"), col("np"),
+      Pii.scrub(col("text")).as("got"),
+      Pii.countEmails(col("text")).as("ge"),
+      Pii.countIps(col("text")).as("gi"),
+      Pii.countPhones(col("text")).as("gp")).collect()
+    out.foreach { r =>
+      if (r.getString(0) != null)
+        assert(r.getString(4) == r.getString(0), s"scrub: ${r.getString(4)}")
+      assert(r.getInt(5) == r.getInt(1) && r.getInt(6) == r.getInt(2)
+        && r.getInt(7) == r.getInt(3), s"counts: $r")
+    }
+    // v1.2.3: only 3 dotted groups -> not an IP (the \b{4-octet} shape)
+    val vtext = Seq("v1.2.3 and 1.2.3.4").toDF("text")
+      .select(Pii.scrub(col("text"))).head().getString(0)
+    assert(vtext == "v1.2.3 and <IP>")
+  }
 }
