@@ -512,6 +512,21 @@ object SparkEntry {
       cc
     }),
 
+    // Mandate: the end-to-end dedup pass a corpus user actually runs —
+    // q37's clusters reduced to the surviving canonical documents
+    "q76_dedup_corpus" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(s, docs, 8, 3, 0.8)
+      val cc = Dedup.clusters(s, docs, pairs)
+      pairs.unpersist(blocking = false)
+      val out = Dedup.canonical(docs, cc)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      cc.unpersist(blocking = false)
+      out
+    }),
+
     // multimodal plumbing: binary content -> per-partition stub decode
     "q38_multimodal_features" -> ((s, dir) => {
       val media = graft.multimodal.MultimodalOps.asMedia(T(s, dir, "documents"))
@@ -1250,6 +1265,22 @@ object SparkEntry {
         |cc AS (SELECT doc_id AS node, doc_id AS comp FROM documents
         |       UNION SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a)
         |SELECT node AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY node""".stripMargin),
+
+    // q37's component labeling, reduced to the canonical survivors
+    // (node == min component label) joined back to the corpus
+    "q76_dedup_corpus" -> (minhashCtes(8, 2).replace("WITH ", "WITH RECURSIVE ") +
+      """,
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |          JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+        |       UNION SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a),
+        |lbl AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
+        |SELECT d.doc_id, md5(d.text) AS fp
+        |FROM documents d JOIN lbl ON lbl.node = d.doc_id
+        |WHERE lbl.comp = lbl.node""".stripMargin),
 
     "q38_multimodal_features" ->
       """WITH pos AS (

@@ -286,6 +286,17 @@ object Dedup {
     out
   }
 
+  /** End-to-end corpus dedup: keep ONE canonical document per near-dup
+    * cluster — the min-id member [[clusters]] already labels each
+    * component with. Left-semi against the (small) canonical id set, so
+    * Catalyst broadcasts it and the corpus never shuffles; singleton
+    * clusters keep their document, so a dup-free corpus passes through
+    * unchanged. */
+  def canonical(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** Embedding-cosine near-dup pairs: (a_id, b_id, cos) with a < b and
     * cos >= threshold.
     *

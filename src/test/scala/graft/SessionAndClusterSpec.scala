@@ -45,6 +45,19 @@ class SessionAndClusterSpec extends AnyFunSuite {
     assert(out(4L) == 4L && out(5L) == 5L) // singletons
   }
 
+  test("canonical dedup keeps one min-id doc per cluster, singletons pass, broadcast semi-join") {
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.clusters(spark, docs, pairs)
+    val kept = Dedup.canonical(docs, cc)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
+    // the corpus side must not shuffle: the canonical id set broadcasts
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    cc.unpersist(blocking = false)
+  }
+
   test("multimodal stub features replay as integer byte sums") {
     // "ab" bytes 97,98: dim 2 -> f0 = 97/255, f1 = 98/255
     val f = graft.multimodal.MultimodalOps.decodeStub("ab".getBytes("UTF-8"), 2)
