@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // an 8g heap when the box is otherwise loaded (BENCH_r04 showed 3-8×
   // inflation on exactly those stages); the container has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // headroom for the 76-query suite's ~800 generated classes: JDK17's
+  // 240 MB default code cache runs close to full before the headline
+  // folds execute (A/B draws on this shared host are steal-dominated,
+  // so this is cheap insurance rather than a measured win)
+  "-XX:ReservedCodeCacheSize=512m",
 )
