@@ -952,7 +952,61 @@ object SparkEntry {
         .select(col("id").as("doc_id"), posexplode(col("features")))
         .select(col("doc_id"), col("pos").cast("int").as("feat_idx"),
           expr("cast(round(col * 765) as bigint)").as("sum_rgb"))
-    })
+    }),
+
+    // Backward as-of join: each click enriched with the user's most
+    // recent prior-or-equal purchase (AsofJoin.asofBackward — union +
+    // one keyed window, zero join nodes). Oracled by DuckDB's native
+    // ASOF LEFT JOIN; equal-ts purchase dups deduped to max event_id on
+    // both sides so both engines pick the same row.
+    "q77_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.util.AsofJoin.asofBackward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("event_id", "value"), "event_id")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("asof_event_id").as("purchase_id"),
+          round(col("asof_value"), 4).as("purchase_value"),
+          (unix_millis(col("ts")) - unix_millis(col("asof_ts"))).as("lag_ms"))
+    }),
+
+    // Fixed-window overlapped chunking (Chunking.chunk, 200-char chunks
+    // every 150) — map-only generator, integer arithmetic replayed
+    // verbatim by the oracle
+    "q78_doc_chunks" -> ((s, dir) =>
+      graft.text.Chunking.chunk(T(s, dir, "documents"), "text", 200, 150,
+          Seq("doc_id", "source"))
+        .select(col("doc_id"), col("source"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_fp"),
+          col("chunk_chars").cast("long").as("chunk_chars"))),
+
+    // Temperature-weighted domain mixing (Sampling.domainMix, alpha=0.5
+    // over per-source char mass, target 50%) — per-domain md5-threshold
+    // Bernoulli, broadcast rates, keep_rate pinned to 6 decimals so the
+    // two engines' pow draws agree at the threshold
+    "q79_domain_mix" -> ((s, dir) =>
+      graft.util.Sampling.domainMix(T(s, dir, "documents"), "source", "n_chars",
+          alpha = 0.5, targetFraction = 0.5, seed = 7L, keyCols = Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("keep_rate"))),
+
+    // Exact-count stratified sample: first 5 docs per lang under the
+    // seeded-md5 total order (Sampling.stratifiedTake)
+    "q80_stratified_sample" -> ((s, dir) =>
+      graft.util.Sampling.stratifiedTake(T(s, dir, "documents"), Seq("lang"),
+          n = 5, seed = 11L, keyCols = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Symmetric int8 embedding quantization (Quantize.int8): per-vector
+    // scale, exact integer code checksum, reconstruction RMSE — all
+    // narrow array expressions inside codegen
+    "q81_embed_quantize" -> ((s, dir) =>
+      graft.knn.Quantize.int8(T(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          expr("aggregate(qvec, cast(0 as bigint), (a, q) -> a + abs(q))").as("sum_abs_q"),
+          round(col("quant_rmse"), 4).as("rmse_r")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1719,6 +1773,67 @@ object SparkEntry {
       """SELECT d.doc_id, CAST(t.i % 4 AS INT) AS feat_idx,
         |  CAST(SUM(3 * ((d.doc_id * 31 + (16 * (t.i // 4) + 2 * (t.i % 4))) % 256)) AS BIGINT) AS sum_rgb
         |FROM documents d, range(16) t(i)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // independent replay via DuckDB's native ASOF LEFT JOIN (the engine
+    // side never builds a join at all — union + window carry)
+    "q77_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT * FROM p0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+        |  p.event_id AS purchase_id, ROUND(p.value, 4) AS purchase_value,
+        |  epoch_ms(c.ts) - epoch_ms(p.ts) AS lag_ms
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    // integer replay of Chunking.chunk(200, 150):
+    // nChunks = 1 if L<=200 else (L-51)//150 + 1; chunk i = [i*150, i*150+200)
+    "q78_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS L FROM documents),
+        |n AS (SELECT *, CASE WHEN L <= 200 THEN 1 ELSE (L - 51) // 150 + 1 END AS nc FROM d)
+        |SELECT doc_id, source, i AS chunk_idx,
+        |  md5(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_fp,
+        |  length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_chars
+        |FROM n, UNNEST(generate_series(0, nc - 1)) AS t(i)""".stripMargin,
+
+    // replay of Sampling.domainMix(alpha=0.5, target=0.5, seed=7):
+    // same stats -> pow -> round-6 keep_rate -> md5 threshold chain
+    "q79_domain_mix" ->
+      """WITH stats AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        |                CAST(SUM(n_chars) AS DOUBLE) AS tok FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, pow(tok, 0.5) AS w FROM stats),
+        |tot AS (SELECT SUM(w) AS sumw, SUM(n) AS bign FROM w),
+        |rates AS (SELECT source, CAST(ROUND(LEAST(1.0, 0.5 * bign * w / sumw / n), 6) AS DOUBLE) AS keep_rate
+        |          FROM w, tot)
+        |SELECT d.doc_id, d.source, r.keep_rate
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE r.keep_rate >= 1.0 OR
+        |  substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || '7'), 1, 8) <
+        |    printf('%08x', CAST(floor(keep_rate * 4294967296) AS BIGINT))""".stripMargin,
+
+    // replay of Sampling.stratifiedTake(lang, 5, seed=11): row_number
+    // under the seeded-md5 order, key-render tiebreak
+    "q80_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '11'), CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
+
+    // replay of Quantize.int8: scale = max|x|/127, codes clamped
+    // round(x/scale), exact integer checksum + round-4 RMSE
+    "q81_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |          ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv
+        |      FROM s)
+        |SELECT vec_id, CAST(ROUND(scale, 6) AS DOUBLE) AS scale_r,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+        |  CAST(ROUND(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+        |    i -> pow(v[i] - qv[i] * scale, 2))) / GREATEST(len(v), 1)), 4) AS DOUBLE) AS rmse_r
+        |FROM q""".stripMargin
   )
 }

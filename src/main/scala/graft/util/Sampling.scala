@@ -46,4 +46,64 @@ object Sampling {
   def downsampleClass(df: DataFrame, labelCol: String, targetClass: Int,
                       keep: Double, seed: Long, keyCols: Seq[String]): DataFrame =
     df.filter(col(labelCol) =!= targetClass || hashKeep(keep, seed, keyCols.map(col)))
+
+  /** Temperature-weighted domain mixing — the corpus-composition step of
+    * a training run: domain d's share of the sample follows
+    * p_d ∝ (Σ weight_d)^alpha (alpha<1 upsamples small domains,
+    * alpha=1 is natural mix), and each domain keeps rows at
+    * keep_d = min(1, targetFraction · N · p_d / n_d), rounded to 6
+    * decimals so the Spark and DuckDB `pow` draws can never disagree at
+    * the md5 threshold.
+    *
+    * The per-row predicate is the same [[hashKeep]] md5 scheme with a
+    * per-DOMAIN threshold string: `printf('%08x', floor(keep_d·2^32))`
+    * compares lexicographically exactly like the 32-bit value.
+    *
+    * Scale shape: one partial-aggregated groupBy over the corpus → a
+    * domains-sized stats table → broadcast join of the per-domain rate
+    * back onto the corpus → narrow filter. No global window, no second
+    * pass, nothing driver-side. */
+  def domainMix(df: DataFrame, domainCol: String, weightCol: String,
+                alpha: Double, targetFraction: Double, seed: Long,
+                keyCols: Seq[String]): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"domainMix: targetFraction in (0,1], got $targetFraction")
+    val stats = df.groupBy(domainCol)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col(weightCol).cast("double")).as("__tok"))
+      .withColumn("__w", pow(col("__tok"), alpha))
+    val tot = stats.agg(sum("__w").as("__sumw"), sum("__n").as("__bign"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        round(least(lit(1.0),
+          lit(targetFraction) * col("__bign") * col("__w") / col("__sumw") / col("__n")), 6)
+          .as("keep_rate"))
+    val threshold = format_string("%08x",
+      floor(col("keep_rate") * 4294967296d).cast("long"))
+    val key = keyCols.map(col(_).cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    df.join(broadcast(rates), domainCol)
+      .filter(col("keep_rate") >= 1.0 ||
+        substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 8) < threshold)
+  }
+
+  /** Exact-size stratified sample: the first `n` rows of each stratum
+    * under the seeded-md5 total order (ties broken by the key render —
+    * md5 collisions at 32 hex chars are not a practical concern). Unlike
+    * Bernoulli sampling this guarantees per-stratum counts — the shape
+    * eval sets and ablation slices need. One window shuffle keyed by the
+    * strata columns; rank + filter, nothing global. */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], n: Int, seed: Long,
+                     keyCols: Seq[String]): DataFrame = {
+    require(n > 0, s"stratifiedTake: n must be positive, got $n")
+    val key = keyCols.map(col(_).cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    val order = md5(concat(key, lit("|"), lit(seed.toString)))
+    df.withColumn("__ord", order)
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCols.map(col): _*).orderBy(col("__ord"), key)))
+      .filter(col("__rk") <= n)
+      .drop("__ord", "__rk")
+  }
 }

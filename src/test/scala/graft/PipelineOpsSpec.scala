@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.{AsofJoin, Sampling}
+import graft.text.Chunking
+import graft.knn.Quantize
+
+/** Value-level semantics of the round-9 pipeline operators: as-of join,
+  * chunking, domain mixing, stratified sampling, int8 quantization. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- as-of join ------------------------------------------------------
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("k", "lid", "ts")
+    val r = right.toDF("k", "rid", "ts", "v")
+    AsofJoin.asofBackward(l, r, Seq("k"), "ts", "ts", Seq("rid", "v"), "rid")
+      .select("k", "lid", "ts", "asof_ts", "asof_rid", "asof_v")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("asofBackward: latest right row at-or-before each left ts, per key") {
+    val out = asof(
+      left = Seq((1L, 100L, 10L), (1L, 101L, 25L), (1L, 102L, 5L), (2L, 200L, 50L)),
+      right = Seq((1L, 900L, 10L, 1.0), (1L, 901L, 20L, 2.0), (2L, 902L, 60L, 3.0)))
+    assert(out == Seq(
+      (1L, 100L, 10L, Some(10L), Some(900L), Some(1.0)), // tie: right at == left ts matches
+      (1L, 101L, 25L, Some(20L), Some(901L), Some(2.0)),
+      (1L, 102L, 5L, None, None, None),                  // nothing earlier -> left outer nulls
+      (2L, 200L, 50L, None, None, None)))                // right row is later -> no match
+  }
+
+  test("asofBackward: equal right timestamps resolve to the max tiebreak row") {
+    val out = asof(
+      left = Seq((1L, 100L, 30L)),
+      right = Seq((1L, 5L, 20L, 1.0), (1L, 9L, 20L, 2.0), (1L, 7L, 20L, 3.0)))
+    assert(out == Seq((1L, 100L, 30L, Some(20L), Some(9L), Some(2.0))))
+  }
+
+  test("asofBackward: a NULL payload in the matched row stays NULL (struct carry, no leak-through)") {
+    val l = Seq((1L, 100L, 30L)).toDF("k", "lid", "ts")
+    val r = Seq((1L, 1L, 10L, Some(7.0)), (1L, 2L, 20L, Option.empty[Double]))
+      .toDF("k", "rid", "ts", "v")
+    val out = AsofJoin.asofBackward(l, r, Seq("k"), "ts", "ts", Seq("rid", "v"), "rid")
+      .select("asof_rid", "asof_v").as[(Option[Long], Option[Double])].collect().toSeq
+    // the ts=20 row matches; its null v must NOT fall back to ts=10's 7.0
+    assert(out == Seq((Some(2L), None)))
+  }
+
+  test("asofBackward matches the sort-merge oracle on a random instance") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(100).toLong))
+    val right = (1 to 200).map(i => (rnd.nextInt(5).toLong, 1000L + i, rnd.nextInt(100).toLong, rnd.nextInt(10).toDouble))
+    val expected = left.map { case (k, lid, ts) =>
+      val cands = right.filter(r => r._1 == k && r._3 <= ts)
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._3, r._2))) // latest ts, then max tiebreak
+      (k, lid, ts, best.map(_._3), best.map(_._2), best.map(_._4))
+    }.sortBy(t => (t._1, t._2))
+    assert(asof(left, right) == expected)
+  }
+
+  // --- chunking --------------------------------------------------------
+
+  test("chunk: boundaries, counts, and tail semantics are exact") {
+    def mk(n: Int) = ("x" * n)
+    val df = Seq((1L, mk(48)), (2L, mk(200)), (3L, mk(350)), (4L, mk(500)), (5L, mk(201)))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunk(df, "text", 200, 150, Seq("doc_id"))
+      .select("doc_id", "chunk_idx", "chunk_chars")
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, 0, 48), (2L, 0, 200),
+      (3L, 0, 200), (3L, 1, 200),          // [0,200) [150,350)
+      (4L, 0, 200), (4L, 1, 200), (4L, 2, 200), // [0,200) [150,350) [300,500)
+      (5L, 0, 200), (5L, 1, 51)))          // [150, 201) tail
+  }
+
+  test("chunk: every chunk is the exact substring at i*stride") {
+    val text = (0 until 433).map(i => ('a' + i % 26).toChar).mkString
+    val out = Chunking.chunk(Seq((1L, text)).toDF("doc_id", "text"), "text", 100, 60, Seq("doc_id"))
+      .select("chunk_idx", "chunk_text").as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 7) // (433-41)//60+1 = 7
+    out.foreach { case (i, s) =>
+      assert(s == text.substring(i * 60, math.min(i * 60 + 100, text.length)))
+    }
+  }
+
+  // --- domain mixing ---------------------------------------------------
+
+  test("domainMix: alpha<1 upsamples small domains; rates bounded; deterministic") {
+    val docs = ((1 to 900).map(i => (i.toLong, "big", 100L)) ++
+      (1 to 100).map(i => (1000L + i, "small", 100L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sampling.domainMix(docs, "source", "n_chars", alpha = 0.5,
+      targetFraction = 0.5, seed = 7L, keyCols = Seq("doc_id"))
+    val rates = out.select("source", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("small") > rates("big"), s"alpha<1 must favor the small domain: $rates")
+    assert(rates.values.forall(r => r > 0 && r <= 1))
+    // expected keeps: rate * n within binomial noise (md5 is uniform)
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("big") - rates("big") * 900) < 90)
+    assert(math.abs(kept("small") - rates("small") * 100) < 35)
+    val again = Sampling.domainMix(docs, "source", "n_chars", 0.5, 0.5, 7L, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("domainMix: alpha=1 targetFraction=1 keeps everything (rate clamps to 1)") {
+    val docs = (1 to 50).map(i => (i.toLong, s"s${i % 3}", 10L)).toDF("doc_id", "source", "n_chars")
+    val out = Sampling.domainMix(docs, "source", "n_chars", 1.0, 1.0, 7L, Seq("doc_id"))
+    assert(out.count() == 50)
+  }
+
+  // --- stratified sampling ---------------------------------------------
+
+  test("stratifiedTake: exactly min(n, |stratum|) rows per stratum, deterministic") {
+    val docs = ((1 to 40).map(i => (i.toLong, "en")) ++ (1 to 3).map(i => (100L + i, "fr")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedTake(docs, Seq("lang"), n = 5, seed = 11L, Seq("doc_id"))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 5L, "fr" -> 3L))
+    val again = Sampling.stratifiedTake(docs, Seq("lang"), 5, 11L, Seq("doc_id"))
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      out.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a different seed draws a different sample (overwhelmingly likely at 5-of-40)
+    val other = Sampling.stratifiedTake(docs, Seq("lang"), 5, 12L, Seq("doc_id"))
+    assert(other.select("doc_id").as[Long].collect().sorted.toSeq !=
+      out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  // --- int8 quantization -----------------------------------------------
+
+  test("int8: scale, clamped codes, zero-vector sentinel, bounded reconstruction error") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-0.001f, 0.001f, 0.0005f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Quantize.int8(df, "embedding")
+      .select("vec_id", "scale", "qvec", "quant_rmse")
+      .as[(Long, Double, Seq[Int], Double)].collect().sortBy(_._1)
+
+    val (_, s1, q1, e1) = out(0)
+    assert(s1 == 1.0)                      // max|x| = 127 -> scale 1
+    assert(q1 == Seq(1, -2, 1, 127))       // round(0.5) half-up -> 1
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    assert(e1 <= s1 / 2 + 1e-12)           // per-element error <= scale/2 pre-clamp
+
+    val (_, s2, q2, e2) = out(1)
+    assert(s2 == 0.0 && q2 == Seq(0, 0, 0, 0) && e2 == 0.0)
+
+    val (_, s3, q3, _) = out(2)
+    assert(math.abs(s3 - 0.001f.toDouble / 127) < 1e-12)
+    assert(q3.head == -127 && q3(1) == 127) // extremes hit +/-127 exactly
+  }
+}
