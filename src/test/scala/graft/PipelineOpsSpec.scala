@@ -134,6 +134,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       out.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  // --- plan shapes (the scale contract) --------------------------------
+
+  test("asofBackward plans as ONE keyed exchange and zero join nodes") {
+    val l = (1 to 100).map(i => (i.toLong % 7, i.toLong, i.toLong * 3)).toDF("k", "lid", "ts")
+    val r = (1 to 80).map(i => (i.toLong % 7, 1000L + i, i.toLong * 2, i * 1.0)).toDF("k", "rid", "ts", "v")
+    val plan = AsofJoin.asofBackward(l, r, Seq("k"), "ts", "ts", Seq("rid", "v"), "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 keyed exchange, got $exchanges:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("domainMix joins the per-domain rates by broadcast, never sort-merge") {
+    val docs = (1 to 500).map(i => (i.toLong, s"s${i % 4}", 10L)).toDF("doc_id", "source", "n_chars")
+    val plan = Sampling.domainMix(docs, "source", "n_chars", 0.5, 0.5, 7L, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join for a domains-sized table:\n$plan")
+  }
+
   // --- int8 quantization -----------------------------------------------
 
   test("int8: scale, clamped codes, zero-vector sentinel, bounded reconstruction error") {
