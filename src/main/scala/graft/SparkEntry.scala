@@ -1006,7 +1006,26 @@ object SparkEntry {
       graft.knn.Quantize.int8(T(s, dir, "embeddings"), "embedding")
         .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
           expr("aggregate(qvec, cast(0 as bigint), (a, q) -> a + abs(q))").as("sum_abs_q"),
-          round(col("quant_rmse"), 4).as("rmse_r")))
+          round(col("quant_rmse"), 4).as("rmse_r"))),
+
+    // Per-group EXACT interpolated quantiles (Profile.groupQuantiles =
+    // ANSI percentile_cont semantics, which DuckDB's quantile_cont
+    // replays bit-for-bit under round-6)
+    "q82_group_quantiles" -> ((s, dir) =>
+      graft.util.Profile.groupQuantiles(T(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.99))
+        .select(col("l_returnflag"),
+          round(col("q_25"), 6).as("p25"), round(col("q_50"), 6).as("p50"),
+          round(col("q_75"), 6).as("p75"), round(col("q_99"), 6).as("p99"))),
+
+    // Tukey-fence outlier tagging per event type (Profile.iqrOutliers —
+    // broadcast fences, corpus never shuffles); emits per-group counts
+    // + the fences themselves so the quantile parity is under the hash
+    "q83_iqr_outliers" -> ((s, dir) =>
+      graft.util.Profile.iqrOutliers(Tables.events(s, dir), Seq("event_type"), "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1834,6 +1853,25 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
         |  CAST(ROUND(sqrt(list_sum(list_transform(generate_series(1, len(v)),
         |    i -> pow(v[i] - qv[i] * scale, 2))) / GREATEST(len(v), 1)), 4) AS DOUBLE) AS rmse_r
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // quantile_cont == Spark's percentile: both interpolate at
+    // p*(n-1) with linear weights (ANSI percentile_cont)
+    "q82_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS DOUBLE) AS p25,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS DOUBLE) AS p50,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS DOUBLE) AS p75,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS DOUBLE) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q83_iqr_outliers" ->
+      """WITH f AS (SELECT event_type AS g, quantile_cont(value, 0.25) AS q1,
+        |             quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1)
+        |SELECT t.event_type, COUNT(*) AS n,
+        |  COUNT(*) FILTER (t.value < q1 - 1.5 * (q3 - q1) OR
+        |                   t.value > q3 + 1.5 * (q3 - q1)) AS n_outliers
+        |FROM events t JOIN f ON t.event_type = f.g
+        |GROUP BY 1""".stripMargin
   )
 }

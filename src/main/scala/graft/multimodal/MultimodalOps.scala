@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is a DISK temp file per
+  // encode/decode call — create+write+delete syscalls paid once per
+  // image on both the read and write paths. These are small in-memory
+  // byte arrays; cache in heap instead. (JVM-global, set once at first
+  // use of this object; executors initialize it per-JVM on first task.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class Media(id: Long, kind: String, content: Array[Byte],
                    width: Int, height: Int, sampleRate: Int)
   case class MediaFeatures(id: Long, kind: String, n_bytes: Int, features: Array[Float])

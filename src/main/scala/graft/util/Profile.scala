@@ -29,4 +29,60 @@ object Profile {
       max(col(c)).as(s"${c}_max")))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Per-group EXACT interpolated quantiles (the `percentile` aggregate
+    * — position p·(n−1), linear interpolation, the same definition as
+    * ANSI `percentile_cont` / DuckDB `quantile_cont`, which is what
+    * makes it SQL-oracle-able). Output: group columns + `q_<label>` per
+    * requested fraction.
+    *
+    * Scale caveat, by design: an exact per-group quantile buffers the
+    * group's values — right for group-granularity stats (flags,
+    * domains, shards), wrong for a group holding a whole 100 TB table.
+    * For massive groups use [[approxGroupQuantiles]], the bounded-state
+    * t-digest-style path. */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"groupQuantiles: fractions must be in [0,1], got $ps")
+    val qs = expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      col("__qs").getItem(i).as(s"q_${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(qs.as("__qs"))
+      .select(groupCols.map(col) ++ out: _*)
+  }
+
+  /** Bounded-memory variant: `approx_percentile` (GK sketch, mergeable,
+    * O(1/accuracy) state per group regardless of group size) — the path
+    * a 1000-executor deployment takes when a group can be arbitrarily
+    * large. Same output shape as [[groupQuantiles]]. */
+  def approxGroupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                           ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val qs = expr(s"approx_percentile($valueCol, array(${ps.mkString(", ")}), $accuracy)")
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      col("__qs").getItem(i).as(s"q_${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(qs.as("__qs"))
+      .select(groupCols.map(col) ++ out: _*)
+  }
+
+  /** Tukey-fence outlier tagging — the numeric-quality filter of an
+    * ingest pipeline: per group, a row is an outlier iff its value
+    * falls outside [q1 − k·IQR, q3 + k·IQR] (k = 1.5 classically).
+    * The quantile table is groups-sized, so it joins back by BROADCAST;
+    * the corpus itself never shuffles — one aggregation pass + one
+    * narrow tagged projection. */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val fences = groupQuantiles(df, groupCols, valueCol, Seq(0.25, 0.75))
+      .select(groupCols.map(col) :+
+        col("q_25").as("__q1") :+ col("q_75").as("__q3"): _*)
+    val iqr = col("__q3") - col("__q1")
+    df.join(broadcast(fences), groupCols)
+      .withColumn("is_outlier",
+        col(valueCol) < col("__q1") - lit(k) * iqr ||
+          col(valueCol) > col("__q3") + lit(k) * iqr)
+      .drop("__q1", "__q3")
+  }
 }

@@ -155,6 +155,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join for a domains-sized table:\n$plan")
   }
 
+  // --- quantiles + outlier fences --------------------------------------
+
+  test("groupQuantiles: ANSI percentile_cont interpolation, per group") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)) ++
+      (1 to 5).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val rows = util.Profile.groupQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    // a: pos 0.25*(4-1)=0.75 -> 1 + 0.75*(2-1) = 1.75; median (2+3)/2 = 2.5
+    // b: pos 0.25*4=1 -> exactly 2; median 3
+    assert(rows(0) == ("a", 1.75, 2.5))
+    assert(rows(1) == ("b", 2.0, 3.0))
+  }
+
+  test("approxGroupQuantiles tracks the exact quantiles on a smooth group") {
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = util.Profile.groupQuantiles(df, Seq("g"), "v", Seq(0.5, 0.9))
+      .collect().head
+    val approx = util.Profile.approxGroupQuantiles(df, Seq("g"), "v", Seq(0.5, 0.9))
+      .collect().head
+    assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) < 20)
+    assert(math.abs(exact.getDouble(2) - approx.getDouble(2)) < 20)
+  }
+
+  test("iqrOutliers: Tukey fences tag exactly the planted extremes; fences join by broadcast") {
+    val base = (1 to 100).map(i => ("g", 50.0 + (i % 11))) // tight cluster
+    val planted = Seq(("g", 500.0), ("g", -400.0), ("h", 1.0), ("h", 2.0), ("h", 3.0))
+    val df = (base ++ planted).toDF("g", "v")
+    val out = util.Profile.iqrOutliers(df, Seq("g"), "v")
+    val outliers = out.filter(col("is_outlier")).select("g", "v")
+      .as[(String, Double)].collect().toSet
+    assert(outliers == Set(("g", 500.0), ("g", -400.0)))
+    assert(out.count() == 105) // tagging, not dropping
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"fence join must broadcast:\n$plan")
+  }
+
   // --- int8 quantization -----------------------------------------------
 
   test("int8: scale, clamped codes, zero-vector sentinel, bounded reconstruction error") {
