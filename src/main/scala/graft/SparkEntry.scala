@@ -1025,7 +1025,15 @@ object SparkEntry {
       graft.util.Profile.iqrOutliers(Tables.events(s, dir), Seq("event_type"), "value")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers")))
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))),
+
+    // Deterministic global shuffle into 8 training shards
+    // (Sampling.shard): balanced md5-mod shard id + stable in-shard
+    // position, independent of partitioning
+    "q84_shard_assign" -> ((s, dir) =>
+      graft.util.Sampling.shard(T(s, dir, "documents"), nShards = 8, seed = 5L,
+          keyCols = Seq("doc_id"))
+        .select(col("doc_id"), col("shard"), col("shard_pos")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1872,6 +1880,18 @@ object SparkEntry {
         |  COUNT(*) FILTER (t.value < q1 - 1.5 * (q3 - q1) OR
         |                   t.value > q3 + 1.5 * (q3 - q1)) AS n_outliers
         |FROM events t JOIN f ON t.event_type = f.g
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // replay of Sampling.shard(8, seed=5): md5 prefix as a 32-bit int
+    // mod nShards; in-shard order by the full md5, key tiebreak
+    "q84_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |             md5(CAST(doc_id AS VARCHAR) || '|' || '5') AS hh FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |  ROW_NUMBER() OVER (
+        |    PARTITION BY CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8
+        |    ORDER BY hh, CAST(doc_id AS VARCHAR)) AS shard_pos
+        |FROM h""".stripMargin
   )
 }

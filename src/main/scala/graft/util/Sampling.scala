@@ -87,6 +87,30 @@ object Sampling {
         substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 8) < threshold)
   }
 
+  /** Deterministic global shuffle into training shards: every row gets
+    * a balanced shard id (seeded-md5 mod nShards) and a stable position
+    * within its shard (the md5 total order) — the step that turns a
+    * corpus into reproducibly-shuffled training files, independent of
+    * input partitioning, retries, and cluster size.
+    *
+    * Scale shape: one hash exchange keyed by shard + a per-shard sort —
+    * exactly the cost of writing shuffled shards, nothing extra. The
+    * md5 order IS the shuffle: adjacent input rows land in unrelated
+    * shard positions. */
+  def shard(df: DataFrame, nShards: Int, seed: Long, keyCols: Seq[String]): DataFrame = {
+    require(nShards > 0, s"shard: nShards must be positive, got $nShards")
+    val key = keyCols.map(col(_).cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    val h = md5(concat(key, lit("|"), lit(seed.toString)))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("shard_pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), key)).cast("long"))
+      .drop("__h")
+  }
+
   /** Exact-size stratified sample: the first `n` rows of each stratum
     * under the seeded-md5 total order (ties broken by the key render —
     * md5 collisions at 32 hex chars are not a practical concern). Unlike

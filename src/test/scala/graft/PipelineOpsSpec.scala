@@ -155,6 +155,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join for a domains-sized table:\n$plan")
   }
 
+  // --- shard assignment ------------------------------------------------
+
+  test("shard: balanced, deterministic, contiguous in-shard positions, partitioning-independent") {
+    val docs = (1 to 4000).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val out = Sampling.shard(docs, nShards = 8, seed = 5L, keyCols = Seq("doc_id"))
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0 until 8).toSet)
+    byShard.values.foreach { rows =>
+      assert(math.abs(rows.size - 500) < 120) // md5-uniform, 4000/8 +- binomial noise
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq) // positions 1..n, no gaps
+    }
+    // repartitioning the input must not move a single row
+    val again = Sampling.shard(docs.repartition(17), 8, 5L, Seq("doc_id"))
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == out.sortBy(_._1))
+  }
+
   // --- quantiles + outlier fences --------------------------------------
 
   test("groupQuantiles: ANSI percentile_cont interpolation, per group") {
