@@ -1033,7 +1033,22 @@ object SparkEntry {
     "q84_shard_assign" -> ((s, dir) =>
       graft.util.Sampling.shard(T(s, dir, "documents"), nShards = 8, seed = 5L,
           keyCols = Seq("doc_id"))
-        .select(col("doc_id"), col("shard"), col("shard_pos")))
+        .select(col("doc_id"), col("shard"), col("shard_pos"))),
+
+    // SRP-LSH ANN with a fully SQL-replayable index (SrpLsh.srpTopK):
+    // int8 codes × integer plane weights → sign-bit buckets — every
+    // step integer-exact in both engines, so unlike the MLlib-RNG LSH
+    // (q22, golden-pinned) the whole index is independently recomputed
+    // by the oracle. Exact cosine re-rank on candidates only.
+    "q85_ann_srp" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.knn.SrpLsh.srpTopK(e.filter(col("id") < 50), e, dim = 64, k = 3,
+          excludeSelf = true)
+        .select(col("query_id"), col("item_id").as("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("cos_r"))
+    })
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1892,6 +1907,37 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (
         |    PARTITION BY CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8
         |    ORDER BY hh, CAST(doc_id AS VARCHAR)) AS shard_pos
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // full independent replay of SrpLsh.srpTopK: int8 quantize (the
+    // q81 chain), Knuth-hash plane weights, integer sign-bit buckets,
+    // (table, bucket) candidate join, exact cosine re-rank
+    "q85_ann_srp" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |          ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv FROM s),
+        |qx AS (SELECT vec_id, di.i - 1 AS d, qv[di.i] AS qq
+        |       FROM q, UNNEST(generate_series(1, len(qv))) di(i)),
+        |planes AS (SELECT CAST(i // 512 AS INT) AS t, CAST((i // 64) % 8 AS INT) AS b,
+        |                  CAST(i % 64 AS INT) AS d,
+        |                  CAST((i * 2654435761) % 4294967296 % 15 - 7 AS INT) AS w
+        |           FROM range(2048) r(i)),
+        |dots AS (SELECT vec_id, t, b, SUM(w * qq) AS sdot
+        |         FROM qx JOIN planes USING (d) GROUP BY 1, 2, 3),
+        |bkt AS (SELECT vec_id, t, SUM(CASE WHEN sdot > 0 THEN 1 << b ELSE 0 END) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM bkt a JOIN bkt c ON a.t = c.t AND a.bucket = c.bucket
+        |         WHERE a.vec_id < 50 AND a.vec_id <> c.vec_id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |         list_dot_product(eq.v, en.v) /
+        |           (SQRT(list_dot_product(eq.v, eq.v)) * SQRT(list_dot_product(en.v, en.v))) AS cos
+        |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e en ON en.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin
   )
 }

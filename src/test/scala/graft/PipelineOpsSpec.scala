@@ -210,6 +210,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"fence join must broadcast:\n$plan")
   }
 
+  // --- SRP-LSH ANN ------------------------------------------------------
+
+  private def srpVecs(n: Int, dim: Int, seed: Int): Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  test("SrpLsh buckets match a pure-Scala replay of the integer index math") {
+    import graft.knn.SrpLsh
+    val dim = 16
+    val data = srpVecs(40, dim, 7)
+    val df = data.toDF("id", "vec")
+    val got = SrpLsh.buckets(df, "id", "vec", dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    def quantizeRef(v: Array[Double]): Array[Int] = {
+      val scale = v.map(math.abs).max / 127
+      if (scale == 0) Array.fill(v.length)(0)
+      else v.map { x =>
+        val r = BigDecimal.valueOf(x / scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+        math.max(-127, math.min(127, r))
+      }
+    }
+    val expected = data.flatMap { case (id, v) =>
+      val q = quantizeRef(v)
+      (0 until SrpLsh.NTables).map { t =>
+        val bucket = (0 until SrpLsh.NBits).map { b =>
+          val s = (0 until dim)
+            .map(d => SrpLsh.planeWeight(((t * SrpLsh.NBits + b) * dim + d).toLong) * q(d).toLong)
+            .sum
+          if (s > 0) 1L << b else 0L
+        }.sum
+        (id, t) -> bucket
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("SrpLsh: an exact duplicate shares every bucket — its twin is always rank-1 at cos 1") {
+    val dim = 16
+    val base = srpVecs(30, dim, 11)
+    val dups = base.take(5).map { case (id, v) => (100L + id, v.clone()) }
+    val items = (base ++ dups).toDF("id", "vec")
+    val queries = dups.toDF("id", "vec")
+    val out = graft.knn.SrpLsh.srpTopK(queries, items, dim, k = 1, excludeSelf = true)
+      .select("query_id", "item_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)) == dups.map { case (qid, _) => (qid, qid - 100L) },
+      s"each duplicate's nearest candidate must be its identical twin: $out")
+  }
+
+  test("SrpLsh: candidate join keys on (table, bucket) — no cartesian") {
+    val dim = 16
+    val e = srpVecs(50, dim, 3).toDF("id", "vec")
+    val plan = graft.knn.SrpLsh.srpTopK(e.filter(col("id") < 10), e, dim, 3, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"SRP candidate generation must stay keyed:\n$plan")
+  }
+
   // --- int8 quantization -----------------------------------------------
 
   test("int8: scale, clamped codes, zero-vector sentinel, bounded reconstruction error") {
