@@ -165,6 +165,76 @@ object EventStreams {
   // Scala-private nested class.
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  case class AsofRight(ts: Long, id: Long, value: Double)
+  // state: right-side history within the watermark horizon, ascending
+  // (ts, id); see AsofBuf eviction note in [[asofEnrich]]
+  case class AsofBuf(rights: List[AsofRight])
+  case class AsofEnriched(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                          asof_event_id: java.lang.Long, asof_ts: java.sql.Timestamp,
+                          asof_value: java.lang.Double)
+
+  /** Streaming point-in-time enrich — the streaming form of
+    * [[graft.util.AsofJoin.asofBackward]]: each `leftType` event is
+    * enriched with the latest `rightType` event at-or-before its
+    * timestamp for the same user (ties: max event_id), as a stateful
+    * operator instead of a join.
+    *
+    * State per key is the right-side history inside the watermark
+    * horizon PLUS one floor row (the latest right older than the
+    * watermark): any future left has event time ≥ watermark, so the
+    * floor row alone answers every below-horizon lookup — history
+    * below it can never be an answer again and evicts. State is
+    * therefore bounded by the horizon, and an idle key degrades to ONE
+    * row (a compacted latest-value snapshot), which is the product a
+    * point-in-time store keeps anyway.
+    *
+    * Exactness contract (same family as [[dedupEvents]]'s): arbitrary
+    * reordering WITHIN a trigger batch is invisible (rows are replayed
+    * in event-time order), and late LEFT rows within the watermark are
+    * answered correctly from the buffer; only a RIGHT row that arrives
+    * after a later-ts left was already emitted cannot retro-correct
+    * that append-mode output. A batch invocation of this same operator
+    * (one group pass, empty initial state) is globally exact and equals
+    * `asofBackward` row-for-row — pinned in the spec. */
+  def asofEnrich(events: Dataset[Event], leftType: String, rightType: String): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == leftType || e.event_type == rightType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofBuf, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[AsofBuf]) =>
+          // rights sort before lefts at equal ts (a right AT the left's
+          // timestamp matches), max event_id last among equal-ts rights
+          val rows = it.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == rightType) 0 else 1, e.event_id))
+          var buf = state.getOption.map(_.rights).getOrElse(Nil)
+          val out = List.newBuilder[AsofEnriched]
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == rightType) {
+              buf = ((AsofRight(t, e.event_id, e.value)) :: buf)
+                .sortBy(r => (r.ts, r.id))
+            } else {
+              val m = buf.foldLeft(Option.empty[AsofRight]) {
+                case (acc, r) => if (r.ts <= t) Some(r) else acc // asc scan: last ≤ t wins
+              }
+              out += AsofEnriched(user, e.event_id, e.ts,
+                m.map(r => java.lang.Long.valueOf(r.id)).orNull,
+                m.map(r => new java.sql.Timestamp(r.ts)).orNull,
+                m.map(r => java.lang.Double.valueOf(r.value)).orNull)
+            }
+          }
+          // evict: everything below the watermark except the floor row
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+          if (wm > 0) {
+            val (old, recent) = buf.partition(_.ts < wm)
+            buf = old.lastOption.toList ::: recent
+          }
+          if (buf.nonEmpty) state.update(AsofBuf(buf))
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful operator: gap-based sessionization with
     * flatMapGroupsWithState (M-streaming; no reference analogue). Emits
     * a session row when `gapMs` of event-time silence passes. */

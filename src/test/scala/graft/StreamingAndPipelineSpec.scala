@@ -106,6 +106,69 @@ class StreamingAndPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofEnrich: streaming point-in-time enrich == batch asofBackward on the same events") {
+    import EventStreams.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(min: Long) = new java.sql.Timestamp((1000 + min) * 60000)
+    val trigger1 = Seq( // shuffled within the trigger: order must not matter
+      Event(1, m(5), 1L, "click", 0.0),     // matches purchase 10
+      Event(10, m(0), 1L, "purchase", 5.0),
+      Event(4, m(7), 2L, "click", 0.0))     // no purchase yet -> nulls
+    val trigger2 = Seq(
+      Event(2, m(20), 1L, "click", 0.0),    // tie: purchase 11 at SAME ts matches
+      Event(11, m(20), 1L, "purchase", 6.0),
+      Event(12, m(8), 2L, "purchase", 7.0), // late right, before user 2's next left
+      Event(3, m(25), 1L, "click", 0.0),
+      Event(5, m(26), 2L, "click", 0.0))    // matches 12
+
+    val all = (trigger1 ++ trigger2).toDS()
+    val batch = graft.util.AsofJoin.asofBackward(
+      all.filter(col("event_type") === "click").toDF(),
+      all.filter(col("event_type") === "purchase").toDF(),
+      Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "event_id")
+      .select(col("event_id"), col("asof_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(batch == Map(1L -> Some(10L), 2L -> Some(11L), 3L -> Some(11L),
+      4L -> None, 5L -> Some(12L)))
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(
+      input.toDS().withWatermark("ts", "30 minutes"), "click", "purchase")
+      .writeStream.outputMode("append").format("memory").queryName("asof_stream").start()
+    try {
+      input.addData(trigger1: _*)
+      q.processAllAvailable()
+      input.addData(trigger2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream")
+        .select(col("event_id"), col("asof_event_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(streamed == batch,
+        s"stream and batch as-of disagree: $streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("asofEnrich in batch mode equals asofBackward on a random instance") {
+    import EventStreams.Event
+    val rnd = new scala.util.Random(9)
+    val events = (1 to 400).map { i =>
+      Event(i.toLong, new java.sql.Timestamp(60000000L + rnd.nextInt(50) * 60000L),
+        rnd.nextInt(6).toLong, if (rnd.nextBoolean()) "click" else "purchase", rnd.nextInt(100).toDouble)
+    }
+    val ds = events.toDS()
+    val viaState = EventStreams.asofEnrich(ds, "click", "purchase")
+      .select(col("event_id"), col("asof_event_id"), col("asof_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val viaJoin = graft.util.AsofJoin.asofBackward(
+      ds.filter(col("event_type") === "click").toDF(),
+      ds.filter(col("event_type") === "purchase").toDF(),
+      Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "event_id")
+      .select(col("event_id"), col("asof_event_id"), col("asof_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(viaState == viaJoin)
+  }
+
   test("labelJoin: watermarked stream-stream interval join == batch on the same pairs") {
     import EventStreams.Event
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
