@@ -1048,6 +1048,24 @@ object SparkEntry {
           excludeSelf = true)
         .select(col("query_id"), col("item_id").as("neighbor_id"), col("rank"),
           round(col("score"), 6).as("cos_r"))
+    }),
+
+    // URL extraction + normalization (UrlOps) — q75's injection scheme:
+    // the corpus is URL-free by construction, so deterministic URLs are
+    // injected from doc_id identically in the oracle; the extractor
+    // must find and normalize exactly those
+    "q86_url_extract" -> ((s, dir) => {
+      val withUrls = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://Sub"), col("doc_id") % 50, lit(".Example.COM/p/"),
+          col("doc_id"), lit("?q=1 and http://www.m"), col("doc_id") % 7,
+          lit(".org/ done")).as("text"))
+      val urls = graft.text.UrlOps.extractUrls(col("text"))
+      withUrls.select(col("doc_id"),
+        size(urls).cast("long").as("n_urls"),
+        graft.text.UrlOps.domainOf(element_at(urls, 1)).as("first_domain"),
+        md5(array_join(transform(urls, u => graft.text.UrlOps.normalizeUrl(u)), "|"))
+          .as("urls_fp"))
     })
   )
 
@@ -1938,6 +1956,24 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM sc) WHERE rank <= 3""".stripMargin
+        |  FROM sc) WHERE rank <= 3""".stripMargin,
+
+    // replay of UrlOps over the same injected URLs; the regex is in the
+    // Java/RE2 common subset so both engines extract identical spans
+    "q86_url_extract" ->
+      """WITH d AS (SELECT doc_id, text || ' see https://Sub' || (doc_id % 50) ||
+        |             '.Example.COM/p/' || doc_id || '?q=1 and http://www.m' ||
+        |             (doc_id % 7) || '.org/ done' AS text FROM documents),
+        |u AS (SELECT doc_id, regexp_extract_all(text,
+        |        'https?://[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+(/[A-Za-z0-9./_?=&-]*)?') AS urls
+        |      FROM d)
+        |SELECT doc_id, len(urls) AS n_urls,
+        |  regexp_replace(lower(regexp_extract(urls[1], 'https?://([A-Za-z0-9.-]+)', 1)),
+        |                 '^www\.', '') AS first_domain,
+        |  md5(list_aggregate(list_transform(urls, x ->
+        |    regexp_replace(lower(regexp_extract(x, '(https?://[A-Za-z0-9.-]+)', 1)) ||
+        |      regexp_replace(x, '^https?://[A-Za-z0-9.-]+', ''), '/$', '')),
+        |    'string_agg', '|')) AS urls_fp
+        |FROM u""".stripMargin
   )
 }

@@ -210,6 +210,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"fence join must broadcast:\n$plan")
   }
 
+  // --- URL extraction ---------------------------------------------------
+
+  test("UrlOps: extraction spans, domain normalization, trailing-slash and case rules") {
+    import graft.text.UrlOps
+    val df = Seq(
+      (1L, "plain text, no links"),
+      (2L, "x https://WWW.Example.COM/A/b?q=1 y http://sub.dom-ain.org/ z"),
+      (3L, "edge (https://a.b/c). trailing http://x.y")).toDF("id", "text")
+    val out = df.select(col("id"),
+      UrlOps.extractUrls(col("text")).as("urls"),
+      transform(UrlOps.extractUrls(col("text")), u => UrlOps.normalizeUrl(u)).as("norm"),
+      transform(UrlOps.extractUrls(col("text")), u => UrlOps.domainOf(u)).as("doms"))
+      .as[(Long, Seq[String], Seq[String], Seq[String])].collect().sortBy(_._1)
+    assert(out(0)._2.isEmpty)
+    assert(out(1)._2 == Seq("https://WWW.Example.COM/A/b?q=1", "http://sub.dom-ain.org/"))
+    // host lowercased, path case preserved, trailing slash stripped
+    assert(out(1)._3 == Seq("https://www.example.com/A/b?q=1", "http://sub.dom-ain.org"))
+    assert(out(1)._4 == Seq("example.com", "sub.dom-ain.org")) // www. stripped
+    // ')' and '.' terminate the path sensibly; a bare host still matches
+    assert(out(2)._2 == Seq("https://a.b/c", "http://x.y"))
+  }
+
   // --- SRP-LSH ANN ------------------------------------------------------
 
   private def srpVecs(n: Int, dim: Int, seed: Int): Seq[(Long, Array[Double])] = {
