@@ -37,26 +37,62 @@ object SrpLsh {
   def planeWeight(idx: Long): Int =
     (((idx * 2654435761L) % 4294967296L) % 15 - 7).toInt
 
-  /** (t, b, d, w) plane table, generated distributed — never a literal
-    * blob in the plan. */
-  private def planes(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame =
-    spark.range(NTables.toLong * NBits * dim).select(
-      expr(s"cast(id div ${NBits * dim} as int)").as("t"),
-      expr(s"cast((id div $dim) % $NBits as int)").as("b"),
-      expr(s"cast(id % $dim as int)").as("d"),
-      expr("cast((id * 2654435761) % 4294967296 % 15 - 7 as int)").as("w"))
+  /** int8 code of one vector — the same arithmetic as
+    * [[Quantize.int8]]'s expressions (max-abs scale; HALF_UP round via
+    * BigDecimal.valueOf, which is what Spark's `round` does on doubles;
+    * clamp to ±127), so kernel and relational quantization produce
+    * identical integers. */
+  private def quantizeLocal(v: Array[Double]): Array[Int] = {
+    var mx = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+    val scale = mx / 127
+    val q = new Array[Int](v.length)
+    if (scale != 0) {
+      i = 0
+      while (i < v.length) {
+        val r = BigDecimal.valueOf(v(i) / scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+        q(i) = math.max(-127, math.min(127, r))
+        i += 1
+      }
+    }
+    q
+  }
 
-  /** Bucket ids per (vector, table): quantize to int8 codes, explode,
-    * join the broadcast planes, two partial-aggregated groupBys. */
+  /** Bucket ids per (vector, table) — fused per-partition kernel: the
+    * plane weights are a pure function of the index, so each task
+    * tabulates them once and runs the NTables·NBits integer dots in a
+    * tight loop (no broadcast, no explode). The relational form of the
+    * same math — explode codes, join a generated plane table, two
+    * partial-aggregated groupBys — is what the q85 oracle replays in
+    * SQL; the spec pins this kernel to a pure-Scala replay of that
+    * exact integer chain, so the two formulations cannot drift. */
   private[graft] def buckets(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
-    val codes = Quantize.int8(df.select(col(idCol), col(vecCol)), vecCol)
-      .select(col(idCol), posexplode(col("qvec")).as(Seq("d", "q")))
-    codes.join(broadcast(planes(spark, dim)), "d")
-      .groupBy(col(idCol), col("t"), col("b"))
-      .agg(sum(col("w") * col("q")).as("s"))
-      .groupBy(col(idCol), col("t"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1, b)")).otherwise(0)).as("bucket"))
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val w = Array.tabulate(NTables * NBits * dim)(i => planeWeight(i.toLong))
+        it.flatMap { case (id, vec) =>
+          val q = quantizeLocal(vec.toArray)
+          (0 until NTables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < NBits) {
+              var s = 0L
+              var d = 0
+              val off = (t * NBits + b) * dim
+              while (d < dim) { s += w(off + d).toLong * q(d); d += 1 }
+              if (s > 0) bucket |= 1L << b
+              b += 1
+            }
+            (id, t, bucket)
+          }
+        }
+      }
+      .toDF(idCol, "t", "bucket")
   }
 
   /** Top-k by exact cosine among SRP candidates. queries/items:
