@@ -147,6 +147,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("chunk is map-only: zero exchanges in the physical plan") {
+    val docs = (1 to 200).map(i => (i.toLong, "x" * (i % 400 + 10))).toDF("doc_id", "text")
+    val plan = Chunking.chunk(docs, "text", 100, 60, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("shard and stratifiedTake each pay exactly one keyed exchange") {
+    val docs = (1 to 500).map(i => (i.toLong, s"l${i % 3}")).toDF("doc_id", "lang")
+    val shardPlan = Sampling.shard(docs, 8, 5L, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(shardPlan).size == 1, shardPlan)
+    val stratPlan = Sampling.stratifiedTake(docs, Seq("lang"), 5, 11L, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(stratPlan).size == 1, stratPlan)
+  }
+
   test("domainMix joins the per-domain rates by broadcast, never sort-merge") {
     val docs = (1 to 500).map(i => (i.toLong, s"s${i % 4}", 10L)).toDF("doc_id", "source", "n_chars")
     val plan = Sampling.domainMix(docs, "source", "n_chars", 0.5, 0.5, 7L, Seq("doc_id"))
