@@ -1085,6 +1085,23 @@ object SparkEntry {
         graft.text.UrlOps.domainOf(element_at(urls, 1)).as("first_domain"),
         md5(array_join(transform(urls, u => graft.text.UrlOps.normalizeUrl(u)), "|"))
           .as("urls_fp"))
+    }),
+
+    // The STATEFUL as-of kernel itself under the oracle gate: q77's
+    // point-in-time semantics computed by EventStreams.asofEnrich
+    // (flatMapGroupsWithState) in batch mode instead of the union+window
+    // kernel — same DuckDB ASOF oracle, so the state-machine path is
+    // hash-checked, not just spec-checked
+    "q87_asof_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.stream.EventStreams.Event]
+      graft.stream.EventStreams.asofEnrich(ev, "click", "purchase").toDF()
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("asof_event_id").as("purchase_id"),
+          round(col("asof_value"), 4).as("purchase_value"),
+          (unix_millis(col("ts")) - unix_millis(col("asof_ts"))).as("lag_ms"))
     })
   )
 
@@ -1853,6 +1870,18 @@ object SparkEntry {
         |  CAST(SUM(3 * ((d.doc_id * 31 + (16 * (t.i // 4) + 2 * (t.i % 4))) % 256)) AS BIGINT) AS sum_rgb
         |FROM documents d, range(16) t(i)
         |GROUP BY 1, 2""".stripMargin,
+
+    // q87 = the same point-in-time semantics through the stateful
+    // kernel; identical oracle
+    "q87_asof_stateful" ->
+      """WITH c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT * FROM p0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+        |  p.event_id AS purchase_id, ROUND(p.value, 4) AS purchase_value,
+        |  epoch_ms(c.ts) - epoch_ms(p.ts) AS lag_ms
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     // independent replay via DuckDB's native ASOF LEFT JOIN (the engine
     // side never builds a join at all — union + window carry)
