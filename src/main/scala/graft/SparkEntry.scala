@@ -1102,6 +1102,17 @@ object SparkEntry {
           col("asof_event_id").as("purchase_id"),
           round(col("asof_value"), 4).as("purchase_value"),
           (unix_millis(col("ts")) - unix_millis(col("asof_ts"))).as("lag_ms"))
+    }),
+
+    // S-series companion to q43: JSON-lines SINK + source roundtrip —
+    // the oracle re-reads the file this query writes, so Spark's JSON
+    // encoding (string escaping included) is under the hash check
+    "q88_jsonl_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_q88_jsonl"
+      T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, lang STRING, text STRING, n_chars LONG").json(out)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_fp"), col("n_chars"))
     })
   )
 
@@ -1870,6 +1881,11 @@ object SparkEntry {
         |  CAST(SUM(3 * ((d.doc_id * 31 + (16 * (t.i // 4) + 2 * (t.i % 4))) % 256)) AS BIGINT) AS sum_rgb
         |FROM documents d, range(16) t(i)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q88_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, md5(text) AS text_fp, n_chars
+        |FROM read_json('/tmp/graft_q88_jsonl/*.json', format='newline_delimited',
+        |  columns={'doc_id':'BIGINT','lang':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin,
 
     // q87 = the same point-in-time semantics through the stateful
     // kernel; identical oracle
