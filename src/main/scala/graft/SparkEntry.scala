@@ -1113,7 +1113,73 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, lang STRING, text STRING, n_chars LONG").json(out)
         .select(col("doc_id"), col("lang"), md5(col("text")).as("text_fp"), col("n_chars"))
-    })
+    }),
+
+    // C4-style line-level corpus dedup: 3-word "lines" (the driver corpus
+    // has no newlines; its small vocabulary makes 3-grams recur across
+    // docs naturally), every non-first occurrence dropped corpus-wide,
+    // docs reassembled from survivors — per-doc counts + reassembled-text
+    // fingerprint under the hash
+    "q89_line_dedup" -> ((s, dir) => {
+      graft.text.LineDedup.dedupCorpus(T(s, dir, "documents"), 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text")).as("text_fp"))
+    }),
+
+    // Lee-et-al span-level dup signal: fraction of each doc's positional
+    // 5-gram spans that occur in >= 2 distinct documents (permille,
+    // floor — integer-exact across engines)
+    "q90_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(T(s, dir, "documents"), 5)),
+
+    // Hive-style partitioned parquet SINK + partition-PRUNED read-back:
+    // the write lays documents out by lang=... directories, the read
+    // filter prunes to 2 of 5 partitions before any row is touched
+    // (PartitionFilters, spec-pinned) — the layout primitive that turns
+    // a 100 TB scan into a 2-partition scan
+    "q91_partitioned_sink" -> ((s, dir) => {
+      val out = "/tmp/graft_q91_part"
+      T(s, dir, "documents").write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    // The salted skew join under a VALUE oracle (ScaleJoinsSpec pins its
+    // plan shape; this pins row-for-row equivalence with the plain
+    // equi-join): lineitem⋈part on partkey, 8-way salt, centi-scaled
+    // integer quantity sum per brand
+    "q92_salted_skew_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey").as("key"),
+        expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)").as("qty_centi"))
+      val p = T(s, dir, "part").select(col("p_partkey").as("key"), col("p_brand"))
+      graft.util.ScaleJoins.saltedJoin(li, p, "key", 8)
+        .groupBy("p_brand")
+        .agg(sum("qty_centi").as("sum_qty_centi"), count(lit(1)).as("n_rows"))
+    }),
+
+    // S-series: ORC sink + source roundtrip (columnar interchange format
+    // #2 next to parquet) — DuckDB can't read ORC, so the oracle replays
+    // the projection from the original parquet; any roundtrip corruption
+    // breaks the hash
+    "q93_orc_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_q93_orc"
+      T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_fp"), col("n_chars"))
+    }),
+
+    // The STREAMING LSH dedup kernel (bucket-anchor state machine) in
+    // batch mode, against an independent DuckDB replay of the full
+    // minhash chain: shingle → md5 48-bit parse → affine minhashes →
+    // 4×2 banding → per-bucket min-doc anchor → (anchor, member) pairs
+    // counted per band
+    "q94_stream_lsh_dedup" -> ((s, dir) =>
+      graft.stream.StreamingDedup.candidates(T(s, dir, "documents"), 4, 3, 2)
+        .toDF()
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1886,6 +1952,77 @@ object SparkEntry {
       """SELECT doc_id, lang, md5(text) AS text_fp, n_chars
         |FROM read_json('/tmp/graft_q88_jsonl/*.json', format='newline_delimited',
         |  columns={'doc_id':'BIGINT','lang':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin,
+
+    // replays LineDedup.dedupCorpus(wordsPerLine = 3): fixed word
+    // grouping (1-based inclusive list slice == Spark's slice), global
+    // first-occurrence rank over (doc_id, line_idx), survivors
+    // reassembled in line order ('' when nothing survives, matching
+    // Spark's array_join over an empty array)
+    "q89_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(range((len(w) + 2) // 3)) AS line_idx,
+        |        unnest(list_transform(range((len(w) + 2) // 3),
+        |          i -> array_to_string(w[i * 3 + 1 : i * 3 + 3], ' '))) AS line
+        |      FROM w),
+        |k AS (SELECT doc_id, line_idx, line,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS kept
+        |      FROM l)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_idx), '')) AS text_fp
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // replays Dedup.dupSpanStats(k = 5): positional (non-distinct)
+    // 5-grams, duplicated iff seen in >= 2 distinct docs, permille as
+    // floor integer division
+    "q90_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |         i -> array_to_string(w[i : i + 4], ' '))) AS s
+        |       FROM w WHERE len(w) >= 5),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1),
+        |dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |       FROM sp WHERE s IN (SELECT s FROM dup) GROUP BY 1)
+        |SELECT t.doc_id, t.n_spans,
+        |  COALESCE(d.n_dup, 0) AS n_dup_spans,
+        |  (COALESCE(d.n_dup, 0) * 1000) // t.n_spans AS dup_permille
+        |FROM tot t LEFT JOIN dc d USING (doc_id)""".stripMargin,
+
+    // the partition-pruned read-back must equal the same filter+agg over
+    // the unpartitioned original
+    "q91_partitioned_sink" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the salted join must be row-for-row the plain equi-join
+    "q92_salted_skew_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    // DuckDB has no ORC reader: the oracle replays the projection from
+    // the original parquet, so the ORC write+read must be lossless
+    "q93_orc_roundtrip" ->
+      """SELECT doc_id, lang, md5(text) AS text_fp, n_chars FROM documents""".stripMargin,
+
+    // independent replay of the streaming bucket-anchor kernel's batch
+    // form: the shared minhash CTE chain (4 bands × 2 rows) down to
+    // `sig`, then per-bucket min-doc anchors and (anchor, member) pairs
+    // counted across bands
+    "q94_stream_lsh_dedup" -> (minhashCtes(4, 2) +
+      """,
+        |anch AS (SELECT b, h1, h2, MIN(doc_id) AS anchor FROM sig GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.anchor AS doc_a, s.doc_id AS doc_b
+        |       FROM sig s JOIN anch a ON s.b = a.b AND s.h1 = a.h1 AND s.h2 = a.h2
+        |       WHERE s.doc_id <> a.anchor)
+        |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+        |FROM pr GROUP BY 1, 2""".stripMargin),
 
     // q87 = the same point-in-time semantics through the stateful
     // kernel; identical oracle

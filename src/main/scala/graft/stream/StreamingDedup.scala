@@ -1,0 +1,88 @@
+package graft.stream
+
+import graft.text.Dedup.{MinhashA, MinhashP}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental (streaming) MinHash-LSH near-duplicate detection: the
+  * ingest-time form of [[graft.text.Dedup.lshAnchorPairs]]. Every
+  * (band, bucket) keeps ONE anchor document as state; each later
+  * arrival in the bucket emits a (anchor, arrival, band) candidate
+  * pair. This is how a corpus pipeline dedups against everything
+  * already ingested without re-scanning it — state is one long per
+  * occupied bucket, bounded by corpus cardinality, not corpus size.
+  *
+  * Semantics contract (spec-pinned): fed in doc_id order, the emitted
+  * pairs equal the batch `lshAnchorPairs` (whose anchor is min doc_id
+  * per bucket). In batch mode (`candidatePairs` over a non-streaming
+  * Dataset) each bucket group is sorted by doc_id before emission, so
+  * batch == relational holds unconditionally — q94 runs THIS kernel in
+  * batch mode against an independent DuckDB replay of the whole
+  * minhash/banding chain, putting the state machine under the oracle
+  * gate, not just specs.
+  *
+  * Pairs are candidate-level (no exact-Jaccard recheck): a stream
+  * cannot cheaply re-read the anchor's text. Production recheck is a
+  * downstream batch join of the pair stream against the corpus —
+  * exactly [[graft.text.Dedup.minhashLsh]]'s verification stage.
+  */
+object StreamingDedup {
+
+  case class BucketedDoc(doc_id: Long, b: Int, bucket: String)
+  case class CandPair(doc_a: Long, doc_b: Long, b: Int)
+
+  /** Per-(doc, band) bucket keys computed NARROWLY — per-row array
+    * folds over the document's own shingle set, zero aggregation — so
+    * the plan is stateless-stage-only and legal upstream of a stateful
+    * operator in a stream. Keys are identical to
+    * [[graft.text.Dedup.bandBuckets]] (same shingling, same md5 48-bit
+    * parse, same affine family), serialized as "b:h1:..:hr". */
+  def bucketed(docs: DataFrame, nBands: Int, shingleK: Int,
+               rowsPerBand: Int = 2, textCol: String = "text"): DataFrame = {
+    val nHash = nBands * rowsPerBand
+    require(nBands >= 1 && rowsPerBand >= 1 && nHash <= MinhashA.length,
+      s"nBands*rowsPerBand must be in [1,${MinhashA.length}], got $nBands*$rowsPerBand")
+    val grams = (0 until shingleK).map(j => s"element_at(w, i + $j)").mkString(", ")
+    val shArr =
+      s"array_distinct(transform(sequence(1, size(w) - ${shingleK - 1}), i -> concat_ws(' ', $grams)))"
+    val buckets = (0 until nBands).map { b =>
+      val hs = (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
+        s"array_min(transform(__x, v -> (${MinhashA(j)}L * v + ${j}L) % ${MinhashP}L))"
+      }
+      s"concat_ws(':', '$b', ${hs.mkString(", ")})"
+    }
+    docs.select(col("doc_id"), split(lower(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) >= shingleK)
+      .withColumn("__x", expr(
+        s"transform($shArr, s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint))"))
+      .select(col("doc_id"), posexplode(array(buckets.map(expr): _*)))
+      .toDF("doc_id", "b", "bucket")
+  }
+
+  /** The stateful anchor kernel. State per bucket: the anchor doc_id
+    * (first arrival; ties within a trigger broken by min doc_id, which
+    * makes batch mode deterministic and equal to the relational form).
+    * Works identically over a streaming or batch Dataset. */
+  def candidatePairs(buckets: Dataset[BucketedDoc]): Dataset[CandPair] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(d => d.bucket)
+      .flatMapGroupsWithState[Long, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[BucketedDoc], state: GroupState[Long]) =>
+          val docs = it.toArray.sortBy(_.doc_id)
+          val anchor = state.getOption.getOrElse(docs.head.doc_id)
+          if (!state.exists) state.update(anchor)
+          docs.iterator.filter(_.doc_id != anchor)
+            .map(d => CandPair(anchor, d.doc_id, d.b))
+      }
+  }
+
+  /** bucketed → candidatePairs, typed end-to-end. */
+  def candidates(docs: DataFrame, nBands: Int, shingleK: Int,
+                 rowsPerBand: Int = 2): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    candidatePairs(bucketed(docs, nBands, shingleK, rowsPerBand).as[BucketedDoc])
+  }
+}

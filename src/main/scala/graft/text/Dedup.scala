@@ -47,6 +47,92 @@ object Dedup {
     8419L, 8887L, 9337L, 9803L, 10267L, 10723L, 11197L, 11657L,
     12113L, 12577L, 13043L, 13513L, 13967L, 14431L, 14891L, 15359L)
 
+  /** (doc_id, n, b, h1..hr): the LSH bucket identity of every
+    * (document, band) — band b's key is the concatenation of
+    * `rowsPerBand` affine minhashes m(b·r)..m(b·r+r-1) — plus the
+    * per-document distinct-shingle count `n` riding the same partial
+    * aggregation for free. Shared by [[minhashLsh]] (batch pairing),
+    * [[lshAnchorPairs]], and the q94 oracle; the streaming kernel
+    * ([[graft.stream.StreamingDedup]]) computes the identical keys
+    * narrowly (per-row array folds, no aggregation — a stream can't
+    * shuffle-aggregate before its stateful operator). */
+  private[graft] def bandBucketsFromShingles(sh: DataFrame, nBands: Int,
+                                             rowsPerBand: Int): DataFrame = {
+    val nHash = nBands * rowsPerBand
+    require(nBands >= 1 && rowsPerBand >= 1 && nHash <= MinhashA.length,
+      s"nBands*rowsPerBand must be in [1,${MinhashA.length}], got $nBands*$rowsPerBand")
+    val withX = sh.withColumn("__x",
+      expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)"))
+    val bandMins = (0 until nHash).map(j =>
+      min(expr(s"(${MinhashA(j)}L * __x + ${j}L) % ${MinhashP}L")).as(s"m$j"))
+    val sigAggs = bandMins :+ count(lit(1)).as("n")
+    val sig = withX.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val hCols = (1 to rowsPerBand).map(r => s"h$r")
+    val stackArgs = (0 until nBands).map(b =>
+      (s"$b" +: (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")).mkString(", "))
+      .mkString(", ")
+    sig.selectExpr("doc_id", "n",
+      s"stack($nBands, $stackArgs) AS (b, ${hCols.mkString(", ")})")
+  }
+
+  def bandBuckets(docs: DataFrame, nBands: Int, shingleK: Int,
+                  rowsPerBand: Int = 2): DataFrame =
+    bandBucketsFromShingles(shingles(docs, shingleK), nBands, rowsPerBand)
+
+  /** Anchor-form LSH candidates: within every (band, bucket) the
+    * smallest doc_id is the bucket's ANCHOR, and each other member
+    * yields one (anchor, member, band) row. This is the incremental
+    * dedup contract — a stream keeps one anchor per bucket as state and
+    * emits a pair per later arrival — expressed relationally for batch:
+    * one exchange (the bucket-partitioned window), no self-join, so the
+    * output is |members| rows where the pairwise form is quadratic in a
+    * hot bucket. Batch output == [[graft.stream.StreamingDedup]] run
+    * over the same corpus in doc_id order (spec-pinned). */
+  def lshAnchorPairs(docs: DataFrame, nBands: Int, shingleK: Int,
+                     rowsPerBand: Int = 2): DataFrame = {
+    val hCols = (1 to rowsPerBand).map(r => s"h$r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(("b" +: hCols).map(col): _*)
+    bandBuckets(docs, nBands, shingleK, rowsPerBand)
+      .withColumn("anchor", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"), col("b"))
+  }
+
+  /** Cross-document duplicated k-gram span fraction (the span-level
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": documents dominated by spans that recur elsewhere
+    * in the corpus are near-duplicate or boilerplate-heavy even when no
+    * whole-document pair crosses a Jaccard threshold). A position is
+    * duplicated iff its k-gram occurs in ≥ 2 DISTINCT documents.
+    * Returns (doc_id, n_spans, n_dup_spans, dup_permille) with the
+    * fraction as scaled-integer permille (floor) so no float crosses
+    * engines.
+    *
+    * Scale shape: the duplicated-shingle vocabulary (groupBy shingle,
+    * countDistinct ≥ 2) collapses to the RARE side — only shingles that
+    * actually recur — and the corpus stream left-semi joins against it;
+    * per-doc totals are a map-side-combined count. Three exchanges, all
+    * keyed on shingle or doc_id, nothing wider than one shingle row
+    * moves, and no driver-side state. */
+  def dupSpanStats(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val grams = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
+    val pos = docs
+      .select(col("doc_id"), split(lower(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $grams))")).as("s"))
+    val dupVocab = pos.groupBy("s").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("s")
+    val totals = pos.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupCounts = pos.join(dupVocab, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    totals.join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        expr("coalesce(n_dup, 0L) * 1000 div n_spans").as("dup_permille"))
+  }
+
   /** MinHash-banded LSH candidate pairs with exact Jaccard filter.
     * Returns (doc_a, doc_b, jaccard) for candidates >= threshold.
     *
@@ -102,23 +188,13 @@ object Dedup {
       c.count() // eager: downstream scans must not race the cache fill
       c
     } else sh
-    val withX = cachedSh.withColumn("__x",
-      expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)"))
     // per-doc shingle count rides the signature aggregation (free partial
     // agg) and then the candidate self-join carries both sides' counts, so
     // exact-Jaccard verification never needs a separate per-doc count pass
     // or a candidate semi-join: the pair⋈shingle hash joins themselves
     // confine the shingle traffic to candidate documents.
-    val bandMins = (0 until nHash).map(j =>
-      min(expr(s"(${MinhashA(j)}L * __x + ${j}L) % ${MinhashP}L")).as(s"m$j"))
-    val sigAggs = bandMins :+ count(lit(1)).as("n")
-    val sig = withX.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val hCols = (1 to rowsPerBand).map(r => s"h$r")
-    val stackArgs = (0 until nBands).map(b =>
-      (s"$b" +: (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")).mkString(", "))
-      .mkString(", ")
-    val stacked = sig.selectExpr("doc_id", "n",
-      s"stack($nBands, $stackArgs) AS (b, ${hCols.mkString(", ")})")
+    val stacked = bandBucketsFromShingles(cachedSh, nBands, rowsPerBand)
     val pairs = stacked.as("x")
       .join(stacked.as("y"),
         ("b" +: hCols).map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
