@@ -1179,8 +1179,56 @@ object SparkEntry {
     "q94_stream_lsh_dedup" -> ((s, dir) =>
       graft.stream.StreamingDedup.candidates(T(s, dir, "documents"), 4, 3, 2)
         .toDF()
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands")))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))),
+
+    // BPE training's distributed core — frequency-weighted adjacent
+    // symbol-pair counts over the character-tokenized word vocabulary
+    // (round 1 of Bpe.train), top 20 under a total tie order
+    "q95_bpe_pairs" -> ((s, dir) =>
+      graft.text.Bpe.pairCounts(graft.text.Bpe.initialVocab(T(s, dir, "documents")))
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(20)),
+
+    // BPE ENCODING with a fixed merge table (the production op: apply a
+    // released vocab to a corpus; this table is what Bpe.train(8) learns
+    // on the sf0.01 corpus — see BpeProbe). Each merge is one codegen'd
+    // replace over the U+001F-joined tokenization; the oracle replays
+    // the identical replace chain
+    "q96_bpe_encode" -> ((s, dir) =>
+      graft.text.Bpe.encode(T(s, dir, "documents"), BpeMerges)
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          md5(col("tokens")).as("tokens_fp"))),
+
+    // Last-writer-wins key compaction (CDC merge / snapshot refresh):
+    // base snapshot at version 0, an update batch rewriting every 5th
+    // doc at version 1, one key-windowed compaction — no join
+    "q97_upsert_compact" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(0).as("version"))
+      val updates = T(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), lit(1).as("version"))
+      graft.util.Upsert.compact(Seq(base, updates), "doc_id", Seq("version"))
+        .select(col("doc_id"), col("version"), md5(col("text")).as("text_fp"))
+    }),
+
+    // Bloom-pruned semi join: executor-built Bloom over the selective
+    // order keys pre-filters lineitem BEFORE its shuffle; the exact
+    // semi join removes bloom false positives, so the result is
+    // row-identical to the plain semi join the oracle runs
+    "q98_bloom_prune_join" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem").select(col("l_orderkey").as("key"),
+        expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)").as("qty_centi"))
+      val small = T(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("key"))
+      graft.util.ScaleJoins.bloomSemiJoin(big, small, "key", 100000L, 0.01)
+        .agg(count(lit(1)).as("n_rows"), sum("qty_centi").as("sum_qty_centi"),
+          countDistinct("key").as("n_orders"))
+    })
   )
+
+  /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
 
   // ---- oracles --------------------------------------------------------
 
@@ -2010,6 +2058,54 @@ object SparkEntry {
     // the original parquet, so the ORC write+read must be lossless
     "q93_orc_roundtrip" ->
       """SELECT doc_id, lang, md5(text) AS text_fp, n_chars FROM documents""".stripMargin,
+
+    // replays Bpe round 1: character pairs over the word vocabulary,
+    // weighted by word frequency, total tie order at the top-20 cut
+    "q95_bpe_pairs" ->
+      """WITH wd AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM wd WHERE len(w) > 0 GROUP BY 1),
+        |pr AS (SELECT w[i] AS a, w[i + 1] AS b, f
+        |       FROM wf, UNNEST(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2)
+        |SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt
+        |FROM pr GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+
+    // replays Bpe.encode's replace chain verbatim: chr(31)-joined char
+    // split, one nested replace per merge (left-to-right non-overlapping
+    // replace == BPE's greedy merge scan in both engines)
+    "q96_bpe_encode" -> {
+      val charSplit = "array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), chr(31))"
+      val merged = Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+          ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+        .foldLeft(charSplit) { case (acc, (a, b)) =>
+          s"replace($acc, '$a' || chr(31) || '$b', '$a$b')"
+        }
+      s"""WITH ws AS (SELECT doc_id,
+         |        list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+         |      FROM documents),
+         |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |        array_to_string(list_transform(ws, w -> $merged), ' ') AS ts
+         |      FROM ws)
+         |SELECT doc_id, n_words,
+         |  CAST(len(ts) - len(replace(ts, chr(31), '')) + n_words AS BIGINT) AS n_tokens,
+         |  md5(replace(ts, chr(31), ' ')) AS tokens_fp
+         |FROM tk""".stripMargin
+    },
+
+    // last-wins compaction must equal the CASE-expressed expected state
+    "q97_upsert_compact" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS version,
+        |  CASE WHEN doc_id % 5 = 0 THEN md5(upper(text)) ELSE md5(text) END AS text_fp
+        |FROM documents""".stripMargin,
+
+    // the bloom-pruned composite must be row-identical to the plain
+    // semi join
+    "q98_bloom_prune_join" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
 
     // independent replay of the streaming bucket-anchor kernel's batch
     // form: the shared minhash CTE chain (4 bands × 2 rows) down to

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer primitives (Sennrich et al. 2016 — the
+  * vocabulary-induction algorithm behind GPT-2/RoBERTa tokenizers; the
+  * "BPE-ish" leg of the mandate's token-counting bullet).
+  *
+  * Representation: a word's tokenization is its characters joined by
+  * [[Sep]] (U+001F, absent from any text corpus). Applying merge (a, b)
+  * is then ONE string replace of "a<sep>b" with "ab" — left-to-right
+  * non-overlapping replace semantics are exactly BPE's greedy merge
+  * scan ("aaa" + (a,a) → ["aa","a"]), and the separator guarantees
+  * merges only ever join adjacent WHOLE tokens. Every step is a
+  * codegen'd string function with identical semantics in ANSI SQL, so
+  * the DuckDB oracle replays encoding bit-for-bit (q96) and the
+  * training round's pair-count aggregation verbatim (q95).
+  *
+  * Scale shape: training iterates over the WORD VOCABULARY (word,
+  * freq) — the classic trick that makes BPE corpus-size-independent:
+  * the corpus is scanned once (word-count aggregation, map-side
+  * combined); each merge round is one pair-count aggregation over the
+  * vocab plus a narrow replace, and only the single best pair ever
+  * reaches the driver. Encoding is a pure per-row expression chain —
+  * no joins, no shuffles, no state. */
+object Bpe {
+
+  /** U+001F unit separator — token boundary within a word. */
+  val Sep = "\u001f"
+
+  /** (word, f): corpus word vocabulary with frequencies. One map-side
+    * combined aggregation; empty words (doubled spaces) dropped on both
+    * engines. */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** Character-split `w` into the Sep-joined initial tokenization. */
+  private def charSplit(w: Column): Column =
+    array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), Sep)
+
+  /** Apply one merge: join adjacent tokens a,b into ab. */
+  private def applyMerge(tok: Column, a: String, b: String): Column =
+    replace(tok, lit(a + Sep + b), lit(a + b))
+
+  /** Adjacent-pair counts over the current vocab tokenization, weighted
+    * by word frequency: (a, b, cnt). The distributed core of one
+    * training round. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(split(col("tok"), Sep).as("syms"), col("f"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))""".stripMargin))
+        .as("p"), col("f"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("f").as("cnt"))
+
+  /** (tok, f): the vocabulary in its initial (character) tokenization. */
+  def initialVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    wordFreq(docs, textCol).select(charSplit(col("word")).as("tok"), col("f"))
+
+  /** Learn `nMerges` merges. Driver loop; per round one pair-count
+    * aggregation (top-1 via orderBy-limit — a bounded single row
+    * reaches the driver) and one narrow replace over the vocab. Ties
+    * broken (cnt DESC, a ASC, b ASC) for determinism. */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+    import org.apache.spark.storage.StorageLevel
+    var vocab = initialVocab(docs, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = vocab
+          .withColumn("tok", applyMerge(col("tok"), a, b))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Tokenize every document with a FIXED merge list (the production
+    * op: apply a released vocab's merge table to a corpus). Pure
+    * expression chain — `merges.length` nested replaces per word.
+    * Returns (doc_id, n_words, n_tokens, tokens) where `tokens` is the
+    * space-joined token stream (word boundaries collapse to the same
+    * space — fingerprint-stable, not invertible). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
+    val wordTok = (w: Column) =>
+      merges.foldLeft(charSplit(w)) { case (acc, (a, b)) => applyMerge(acc, a, b) }
+    docs.select(col("doc_id"), array_join(transform(words, wordTok), " ").as("ts"),
+        size(words).cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        // tokens per word = in-word separators + 1
+        (length(col("ts")) - length(replace(col("ts"), lit(Sep), lit(""))) + col("n_words"))
+          .cast("long").as("n_tokens"),
+        replace(col("ts"), lit(Sep), lit(" ")).as("tokens"))
+  }
+}

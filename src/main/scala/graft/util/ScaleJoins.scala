@@ -32,4 +32,30 @@ object ScaleJoins {
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     bigSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-pruned semi join (long keys): build a Bloom filter over the
+    * small side's key ON THE EXECUTORS (`stat.bloomFilter` is a
+    * treeAggregate — only the filter's bits reach the driver),
+    * broadcast it, and pre-filter the big side BEFORE its shuffle.
+    * Rows that cannot match never leave their input partition: at
+    * 100 TB that is the difference between shuffling the fact table
+    * and shuffling its matching fraction. Bloom false positives are
+    * removed by the exact semi join that follows, so the composite is
+    * row-identical to the plain left_semi (q98 pins this under a
+    * value oracle). Spark's runtime bloom injection
+    * (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) does the
+    * same transparently where its cost model fires; the explicit form
+    * is guaranteed, survives operators the optimizer won't inject
+    * through, and its filter is reusable across several scans. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // stat.bloomFilter NPEs on a zero-row input (bloom_filter_agg yields
+    // null); an empty build side has an exact answer anyway
+    if (small.isEmpty) return big.join(small.select(col(key)), Seq(key), "left_semi")
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.filter(might(col(key)))
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
 }
