@@ -100,4 +100,30 @@ class BpeAndCompactionSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(got == Seq(1L))
   }
+
+  test("plan pins: encode is shuffle-free; pairCounts is one exchange + top-k sort") {
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val encPlan = Bpe.encode(docs, Seq(("e", "r")))
+      .queryExecution.executedPlan.toString
+    // pure per-row expression chain: no exchange anywhere
+    assert(!encPlan.contains("Exchange"), s"encode must not shuffle:\n$encPlan")
+    val pairPlan = Bpe.pairCounts(Bpe.initialVocab(docs))
+      .orderBy(desc("cnt"), col("a"), col("b")).limit(20)
+      .queryExecution.executedPlan.toString
+    // two partial-aggregated exchanges (word-freq groupBy, pair groupBy);
+    // the top-20 is TakeOrdered (per-partition heaps), never a global
+    // sort exchange
+    assert("Exchange hashpartitioning".r.findAllIn(pairPlan).size == 2, pairPlan)
+    assert(pairPlan.contains("TakeOrderedAndProject") &&
+      !pairPlan.contains("Exchange rangepartitioning"), pairPlan)
+  }
+
+  test("plan pins: compact is one key-windowed exchange, no join") {
+    val base = Seq((1L, "a", 0)).toDF("k", "v", "version")
+    val up = Seq((1L, "b", 1)).toDF("k", "v", "version")
+    val plan = Upsert.compact(Seq(base, up), "k", Seq("version"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
 }

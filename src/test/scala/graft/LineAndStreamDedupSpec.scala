@@ -127,6 +127,20 @@ class LineAndStreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("plan pins: line dedup is two exchanges (line window + doc reassembly), no join") {
+    val d = docs((1L, "a b c d e f"))
+    val plan = LineDedup.dedupCorpus(d, 3).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("plan pins: streaming bucket keys are computed without any exchange") {
+    val d = docs((1L, "a b c d e f"))
+    val plan = StreamingDedup.bucketed(d, 4, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow bucket keys must not shuffle:\n$plan")
+  }
+
   test("q91 partitioned sink: read-back scan is partition-pruned, not row-filtered") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
     Seq((1L, "en", "a"), (2L, "fr", "b"), (3L, "de", "c"), (4L, "en", "d"))
