@@ -1222,6 +1222,46 @@ object SparkEntry {
       graft.util.ScaleJoins.bloomSemiJoin(big, small, "key", 100000L, 0.01)
         .agg(count(lit(1)).as("n_rows"), sum("qty_centi").as("sum_qty_centi"),
           countDistinct("key").as("n_orders"))
+    }),
+
+    // Gopher/FineWeb-style curation gate: five deterministic rules with
+    // the failed set as a bitmask (pipelines keep reasons for ablations,
+    // not just the verdict); pure integer arithmetic, shuffle-free
+    "q99_curation_gate" -> ((s, dir) =>
+      TextOps.curationGate(T(s, dir, "documents"))),
+
+    // Snapshot diff between two corpus versions: every 11th doc removed,
+    // every 7th (surviving) doc rewritten, every 13th re-added under a
+    // shifted key — per-status counts plus an order-pinned key digest
+    "q100_snapshot_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.select(col("doc_id"), md5(col("text")).as("fp"))
+      val next = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("fp")))
+      graft.util.Upsert.diff(base, next, "doc_id", "fp")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")).as("keys_fp"))
+    }),
+
+    // Range-partitioned + sorted parquet layout, then a key-range scan
+    // that parquet row-group min/max stats can prune (PushedFilters,
+    // spec-pinned): the sort-at-write primitive that turns point/range
+    // lookups over 100 TB into a handful of row groups
+    "q101_sorted_layout" -> ((s, dir) => {
+      val out = "/tmp/graft_q101_sorted"
+      T(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("doc_id").between(1000, 3000))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     })
   )
 
@@ -2097,6 +2137,62 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS version,
         |  CASE WHEN doc_id % 5 = 0 THEN md5(upper(text)) ELSE md5(text) END AS text_fp
         |FROM documents""".stripMargin,
+
+    // replays TextOps.curationGate: the q18 stopword CTE extended with
+    // the rule arithmetic — every threshold as integer permille/centi
+    // floors, bitmask composed by CASE addition
+    "q99_curation_gate" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, lang, w, len(w) AS n,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en_n,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS de_n,
+        |  len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','du','est','dans'))) AS fr_n,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','los','del'))) AS es_n
+        |  FROM d),
+        |g AS (SELECT doc_id, lang, n,
+        |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |       WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |       WHEN fr_n >= es_n THEN 'fr' ELSE 'es' END AS lang_guess,
+        |  GREATEST(en_n, de_n, fr_n, es_n) AS stop_g,
+        |  CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) ELSE [] END AS g3,
+        |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sumlen
+        |  FROM sc),
+        |r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words, lang_guess,
+        |  (CASE WHEN n < 20 OR n > 1000 THEN 1 ELSE 0 END
+        |   + CASE WHEN lang_guess <> lang THEN 2 ELSE 0 END
+        |   + CASE WHEN stop_g < 2 THEN 4 ELSE 0 END
+        |   + CASE WHEN len(g3) > 0 AND (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000) // len(g3) > 300
+        |     THEN 8 ELSE 0 END
+        |   + CASE WHEN (100 * sumlen) // n < 300 OR (100 * sumlen) // n > 1000 THEN 16 ELSE 0 END) AS reasons
+        |  FROM g)
+        |SELECT doc_id, n_words, lang_guess, CAST(reasons AS INT) AS reasons,
+        |  reasons = 0 AS keep FROM r""".stripMargin,
+
+    // replays the diff classification + the synthetic next version
+    "q100_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |nx AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+        |       FROM documents WHERE doc_id % 11 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN b.doc_id IS NULL THEN 'added'
+        |             WHEN n.doc_id IS NULL THEN 'removed'
+        |             WHEN b.fp <> n.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM base b FULL OUTER JOIN nx n ON b.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS keys_fp
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // the range-sorted layout's pruned scan must equal the same
+    // key-range aggregate over the original
+    "q101_sorted_layout" ->
+      """SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id BETWEEN 1000 AND 3000""".stripMargin,
 
     // the bloom-pruned composite must be row-identical to the plain
     // semi join

@@ -123,6 +123,47 @@ object TextOps {
     * partial combine — hot grams collapse before the shuffle — then one
     * per-doc aggregation; the same two-aggregation shape as
     * [[unigramLogProb]], linear at any corpus size. */
+  /** Multi-rule curation gate — the Gopher/C4/FineWeb-style document
+    * filter that decides what enters a training corpus, with the
+    * failed rules recorded as a bitmask (pipelines keep the reasons
+    * for ablations, not just the verdict). Five deterministic rules:
+    *   bit 0 — word count outside [minWords, maxWords]
+    *   bit 1 — heuristic language disagrees with the declared lang
+    *   bit 2 — fewer than 2 stopwords of the GUESSED language
+    *   bit 3 — duplicate-3-gram permille > 300 (repetition)
+    *   bit 4 — mean word length (centi-chars) outside [300, 1000]
+    * keep = reasons == 0. All integer arithmetic (permille / centi
+    * floors), pure narrow expressions — shuffle-free at any corpus
+    * size — and every rule replays exactly in ANSI SQL. */
+  def curationGate(docs: DataFrame, textCol: String = "text",
+                   minWords: Int = 20, maxWords: Int = 1000): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val stops = Seq(EnStop, DeStop, FrStop, EsStop).map(stopwordCount(w, _))
+    // langId's argmax count == greatest of the four
+    val stopGuess = greatest(stops: _*)
+    val g3 = expr("if(size(w) >= 3, transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))), " +
+      "cast(array() as array<string>))")
+    val dup3Permille = expr(
+      """if(size(__g3) > 0,
+        |  (cast(size(__g3) - size(array_distinct(__g3)) as bigint) * 1000) div size(__g3),
+        |  0L)""".stripMargin)
+    docs.select(col("doc_id"), col("lang"), w.as("w"), n.as("n"),
+        langId(col(textCol)).as("lang_guess"), stopGuess.as("stop_g"))
+      .withColumn("__g3", g3)
+      .withColumn("__sumlen", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+      .select(col("doc_id"), col("n").cast("long").as("n_words"), col("lang_guess"),
+        (when(col("n") < minWords || col("n") > maxWords, 1).otherwise(0)
+          + when(col("lang_guess") =!= col("lang"), 2).otherwise(0)
+          + when(col("stop_g") < 2, 4).otherwise(0)
+          + when(dup3Permille > 300, 8).otherwise(0)
+          + when(expr("(100 * __sumlen) div n") < 300
+              || expr("(100 * __sumlen) div n") > 1000, 16).otherwise(0))
+          .as("reasons"))
+      .withColumn("keep", col("reasons") === 0)
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     def grams(k: Int): Column = {
       val parts = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")

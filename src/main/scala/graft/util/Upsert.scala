@@ -28,4 +28,21 @@ object Upsert {
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Snapshot diff — the audit companion to [[compact]]: classify every
+    * key across two dataset versions as added / removed / changed /
+    * unchanged by comparing a fingerprint column (keys must be unique
+    * per side). One join exchange pair; only (key, fingerprint) ever
+    * moves, never payloads — which is what makes auditing a 100 TB
+    * corpus refresh a fingerprint-table problem. */
+  def diff(base: DataFrame, next: DataFrame, key: String, fpCol: String): DataFrame = {
+    val b = base.select(col(key), col(fpCol).as("__fp_b"), lit(true).as("__in_b"))
+    val n = next.select(col(key), col(fpCol).as("__fp_n"), lit(true).as("__in_n"))
+    b.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__in_b").isNull, "added")
+          .when(col("__in_n").isNull, "removed")
+          .when(col("__fp_b") =!= col("__fp_n"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

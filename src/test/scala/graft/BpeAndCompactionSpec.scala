@@ -118,6 +118,58 @@ class BpeAndCompactionSpec extends AnyFunSuite {
       !pairPlan.contains("Exchange rangepartitioning"), pairPlan)
   }
 
+  test("curationGate: each rule trips its own bit; a clean doc keeps") {
+    import graft.text.TextOps
+    // 26 distinct words (no repeated 3-grams), 2 en stopwords, mean word
+    // length 105/26 ~ 4.0 chars: passes every rule
+    val clean = "the alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda of mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (1L, "en", clean),                                    // keep
+      (2L, "en", "short text here"),                        // bit 0: 3 words
+      (3L, "fr", clean),                                    // bit 1: guesses en, declared fr
+      (4L, "en", ("the of " * 20).trim),                    // repetition: dup 3-grams
+      (5L, "en", ("the " + "abcdefghijklmnopqrst " * 25).trim)) // long words -> bit 4
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.curationGate(docs)
+      .select("doc_id", "reasons", "keep").as[(Long, Int, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0, true)))
+    assert((got(2L)._1 & 1) == 1 && !got(2L)._2)   // too short
+    assert((got(3L)._1 & 2) == 2 && !got(3L)._2)   // lang disagrees
+    assert((got(4L)._1 & 8) == 8 && !got(4L)._2)   // repetitive
+    assert((got(5L)._1 & 16) == 16 && !got(5L)._2) // word length out of band
+  }
+
+  test("curationGate: stopword-poor doc trips bit 2 only when long enough") {
+    import graft.text.TextOps
+    val noStops = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct words, 0 stopwords
+    val got = TextOps.curationGate(Seq((1L, "en", noStops)).toDF("doc_id", "lang", "text"))
+      .select("reasons").as[Int].head()
+    assert((got & 4) == 4 && (got & 1) == 0)
+  }
+
+  test("Upsert.diff: added/removed/changed/unchanged classification") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "fp")
+    val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("k", "fp")
+    val got = Upsert.diff(base, next, "k", "fp")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("q101 sorted layout: key-range predicate reaches the parquet scan (PushedFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_spec").toString
+    (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("doc_id").between(100, 200))
+    val plan = back.queryExecution.executedPlan.toString
+    val pushed = plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pushed.contains("GreaterThanOrEqual(doc_id,100)") &&
+      pushed.contains("LessThanOrEqual(doc_id,200)"), plan)
+    assert(back.count() == 101)
+  }
+
   test("plan pins: compact is one key-windowed exchange, no join") {
     val base = Seq((1L, "a", 0)).toDF("k", "v", "version")
     val up = Seq((1L, "b", 1)).toDF("k", "v", "version")
