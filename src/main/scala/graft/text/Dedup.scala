@@ -122,15 +122,18 @@ object Dedup {
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $grams))")).as("s"))
+    // two scans of the span stream, not three: the left join's flag rides
+    // into ONE doc-keyed aggregation that counts totals and dups together
+    // (the totals-branch + semi-join + final join formulation re-shingled
+    // the corpus a third time and paid an extra exchange)
     val dupVocab = pos.groupBy("s").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2).select("s")
-    val totals = pos.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dupCounts = pos.join(dupVocab, Seq("s"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    totals.join(dupCounts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
-        expr("coalesce(n_dup, 0L) * 1000 div n_spans").as("dup_permille"))
+      .filter(col("nd") >= 2).select(col("s"), lit(true).as("__dup"))
+    pos.join(dupVocab, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("n_dup_spans * 1000 div n_spans").as("dup_permille"))
   }
 
   /** MinHash-banded LSH candidate pairs with exact Jaccard filter.

@@ -137,32 +137,64 @@ object TextOps {
     * size — and every rule replays exactly in ANSI SQL. */
   def curationGate(docs: DataFrame, textCol: String = "text",
                    minWords: Int = 20, maxWords: Int = 1000): DataFrame = {
-    val w = tokens(col(textCol))
-    val n = size(w)
-    val stops = Seq(EnStop, DeStop, FrStop, EsStop).map(stopwordCount(w, _))
-    // langId's argmax count == greatest of the four
-    val stopGuess = greatest(stops: _*)
-    val g3 = expr("if(size(w) >= 3, transform(sequence(1, size(w) - 2), " +
-      "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))), " +
-      "cast(array() as array<string>))")
-    val dup3Permille = expr(
-      """if(size(__g3) > 0,
-        |  (cast(size(__g3) - size(array_distinct(__g3)) as bigint) * 1000) div size(__g3),
-        |  0L)""".stripMargin)
-    docs.select(col("doc_id"), col("lang"), w.as("w"), n.as("n"),
-        langId(col(textCol)).as("lang_guess"), stopGuess.as("stop_g"))
-      .withColumn("__g3", g3)
-      .withColumn("__sumlen", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+    // Staged projections: Spark's codegen does NOT common-subexpression
+    // duplicated lambda subtrees, and the when-chains below reference
+    // every stopword count several times — inlining them would re-split
+    // and re-scan the token array ~30x per row (measured 3.5 ms/doc in
+    // CorpusProbe). Materializing each signal once per projection makes
+    // the gate an honest single-pass scan.
+    val counted = docs
+      .select(col("doc_id"), col("lang"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("lang"), col("w"), size(col("w")).as("n"),
+        stopwordCount(col("w"), EnStop).as("en_n"),
+        stopwordCount(col("w"), DeStop).as("de_n"),
+        stopwordCount(col("w"), FrStop).as("fr_n"),
+        stopwordCount(col("w"), EsStop).as("es_n"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("sumlen"),
+        expr(
+          """if(size(w) >= 3, transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))),
+            |  cast(array() as array<string>))""".stripMargin).as("g3"))
+      .select(col("doc_id"), col("lang"), col("n"), col("en_n"), col("de_n"),
+        col("fr_n"), col("es_n"), col("sumlen"),
+        // argmax with langId's fixed en > de > fr > es tie order
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n")
+            && col("en_n") >= col("es_n"), "en")
+          .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
+          .when(col("fr_n") >= col("es_n"), "fr").otherwise("es").as("lang_guess"),
+        greatest(col("en_n"), col("de_n"), col("fr_n"), col("es_n")).as("stop_g"),
+        expr(
+          """if(size(g3) > 0,
+            |  (cast(size(g3) - size(array_distinct(g3)) as bigint) * 1000) div size(g3),
+            |  0L)""".stripMargin).as("dup3_permille"),
+        expr("(100 * sumlen) div n").as("wordlen_centi"))
+    counted
       .select(col("doc_id"), col("n").cast("long").as("n_words"), col("lang_guess"),
         (when(col("n") < minWords || col("n") > maxWords, 1).otherwise(0)
           + when(col("lang_guess") =!= col("lang"), 2).otherwise(0)
           + when(col("stop_g") < 2, 4).otherwise(0)
-          + when(dup3Permille > 300, 8).otherwise(0)
-          + when(expr("(100 * __sumlen) div n") < 300
-              || expr("(100 * __sumlen) div n") > 1000, 16).otherwise(0))
-          .as("reasons"))
+          + when(col("dup3_permille") > 300, 8).otherwise(0)
+          + when(col("wordlen_centi") < 300 || col("wordlen_centi") > 1000, 16)
+            .otherwise(0)).as("reasons"))
       .withColumn("keep", col("reasons") === 0)
   }
+
+  /** [[curationGate]] + keep-only filter, with a predicate-pushdown
+    * barrier. A plain `.filter(col("keep"))` on the gate is a trap:
+    * Spark pushes the predicate down by SUBSTITUTING every Project
+    * alias it references, so the pushed condition re-evaluates each
+    * signal subtree once per reference — measured 79.4 s vs the gate's
+    * own 4.0 s at 1M docs (CorpusProbe/GateMicro). The barrier column
+    * is nondeterministic-tagged (trivially — both branches are equal),
+    * which pins the filter to evaluate against the materialized
+    * bitmask; the gate's hashed output (q99) stays the pure
+    * deterministic [[curationGate]]. */
+  def curationKept(docs: DataFrame, textCol: String = "text",
+                   minWords: Int = 20, maxWords: Int = 1000): DataFrame =
+    curationGate(docs, textCol, minWords, maxWords)
+      .withColumn("__r",
+        when(monotonically_increasing_id() >= 0, col("reasons")).otherwise(lit(-1)))
+      .filter(col("__r") === 0).drop("__r")
 
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     def grams(k: Int): Column = {
