@@ -1262,6 +1262,21 @@ object SparkEntry {
         .filter(col("doc_id").between(1000, 3000))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    }),
+
+    // Perceptual image hash (aHash) over REAL PNG decode: 16×16
+    // synthetic gray PNGs → javax.imageio decode → integer-NN 8×8
+    // downsample → strict-inequality mean threshold. The oracle
+    // recomputes all 64 bits straight from the pixel formula with no
+    // codec — decode, NN map, or threshold defects all break the hash
+    "q102_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.multimodal.MultimodalOps.Media(
+          id, "image", graft.multimodal.MultimodalOps.syntheticPng(id, 16, 16), 16, 16, 0))
+      graft.multimodal.MultimodalOps.perceptualHashes(media)
+        .select(col("id").as("doc_id"), col("phash"),
+          (lit(64) - length(replace(col("phash"), lit("1"), lit("")))).cast("long").as("n_set"))
     })
   )
 
@@ -2186,6 +2201,20 @@ object SparkEntry {
         |SELECT status, COUNT(*) AS n,
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS keys_fp
         |FROM d GROUP BY 1""".stripMargin,
+
+    // codec-free replay of the q102 aHash: dst pixel p of the 16×16→8×8
+    // NN downsample reads src pixel 32·(p//8) + 2·(p%8) of the
+    // (doc_id·31 + idx) mod 256 gray pattern; luminance = 3·gray; bit p
+    // = 64·v_p > Σv (strict integer)
+    "q102_image_phash" ->
+      """WITH px AS (SELECT d.doc_id, t.p,
+        |    3 * ((d.doc_id * 31 + (32 * (t.p // 8) + 2 * (t.p % 8))) % 256) AS v
+        |  FROM documents d, range(64) t(p)),
+        |tot AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY 1)
+        |SELECT p.doc_id,
+        |  string_agg(CASE WHEN 64 * p.v > t.total THEN '1' ELSE '0' END, '' ORDER BY p.p) AS phash,
+        |  CAST(SUM(CASE WHEN 64 * p.v > t.total THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        |FROM px p JOIN tot t USING (doc_id) GROUP BY 1""".stripMargin,
 
     // the range-sorted layout's pruned scan must equal the same
     // key-range aggregate over the original

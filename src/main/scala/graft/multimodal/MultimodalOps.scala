@@ -156,6 +156,48 @@ object MultimodalOps {
     }
   }
 
+  /** 64-bit perceptual average-hash (aHash) of an image — the
+    * image-dedup primitive (near-duplicate images agree on most bits;
+    * pair with [[graft.functions.HammingDist]] / the banded-Hamming
+    * join exactly as SimHash text dedup does). REAL decode, then an
+    * 8×8 nearest-neighbor downsample with [[resizeNearest]]'s integer
+    * NN map, per-pixel luminance v = r+g+b, and bit p set iff
+    * 64·v_p > Σv — the strict integer inequality replaces the usual
+    * float mean so a SQL oracle replays every bit (q102). Emitted as a
+    * 64-char bit string (the SimHash house style — portable, no
+    * signed-hex pitfalls). None when the bytes aren't a decodable
+    * image. */
+  def aHash64(bytes: Array[Byte]): Option[String] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { src =>
+      val v = new Array[Long](64)
+      var total = 0L
+      var p = 0
+      while (p < 64) {
+        val x = (p % 8) * src.getWidth / 8
+        val y = (p / 8) * src.getHeight / 8
+        val rgb = src.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        v(p) = lum; total += lum; p += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      p = 0
+      while (p < 64) { sb.append(if (v(p) * 64 > total) '1' else '0'); p += 1 }
+      sb.toString
+    }
+  }
+
+  /** (id, phash) for every media row — per-partition batch boundary
+    * like [[extractFeatures]]; null phash when undecodable. */
+  def perceptualHashes(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(m => (m.id, aHash64(m.content).orNull))
+    }.toDF("id", "phash")
+  }
+
   /** Frame sampling plumbing for video-kind rows: emits (id, frame_idx)
     * stride-sampled — the decode of each frame is the same stub. */
   def sampleFrames(media: Dataset[Media], everyN: Int): DataFrame = {

@@ -334,4 +334,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(s3 - 0.001f.toDouble / 127) < 1e-12)
     assert(q3.head == -127 && q3(1) == 127) // extremes hit +/-127 exactly
   }
+
+  // --- perceptual image hash -------------------------------------------
+
+  test("aHash64: deterministic, identity for equal images, uniform image -> all zero bits") {
+    import graft.multimodal.MultimodalOps
+    val a = MultimodalOps.aHash64(MultimodalOps.syntheticPng(7L, 16, 16)).get
+    val b = MultimodalOps.aHash64(MultimodalOps.syntheticPng(7L, 16, 16)).get
+    assert(a == b && a.length == 64 && a.forall(c => c == '0' || c == '1'))
+    // uniform gray: 64*v == total for every pixel, strict > never fires
+    val bi = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(p => bi.setRGB(p % 8, p / 8, 0x808080))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    assert(MultimodalOps.aHash64(bos.toByteArray).get == "0" * 64)
+    assert(MultimodalOps.aHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("aHash64: near-identical images land at small Hamming distance, distinct ones far") {
+    import graft.multimodal.MultimodalOps
+    def png(id: Long, tweak: Boolean): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 256).foreach { p =>
+        val g0 = ((id * 31 + p) % 256).toInt
+        val g = if (tweak && p == 0) (g0 + 8) % 256 else g0
+        bi.setRGB(p % 16, p / 16, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      bos.toByteArray
+    }
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    val base = MultimodalOps.aHash64(png(9L, tweak = false)).get
+    val near = MultimodalOps.aHash64(png(9L, tweak = true)).get
+    val far = MultimodalOps.aHash64(png(10000L, tweak = false)).get
+    assert(ham(base, near) <= 2, s"one tweaked pixel flipped ${ham(base, near)} bits")
+    assert(ham(base, far) > 8)
+  }
 }
