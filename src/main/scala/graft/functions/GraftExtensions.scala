@@ -39,7 +39,10 @@ object GraftExtensions {
       ArrayDot(_, _)),
     binary("hamming_dist",
       "hamming_dist(a, b) - Hamming distance between two fingerprint strings (codegen'd byte loop)",
-      HammingDist(_, _)))
+      HammingDist(_, _)),
+    binary("char_interleave",
+      "char_interleave(s, sep) - sep between every pair of adjacent chars (codegen'd, UTF-8-aware; BPE initial tokenization)",
+      CharInterleave(_, _)))
 
   /** Runtime registration for a session built without the extension
     * (notebooks, shells, tests): same triples, same kernels. */

@@ -37,9 +37,13 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("f"))
 
-  /** Character-split `w` into the Sep-joined initial tokenization. */
+  /** Character-split `w` into the Sep-joined initial tokenization.
+    * Native codegen'd kernel ([[graft.functions.CharInterleave]]) — the
+    * HOF formulation (array_join ∘ transform ∘ substr) allocated one
+    * single-char UTF8String per character per row outside whole-stage
+    * codegen and dominated encode CPU at scale. */
   private def charSplit(w: Column): Column =
-    array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), Sep)
+    graft.functions.CharInterleave(w, lit(Sep))
 
   /** Apply one merge: join adjacent tokens a,b into ab. */
   private def applyMerge(tok: Column, a: String, b: String): Column =

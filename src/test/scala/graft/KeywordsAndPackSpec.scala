@@ -121,4 +121,33 @@ class KeywordsAndPackSpec extends AnyFunSuite {
     // arity errors surface at analysis, not execution
     intercept[Exception](spark.sql("SELECT hamming_dist('a')").collect())
   }
+
+  test("CharInterleave: codegen == eval == HOF formulation, UTF-8 safe") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    // SQL path (codegen) vs the HOF formulation it replaces — non-empty
+    // inputs only: on '' the HOF itself is wrong (sequence(1, 0) steps
+    // DOWN to [1, 0], yielding '|'), which is why Bpe always filtered
+    // empty words; CharInterleave returns '' as it should
+    val rows = Seq("abc", "a", "héllo", "日本語x").toDF("s")
+    val got = rows.select(
+      graft.functions.CharInterleave(col("s"), lit("|")).as("fast"),
+      array_join(transform(sequence(lit(1), length(col("s"))),
+        i => col("s").substr(i, lit(1))), "|").as("hof"))
+      .as[(String, String)].collect()
+    got.foreach { case (fast, hof) => assert(fast == hof, s"'$fast' != '$hof'") }
+    assert(got(0)._1 == "a|b|c" && got(1)._1 == "a")
+    assert(got(2)._1 == "h|é|l|l|o" && got(3)._1 == "日|本|語|x")
+    assert(Seq("").toDF("s")
+      .select(graft.functions.CharInterleave(col("s"), lit("|")))
+      .as[String].head() == "")
+    // interpreted eval path agrees (filter forces a non-codegen context sometimes;
+    // assert directly on the expression)
+    val e = graft.functions.CharInterleave(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("héllo"),
+      org.apache.spark.sql.catalyst.expressions.Literal.create("::"))
+    assert(e.eval(null).toString == "h::é::l::l::o")
+    // SQL registration
+    val viaSql = spark.sql("SELECT char_interleave('abc', '-') AS v").collect().head.getString(0)
+    assert(viaSql == "a-b-c")
+  }
 }

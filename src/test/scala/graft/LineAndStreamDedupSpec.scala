@@ -127,6 +127,30 @@ class LineAndStreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming candidatePairs: out-of-order arrival anchors by FIRST ARRIVAL, not min id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog today"
+    val input = MemoryStream[(Long, String)]
+    val bucketed = StreamingDedup.bucketed(
+      input.toDS().toDF("doc_id", "text"), 4, 3, 2)
+      .as[StreamingDedup.BucketedDoc]
+    val q = StreamingDedup.candidatePairs(bucketed)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lsh_ooo_stream").start()
+    try {
+      // doc 30 arrives BEFORE doc 20: the ingest-time contract keeps the
+      // earliest ARRIVAL as anchor — this is the semantic difference from
+      // batch (min doc_id), intentional: a stream dedups new arrivals
+      // against what is already ingested
+      input.addData((30L, text)); q.processAllAvailable()
+      input.addData((20L, text)); q.processAllAvailable()
+      val pairs = spark.table("lsh_ooo_stream").as[StreamingDedup.CandPair]
+        .collect().map(p => (p.doc_a, p.doc_b)).distinct
+      assert(pairs.toSeq == Seq((30L, 20L)))
+    } finally q.stop()
+  }
+
   test("plan pins: line dedup is two exchanges (line window + doc reassembly), no join") {
     val d = docs((1L, "a b c d e f"))
     val plan = LineDedup.dedupCorpus(d, 3).queryExecution.executedPlan.toString
