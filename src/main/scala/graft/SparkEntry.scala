@@ -1277,6 +1277,23 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.perceptualHashes(media)
         .select(col("id").as("doc_id"), col("phash"),
           (lit(64) - length(replace(col("phash"), lit("1"), lit("")))).cast("long").as("n_set"))
+    }),
+
+    // Unicode NFC normalization (native codegen'd expression; DuckDB's
+    // utf8proc nfc_normalize is the independent oracle): every 3rd doc
+    // gets a DECOMPOSED accent appended (e + U+0301), normalization
+    // must collapse it to the composed form — codepoint lengths and the
+    // normalized fingerprint are under the hash
+    "q103_unicode_normalize" -> ((s, dir) => {
+      val txt = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" e\u0301clat"))).otherwise(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), txt.as("txt"))
+        .select(col("doc_id"), length(col("txt")).cast("long").as("len_raw"),
+          graft.functions.NfcNormalize(col("txt")).as("norm"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("norm")).cast("long").as("len_nfc"),
+          md5(col("norm")).as("norm_fp"))
     })
   )
 
@@ -2201,6 +2218,18 @@ object SparkEntry {
         |SELECT status, COUNT(*) AS n,
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS keys_fp
         |FROM d GROUP BY 1""".stripMargin,
+
+    // the decomposed accent (e + chr(769)) must collapse under both
+    // engines' NFC (java.text.Normalizer vs utf8proc)
+    "q103_unicode_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' e' || chr(769) || 'clat'
+        |         ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(txt) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(txt)) AS BIGINT) AS len_nfc,
+        |  md5(nfc_normalize(txt)) AS norm_fp
+        |FROM t""".stripMargin,
 
     // codec-free replay of the q102 aHash: dst pixel p of the 16×16→8×8
     // NN downsample reads src pixel 32·(p//8) + 2·(p%8) of the

@@ -32,6 +32,13 @@ object GraftExtensions {
       make(exprs(0), exprs(1))
     })
 
+  private def unary(name: String, usage: String, make: Expression => Expression)
+  : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), { exprs: Seq[Expression] =>
+      require(exprs.length == 1, s"$name expects exactly 1 argument, got ${exprs.length}")
+      make(exprs(0))
+    })
+
   /** The single source of truth both injection paths share. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
     binary("array_dot",
@@ -42,7 +49,10 @@ object GraftExtensions {
       HammingDist(_, _)),
     binary("char_interleave",
       "char_interleave(s, sep) - sep between every pair of adjacent chars (codegen'd, UTF-8-aware; BPE initial tokenization)",
-      CharInterleave(_, _)))
+      CharInterleave(_, _)),
+    unary("nfc_normalize",
+      "nfc_normalize(s) - Unicode NFC normalization (java.text.Normalizer; ASCII fast path, stays in codegen)",
+      NfcNormalize(_)))
 
   /** Runtime registration for a session built without the extension
     * (notebooks, shells, tests): same triples, same kernels. */

@@ -150,4 +150,22 @@ class KeywordsAndPackSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT char_interleave('abc', '-') AS v").collect().head.getString(0)
     assert(viaSql == "a-b-c")
   }
+
+  test("NfcNormalize: decomposed collapses to composed; ASCII fast path; SQL-reachable") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    val decomposed = "e\u0301clat"   // e + COMBINING ACUTE
+    val composed = "\u00e9clat"      // precomposed e-acute
+    val got = Seq((decomposed, composed, "plain ascii")).toDF("d", "c", "a")
+      .select(
+        graft.functions.NfcNormalize(col("d")).as("nd"),
+        graft.functions.NfcNormalize(col("c")).as("nc"),
+        graft.functions.NfcNormalize(col("a")).as("na"),
+        length(col("d")).as("ld"), length(graft.functions.NfcNormalize(col("d"))).as("lnd"))
+      .as[(String, String, String, Int, Int)].head()
+    assert(got._1 == composed && got._2 == composed && got._3 == "plain ascii")
+    assert(got._4 == 6 && got._5 == 5) // one codepoint shorter after NFC
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed') AS v")
+      .collect().head.getString(0)
+    assert(viaSql == composed)
+  }
 }
