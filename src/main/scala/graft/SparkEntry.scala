@@ -2141,16 +2141,19 @@ object SparkEntry {
         |SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt
         |FROM pr GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
 
-    // replays Bpe.encode's replace chain verbatim: chr(31)-joined char
-    // split, one nested replace per merge (left-to-right non-overlapping
-    // replace == BPE's greedy merge scan in both engines)
+    // replays Bpe.encode's replace chain verbatim: chr(31)-WRAPPED
+    // tokens ("tom" -> ␟t␟␟o␟␟m␟), one nested whole-token replace per
+    // merge (␟a␟␟b␟ -> ␟ab␟; matches never share characters, so
+    // left-to-right non-overlapping replace == BPE's greedy merge scan
+    // in both engines). Merge table = the SAME BpeMerges the Spark
+    // query uses — one source of truth, retraining can't desynchronize
     "q96_bpe_encode" -> {
-      val charSplit = "array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), chr(31))"
-      val merged = Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
-          ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
-        .foldLeft(charSplit) { case (acc, (a, b)) =>
-          s"replace($acc, '$a' || chr(31) || '$b', '$a$b')"
-        }
+      val sep = "chr(31)"
+      val charSplit =
+        s"$sep || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), $sep || $sep) || $sep"
+      val merged = BpeMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
+        s"replace($acc, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+      }
       s"""WITH ws AS (SELECT doc_id,
          |        list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
          |      FROM documents),
@@ -2158,8 +2161,8 @@ object SparkEntry {
          |        array_to_string(list_transform(ws, w -> $merged), ' ') AS ts
          |      FROM ws)
          |SELECT doc_id, n_words,
-         |  CAST(len(ts) - len(replace(ts, chr(31), '')) + n_words AS BIGINT) AS n_tokens,
-         |  md5(replace(ts, chr(31), ' ')) AS tokens_fp
+         |  CAST((len(ts) - len(replace(ts, chr(31), ''))) // 2 AS BIGINT) AS n_tokens,
+         |  md5(replace(replace(ts, chr(31) || chr(31), ' '), chr(31), '')) AS tokens_fp
          |FROM tk""".stripMargin
     },
 

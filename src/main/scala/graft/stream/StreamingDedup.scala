@@ -64,18 +64,39 @@ object StreamingDedup {
   /** The stateful anchor kernel. State per bucket: the anchor doc_id
     * (first arrival; ties within a trigger broken by min doc_id, which
     * makes batch mode deterministic and equal to the relational form).
-    * Works identically over a streaming or batch Dataset. */
+    * Works identically over a streaming or batch Dataset.
+    *
+    * Memory: once a bucket has its anchor (the streaming steady state),
+    * the group streams through with O(1) memory. Only a bucket's FIRST
+    * batch buffers — the min scan needs one pass, the emission another.
+    * In batch mode that first batch is the whole bucket, so a
+    * pathologically hot bucket belongs on the relational
+    * [[graft.text.Dedup.lshAnchorPairs]] (spillable window sort), which
+    * is the documented batch-scale path; this kernel's batch mode
+    * exists to put the state machine under the q94 oracle. */
   def candidatePairs(buckets: Dataset[BucketedDoc]): Dataset[CandPair] = {
     import buckets.sparkSession.implicits._
     buckets.groupByKey(d => d.bucket)
       .flatMapGroupsWithState[Long, CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[BucketedDoc], state: GroupState[Long]) =>
-          val docs = it.toArray.sortBy(_.doc_id)
-          val anchor = state.getOption.getOrElse(docs.head.doc_id)
-          if (!state.exists) state.update(anchor)
-          docs.iterator.filter(_.doc_id != anchor)
-            .map(d => CandPair(anchor, d.doc_id, d.b))
+          state.getOption match {
+            case Some(anchor) => // steady state: pure streaming pass
+              it.filter(_.doc_id != anchor)
+                .map(d => CandPair(anchor, d.doc_id, d.b))
+            case None =>
+              val docs = it.toArray
+              var anchor = docs.head.doc_id
+              var i = 1
+              while (i < docs.length) {
+                if (docs(i).doc_id < anchor) anchor = docs(i).doc_id
+                i += 1
+              }
+              state.update(anchor)
+              val a = anchor
+              docs.iterator.filter(_.doc_id != a)
+                .map(d => CandPair(a, d.doc_id, d.b))
+          }
       }
   }
 

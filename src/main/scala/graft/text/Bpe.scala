@@ -7,15 +7,20 @@ import org.apache.spark.sql.functions._
   * vocabulary-induction algorithm behind GPT-2/RoBERTa tokenizers; the
   * "BPE-ish" leg of the mandate's token-counting bullet).
   *
-  * Representation: a word's tokenization is its characters joined by
-  * [[Sep]] (U+001F, absent from any text corpus). Applying merge (a, b)
-  * is then ONE string replace of "a<sep>b" with "ab" — left-to-right
-  * non-overlapping replace semantics are exactly BPE's greedy merge
-  * scan ("aaa" + (a,a) → ["aa","a"]), and the separator guarantees
-  * merges only ever join adjacent WHOLE tokens. Every step is a
-  * codegen'd string function with identical semantics in ANSI SQL, so
-  * the DuckDB oracle replays encoding bit-for-bit (q96) and the
-  * training round's pair-count aggregation verbatim (q95).
+  * Representation: every token is WRAPPED in [[Sep]] (U+001F, absent
+  * from any text corpus): word "tom" tokenizes as "␟t␟␟o␟␟m␟".
+  * Applying merge (a, b) is then ONE string replace of "␟a␟␟b␟" with
+  * "␟ab␟". The wrapping is load-bearing in two ways: (1) each token
+  * carries its OWN start and end markers, so a merge pattern can only
+  * match a whole token — a bare "a␟b" pattern would also match a token
+  * SUFFIX (e.g. (m, er) firing inside "om␟er", corrupting the
+  * tokenization the moment a learned symbol is a suffix of another) —
+  * and (2) consecutive matches never share characters, so plain
+  * left-to-right non-overlapping replace is exactly BPE's greedy merge
+  * scan ("aaa" + (a,a) → ["aa","a"]; "ab ab" merges both pairs). Every
+  * step is a codegen'd string function with identical semantics in
+  * ANSI SQL, so the DuckDB oracle replays encoding bit-for-bit (q96)
+  * and the training round's pair-count aggregation verbatim (q95).
   *
   * Scale shape: training iterates over the WORD VOCABULARY (word,
   * freq) — the classic trick that makes BPE corpus-size-independent:
@@ -37,23 +42,25 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("f"))
 
-  /** Character-split `w` into the Sep-joined initial tokenization.
-    * Native codegen'd kernel ([[graft.functions.CharInterleave]]) — the
-    * HOF formulation (array_join ∘ transform ∘ substr) allocated one
-    * single-char UTF8String per character per row outside whole-stage
-    * codegen and dominated encode CPU at scale. */
+  /** Character-split `w` into the Sep-wrapped initial tokenization
+    * ("tom" → "␟t␟␟o␟␟m␟"). Native codegen'd kernel
+    * ([[graft.functions.CharInterleave]]) — the HOF formulation
+    * (array_join ∘ transform ∘ substr) allocated one single-char
+    * UTF8String per character per row outside whole-stage codegen and
+    * dominated encode CPU at scale. */
   private def charSplit(w: Column): Column =
-    graft.functions.CharInterleave(w, lit(Sep))
+    concat(lit(Sep), graft.functions.CharInterleave(w, lit(Sep + Sep)), lit(Sep))
 
-  /** Apply one merge: join adjacent tokens a,b into ab. */
+  /** Apply one merge: join adjacent WHOLE tokens a,b into ab (each
+    * token's own wrapping anchors the match — see the object doc). */
   private def applyMerge(tok: Column, a: String, b: String): Column =
-    replace(tok, lit(a + Sep + b), lit(a + b))
+    replace(tok, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
 
   /** Adjacent-pair counts over the current vocab tokenization, weighted
     * by word frequency: (a, b, cnt). The distributed core of one
     * training round. */
   def pairCounts(vocab: DataFrame): DataFrame =
-    vocab.select(split(col("tok"), Sep).as("syms"), col("f"))
+    vocab.select(split(trim(col("tok"), Sep), Sep + Sep).as("syms"), col("f"))
       .filter(size(col("syms")) >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(syms) - 1),
@@ -104,15 +111,22 @@ object Bpe {
     * space — fingerprint-stable, not invertible). */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              textCol: String = "text"): DataFrame = {
-    val words = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
     val wordTok = (w: Column) =>
       merges.foldLeft(charSplit(w)) { case (acc, (a, b)) => applyMerge(acc, a, b) }
-    docs.select(col("doc_id"), array_join(transform(words, wordTok), " ").as("ts"),
-        size(words).cast("long").as("n_words"))
+    docs
+      // words staged ONCE: codegen does not CSE duplicated lambda
+      // subtrees, and the next projection references it twice
+      .select(col("doc_id"),
+        filter(split(lower(col(textCol)), " "), w => length(w) > 0).as("__ws"))
+      .select(col("doc_id"),
+        array_join(transform(col("__ws"), wordTok), " ").as("ts"),
+        size(col("__ws")).cast("long").as("n_words"))
       .select(col("doc_id"), col("n_words"),
-        // tokens per word = in-word separators + 1
-        (length(col("ts")) - length(replace(col("ts"), lit(Sep), lit(""))) + col("n_words"))
+        // each token contributes exactly 2 wrapper separators
+        ((length(col("ts")) - length(replace(col("ts"), lit(Sep), lit("")))) / 2)
           .cast("long").as("n_tokens"),
-        replace(col("ts"), lit(Sep), lit(" ")).as("tokens"))
+        // ␟␟ token boundaries -> space, then the word-edge ␟ wrappers drop
+        replace(replace(col("ts"), lit(Sep + Sep), lit(" ")), lit(Sep), lit(""))
+          .as("tokens"))
   }
 }

@@ -49,13 +49,17 @@ object ScaleJoins {
     * through, and its filter is reusable across several scans. */
   def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    // stat.bloomFilter NPEs on a zero-row input (bloom_filter_agg yields
-    // null); an empty build side has an exact answer anyway
+    // Note: the small side's plan executes twice — once for the filter's
+    // treeAggregate, once as the exact join's build — plus a take(1) for
+    // the emptiness probe (stat.bloomFilter NPEs on zero rows, and an
+    // empty build side has an exact answer anyway). Callers with an
+    // expensive small-side plan should persist it first.
     if (small.isEmpty) return big.join(small.select(col(key)), Seq(key), "left_semi")
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    // no distinct on the build side: left_semi ignores duplicate build rows
     big.filter(might(col(key)))
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(small.select(col(key)), Seq(key), "left_semi")
   }
 }

@@ -43,6 +43,20 @@ class BpeAndCompactionSpec extends AnyFunSuite {
     assert(row == ((4L, "mer mer h er")))
   }
 
+  test("Bpe merges match WHOLE tokens only — a symbol-suffix must not trigger a merge") {
+    // after (e,r),(o,m): "tomer" = [t, om, er]. The (m, er) merge names
+    // token "m", which is only a SUFFIX of "om" here — correct BPE
+    // leaves [t, om, er]; an unanchored replace would weld "omer"
+    val docs = Seq((1L, "tomer")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, Seq(("e", "r"), ("o", "m"), ("m", "er")))
+    val row = enc.select("n_tokens", "tokens").as[(Long, String)].head()
+    assert(row == ((3L, "t om er")))
+    // and when the whole token IS "m", the merge fires
+    val enc2 = Bpe.encode(Seq((1L, "tmer")).toDF("doc_id", "text"),
+      Seq(("e", "r"), ("m", "er")))
+    assert(enc2.select("tokens").as[String].head() == "t mer")
+  }
+
   test("Bpe.encode with train's merges reproduces train's vocab tokenization") {
     val docs = Seq((1L, "low low lower newest newest widest")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, 3)
