@@ -1294,6 +1294,24 @@ object SparkEntry {
         .select(col("doc_id"), col("len_raw"),
           length(col("norm")).cast("long").as("len_nfc"),
           md5(col("norm")).as("norm_fp"))
+    }),
+
+    // The STREAMING LWW-compaction kernel (q97's semantics through
+    // flatMapGroupsWithState) in batch mode: base snapshot + v1 update
+    // batch fold to one winner per key inside the state machine — same
+    // CASE-expressed oracle shape as q97, so the stateful path is
+    // hash-checked like q87 (as-of) and q94 (LSH dedup)
+    "q104_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val d = T(s, dir, "documents")
+      val base = d.select(col("doc_id").as("key"), lit(0).as("version"),
+        md5(col("text")).as("fp"))
+      val updates = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("key"), lit(1).as("version"),
+          md5(upper(col("text"))).as("fp"))
+      val all = base.unionByName(updates).as[graft.stream.StreamingUpsert.Versioned]
+      graft.stream.StreamingUpsert.compactStream(all).toDF()
+        .select(col("key").as("doc_id"), col("version"), col("fp").as("text_fp"))
     })
   )
 
@@ -2165,6 +2183,13 @@ object SparkEntry {
          |  md5(replace(replace(ts, chr(31) || chr(31), ' '), chr(31), '')) AS tokens_fp
          |FROM tk""".stripMargin
     },
+
+    // the stateful kernel must land on the same winners
+    "q104_stream_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS version,
+        |  CASE WHEN doc_id % 5 = 0 THEN md5(upper(text)) ELSE md5(text) END AS text_fp
+        |FROM documents""".stripMargin,
 
     // last-wins compaction must equal the CASE-expressed expected state
     "q97_upsert_compact" ->

@@ -184,6 +184,49 @@ class BpeAndCompactionSpec extends AnyFunSuite {
     assert(back.count() == 101)
   }
 
+  test("StreamingUpsert batch mode == Upsert.compact winners") {
+    import graft.stream.StreamingUpsert
+    import graft.stream.StreamingUpsert.Versioned
+    val rows = Seq(
+      Versioned(1L, 0, "a"), Versioned(2L, 0, "b"), Versioned(3L, 0, "c"),
+      Versioned(2L, 1, "b1"), Versioned(3L, 2, "c2"), Versioned(3L, 1, "c1"))
+    val ds = spark.createDataset(rows)
+    val got = StreamingUpsert.compactStream(ds)
+      .collect().map(v => (v.key, v.version, v.fp)).toSet
+    val want = Upsert.compact(
+      Seq(ds.toDF()), "key", Seq("version", "fp"))
+      .as[Versioned].collect().map(v => (v.key, v.version, v.fp)).toSet
+    assert(got == want &&
+      got == Set((1L, 0, "a"), (2L, 1, "b1"), (3L, 2, "c2")))
+  }
+
+  test("StreamingUpsert stream: change-log emits only ADVANCES; replay last-per-key == compact") {
+    import graft.stream.StreamingUpsert
+    import graft.stream.StreamingUpsert.Versioned
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Versioned]
+    val q = StreamingUpsert.compactStream(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("upsert_stream").start()
+    try {
+      input.addData(Versioned(1L, 0, "a"), Versioned(2L, 0, "b"))
+      q.processAllAvailable()
+      // stale version for key 1 (swallowed), advance for key 2, new key 3
+      input.addData(Versioned(1L, 0, "a"), Versioned(2L, 2, "b2"), Versioned(3L, 0, "c"))
+      q.processAllAvailable()
+      // out-of-order late lower version for key 2: swallowed
+      input.addData(Versioned(2L, 1, "b1"))
+      q.processAllAvailable()
+      val log = spark.table("upsert_stream").as[Versioned].collect()
+      assert(log.length == 4) // a, b, b2, c — the b1 and duplicate-a rows never emit
+      val lastPerKey = log.groupBy(_.key).map { case (k, vs) =>
+        val w = vs.maxBy(v => (v.version, v.fp)); (k, w.version, w.fp)
+      }.toSet
+      assert(lastPerKey == Set((1L, 0, "a"), (2L, 2, "b2"), (3L, 0, "c")))
+    } finally q.stop()
+  }
+
   test("plan pins: compact is one key-windowed exchange, no join") {
     val base = Seq((1L, "a", 0)).toDF("k", "v", "version")
     val up = Seq((1L, "b", 1)).toDF("k", "v", "version")
