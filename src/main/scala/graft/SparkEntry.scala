@@ -1312,6 +1312,22 @@ object SparkEntry {
       val all = base.unionByName(updates).as[graft.stream.StreamingUpsert.Versioned]
       graft.stream.StreamingUpsert.compactStream(all).toDF()
         .select(col("key").as("doc_id"), col("version"), col("fp").as("text_fp"))
+    }),
+
+    // Dedup observability: which SOURCES contribute the duplicate mass
+    // (the audit every corpus-dedup rollout ships with). A doc is a dup
+    // candidate iff some LSH bucket pairs it with an earlier anchor
+    // (q94's contract); rates as floor permille per source
+    "q105_dedup_audit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dups = Dedup.lshAnchorPairs(docs, 4, 3, 2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          expr("n_dup * 1000 div n_docs").as("dup_permille"))
     })
   )
 
@@ -2183,6 +2199,19 @@ object SparkEntry {
          |  md5(replace(replace(ts, chr(31) || chr(31), ' '), chr(31), '')) AS tokens_fp
          |FROM tk""".stripMargin
     },
+
+    // same minhash/banding/anchor chain as q94, rolled up per source
+    "q105_dedup_audit" -> (minhashCtes(4, 2) +
+      """,
+        |anch AS (SELECT b, h1, h2, MIN(doc_id) AS anchor FROM sig GROUP BY 1, 2, 3),
+        |dups AS (SELECT DISTINCT s.doc_id
+        |         FROM sig s JOIN anch a ON s.b = a.b AND s.h1 = a.h1 AND s.h2 = a.h2
+        |         WHERE s.doc_id <> a.anchor)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(p.doc_id) AS BIGINT) AS n_dup,
+        |  (CAST(COUNT(p.doc_id) AS BIGINT) * 1000) // COUNT(*) AS dup_permille
+        |FROM documents d LEFT JOIN dups p ON d.doc_id = p.doc_id
+        |GROUP BY 1""".stripMargin),
 
     // the stateful kernel must land on the same winners
     "q104_stream_upsert" ->
