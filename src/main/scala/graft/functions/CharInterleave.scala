@@ -35,11 +35,15 @@ case class CharInterleave(left: Expression, right: Expression) extends BinaryExp
     val s = a.asInstanceOf[UTF8String].getBytes
     val sep = b.asInstanceOf[UTF8String].getBytes
     if (s.length == 0 || sep.length == 0) return a
-    var nc = 0
-    var i = 0
-    while (i < s.length) { if ((s(i) & 0xC0) != 0x80) nc += 1; i += 1 }
-    if (nc <= 1) return a
-    val out = new Array[Byte](s.length + (nc - 1) * sep.length)
+    // count the separators that will actually be inserted (i > 0 AND
+    // non-continuation) — NOT nc-1: malformed UTF-8 whose first byte is
+    // a continuation byte would get a separator before every start byte
+    // and overrun an nc-1-sized buffer
+    var ins = 0
+    var i = 1
+    while (i < s.length) { if ((s(i) & 0xC0) != 0x80) ins += 1; i += 1 }
+    if (ins == 0) return a
+    val out = new Array[Byte](s.length + ins * sep.length)
     var pos = 0
     i = 0
     while (i < s.length) {
@@ -55,7 +59,7 @@ case class CharInterleave(left: Expression, right: Expression) extends BinaryExp
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val sb = ctx.freshName("sb")
       val sepb = ctx.freshName("sepb")
-      val nc = ctx.freshName("nc")
+      val ins = ctx.freshName("ins")
       val out = ctx.freshName("out")
       val pos = ctx.freshName("pos")
       val i = ctx.freshName("i")
@@ -65,14 +69,14 @@ case class CharInterleave(left: Expression, right: Expression) extends BinaryExp
          |if ($sb.length == 0 || $sepb.length == 0) {
          |  ${ev.value} = $a;
          |} else {
-         |  int $nc = 0;
-         |  for (int $i = 0; $i < $sb.length; $i++) {
-         |    if (($sb[$i] & 0xC0) != 0x80) $nc++;
+         |  int $ins = 0;
+         |  for (int $i = 1; $i < $sb.length; $i++) {
+         |    if (($sb[$i] & 0xC0) != 0x80) $ins++;
          |  }
-         |  if ($nc <= 1) {
+         |  if ($ins == 0) {
          |    ${ev.value} = $a;
          |  } else {
-         |    byte[] $out = new byte[$sb.length + ($nc - 1) * $sepb.length];
+         |    byte[] $out = new byte[$sb.length + $ins * $sepb.length];
          |    int $pos = 0;
          |    for (int $i = 0; $i < $sb.length; $i++) {
          |      if ($i > 0 && (($sb[$i] & 0xC0) != 0x80)) {

@@ -62,9 +62,11 @@ object StreamingDedup {
   }
 
   /** The stateful anchor kernel. State per bucket: the anchor doc_id
-    * (first arrival; ties within a trigger broken by min doc_id, which
-    * makes batch mode deterministic and equal to the relational form).
-    * Works identically over a streaming or batch Dataset.
+    * (first arrival; ties within a trigger broken by MIN doc_id — a
+    * single min scan, which makes batch mode deterministic and equal
+    * to the relational form as a SET; emission order within a bucket
+    * is arrival order, not sorted). Works identically over a streaming
+    * or batch Dataset.
     *
     * Memory: once a bucket has its anchor (the streaming steady state),
     * the group streams through with O(1) memory. Only a bucket's FIRST

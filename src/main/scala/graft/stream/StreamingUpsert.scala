@@ -11,9 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * replaying the emitted log last-write-per-key reconstruct exactly
   * the batch-compacted table.
   *
-  * Winner order is (version, fp) lexicographic — the same total order
-  * a batch caller passes to `Upsert.compact(orderCols = version, fp)`
-  * — so ties at equal version are deterministic on both paths.
+  * Winner order is (version, fp) with fp compared as UTF-8 BYTES
+  * (`UTF8String` binary order — what Spark's window `orderBy` on a
+  * string column uses), so the batch caller's
+  * `Upsert.compact(orderCols = version, fp)` and this kernel pick the
+  * same winner even for non-ASCII fingerprints, where Java's UTF-16
+  * `String` ordering disagrees with UTF-8 byte order (supplementary
+  * vs high-BMP characters sort oppositely).
   *
   * In batch mode each key's group arrives once, so the kernel emits
   * exactly the per-key winner: batch output == `Upsert.compact`
@@ -30,11 +34,14 @@ object StreamingUpsert {
       .flatMapGroupsWithState[(Int, String), Versioned](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[Versioned], state: GroupState[(Int, String)]) =>
+          def fpGt(a: String, b: String): Boolean =
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) > 0
           var best = state.getOption.orNull
           var advanced = false
           it.foreach { v =>
             if (best == null || v.version > best._1 ||
-                (v.version == best._1 && v.fp > best._2)) {
+                (v.version == best._1 && fpGt(v.fp, best._2))) {
               best = (v.version, v.fp); advanced = true
             }
           }

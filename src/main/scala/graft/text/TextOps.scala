@@ -41,14 +41,19 @@ object TextOps {
     * fixed en > de > fr > es tie order (deterministic). */
   def langId(textCol: Column): Column = {
     val w = tokens(textCol)
-    val (en, de, fr, es) =
-      (stopwordCount(w, EnStop), stopwordCount(w, DeStop),
-        stopwordCount(w, FrStop), stopwordCount(w, EsStop))
+    langIdFromCounts(stopwordCount(w, EnStop), stopwordCount(w, DeStop),
+      stopwordCount(w, FrStop), stopwordCount(w, EsStop))
+  }
+
+  /** The argmax + fixed tie order shared by [[langId]] and
+    * [[curationGate]] (which stages the counts as columns first —
+    * passing them here keeps one source of truth for the tie order). */
+  private[text] def langIdFromCounts(en: Column, de: Column, fr: Column,
+                                     es: Column): Column =
     when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-  }
 
   /** Quality score in [0,1]: length sanity × stopword-density signal.
     * Deterministic arithmetic (exact-match-able against SQL). */
@@ -157,11 +162,8 @@ object TextOps {
             |  cast(array() as array<string>))""".stripMargin).as("g3"))
       .select(col("doc_id"), col("lang"), col("n"), col("en_n"), col("de_n"),
         col("fr_n"), col("es_n"), col("sumlen"),
-        // argmax with langId's fixed en > de > fr > es tie order
-        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n")
-            && col("en_n") >= col("es_n"), "en")
-          .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
-          .when(col("fr_n") >= col("es_n"), "fr").otherwise("es").as("lang_guess"),
+        langIdFromCounts(col("en_n"), col("de_n"), col("fr_n"), col("es_n"))
+          .as("lang_guess"),
         greatest(col("en_n"), col("de_n"), col("fr_n"), col("es_n")).as("stop_g"),
         expr(
           """if(size(g3) > 0,

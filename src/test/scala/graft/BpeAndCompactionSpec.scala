@@ -200,6 +200,21 @@ class BpeAndCompactionSpec extends AnyFunSuite {
       got == Set((1L, 0, "a"), (2L, 1, "b1"), (3L, 2, "c2")))
   }
 
+  test("StreamingUpsert tiebreak: UTF-8 byte order, matching Upsert.compact on non-ASCII fps") {
+    import graft.stream.StreamingUpsert
+    import graft.stream.StreamingUpsert.Versioned
+    // U+10000 (UTF-8 F0 90 80 80) vs U+EE00 (UTF-8 EE B8 80): Java's
+    // UTF-16 compareTo says supplementary < EE00, UTF-8 bytes say the
+    // opposite — the kernel must agree with Spark's window orderBy
+    val rows = Seq(Versioned(1L, 1, "\uD800\uDC00"), Versioned(1L, 1, "\uEE00"))
+    val ds = spark.createDataset(rows)
+    val stream = StreamingUpsert.compactStream(ds).collect()
+    val batch = Upsert.compact(Seq(ds.toDF()), "key", Seq("version", "fp"))
+      .as[Versioned].collect()
+    assert(stream.length == 1 && batch.length == 1)
+    assert(stream.head.fp == batch.head.fp && stream.head.fp == "\uD800\uDC00")
+  }
+
   test("StreamingUpsert stream: change-log emits only ADVANCES; replay last-per-key == compact") {
     import graft.stream.StreamingUpsert
     import graft.stream.StreamingUpsert.Versioned

@@ -149,6 +149,13 @@ class KeywordsAndPackSpec extends AnyFunSuite {
     // SQL registration
     val viaSql = spark.sql("SELECT char_interleave('abc', '-') AS v").collect().head.getString(0)
     assert(viaSql == "a-b-c")
+    // malformed UTF-8 (first byte is a continuation byte, reachable via
+    // binary->string cast, which Spark does not validate) must not
+    // overrun the output buffer: 0x80 gets no leading separator, both
+    // following ASCII bytes do
+    val mal = spark.sql("SELECT char_interleave(cast(X'804142' AS STRING), '|') AS v")
+      .collect().head.getString(0)
+    assert(mal.getBytes("ISO-8859-1").count(_ == '|'.toByte) == 2, mal)
   }
 
   test("NfcNormalize: decomposed collapses to composed; ASCII fast path; SQL-reachable") {
