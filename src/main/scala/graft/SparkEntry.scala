@@ -1328,6 +1328,27 @@ object SparkEntry {
           sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
         .select(col("source"), col("n_docs"), col("n_dup"),
           expr("n_dup * 1000 div n_docs").as("dup_permille"))
+    }),
+
+    // Token-budgeted quality selection (FineWeb-edu-style corpus
+    // assembly): per source, admit documents in quality order until the
+    // cumulative token count crosses the budget — one source-keyed
+    // window, total order (quality DESC, doc_id), a doc is in iff the
+    // budget wasn't exhausted BEFORE it
+    "q106_token_budget_select" -> ((s, dir) => {
+      val budget = 2000L
+      val scored = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"), max("cum_tokens").as("tokens_taken"),
+          md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")).as("ids_fp"))
     })
   )
 
@@ -2199,6 +2220,29 @@ object SparkEntry {
          |  md5(replace(replace(ts, chr(31) || chr(31), ' '), chr(31), '')) AS tokens_fp
          |FROM tk""".stripMargin
     },
+
+    // replays the budgeted selection: q18's quality formula, the same
+    // (quality DESC, doc_id) total order, cumulative tokens, admit iff
+    // the budget wasn't exhausted before the row
+    "q106_token_budget_select" ->
+      """WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, n_tokens,
+        |  ROUND(LEAST(len(w) / 100.0, 1.0) *
+        |        (0.5 + 0.5 * LEAST(CAST(len(list_filter(w,
+        |           x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |           / len(w) * 5.0, 1.0)), 6) AS quality
+        |  FROM d),
+        |cum AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM sc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+        |  CAST(MAX(cum_tokens) AS BIGINT) AS tokens_taken,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_fp
+        |FROM cum WHERE cum_tokens - n_tokens < 2000
+        |GROUP BY 1""".stripMargin,
 
     // same minhash/banding/anchor chain as q94, rolled up per source
     "q105_dedup_audit" -> (minhashCtes(4, 2) +
