@@ -1349,6 +1349,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_selected"), max("cum_tokens").as("tokens_taken"),
           md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
             x => x.cast("string")), ",")).as("ids_fp"))
+    }),
+
+    // Hard-negative mining (contrastive training): per query vector the
+    // top-2 neighbors by cosine STRICTLY BELOW the 0.95 near-dup
+    // ceiling — near-duplicates must never be served as negatives
+    "q107_hard_negatives" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      CosineKnn.hardNegatives(e.filter(col("id") < 50), e, 2, 0.95)
+        .select(col("query_id"), col("item_id").as("negative_id"), col("rank"),
+          round(col("score"), 6).as("cos_r"))
     })
   )
 
@@ -1492,6 +1504,18 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS ws, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q21's scoring with the near-dup ceiling applied BEFORE the rank
+    "q107_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS negative_id,
+        |        list_dot_product(q.v, e.v) /
+        |        (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(e.v, e.v))) AS cos
+        |      FROM e q, e WHERE q.vec_id < 50 AND q.vec_id <> e.vec_id)
+        |SELECT query_id, negative_id, rank, ROUND(cos, 6) AS cos_r FROM (
+        |  SELECT query_id, negative_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, negative_id) AS rank
+        |  FROM sc WHERE cos < 0.95) WHERE rank <= 2""".stripMargin,
 
     "q24_fixed_ts_split" -> (R +
       """SELECT ts > 915148800000 AS is_test, COUNT(*) AS n,

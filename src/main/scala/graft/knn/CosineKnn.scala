@@ -205,6 +205,33 @@ object CosineKnn {
       .select("query_id", "item_id", "score", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-`k` neighbors by cosine STRICTLY BELOW `simCeiling` — anything
+    * at or above the ceiling is a near-duplicate (a positive in
+    * disguise) and must not be served as a negative, while the highest
+    * scorers under it are the hard negatives a contrastive objective
+    * learns most from. Same scale shape as [[topKRelational]]: the
+    * score stream is filtered BEFORE the per-query window, so ceiling
+    * rejection never reaches the sort, and zero vectors (score
+    * sentinel -2) rank last as everywhere else. */
+  def hardNegatives(queries: DataFrame, items: DataFrame, k: Int,
+                    simCeiling: Double): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("qn", l2norm("qv"))
+    val it = items.select(col("id").as("item_id"), col("vec").as("iv"))
+      .withColumn("in", l2norm("iv"))
+    q.crossJoin(broadcast(it))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("score",
+        when(col("qn") * col("in") > 0, dot("qv", "iv") / (col("qn") * col("in")))
+          .otherwise(lit(-2.0)))
+      .filter(col("score") < simCeiling)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "score", "rank")
+  }
+
   /** Exact top-k for item sides too large to broadcast OR collect: the
     * scoring cartesian is consumed in-stage by a map-side bounded-heap
     * combine (`aggregateByKey`), so the only exchange carries at most

@@ -242,6 +242,21 @@ class BpeAndCompactionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hardNegatives: near-dups above the ceiling are excluded, hardest survivor ranks first") {
+    import graft.knn.CosineKnn
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),            // query
+      (2L, Array(1.0, 0.0)),            // exact dup (cos 1.0) -> excluded
+      (3L, Array(0.999, 0.0447)),       // cos ~0.999 -> excluded at 0.95
+      (4L, Array(0.9, 0.4359)),         // cos 0.9 -> the hard negative
+      (5L, Array(0.0, 1.0)))            // cos 0 -> easy negative
+      .toDF("id", "vec")
+    val got = CosineKnn.hardNegatives(vecs.filter(col("id") === 1L), vecs, 2, 0.95)
+      .orderBy("rank").select("item_id", "rank")
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((4L, 1), (5L, 2)))
+  }
+
   test("plan pins: compact is one key-windowed exchange, no join") {
     val base = Seq((1L, "a", 0)).toDF("k", "v", "version")
     val up = Seq((1L, "b", 1)).toDF("k", "v", "version")
