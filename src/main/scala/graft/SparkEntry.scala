@@ -1331,20 +1331,18 @@ object SparkEntry {
     }),
 
     // Token-budgeted quality selection (FineWeb-edu-style corpus
-    // assembly): per source, admit documents in quality order until the
-    // cumulative token count crosses the budget — one source-keyed
-    // window, total order (quality DESC, doc_id), a doc is in iff the
-    // budget wasn't exhausted BEFORE it
+    // assembly): per source, admit documents in (quality DESC, doc_id)
+    // order until the cumulative token count crosses the budget — a doc
+    // is in iff the budget wasn't exhausted BEFORE it. The running sum
+    // is the decomposed three-level prefix sum of
+    // [[graft.prep.TokenBudget]] (bit-identical to the naive per-source
+    // window, minus its monolithic per-source sort)
     "q106_token_budget_select" -> ((s, dir) => {
       val budget = 2000L
       val scored = T(s, dir, "documents").select(col("doc_id"), col("source"),
         TextOps.qualityScore(col("text")).as("quality"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum_tokens", sum("n_tokens").over(w))
-        .filter(col("cum_tokens") - col("n_tokens") < budget)
+      graft.prep.TokenBudget.select(scored, budget)
         .groupBy("source")
         .agg(count(lit(1)).as("n_selected"), max("cum_tokens").as("tokens_taken"),
           md5(array_join(transform(array_sort(collect_list(col("doc_id"))),

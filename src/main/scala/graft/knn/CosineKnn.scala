@@ -72,7 +72,8 @@ object CosineKnn {
     */
   def topK(queries: DataFrame, items: DataFrame, k: Int, excludeSelf: Boolean = false,
            collectMaxRows: Long = 1000000L, fusedMinPairs: Long = 4000000L,
-           knownItemCount: Long = -1L, knownQueryCount: Long = -1L): DataFrame = {
+           knownItemCount: Long = -1L, knownQueryCount: Long = -1L,
+           scoreCeiling: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val idType = queries.schema("id").dataType
     val fastIdOk = idType == items.schema("id").dataType && (idType match {
@@ -83,19 +84,20 @@ object CosineKnn {
     if (m > collectMaxRows) {
       return if (fastIdOk) {
         lastKernel = "shuffle-combine"
-        topKShuffleCombine(queries, items, k, excludeSelf, idType)
+        topKShuffleCombine(queries, items, k, excludeSelf, idType, scoreCeiling)
       } else {
         lastKernel = "relational-unbroadcast"
-        topKRelational(queries, items, k, excludeSelf, broadcastItems = false)
+        topKRelational(queries, items, k, excludeSelf, broadcastItems = false,
+          scoreCeiling = scoreCeiling)
       }
     }
     val nQ = if (knownQueryCount >= 0L) knownQueryCount else queries.count()
     if (!fastIdOk || nQ * m < fusedMinPairs) {
       lastKernel = "relational"
-      topKRelational(queries, items, k, excludeSelf)
+      topKRelational(queries, items, k, excludeSelf, scoreCeiling = scoreCeiling)
     } else {
       lastKernel = "fused"
-      topKCompute(queries, items, k, excludeSelf, idType)
+      topKCompute(queries, items, k, excludeSelf, idType, scoreCeiling)
     }
   }
 
@@ -109,7 +111,8 @@ object CosineKnn {
 
   private def topKCompute(queries: DataFrame, items: DataFrame, k: Int,
                           excludeSelf: Boolean,
-                          idType: org.apache.spark.sql.types.DataType): DataFrame = {
+                          idType: org.apache.spark.sql.types.DataType,
+                          scoreCeiling: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val spark = queries.sparkSession
@@ -135,6 +138,9 @@ object CosineKnn {
         if (c != 0) c else java.lang.Integer.compare(a._2, b._2)
       }
     }
+    // ceiling as a plain double so the hot loop carries no Option deref;
+    // any true cosine is < +inf, so "no ceiling" admits everything
+    val ceilV = scoreCeiling.getOrElse(Double.PositiveInfinity)
     val out = q.rdd.mapPartitions { it =>
       val (ids, vecs, norms) = bc.value
       val m = ids.length
@@ -156,11 +162,14 @@ object CosineKnn {
             val denom = qn * norms(idx)
             // zero vectors (F14 zero-fill) score below any true cosine
             val score = if (denom > 0) dot / denom else -2.0
-            if (heap.size < k) heap.enqueue((score, idx))
-            else {
-              val worst = heap.head
-              if (worseGreater.compare((score, idx), worst) < 0) {
-                heap.dequeue(); heap.enqueue((score, idx))
+            // ceiling rejection happens at scoring time, never in the heap
+            if (score < ceilV) {
+              if (heap.size < k) heap.enqueue((score, idx))
+              else {
+                val worst = heap.head
+                if (worseGreater.compare((score, idx), worst) < 0) {
+                  heap.dequeue(); heap.enqueue((score, idx))
+                }
               }
             }
           }
@@ -184,7 +193,8 @@ object CosineKnn {
     * sides too large to broadcast — AQE decides from actual sizes. */
   private[graft] def topKRelational(queries: DataFrame, items: DataFrame, k: Int,
                                   excludeSelf: Boolean,
-                                  broadcastItems: Boolean = true): DataFrame = {
+                                  broadcastItems: Boolean = true,
+                                  scoreCeiling: Option[Double] = None): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val parts = math.max(sc.defaultParallelism, queries.rdd.getNumPartitions)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
@@ -198,7 +208,10 @@ object CosineKnn {
       .withColumn("score",
         when(col("qn") * col("in") > 0, dot("qv", "iv") / (col("qn") * col("in")))
           .otherwise(lit(-2.0)))
-    scored
+    // ceiling rejection BEFORE the ranking window — rejected rows never
+    // reach the per-query sort
+    val admitted = scoreCeiling.fold(scored)(c => scored.filter(col("score") < c))
+    admitted
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
       .filter(col("rank") <= k)
@@ -210,27 +223,25 @@ object CosineKnn {
     * at or above the ceiling is a near-duplicate (a positive in
     * disguise) and must not be served as a negative, while the highest
     * scorers under it are the hard negatives a contrastive objective
-    * learns most from. Same scale shape as [[topKRelational]]: the
-    * score stream is filtered BEFORE the per-query window, so ceiling
-    * rejection never reaches the sort, and zero vectors (score
-    * sentinel -2) rank last as everywhere else. */
+    * learns most from.
+    *
+    * Routes through the same size-gated [[topK]] dispatch as every
+    * other exact-kNN entry point, with the ceiling pushed into each
+    * kernel at scoring time: the relational plan filters before the
+    * per-query window, the fused and shuffle-combine kernels reject
+    * before the bounded-heap insert — so an item side too large to
+    * broadcast takes the shuffle-combine path instead of OOMing a
+    * forced broadcast (the r9 plan hard-wired `broadcast(items)`
+    * regardless of size). Zero vectors (score sentinel -2) rank last
+    * as everywhere else. */
   def hardNegatives(queries: DataFrame, items: DataFrame, k: Int,
-                    simCeiling: Double): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .withColumn("qn", l2norm("qv"))
-    val it = items.select(col("id").as("item_id"), col("vec").as("iv"))
-      .withColumn("in", l2norm("iv"))
-    q.crossJoin(broadcast(it))
-      .filter(col("query_id") =!= col("item_id"))
-      .withColumn("score",
-        when(col("qn") * col("in") > 0, dot("qv", "iv") / (col("qn") * col("in")))
-          .otherwise(lit(-2.0)))
-      .filter(col("score") < simCeiling)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "item_id", "score", "rank")
-  }
+                    simCeiling: Double,
+                    collectMaxRows: Long = 1000000L, fusedMinPairs: Long = 4000000L,
+                    knownItemCount: Long = -1L, knownQueryCount: Long = -1L): DataFrame =
+    topK(queries, items, k, excludeSelf = true,
+      collectMaxRows = collectMaxRows, fusedMinPairs = fusedMinPairs,
+      knownItemCount = knownItemCount, knownQueryCount = knownQueryCount,
+      scoreCeiling = Some(simCeiling))
 
   /** Exact top-k for item sides too large to broadcast OR collect: the
     * scoring cartesian is consumed in-stage by a map-side bounded-heap
@@ -242,7 +253,8 @@ object CosineKnn {
     * order, so results are deterministic under any partitioning. */
   private[graft] def topKShuffleCombine(queries: DataFrame, items: DataFrame, k: Int,
                                         excludeSelf: Boolean,
-                                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
+                                        idType: org.apache.spark.sql.types.DataType,
+                                        scoreCeiling: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = queries.sparkSession
@@ -250,13 +262,16 @@ object CosineKnn {
       .withColumn("qn", l2norm("qv"))
     val it = items.select(col("id").as("item_id"), col("vec").as("iv"))
       .withColumn("in", l2norm("iv"))
-    val scored = q.crossJoin(it)
+    val scoredAll = q.crossJoin(it)
       .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
       // zero vectors (F14 zero-fill) score below any true cosine (< -1)
       .withColumn("score",
         when(col("qn") * col("in") > 0, dot("qv", "iv") / (col("qn") * col("in")))
           .otherwise(lit(-2.0)))
       .select("query_id", "item_id", "score")
+    // ceiling rejection inside the codegen'd scoring stage — rejected
+    // rows never reach the heap insert or the (already skinny) exchange
+    val scored = scoreCeiling.fold(scoredAll)(c => scoredAll.filter(col("score") < c))
     val cmpId: (Any, Any) => Int = idType match {
       case LongType    => (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
       case IntegerType => (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])

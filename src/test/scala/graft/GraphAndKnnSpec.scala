@@ -184,4 +184,51 @@ class GraphAndKnnSpec extends AnyFunSuite {
       .filter($"item_id" =!= 0).orderBy("rank").first().getLong(1)
     assert(approx == exact)
   }
+
+  test("hardNegatives: ceiling excludes near-dups, all three kernels agree") {
+    // id 0/1 are near-duplicates (cos ≈ 0.99998 ≥ ceiling) — they must
+    // never be served to each other; id 5 is a zero vector (sentinel -2,
+    // always under the ceiling, ranks last)
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(1.0, 0.006, 0.0)),
+      (2L, Seq(0.8, 0.6, 0.0)), (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(-1.0, 0.2, 0.0)), (5L, Seq(0.0, 0.0, 0.0))
+    ).toDF("id", "vec")
+    val rel = CosineKnn.hardNegatives(vecs, vecs, 3, 0.95)
+      .orderBy("query_id", "rank").collect()
+    assert(CosineKnn.lastKernel == "relational")
+    // query 0's neighbors: 1 excluded by ceiling, so 2 (0.8), 3 (0), 4 (< 0)
+    val q0 = rel.filter(_.getLong(0) == 0L)
+    assert(q0.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(q0.forall(_.getDouble(2) < 0.95))
+    // the near-dup pair is absent in BOTH directions
+    assert(!rel.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    assert(!rel.exists(r => r.getLong(0) == 1L && r.getLong(1) == 0L))
+    val fused = CosineKnn.hardNegatives(vecs, vecs, 3, 0.95, fusedMinPairs = 1L)
+      .orderBy("query_id", "rank").collect()
+    assert(CosineKnn.lastKernel == "fused")
+    val comb = CosineKnn.hardNegatives(vecs, vecs, 3, 0.95, collectMaxRows = 1L)
+      .orderBy("query_id", "rank").collect()
+    assert(CosineKnn.lastKernel == "shuffle-combine")
+    assert(fused.length == rel.length && comb.length == rel.length)
+    fused.zip(rel).zip(comb).foreach { case ((f, r), c) =>
+      assert(f.getLong(0) == r.getLong(0) && f.getLong(1) == r.getLong(1)
+        && f.getInt(3) == r.getInt(3))
+      assert(c.getLong(0) == r.getLong(0) && c.getLong(1) == r.getLong(1)
+        && c.getInt(3) == r.getInt(3))
+      assert(math.abs(f.getDouble(2) - r.getDouble(2)) < 1e-15)
+      assert(math.abs(c.getDouble(2) - r.getDouble(2)) < 1e-15)
+    }
+  }
+
+  test("hardNegatives above the collect gate takes the bounded-heap RDD kernel") {
+    // the r9 plan hard-wired crossJoin(broadcast(items)) no matter the
+    // size; the dispatch must route oversized item sides to
+    // shuffle-combine (ExistingRDD = the RDD kernel's output scan)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.3), math.cos(i * 0.7), 0.2))).toDF("id", "vec")
+    val df = CosineKnn.hardNegatives(vecs, vecs, 2, 0.95, collectMaxRows = 1L)
+    assert(CosineKnn.lastKernel == "shuffle-combine")
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
 }

@@ -175,4 +175,67 @@ class KeywordsAndPackSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(viaSql == composed)
   }
+
+  // ---- TokenBudget: the decomposed per-source budget prefix sum -------
+
+  /** The naive single-window formulation the decomposition must equal. */
+  private def naiveBudget(scored: org.apache.spark.sql.DataFrame, budget: Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+  }
+
+  test("tokenBudget: decomposed cumsum equals the naive window, boundary-exact") {
+    import graft.prep.TokenBudget
+    // one source (the worst case the decomposition exists for), a
+    // quality MASS POINT at 0.9 spanning several doc groups, ties broken
+    // by doc_id, a budget that lands mid-group, and a zero-token doc
+    val rows = Seq(
+      (0L, "s", 0.9, 5L), (1L, "s", 0.9, 5L), (2L, "s", 0.9, 5L),
+      (3L, "s", 0.9, 5L), (4L, "s", 0.9, 0L), (5L, "s", 0.9, 5L),
+      (6L, "s", 0.7, 3L), (7L, "s", 0.7, 3L),
+      (8L, "s", 0.5, 100L), (9L, "s", 0.2, 1L),
+      (10L, "t", 1.0, 7L), (11L, "t", 0.1, 50L))
+    for (budget <- Seq(0L, 1L, 20L, 26L, 30L, 33L, 1000L)) {
+      val scored = rows.toDF("doc_id", "source", "quality", "n_tokens")
+      // docGroupWidth=2 forces dg boundaries inside the 0.9 mass point
+      val got = TokenBudget.select(scored, budget, docGroupWidth = 2L)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      val want = naiveBudget(scored, budget)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == want.toSeq, s"budget=$budget")
+    }
+  }
+
+  test("tokenBudget: no window sorts the corpus by source alone (scale guard)") {
+    import graft.prep.TokenBudget
+    import org.apache.spark.sql.execution.window.WindowExec
+    val scored = (0L until 200L).map(i =>
+      (i, "only_source", (i % 7) / 10.0, i % 13)).toDF("doc_id", "source", "quality", "n_tokens")
+    val df = TokenBudget.select(scored, 100L, docGroupWidth = 16L)
+    // sparkPlan, not executedPlan: AQE hides the tree until execution
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      if (keys == Seq("source")) {
+        // the per-source window may only ever see the skinny
+        // (source, quality) aggregate — never corpus rows
+        assert(!w.child.output.map(_.name).contains("doc_id"),
+          s"per-source window over corpus rows: ${w.child.output.map(_.name)}")
+      }
+      if (w.child.output.map(_.name).contains("doc_id")) {
+        // any window touching corpus rows must carry the full
+        // (source, quality, dg) decomposition key
+        assert(keys.toSet == Set("source", "quality", "dg"),
+          s"corpus-row window under-partitioned: $keys")
+      }
+    }
+  }
 }
