@@ -30,6 +30,17 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String) = Tables.t(s, dir, name)
 
+  /** Per-run scratch root for the sink/roundtrip queries (q43, q44,
+    * q50, q51, q88, q91, q93, q101). Keyed by pid (overridable with
+    * SPARK_GRAFT_RUN_ID) so two concurrent Verify/Bench JVMs on one
+    * machine can never clobber each other's sink mid-read — the r9
+    * fixed `/tmp/graft_qNN` constants did exactly that. The oracle SQL
+    * for the roundtrip queries interpolates the SAME value, and both
+    * sides are emitted by the same JVM (Verify dumps oracle_sql.json),
+    * so the DuckDB replay always reads this run's files. */
+  private[graft] val runScratch: String =
+    s"/tmp/graft_run_${sys.env.getOrElse("SPARK_GRAFT_RUN_ID", ProcessHandle.current().pid().toString)}"
+
   /** 1999-01-01T00:00:00Z in epoch millis — fixed-timestamp split point. */
   private val FixedTs = 915148800000L
 
@@ -632,7 +643,7 @@ object SparkEntry {
     // reads the file this query WRITES, so write and read are both under
     // the hash check (previously ScalaTest-only)
     "q43_typed_csv_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_q43_roundtrip"
+      val out = s"$runScratch/q43_roundtrip"
       graft.schema.TypedCsv.write(
         T(s, dir, "nation").select(
           col("n_nationkey").cast("double").as("nation_key"),
@@ -646,7 +657,7 @@ object SparkEntry {
     // S2: multi-char "::" headerless dialect (the ml-1m separator),
     // written then scanned through the converter reader
     "q44_delimited_scan" -> ((s, dir) => {
-      val out = "/tmp/graft_q44_mcsep"
+      val out = s"$runScratch/q44_mcsep"
       T(s, dir, "region")
         .select(concat_ws("::", col("r_regionkey"), col("r_name")).as("line"))
         .coalesce(1).write.mode("overwrite").text(out)
@@ -762,7 +773,7 @@ object SparkEntry {
     // Fixture responses are pure functions of the query text, so the
     // oracle reconstructs every output column from `part` directly.
     "q50_data_integration" -> ((s, dir) => {
-      val out = "/tmp/graft_q50_integration"
+      val out = s"$runScratch/q50_integration"
       val items = T(s, dir, "part").filter(col("p_partkey") <= 400)
         .select(col("p_partkey").cast("string").as("item_id"),
           col("p_name").as("movie_title"),
@@ -793,7 +804,7 @@ object SparkEntry {
     // are dropped (wall time is not deterministic). Bounded to ~300
     // users at every sf.
     "q51_experiment_yaml" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q51_exp"
+      val tmp = s"$runScratch/q51_exp"
       graft.schema.TypedCsv.write(
         Tables.ratings(s, dir).filter(col("user_id") < 300).select(
           col("user_id").cast("string").as("user_id"),
@@ -1108,7 +1119,7 @@ object SparkEntry {
     // the oracle re-reads the file this query writes, so Spark's JSON
     // encoding (string escaping included) is under the hash check
     "q88_jsonl_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_q88_jsonl"
+      val out = s"$runScratch/q88_jsonl"
       T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .coalesce(1).write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, lang STRING, text STRING, n_chars LONG").json(out)
@@ -1138,7 +1149,7 @@ object SparkEntry {
     // (PartitionFilters, spec-pinned) — the layout primitive that turns
     // a 100 TB scan into a 2-partition scan
     "q91_partitioned_sink" -> ((s, dir) => {
-      val out = "/tmp/graft_q91_part"
+      val out = s"$runScratch/q91_part"
       T(s, dir, "documents").write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
         .filter(col("lang").isin("en", "fr"))
@@ -1164,7 +1175,7 @@ object SparkEntry {
     // the projection from the original parquet; any roundtrip corruption
     // breaks the hash
     "q93_orc_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_q93_orc"
+      val out = s"$runScratch/q93_orc"
       T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .coalesce(1).write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -1254,7 +1265,7 @@ object SparkEntry {
     // spec-pinned): the sort-at-write primitive that turns point/range
     // lookups over 100 TB into a handful of row groups
     "q101_sorted_layout" -> ((s, dir) => {
-      val out = "/tmp/graft_q101_sorted"
+      val out = s"$runScratch/q101_sorted"
       T(s, dir, "documents")
         .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(out)
@@ -1859,11 +1870,11 @@ object SparkEntry {
     // unrounded (the report rounds once, after the user mean, exactly as
     // Reporter.foldPivot does). Single fold -> mean == fold value, std 0.
     "q51_experiment_yaml" ->
-      ("""WITH raw AS (
+      (s"""WITH raw AS (
         |  SELECT "user_id::string" AS user_id, "item_id::string" AS item_id,
         |         CAST("rating::number" AS DOUBLE) AS rating,
         |         CAST("timestamp::number" AS DOUBLE) AS ts
-        |  FROM read_csv('/tmp/graft_q51_exp/rating.csv/*.csv', header=true, all_varchar=true))
+        |  FROM read_csv('$runScratch/q51_exp/rating.csv/*.csv', header=true, all_varchar=true))
         |, ratings AS (
         |  SELECT user_id, item_id, MAX(rating) AS rating, MAX(ts) AS ts
         |  FROM raw GROUP BY 1, 2)""".stripMargin
@@ -1901,14 +1912,14 @@ object SparkEntry {
         |FROM part GROUP BY p_brand""".stripMargin,
 
     "q43_typed_csv_roundtrip" ->
-      """SELECT CAST("nation_key::number" AS DOUBLE) AS nation_key,
+      s"""SELECT CAST("nation_key::number" AS DOUBLE) AS nation_key,
         |       "name::string" AS name,
         |       replace("words::string_list", '::', '|') AS words_j
-        |FROM read_csv('/tmp/graft_q43_roundtrip/*.csv', header=true, all_varchar=true)""".stripMargin,
+        |FROM read_csv('$runScratch/q43_roundtrip/*.csv', header=true, all_varchar=true)""".stripMargin,
 
     "q44_delimited_scan" ->
       ("SELECT split_part(line, '::', 1) AS region_key, split_part(line, '::', 2) AS region_name\n" +
-       "FROM read_csv('/tmp/graft_q44_mcsep/*.txt', header=false, delim='\t', columns={'line':'VARCHAR'})"),
+       s"FROM read_csv('$runScratch/q44_mcsep/*.txt', header=false, delim='\t', columns={'line':'VARCHAR'})"),
 
     // IVF-exhaustive == exact top-k; normalize-then-dot on both sides
     // (list_transform mirrors Spark's transform, both fold left-to-right)
@@ -2146,8 +2157,8 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q88_jsonl_roundtrip" ->
-      """SELECT doc_id, lang, md5(text) AS text_fp, n_chars
-        |FROM read_json('/tmp/graft_q88_jsonl/*.json', format='newline_delimited',
+      s"""SELECT doc_id, lang, md5(text) AS text_fp, n_chars
+        |FROM read_json('$runScratch/q88_jsonl/*.json', format='newline_delimited',
         |  columns={'doc_id':'BIGINT','lang':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin,
 
     // replays LineDedup.dedupCorpus(wordsPerLine = 3): fixed word
