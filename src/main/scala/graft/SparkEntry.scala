@@ -2222,7 +2222,7 @@ object SparkEntry {
     // replays Bpe round 1: character pairs over the word vocabulary,
     // weighted by word frequency, total tie order at the top-20 cut
     "q95_bpe_pairs" ->
-      """WITH wd AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      """WITH wd AS (SELECT unnest(string_split(replace(lower(text), chr(31), ''), ' ')) AS w FROM documents),
         |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM wd WHERE len(w) > 0 GROUP BY 1),
         |pr AS (SELECT w[i] AS a, w[i + 1] AS b, f
         |       FROM wf, UNNEST(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2)
@@ -2243,7 +2243,7 @@ object SparkEntry {
         s"replace($acc, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
       }
       s"""WITH ws AS (SELECT doc_id,
-         |        list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+         |        list_filter(string_split(replace(lower(text), chr(31), ''), ' '), w -> len(w) > 0) AS ws
          |      FROM documents),
          |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
          |        array_to_string(list_transform(ws, w -> $merged), ' ') AS ts

@@ -31,14 +31,23 @@ import org.apache.spark.sql.functions._
   * no joins, no shuffles, no state. */
 object Bpe {
 
-  /** U+001F unit separator — token boundary within a word. */
+  /** U+001F unit separator — token boundary within a word. Reserved:
+    * [[clean]] strips it from all input text, so a corpus that happens
+    * to contain U+001F cannot silently corrupt the wrapped
+    * tokenization or the separator-counting token arithmetic (both
+    * engines used to be bug-compatible on such input — the oracle
+    * could never catch it). */
   val Sep = "\u001f"
+
+  /** Input normalization: lowercase + strip the reserved separator. */
+  private def clean(textCol: Column): Column =
+    translate(lower(textCol), Sep, "")
 
   /** (word, f): corpus word vocabulary with frequencies. One map-side
     * combined aggregation; empty words (doubled spaces) dropped on both
     * engines. */
   def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), " ")).as("word"))
+    docs.select(explode(split(clean(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("f"))
 
@@ -117,7 +126,7 @@ object Bpe {
       // words staged ONCE: codegen does not CSE duplicated lambda
       // subtrees, and the next projection references it twice
       .select(col("doc_id"),
-        filter(split(lower(col(textCol)), " "), w => length(w) > 0).as("__ws"))
+        filter(split(clean(col(textCol)), " "), w => length(w) > 0).as("__ws"))
       .select(col("doc_id"),
         array_join(transform(col("__ws"), wordTok), " ").as("ts"),
         size(col("__ws")).cast("long").as("n_words"))

@@ -49,17 +49,26 @@ object ScaleJoins {
     * through, and its filter is reusable across several scans. */
   def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    // Note: the small side's plan executes twice — once for the filter's
-    // treeAggregate, once as the exact join's build — plus a take(1) for
-    // the emptiness probe (stat.bloomFilter NPEs on zero rows, and an
-    // empty build side has an exact answer anyway). Callers with an
-    // expensive small-side plan should persist it first.
-    if (small.isEmpty) return big.join(small.select(col(key)), Seq(key), "left_semi")
-    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    // no distinct on the build side: left_semi ignores duplicate build rows
-    big.filter(might(col(key)))
-      .join(small.select(col(key)), Seq(key), "left_semi")
+    import org.apache.spark.storage.StorageLevel
+    // The small side is needed three times (emptiness probe, the
+    // filter's treeAggregate, the exact join's build), so its key
+    // projection is persisted here: the probe fills the cache, the
+    // bloom build reads it back, and the small side's ORIGINAL plan
+    // executes once more when the caller runs the join — 2 executions
+    // total instead of 3, without leaking a cache entry past this call
+    // (the unpersist below is lazy; a caller that persists `small`
+    // itself still gets down to 1).
+    val keys = small.select(col(key)).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stat.bloomFilter NPEs on zero rows, and an empty build side has
+      // an exact answer anyway
+      if (keys.isEmpty) return big.join(keys, Seq(key), "left_semi")
+      val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
+      val bc = big.sparkSession.sparkContext.broadcast(bf)
+      val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      // no distinct on the build side: left_semi ignores duplicate build rows
+      big.filter(might(col(key)))
+        .join(small.select(col(key)), Seq(key), "left_semi")
+    } finally keys.unpersist(blocking = false)
   }
 }

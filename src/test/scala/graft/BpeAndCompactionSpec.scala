@@ -57,6 +57,24 @@ class BpeAndCompactionSpec extends AnyFunSuite {
     assert(enc2.select("tokens").as[String].head() == "t mer")
   }
 
+  test("Bpe: reserved U+001F in input text is stripped, not corrupting") {
+    // a corpus containing the separator used to corrupt the wrapped
+    // tokenization and the separator-count token arithmetic silently
+    // (identically in the SQL oracle, so only a unit test can pin it)
+    val dirty = Seq((1L, "lo\u001fw \u001flow\u001f")).toDF("doc_id", "text")
+    val clean = Seq((1L, "low low")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = Bpe.encode(dirty, merges)
+      .select("n_words", "n_tokens", "tokens").as[(Long, Long, String)].head()
+    val want = Bpe.encode(clean, merges)
+      .select("n_words", "n_tokens", "tokens").as[(Long, Long, String)].head()
+    assert(got == want)
+    assert(got == ((2L, 2L, "low low")))
+    // wordFreq sees the cleaned words too
+    val wf = Bpe.wordFreq(dirty).as[(String, Long)].collect().toMap
+    assert(wf == Map("low" -> 2L))
+  }
+
   test("Bpe.encode with train's merges reproduces train's vocab tokenization") {
     val docs = Seq((1L, "low low lower newest newest widest")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, 3)

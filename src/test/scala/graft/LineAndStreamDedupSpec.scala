@@ -45,6 +45,24 @@ class LineAndStreamDedupSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 2L, 1L, "q r s")))
   }
 
+  test("firstOccurrences == dedupLines kept set; dedupCorpus carries no window sort") {
+    val d = docs(
+      (1L, "x y z a b c"), (2L, "a b c x y z"), (3L, "q r s a b c"),
+      (4L, "a b c a b c")) // within-doc repeat of an already-seen line
+    val lines = LineDedup.linesByWords(d, 3)
+    val viaWindow = LineDedup.dedupLines(lines)
+      .filter(col("kept")).select("doc_id", "line_idx", "line")
+      .as[(Long, Int, String)].collect().toSet
+    val viaAgg = LineDedup.firstOccurrences(lines)
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // the hot-line escape hatch: the end-to-end plan must contain no
+    // window (= no per-line occurrence sort), only aggregates
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = LineDedup.dedupCorpus(d, 3).queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("dupSpanStats: positional spans, distinct-doc threshold, floor permille") {
     // doc 1: 6 words -> 2 positional 5-grams; doc 2 shares exactly the
     // first one; doc 3 shares nothing
@@ -151,11 +169,19 @@ class LineAndStreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("plan pins: line dedup is two exchanges (line window + doc reassembly), no join") {
+  test("plan pins: line dedup exchanges are partial-aggregated; the only join is doc-keyed") {
     val d = docs((1L, "a b c d e f"))
-    val plan = LineDedup.dedupCorpus(d, 3).queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
-    assert(!plan.toLowerCase.contains("join"), plan)
+    val qe = LineDedup.dedupCorpus(d, 3).queryExecution
+    val plan = qe.executedPlan.toString
+    // line-keyed min-agg, doc-keyed totals, doc-keyed reassembly — all
+    // partial-aggregated (hot lines collapse map-side before the wire);
+    // the totals⋈kept join is on doc_id only and never moves line rows
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 3, plan)
+    assert(plan.contains("partial_min") || plan.contains("partial min")
+      || plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("min")), plan)
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(qe.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "dedupCorpus must not sort line-occurrence lists")
   }
 
   test("plan pins: streaming bucket keys are computed without any exchange") {
