@@ -1370,6 +1370,57 @@ object SparkEntry {
       CosineKnn.hardNegatives(e.filter(col("id") < 50), e, 2, 0.95)
         .select(col("query_id"), col("item_id").as("negative_id"), col("rank"),
           round(col("score"), 6).as("cos_r"))
+    }),
+
+    // The COMPOSED corpus pipeline — every stage is individually green
+    // (q99, q89, q76, q106, q61, q84); this runs them as one chained
+    // plan and hashes the final shard manifest, pinning the column
+    // contracts and fingerprint stability ACROSS stage boundaries (the
+    // reference's own value is the chained experiment, not single ops):
+    // curation gate → line-level dedup (rewritten text, '\n'→' ') →
+    // MinHash-LSH near-dup clusters → canonical survivors →
+    // token-budgeted quality selection per source → fixed-block
+    // sequence packing → deterministic sharding
+    "q108_pipeline_e2e" -> ((s, dir) => {
+      val budget = 1500L
+      val docs = T(s, dir, "documents")
+      // 1. curation gate (pushdown-barriered keep filter), back to rows
+      val keptIds = TextOps.curationKept(docs).select("doc_id")
+      val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+      // 2. line-level dedup; survivors only; newline-joined reassembly
+      //    flattened back to a space-separated token stream
+      val rewritten = graft.text.LineDedup.dedupCorpus(kept, 3)
+        .filter(col("n_kept") > 0)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          translate(col("text"), "\n", " ").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 3. near-dup clusters over the REWRITTEN corpus (same 8×2-band,
+      //    J≥0.8 parameterization as q76), canonical min-id survivors
+      val pairs = Dedup.minhashLsh(s, rewritten, 8, 3, 0.8)
+      val cc = Dedup.clusters(s, rewritten, pairs)
+      pairs.unpersist(blocking = false)
+      val canon = Dedup.canonical(rewritten, cc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 4. per-source token budget in (quality DESC, doc_id) order via
+      //    the decomposed prefix sum
+      val scored = canon.select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val selected = graft.prep.TokenBudget.select(scored, budget)
+      // 5. fixed-block packing of the admitted docs (doc_id order)
+      val packIn = canon.join(selected.select("doc_id"), Seq("doc_id"), "left_semi")
+      val packed = graft.prep.SequencePack.pack(packIn, 512, groupWidth = 256L)
+      // 6. deterministic sharding + the manifest a loader would consume
+      val sharded = graft.util.Sampling.shard(
+        selected.select("doc_id"), nShards = 4, seed = 5L, keyCols = Seq("doc_id"))
+      packed.join(sharded.select("doc_id", "shard"), Seq("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum(when(col("spans_blocks"), 1L).otherwise(0L)).as("n_spanning"),
+          md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")).as("ids_fp"))
     })
   )
 
@@ -1386,7 +1437,8 @@ object SparkEntry {
     * [[graft.text.Dedup.MinhashA]] constants → banded self-join →
     * count-based exact Jaccard. Ends with CTEs `sh` (doc_id, s), `cand`
     * (doc_a, doc_b) and `cnt`/`inter`; callers append the final select. */
-  private def minhashCtes(nBands: Int, rowsPerBand: Int): String = {
+  private def minhashCtes(nBands: Int, rowsPerBand: Int,
+                          src: String = "documents", lead: String = "WITH "): String = {
     import graft.text.Dedup.{MinhashA, MinhashP}
     val nHash = nBands * rowsPerBand
     val abValues = (0 until nHash).map(j => s"($j, ${MinhashA(j)})").mkString(", ")
@@ -1394,7 +1446,7 @@ object SparkEntry {
       .map(r => s"MIN(m) FILTER (WHERE j % $rowsPerBand = $r) AS h${r + 1}")
       .mkString(", ")
     val keyEq = (1 to rowsPerBand).map(r => s"a.h$r = c.h$r").mkString(" AND ")
-    s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    s"""${lead}docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $src),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
        |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
@@ -2276,6 +2328,94 @@ object SparkEntry {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_fp
         |FROM cum WHERE cum_tokens - n_tokens < 2000
         |GROUP BY 1""".stripMargin,
+
+    // full independent replay of the COMPOSED pipeline: the q99 gate,
+    // the q89 line dedup (newline flattened to space), the q76 minhash
+    // chain + recursive CC re-rooted on the rewritten corpus, the q106
+    // budget window, the q61 prefix sum, the q84 md5 shard — chained
+    // into one CTE graph ending at the shard manifest
+    "q108_pipeline_e2e" -> ("WITH RECURSIVE " +
+      """cg_d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |cg_s AS (SELECT doc_id, lang, w, len(w) AS n,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en_n,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS de_n,
+        |  len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','du','est','dans'))) AS fr_n,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','los','del'))) AS es_n
+        |  FROM cg_d),
+        |cg_g AS (SELECT doc_id, lang, n,
+        |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |       WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |       WHEN fr_n >= es_n THEN 'fr' ELSE 'es' END AS lang_guess,
+        |  GREATEST(en_n, de_n, fr_n, es_n) AS stop_g,
+        |  CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) ELSE [] END AS g3,
+        |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sumlen
+        |  FROM cg_s),
+        |keep AS (SELECT doc_id FROM cg_g
+        |  WHERE NOT (n < 20 OR n > 1000) AND lang_guess = lang AND stop_g >= 2
+        |    AND NOT (len(g3) > 0 AND (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000) // len(g3) > 300)
+        |    AND (100 * sumlen) // n BETWEEN 300 AND 1000),
+        |ld_w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |         WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |ld_l AS (SELECT doc_id,
+        |        unnest(range((len(w) + 2) // 3)) AS line_idx,
+        |        unnest(list_transform(range((len(w) + 2) // 3),
+        |          i -> array_to_string(w[i * 3 + 1 : i * 3 + 3], ' '))) AS line
+        |      FROM ld_w),
+        |ld_k AS (SELECT doc_id, line_idx, line,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS kept
+        |      FROM ld_l),
+        |ld_re AS (SELECT doc_id,
+        |        string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_idx) AS text
+        |      FROM ld_k GROUP BY doc_id),
+        |corpus2 AS (SELECT re.doc_id, dd.source, re.text
+        |      FROM ld_re re JOIN documents dd USING (doc_id) WHERE re.text IS NOT NULL),
+        |""".stripMargin +
+      minhashCtes(8, 2, src = "corpus2", lead = "") +
+      """,
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |          JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |ccx AS (SELECT doc_id AS node, doc_id AS comp FROM corpus2
+        |        UNION SELECT e.b, ccx.comp FROM ccx JOIN edges e ON ccx.node = e.a),
+        |lbl AS (SELECT node, MIN(comp) AS comp FROM ccx GROUP BY node),
+        |canon AS (SELECT c2.doc_id, c2.source, c2.text FROM corpus2 c2
+        |          JOIN lbl ON lbl.node = c2.doc_id WHERE lbl.comp = lbl.node),
+        |tb_q AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM canon),
+        |tb_s AS (SELECT doc_id, source, n_tokens,
+        |  ROUND(LEAST(len(w) / 100.0, 1.0) *
+        |        (0.5 + 0.5 * LEAST(CAST(len(list_filter(w,
+        |           x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |           / len(w) * 5.0, 1.0)), 6) AS quality
+        |  FROM tb_q),
+        |tb_c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM tb_s),
+        |sel AS (SELECT doc_id FROM tb_c WHERE cum_tokens - n_tokens < 1500),
+        |pk_c AS (SELECT c.doc_id,
+        |    CAST(len(list_filter(string_split(lower(c.text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM canon c JOIN sel USING (doc_id)),
+        |pk_o AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM pk_c),
+        |pk AS (SELECT doc_id, n_tokens,
+        |    ((start_off + GREATEST(n_tokens, 1) - 1) // 512) <> (start_off // 512) AS spans_blocks
+        |  FROM pk_o),
+        |shd AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || '5'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+        |  FROM sel)
+        |SELECT s2.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(p.n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN p.spans_blocks THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+        |  md5(string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)) AS ids_fp
+        |FROM pk p JOIN shd s2 USING (doc_id)
+        |GROUP BY 1""".stripMargin),
 
     // same minhash/banding/anchor chain as q94, rolled up per source
     "q105_dedup_audit" -> (minhashCtes(4, 2) +
