@@ -54,6 +54,26 @@ object CorpusProbe {
         ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u")))
         .agg(sum("n_tokens")).collect().head.getLong(0)
     }
+    // replace-chain depth vs merge count: encode cost is one chained
+    // codegen'd replace per merge, so 32 merges probes 4x the expression
+    // depth of the row above on the same corpus (the merges compose —
+    // ("w","3") feeds ("w3","1") — like a real learned table would)
+    val merges32 = (0 to 9).map(d => ("w", d.toString)) ++
+      (for (a <- 0 to 5; b <- 0 to 9) yield (s"w$a", b.toString)).take(22)
+    timed("bpeEncode(32)", nDocs) {
+      graft.text.Bpe.encode(docs, merges32)
+        .agg(sum("n_tokens")).collect().head.getLong(0)
+    }
+    // post-r10-fix token budget: ~20 sources over the whole corpus (the
+    // 100 TB shape that killed the naive per-source window), ~1e6
+    // distinct quality points, budget admitting a ~5% sliver per source
+    timed("tokenBudget(20src)", nDocs) {
+      val scored = docs.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(20)).cast("string").as("source"),
+        (pmod(xxhash64(col("doc_id"), lit(7)), lit(1000000)) / 1000000.0).as("quality"),
+        lit(40L).as("n_tokens"))
+      graft.prep.TokenBudget.select(scored, nDocs * 40 / 20 / 20).count()
+    }
     timed("curationGate", nDocs) {
       graft.text.TextOps.curationGate(docs)
         .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect().head.getLong(0)
@@ -76,6 +96,71 @@ object CorpusProbe {
     }
 
     docs.unpersist()
+
+    // q108's COMPOSED pipeline at probe scale: gate → line dedup →
+    // LSH canonicalization → token budget → packing → shard manifest.
+    // Needs its own corpus: the bounded-hex vocab above fails the
+    // curation gate wholesale (no stopwords -> lang mismatch), so this
+    // one mixes the gate's English stopword list into a 64-word vocab
+    // (~16% stopword mass, ~5.3 avg chars — inside every gate band).
+    val pvocab = ("the a of and to in is that it for".split(' ') ++
+      (0 until 54).map(i => s"word$i")).mkString(" ")
+    val pdocs = spark.range(nDocs).select(col("id").as("doc_id"), lit("en").as("lang"),
+      pmod(xxhash64(col("id"), lit(99)), lit(20)).cast("string").as("source"),
+      array_join(expr(
+        s"""transform(sequence(0, 39),
+           |  i -> element_at(split('$pvocab', ' '),
+           |         cast(pmod(xxhash64(id, i), 64) as int) + 1))""".stripMargin), " ")
+        .as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"pipeline docs materialized: ${pdocs.count()} " +
+      s"(gate keeps ${graft.text.TextOps.curationKept(pdocs).count()})")
+    timed("pipelineE2E(q108)", nDocs) {
+      val kept = pdocs.join(
+        graft.text.TextOps.curationKept(pdocs).select("doc_id"), Seq("doc_id"), "left_semi")
+      val rewritten = graft.text.LineDedup.dedupCorpus(kept, 3)
+        .filter(col("n_kept") > 0)
+        .join(pdocs.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), translate(col("text"), "\n", " ").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.text.Dedup.minhashLsh(spark, rewritten, 8, 3, 0.8)
+      val cc = graft.text.Dedup.clusters(spark, rewritten, pairs)
+      pairs.unpersist(blocking = false)
+      val canon = graft.text.Dedup.canonical(rewritten, cc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scored = canon.select(col("doc_id"), col("source"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // per-source corpus mass is ~2*nDocs tokens; admit a ~25% sliver
+      val selected = graft.prep.TokenBudget.select(scored, nDocs / 2)
+      val packIn = canon.join(selected.select("doc_id"), Seq("doc_id"), "left_semi")
+      val packed = graft.prep.SequencePack.pack(packIn, 512, groupWidth = 256L)
+      val sharded = graft.util.Sampling.shard(
+        selected.select("doc_id"), nShards = 4, seed = 5L, keyCols = Seq("doc_id"))
+      val out = packed.join(sharded.select("doc_id", "shard"), Seq("doc_id"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .agg(sum("n_docs")).collect().head.getLong(0)
+      rewritten.unpersist(blocking = false)
+      canon.unpersist(blocking = false)
+      out
+    }
+    pdocs.unpersist()
+
+    // q102's decode path: REAL ImageIO PNG decode + 8x8 NN downsample
+    // per row. Images are tiny (16x16, ~100 B) so this times codec
+    // overhead per row, the dominant term for thumbnail-scale dedup;
+    // default 200k rows (override N_IMGS)
+    import graft.multimodal.MultimodalOps
+    import spark.implicits._
+    val nImgs = sys.env.getOrElse("N_IMGS", "200000").toLong
+    val media = spark.range(nImgs).as[Long].mapPartitions(_.map(i =>
+        MultimodalOps.Media(i, "image", MultimodalOps.syntheticPng(i, 16, 16), 16, 16, 0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"pngs materialized: ${media.count()}")
+    timed("aHash64(16x16 png)", nImgs) {
+      MultimodalOps.perceptualHashes(media).filter(col("phash").isNotNull).count()
+    }
+    media.unpersist()
     spark.stop()
   }
 }
