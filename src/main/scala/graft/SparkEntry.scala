@@ -1421,6 +1421,62 @@ object SparkEntry {
           sum(when(col("spans_blocks"), 1L).otherwise(0L)).as("n_spanning"),
           md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
             x => x.cast("string")), ",")).as("ids_fp"))
+    }),
+
+    // W1 global split through the DECOMPOSED exact rank (EdgeSplits.
+    // byRatioGlobalScalable): same `rn > N - ceil(N*p)` flag as the
+    // monolithic global window, with the total order split into skinny
+    // per-bucket offsets + a 256-way-parallel bucket-partitioned
+    // window — the flagged single-partition window of level=global is
+    // gone from the scale path, and the oracle replays the NAIVE
+    // window, so the decomposition equality is under the hash gate
+    "q109_split_global" -> ((s, dir) => {
+      val key = Seq(EdgeSplits.portableHash(42), col("item_id"), col("user_id"))
+      EdgeSplits.byRatioGlobalScalable(Tables.ratings(s, dir), 0.25, key,
+        EdgeSplits.hexBucket(EdgeSplits.portableHash(42)))
+        .select("user_id", "item_id", "is_test")
+    }),
+
+    // Co-located bucketed join: both fact tables written bucketBy(8)
+    // on the join key, then joined AND aggregated on it — with
+    // bucketing metadata both the join and the groupBy reuse the
+    // storage partitioning, so the only exchanges in the plan are the
+    // writes themselves (PlanSpec pins the exchange-free read side).
+    // The oracle replays the same join/agg over the raw tables.
+    "q110_bucketed_join" -> ((s, dir) => {
+      graft.util.ScaleJoins.writeBucketed(
+        T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "q110_orders", "o_orderkey", 8, path = Some(s"$runScratch/q110_orders"))
+      graft.util.ScaleJoins.writeBucketed(
+        T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "q110_lineitem", "l_orderkey", 8, path = Some(s"$runScratch/q110_lineitem"))
+      s.table("q110_orders")
+        .join(s.table("q110_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          round(max("o_totalprice"), 2).as("total_price"))
+    }),
+
+    // Bin-bucketed range join (RangeJoin.pointInInterval): lineitems
+    // shipped inside each urgent order's 4-day [orderdate, +3d] window
+    // — a pure BETWEEN theta-join (no key equality) that stock Spark
+    // would plan as BroadcastNestedLoopJoin, turned into one bin-keyed
+    // equi-join + exact filter. Day-granular axis, binWidth 4 ⇒ ≤2
+    // bins per interval. The oracle replays the raw BETWEEN join.
+    "q111_range_join" -> ((s, dir) => {
+      val points = T(s, dir, "lineitem")
+        .select(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000").as("ship_day"),
+          col("l_quantity").cast("long").as("qty"))
+      val intervals = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("win_start"))
+        .withColumn("win_end", col("win_start") + 3)
+      graft.util.RangeJoin.pointInInterval(
+          points, "ship_day", intervals, "win_start", "win_end", binWidth = 4)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"), sum("qty").as("sum_qty"))
     })
   )
 
@@ -2416,6 +2472,36 @@ object SparkEntry {
         |  md5(string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)) AS ids_fp
         |FROM pk p JOIN shd s2 USING (doc_id)
         |GROUP BY 1""".stripMargin),
+
+    // the NAIVE monolithic global window — the decomposed Spark plan
+    // must reproduce it bit-for-bit
+    "q109_split_global" -> (R +
+      """, split2 AS (SELECT user_id, item_id,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR) || '|42'),
+        |      item_id, user_id) AS rn,
+        |    COUNT(*) OVER () AS n FROM ratings)
+        |SELECT user_id, item_id, rn > n - CEIL(n * 0.25) AS is_test FROM split2""".stripMargin),
+
+    // bucketing is plan-level only: the oracle is the plain join/agg
+    "q110_bucketed_join" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  ROUND(MAX(o_totalprice), 2) AS total_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // the raw BETWEEN theta-join the binned equi-join must equal
+    "q111_range_join" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_ship,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM (SELECT o_orderkey,
+        |        epoch_ms(o_orderdate) // 86400000 AS win_start
+        |      FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |JOIN (SELECT epoch_ms(l_shipdate) // 86400000 AS ship_day, l_quantity
+        |      FROM lineitem) l
+        |  ON l.ship_day BETWEEN o.win_start AND o.win_start + 3
+        |GROUP BY 1""".stripMargin,
 
     // same minhash/banding/anchor chain as q94, rolled up per source
     "q105_dedup_audit" -> (minhashCtes(4, 2) +

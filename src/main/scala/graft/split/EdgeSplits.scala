@@ -75,6 +75,78 @@ object EdgeSplits {
     ratings.withColumn("is_test", col(orderCol) > lit(thr))
   }
 
+  /** 2^bits-bucket monotone coarsening of a signed-long ordering column
+    * (arithmetic right shift preserves order) — the bucket expression
+    * for [[byRatioGlobalScalable]] over [[edgeHash]] keys. */
+  def longBucket(c: Column, bits: Int = 12): Column = shiftright(c, 64 - bits)
+
+  /** 256-bucket monotone coarsening of an md5-hex ordering column (a
+    * 2-char prefix of a fixed-width lowercase-hex string is monotone in
+    * the string order) — the bucket for [[portableHash]] keys. */
+  def hexBucket(c: Column): Column = substring(c, 1, 2)
+
+  /** EXACT global ratio split WITHOUT the single-partition window: the
+    * same `rn > N - ceil(N*p)` flag as `byRatio(level = "global")`,
+    * with the global row_number decomposed SequencePack-style.
+    * `bucket` must be a MONOTONE coarsening of the first order column
+    * (e.g. [[longBucket]] of [[edgeHash]], [[hexBucket]] of
+    * [[portableHash]]) of bounded cardinality (256-4096): per-bucket
+    * counts collapse to one skinny map-side-combined aggregate, the
+    * exclusive cumsum + grand total run on that bounded table alone,
+    * and every corpus row gets its rank from a window PARTITIONED by
+    * bucket — at most one bucket's rows per task sort, never the
+    * corpus. Bit-identical to the monolithic window (spec-pinned),
+    * deterministic: the flag stays a pure function of the edge. */
+  def byRatioGlobalScalable(ratings: DataFrame, p: Double,
+                            orderKey: Seq[Column], bucket: Column): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    withGlobalRank(ratings, orderKey, bucket)
+      .withColumn("is_test", col("__rn") > col("__N") - ceil(col("__N") * p))
+      .drop("__rn", "__N")
+  }
+
+  /** EXACT global k-fold without the single-partition window: ntile(k)
+    * re-expressed through the decomposed global rank of
+    * [[byRatioGlobalScalable]]. ntile semantics (the sklearn parity
+    * pin): with q = N div k and r = N mod k, folds 1..r hold q+1 rows,
+    * folds r+1..k hold q — the first branch covers every row when
+    * q = 0, so k > N degrades exactly like ntile (one row per fold). */
+  def kFoldGlobalScalable(ratings: DataFrame, k: Int,
+                          orderKey: Seq[Column], bucket: Column): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    withGlobalRank(ratings, orderKey, bucket)
+      .withColumn("__q", expr(s"__N div $k"))
+      .withColumn("__r", col("__N") % k)
+      // SQL `div` keeps the arithmetic in exact long integer land
+      .withColumn("fold", expr(
+        """cast(case when __rn <= __r * (__q + 1)
+          |       then (__rn - 1) div (__q + 1) + 1
+          |       else __r + (__rn - __r * (__q + 1) - 1) div __q + 1
+          |     end as int)""".stripMargin))
+      .drop("__rn", "__N", "__q", "__r")
+  }
+
+  /** Shared rank decomposition: appends `__rn` (exact global row
+    * number under `orderKey`) and `__N` (total count) via skinny
+    * per-bucket offsets + a bucket-partitioned corpus window. */
+  private def withGlobalRank(ratings: DataFrame, orderKey: Seq[Column],
+                             bucket: Column): DataFrame = {
+    val tagged = ratings.withColumn("__b", bucket)
+    // both windows below run on the bounded per-bucket count table
+    // (one row per occupied bucket), never on corpus rows
+    val base = tagged.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(
+        sum("__c").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__N", sum("__c").over(Window.partitionBy()))
+      .select("__b", "__base", "__N")
+    tagged.join(broadcast(base), Seq("__b"))
+      .withColumn("__rn",
+        col("__base") + row_number().over(
+          Window.partitionBy("__b").orderBy(orderKey: _*)))
+      .drop("__b", "__base")
+  }
+
   /** W4 `fixed_timestamp`: test = edges with ts strictly greater than t
     * (edge_splitter.py:52-60). No shuffle at all — a pushed-down filter. */
   def fixedTimestamp(ratings: DataFrame, t: Long): DataFrame =

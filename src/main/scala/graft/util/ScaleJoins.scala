@@ -14,11 +14,15 @@ object ScaleJoins {
     * co-located: zero Exchange in the join plan, the bucketing IS the
     * shuffle, paid once at write time. The standard layout for a fact
     * table joined repeatedly on the same key (ratings by user). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path -> external table: callers that may run concurrently
+    // (Verify/Bench) key it per run instead of sharing the warehouse dir
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Salted join for skewed keys: explode the SMALL side `salt` ways,
     * tag the big side with a deterministic salt in [0, salt), join on

@@ -85,4 +85,60 @@ class EdgeSplitsSpec extends AnyFunSuite {
     val nTest = approx.filter($"is_test").count()
     assert(math.abs(nTest - 200L) <= 5)
   }
+
+  // ---- decomposed exact global splits (no single-partition window) ----
+
+  test("byRatioGlobalScalable == monolithic global window, every p, both key families") {
+    val r = mkRatings(500, 9)
+    for (p <- Seq(0.1, 0.25, 0.5, 0.9)) {
+      // seeded-hash order (longBucket coarsening)
+      val keyH = Seq(EdgeSplits.edgeHash(42), $"item_id")
+      val gotH = EdgeSplits.byRatioGlobalScalable(r, p, keyH,
+          EdgeSplits.longBucket(EdgeSplits.edgeHash(42)))
+        .select("user_id", "item_id", "is_test").collect().toSet
+      val wantH = EdgeSplits.byRatio(r, p, "global", keyH)
+        .select("user_id", "item_id", "is_test").collect().toSet
+      assert(gotH == wantH, s"hash order p=$p")
+      // md5 order (hexBucket coarsening) — the oracle-portable family
+      val keyM = Seq(EdgeSplits.portableHash(7), $"item_id")
+      val gotM = EdgeSplits.byRatioGlobalScalable(r, p, keyM,
+          EdgeSplits.hexBucket(EdgeSplits.portableHash(7)))
+        .select("user_id", "item_id", "is_test").collect().toSet
+      val wantM = EdgeSplits.byRatio(r, p, "global", keyM)
+        .select("user_id", "item_id", "is_test").collect().toSet
+      assert(gotM == wantM, s"md5 order p=$p")
+    }
+  }
+
+  test("kFoldGlobalScalable == ntile window for ragged n/k, incl. k > buckets' rows") {
+    for (n <- Seq(97, 100, 503); k <- Seq(2, 3, 5, 7)) {
+      val r = mkRatings(n, 11)
+      val key = Seq(EdgeSplits.edgeHash(5), $"item_id")
+      val got = EdgeSplits.kFoldGlobalScalable(r, k, key,
+          EdgeSplits.longBucket(EdgeSplits.edgeHash(5)))
+        .select("user_id", "item_id", "fold").collect().toSet
+      val want = EdgeSplits.kFold(r, k, "global", key)
+        .select("user_id", "item_id", "fold").collect().toSet
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("scalable global splits: no empty-partition window ever sees corpus rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val r = mkRatings(300, 5)
+    val df = EdgeSplits.byRatioGlobalScalable(r, 0.25,
+      Seq(EdgeSplits.edgeHash(1), $"item_id"),
+      EdgeSplits.longBucket(EdgeSplits.edgeHash(1)))
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the single-partition windows may only run on the skinny
+      // per-bucket count table — never on rating rows
+      val cols = w.child.output.map(_.name)
+      assert(!cols.contains("item_id") && !cols.contains("user_id"),
+        s"global window over corpus rows: $cols")
+    }
+    // and at least one corpus-rank window IS bucket-partitioned
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+  }
 }

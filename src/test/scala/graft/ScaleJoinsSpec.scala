@@ -55,4 +55,79 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(salted.groupBy("k").count().collect().toSet ==
       plain.groupBy("k").count().collect().toSet)
   }
+
+  // ---- bin-bucketed range join ---------------------------------------
+
+  private def rndRange(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // negative axis values included on purpose: `div` truncation toward
+    // zero is monotone there too, and the filter stays exact
+    val points = (1 to 800).map(i =>
+      (i.toLong, rnd.nextLong(4001) - 2000L)).toDF("p_id", "ts")
+    val intervals = (1 to 300).map { i =>
+      val s = rnd.nextLong(4001) - 2000L
+      // ~1/10 inverted intervals (end < start): must match nothing
+      val e = if (i % 10 == 0) s - 1 - rnd.nextLong(20) else s + rnd.nextLong(60)
+      (i.toLong, s, e)
+    }.toDF("i_id", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("rangeJoin: binned equi-join == BETWEEN theta-join, every bin width") {
+    import graft.util.RangeJoin
+    val (points, intervals) = rndRange(3)
+    val want = points.join(intervals,
+        $"ts" >= $"lo" && $"ts" <= $"hi")
+      .select("p_id", "i_id").collect().toSet
+    assert(want.nonEmpty)
+    for (bw <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", bw)
+        .select("p_id", "i_id").collect().toSet
+      assert(got == want, s"binWidth=$bw")
+      // exactly-once: no dedup stage, so no pair may appear twice
+      val n = RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", bw).count()
+      assert(n == want.size.toLong, s"duplicate matches at binWidth=$bw")
+    }
+  }
+
+  test("rangeJoin: plans as a shuffled equi-join, never a nested-loop cartesian") {
+    import graft.util.RangeJoin
+    val (points, intervals) = rndRange(5)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", 16L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"range join fell back to a product plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the bin key:\n$plan")
+      // the naive BETWEEN formulation IS the product plan — the operator
+      // exists because of this
+      val naive = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+        .queryExecution.executedPlan.toString
+      assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("bucketed join+agg on the bucket key: zero exchanges end-to-end (q110 shape)") {
+    val a = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "vb")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    ScaleJoins.writeBucketed(a, "bkt_agg_a", "k", 8, path = Some(s"$tmp/a"))
+    ScaleJoins.writeBucketed(b, "bkt_agg_b", "k", 8, path = Some(s"$tmp/b"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // join on k AND aggregate by k: both reuse the storage partitioning
+      val q = spark.table("bkt_agg_a").join(spark.table("bkt_agg_b"), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("va").as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle in join+agg, got:\n$plan")
+      assert(q.count() == 50)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_agg_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_agg_b")
+    }
+  }
 }

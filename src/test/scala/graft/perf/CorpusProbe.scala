@@ -65,12 +65,18 @@ object CorpusProbe {
         .agg(sum("n_tokens")).collect().head.getLong(0)
     }
     // post-r10-fix token budget: ~20 sources over the whole corpus (the
-    // 100 TB shape that killed the naive per-source window), ~1e6
-    // distinct quality points, budget admitting a ~5% sliver per source
-    timed("tokenBudget(20src)", nDocs) {
+    // 100 TB shape that killed the naive per-source window). Q_POINTS
+    // sets quality cardinality: the default 1e6 is the UNsaturated
+    // worst case (level-1 skinny table still growing with the corpus);
+    // real corpora sit in the saturated mass-point regime (qualityScore
+    // is a round-6 ratio that piles up on few values — Q_POINTS=1000),
+    // where level 1 is corpus-size-independent and the doc-group split
+    // carries the load. Budget admits a ~5% sliver per source.
+    val qPoints = sys.env.getOrElse("Q_POINTS", "1000000").toLong
+    timed(s"tokenBudget(20src,q=$qPoints)", nDocs) {
       val scored = docs.select(col("doc_id"),
         pmod(xxhash64(col("doc_id")), lit(20)).cast("string").as("source"),
-        (pmod(xxhash64(col("doc_id"), lit(7)), lit(1000000)) / 1000000.0).as("quality"),
+        (pmod(xxhash64(col("doc_id"), lit(7)), lit(qPoints)) / qPoints.toDouble).as("quality"),
         lit(40L).as("n_tokens"))
       graft.prep.TokenBudget.select(scored, nDocs * 40 / 20 / 20).count()
     }
