@@ -1477,6 +1477,26 @@ object SparkEntry {
           points, "ship_day", intervals, "win_start", "win_end", binWidth = 4)
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_ship"), sum("qty").as("sum_qty"))
+    }),
+
+    // Z-order (Morton) layout: lineitem tiled along the interleaved
+    // bits of (l_partkey, l_suppkey) — each file a 2-D tile with tight
+    // min/max on BOTH columns, so box AND single-dimension predicates
+    // prune files, where q101's one-column sort serves only its sort
+    // column. The box aggregate read back through the layout is under
+    // the hash (layout must not change values); the pruning itself is
+    // pinned in ScaleJoinsSpec via recordsRead A/B and PushedFilters.
+    "q112_zorder_layout" -> ((s, dir) => {
+      val out = s"$runScratch/q112_zorder"
+      graft.util.ZOrder.writeZOrdered(
+        T(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+        "l_partkey", "l_suppkey", out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(100, 400) && col("l_suppkey").between(2, 6))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
     })
   )
 
@@ -2502,6 +2522,15 @@ object SparkEntry {
         |      FROM lineitem) l
         |  ON l.ship_day BETWEEN o.win_start AND o.win_start + 3
         |GROUP BY 1""".stripMargin,
+
+    // layout must not change values: the oracle is the box aggregate
+    // over the raw table
+    "q112_zorder_layout" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 2 AND 6""".stripMargin,
 
     // same minhash/banding/anchor chain as q94, rolled up per source
     "q105_dedup_audit" -> (minhashCtes(4, 2) +

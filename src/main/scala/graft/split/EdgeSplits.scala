@@ -40,11 +40,13 @@ object EdgeSplits {
   /** Shared ratio machinery for W1-W3: order edges (globally or per
     * user), mark the last ceil(n*p) as test (edge_splitter.py:85-119).
     *
-    * Note on `level = "global"`: an exact global ceil(N*p) cutoff needs
-    * a total order, which Spark can only give through a single-partition
-    * window — fine at verification scale. The scale path for 100 TB is
-    * [[byRatioApprox]], which replaces the global row_number with an
-    * approxQuantile threshold on the ordering key.
+    * Note on `level = "global"`: here the exact global ceil(N*p) cutoff
+    * runs through a single-partition window — fine at verification
+    * scale, and the naive form the oracle replays. The 100 TB paths are
+    * [[byRatioGlobalScalable]] / [[kFoldGlobalScalable]] (the SAME
+    * exact flag with the rank decomposed over monotone hash buckets —
+    * spec-pinned bit-equal) or [[byRatioApprox]] when an approximate
+    * cut position is acceptable.
     */
   def byRatio(ratings: DataFrame, p: Double, level: String, orderKey: Seq[Column]): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0,1), got $p") // edge_splitter.py:36-37
