@@ -1497,6 +1497,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+    }),
+
+    // Generic bounded-heap per-group top-k (TopK.perGroup): top-3
+    // lineitems per order by extended price — the agg form of the
+    // rank()<=k window, shuffling ≤ groups × partitions × k rows
+    // instead of every row (TopKSpec measures the reduction). Ordering
+    // on the RAW double, rounding only in the output projection, tie
+    // broken by the unique line number — both engines identical.
+    "q113_topk_groups" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").as("line_no"),
+          col("l_partkey"), col("l_extendedprice"))
+      graft.util.TopK.perGroup(li, Seq("l_orderkey"), "l_extendedprice",
+          Seq("line_no"), k = 3)
+        .select(col("l_orderkey"), col("line_no"), col("l_partkey"),
+          round(col("l_extendedprice"), 2).as("price"), col("rank"))
+    }),
+
+    // Incremental algebraic aggregate maintenance (IncrementalAgg):
+    // per-part quantity stats built from a pre-1996 base state and
+    // refreshed through TWO yearly delta batches — each refresh scans
+    // only its delta plus the skinny state, and the final state must be
+    // bit-equal to the oracle's from-scratch recompute over the whole
+    // table (sums exact longs; the mean derived at read time in scaled
+    // integers, never stored)
+    "q114_incremental_agg" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000").as("ship_day"))
+      val grp = Seq("l_partkey")
+      val base = li.filter(col("ship_day") < 9496)                // < 1996-01-01
+      val d1 = li.filter(col("ship_day") >= 9496 && col("ship_day") < 9862) // 1996
+      val d2 = li.filter(col("ship_day") >= 9862)                 // rest
+      val s0 = graft.util.IncrementalAgg.state(base.drop("ship_day"), grp, "qty")
+      val s1 = graft.util.IncrementalAgg.refresh(s0, d1.drop("ship_day"), grp, "qty")
+      val s2 = graft.util.IncrementalAgg.refresh(s1, d2.drop("ship_day"), grp, "qty")
+      s2.select(col("l_partkey"), col("n"), col("sum").as("sum_qty"),
+        col("min").as("min_qty"), col("max").as("max_qty"),
+        expr("(sum * 10000) div n").as("mean_e4"))
     })
   )
 
@@ -2531,6 +2570,27 @@ object SparkEntry {
         |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 2 AND 6""".stripMargin,
+
+    // the window-rank form the bounded-heap aggregate must equal
+    "q113_topk_groups" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey, l_linenumber AS line_no, l_partkey, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+        |  FROM lineitem)
+        |SELECT l_orderkey, line_no, l_partkey,
+        |  ROUND(l_extendedprice, 2) AS price, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the from-scratch recompute the two-step incremental refresh must
+    // reproduce bit-for-bit
+    "q114_incremental_agg" ->
+      """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+        |  (CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 10000) // COUNT(*) AS mean_e4
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // same minhash/banding/anchor chain as q94, rolled up per source
     "q105_dedup_audit" -> (minhashCtes(4, 2) +
