@@ -1536,7 +1536,16 @@ object SparkEntry {
       s2.select(col("l_partkey"), col("n"), col("sum").as("sum_qty"),
         col("min").as("min_qty"), col("max").as("max_qty"),
         expr("(sum * 10000) div n").as("mean_e4"))
-    })
+    }),
+
+    // SemDeDup (Abbas et al. 2023): integer k-means over the q81 int8
+    // codes bounds the quadratic near-dup scope to one cluster; the
+    // cosine test runs in exact longs (10^4*dot^2 vs tau2*|a|^2*|b|^2)
+    // so DuckDB replays cluster ids AND dup flags bit-for-bit
+    "q115_semdedup" -> ((s, dir) =>
+      graft.knn.SemDeDup.semDedup(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3, tau2PerTenK = 1225L))
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -1578,6 +1587,56 @@ object SparkEntry {
        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
        |          FROM cand p JOIN sh x ON x.doc_id = p.doc_a
        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.knn.SemDeDup.semDedup]]: the q81 int8
+    * codes, `iters` unrolled Lloyd rounds in exact integer arithmetic
+    * (long-format (vec_id, d, q) joins for centroid math, floor-of-mean
+    * centroid update, argmin ties to the smallest centroid index), then
+    * the within-cluster long-domain cosine test
+    * `10^4*dot^2 >= tau2 * |a|^2 * |b|^2`. */
+  private def semDedupSql(k: Int, iters: Int, tau2: Long): String = {
+    def asg(n: Int, cent: String) =
+      s"""asg$n AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |    FROM (SELECT cd.vec_id, ct.c, SUM((cd.q - ct.v)*(cd.q - ct.v)) AS d2
+         |          FROM cd JOIN $cent ct USING (d) GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    def upd(n: Int, prev: String) =
+      s"""cent${n + 1} AS (
+         |  SELECT p.c, p.d, COALESCE(s.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.c, cd.d, CAST(FLOOR(CAST(SUM(cd.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |    FROM asg$n a JOIN cd USING (vec_id) GROUP BY 1, 2) s
+         |  ON p.c = s.c AND p.d = s.d)""".stripMargin
+    val rounds = (0 until iters)
+      .map(i => asg(i, s"cent$i") + ",\n" + upd(i, s"cent$i")).mkString(",\n")
+    s"""WITH codes AS (
+       |  SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |              FROM embeddings))),
+       |cd AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS d, CAST(qv[u.i] AS BIGINT) AS q
+       |       FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+       |ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+       |        FROM codes ORDER BY vec_id LIMIT $k),
+       |cent0 AS (SELECT ids.c, cd.d, cd.q AS v FROM ids JOIN cd USING (vec_id)),
+       |$rounds,
+       |${asg(iters, s"cent$iters")},
+       |norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM cd GROUP BY 1),
+       |v AS (SELECT f.vec_id, f.c, n.n2, codes.qv FROM asg$iters f
+       |      JOIN norms n USING (vec_id) JOIN codes USING (vec_id)),
+       |dups AS (SELECT DISTINCT b.vec_id AS dup_id FROM v a JOIN v b
+       |         ON a.c = b.c AND a.vec_id < b.vec_id
+       |         WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+       |           AND 10000 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+       |                     * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+       |               >= $tau2 * a.n2 * b.n2)
+       |SELECT f.vec_id, f.c AS cluster,
+       |  CASE WHEN du.dup_id IS NULL THEN 0 ELSE 1 END AS is_semdup
+       |FROM asg$iters f LEFT JOIN dups du ON f.vec_id = du.dup_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2874,6 +2933,8 @@ object SparkEntry {
         |    regexp_replace(lower(regexp_extract(x, '(https?://[A-Za-z0-9.-]+)', 1)) ||
         |      regexp_replace(x, '^https?://[A-Za-z0-9.-]+', ''), '/$', '')),
         |    'string_agg', '|')) AS urls_fp
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "q115_semdedup" -> semDedupSql(k = 8, iters = 3, tau2 = 1225L)
   )
 }
