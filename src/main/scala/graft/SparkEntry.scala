@@ -1545,7 +1545,23 @@ object SparkEntry {
     "q115_semdedup" -> ((s, dir) =>
       graft.knn.SemDeDup.semDedup(
         T(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 3, tau2PerTenK = 1225L))
+        k = 8, iters = 3, tau2PerTenK = 1225L)),
+
+    // PageRank over the q13 KG triple graph in exact scaled-integer
+    // arithmetic (rank div outdeg contributions, 0.85 damping as
+    // (85*s) div 100) — every node's fixed-point rank under the hash
+    "q116_pagerank" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val userProps = T(s, dir, "customer")
+        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      val itemProps = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      val tri = KGraph.allTriples(r, Seq(
+        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
+        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
+      graft.graph.PageRank.run(tri, "head", "tail", iters = 5)
+        .select(col("node"), col("rank_e").as("rank_e9"))
+    })
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -2935,6 +2951,39 @@ object SparkEntry {
         |    'string_agg', '|')) AS urls_fp
         |FROM u""".stripMargin,
 
-    "q115_semdedup" -> semDedupSql(k = 8, iters = 3, tau2 = 1225L)
+    "q115_semdedup" -> semDedupSql(k = 8, iters = 3, tau2 = 1225L),
+
+    "q116_pagerank" -> pageRankSql(iters = 5)
   )
+
+  /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
+    * graph: `iters` unrolled rounds of
+    * rank' = 15e7 + (85 * sum_in(rank // outdeg)) // 100, all BIGINT
+    * (sums re-cast from DuckDB's HUGEINT before the damping multiply). */
+  private def pageRankSql(iters: Int): String = {
+    val triples =
+      """SELECT 'User(' || CAST(user_id AS VARCHAR) || ')' AS s,
+        |       'Item(' || CAST(item_id AS VARCHAR) || ')' AS t FROM ratings
+        |UNION ALL
+        |SELECT 'User(' || CAST(c_custkey AS VARCHAR) || ')',
+        |       'Property(' || c_mktsegment || ', mktsegment)'
+        |FROM customer WHERE c_custkey IN (SELECT user_id FROM ratings)
+        |UNION ALL
+        |SELECT 'Item(' || CAST(p_partkey AS VARCHAR) || ')',
+        |       'Property(' || p_brand || ', brand)'
+        |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT n.n, CAST(150000000 + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.t AS n, CAST(SUM(r.r // od.d) AS BIGINT) AS cs
+         |    FROM e JOIN r$i r ON e.s = r.n JOIN od ON od.s = e.s GROUP BY 1) c USING (n))""".stripMargin
+    }.mkString(",\n")
+    R + s""", e AS ($triples),
+       |nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT t FROM e)),
+       |od AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT n AS node, r AS rank_e9 FROM r$iters""".stripMargin
+  }
 }
