@@ -1561,6 +1561,17 @@ object SparkEntry {
         KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
       graft.graph.PageRank.run(tri, "head", "tail", iters = 5)
         .select(col("node"), col("rank_e").as("rank_e9"))
+    }),
+
+    // exact hot-token detection WITHOUT a full token shuffle: narrow
+    // Misra-Gries candidate pass (capacity 30 < the 31-word vocab, so
+    // the eviction path runs for real) + exact recount of candidates;
+    // deterministic, so a plain GROUP BY/HAVING replays it
+    "q117_heavy_hitters" -> ((s, dir) => {
+      val words = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.util.HeavyHitters.exact(words, "w", m = 30)
     })
   )
 
@@ -2953,7 +2964,15 @@ object SparkEntry {
 
     "q115_semdedup" -> semDedupSql(k = 8, iters = 3, tau2 = 1225L),
 
-    "q116_pagerank" -> pageRankSql(iters = 5)
+    "q116_pagerank" -> pageRankSql(iters = 5),
+
+    // the MG pass only proposes candidates; the answer is exactly
+    // "count*(m+1) > n", which GROUP BY/HAVING states directly
+    "q117_heavy_hitters" ->
+      """WITH w AS (SELECT w FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w
+        |                          FROM documents) WHERE len(w) > 0)
+        |SELECT w AS key, COUNT(*) AS cnt FROM w GROUP BY 1
+        |HAVING COUNT(*) * 31 > (SELECT COUNT(*) FROM w)""".stripMargin
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
