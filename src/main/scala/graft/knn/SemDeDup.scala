@@ -58,7 +58,6 @@ object SemDeDup {
     require(k > 0 && iters >= 0, "cluster: k > 0, iters >= 0")
     val cached = codes.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = cached.select(size(col("qvec"))).head().getInt(0)
       // deterministic init: the k smallest ids' codes, centroid index
       // = rank order (k rows to the driver — bounded by k)
       var cents: Array[Array[Long]] = cached
@@ -86,18 +85,30 @@ object SemDeDup {
     } finally cached.unpersist(blocking = false)
   }
 
-  /** Narrow argmin assignment against a literal centroid array; ties
-    * go to the smallest centroid index (strict < over ascending-index
-    * cents). */
+  /** Narrow argmin assignment against a single broadcast row carrying
+    * every centroid (the [[CosineKnn]] IVF idiom): the centroid table
+    * arrives as DATA, not as an inlined literal, so the generated code
+    * is small and IDENTICAL across Lloyd iterations — the codegen cache
+    * hits instead of Janino recompiling a 512-constant method per
+    * round. Ties go to the smallest centroid index: the map step
+    * evaluates d2 once per centroid, the reduce keeps the first
+    * minimum over the index-ascending array. */
   private def assignExpr(codes: DataFrame, cents: Array[Array[Long]]): DataFrame = {
-    val centsSql = cents.zipWithIndex.map { case (v, i) =>
-      s"named_struct('c', $i, 'v', array(${v.mkString("L,")}L))"
-    }.mkString("array(", ",", ")")
-    val d2 = "aggregate(zip_with(qvec, ct.v, (q, v) -> (cast(q as bigint) - v) * (cast(q as bigint) - v)), cast(0 as bigint), (a, x) -> a + x)"
-    codes.withColumn("cluster", expr(
-      s"""aggregate($centsSql,
-         |  named_struct('d2', ${Long.MaxValue}L, 'c', -1),
-         |  (acc, ct) -> if ($d2 < acc.d2, named_struct('d2', $d2, 'c', ct.c), acc)).c""".stripMargin))
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val centRow = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("c", "v")
+      .agg(sort_array(collect_list(struct(col("c"), col("v")))).as("cents"))
+    codes.crossJoin(broadcast(centRow))
+      .withColumn("cluster", expr(
+        s"""aggregate(
+           |  transform(cents, ct -> named_struct(
+           |    'd2', aggregate(zip_with(qvec, ct.v, (q, v) -> (cast(q as bigint) - v) * (cast(q as bigint) - v)),
+           |                    cast(0 as bigint), (a, x) -> a + x),
+           |    'c', ct.c)),
+           |  named_struct('d2', ${Long.MaxValue}L, 'c', -1),
+           |  (acc, x) -> if (x.d2 < acc.d2, x, acc)).c""".stripMargin))
+      .drop("cents")
   }
 
   /** Full SemDeDup: quantize -> cluster -> within-cluster integer

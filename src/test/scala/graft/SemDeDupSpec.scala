@@ -86,12 +86,14 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(tight.nonEmpty)
   }
 
-  test("assignment is narrow: no join or cartesian product feeds the cluster column") {
+  test("assignment is narrow: centroids arrive as a single broadcast row, never a shuffle") {
     val df = planted()
     val codes = graft.knn.Quantize.int8(df, "embedding").select($"vec_id", $"qvec")
     val plan = SemDeDup.cluster(codes, "vec_id", k = 4, iters = 0)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
-      s"assignment must be a literal-centroid HOF, not a join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"assignment must ride a one-row broadcast (IVF idiom), not a shuffle join:\n$plan")
+    assert(plan.contains("Broadcast"), s"expected the centroid broadcast:\n$plan")
   }
 }
