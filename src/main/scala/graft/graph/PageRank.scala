@@ -73,7 +73,10 @@ object PageRank {
       .join(gate(nid.select(col("n").as("s"), col("nid").as("sid"))), "s")
       .join(gate(nid.select(col("n").as("t"), col("nid").as("tid"))), "t")
       .select("sid", "tid")
-    val eo = en.join(en.groupBy("sid").agg(count(lit(1)).as("d")), "sid")
+    // the degree table is |V|-sized — under the gate it broadcasts, so
+    // the edge list is scanned narrowly and shuffled exactly once (the
+    // sid repartition below) while building the iteration cache
+    val eo = en.join(gate(en.groupBy("sid").agg(count(lit(1)).as("d"))), "sid")
       .repartition(col("sid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nid.select(col("nid"), lit(scale).as("r"))
