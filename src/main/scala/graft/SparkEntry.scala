@@ -1572,6 +1572,21 @@ object SparkEntry {
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(length(col("w")) > 0)
       graft.util.HeavyHitters.exact(words, "w", m = 30)
+    }),
+
+    // connected components of the q34 semantic near-dup graph on the
+    // DataFrame engine (min-label propagation to fixpoint) — the
+    // Tungsten-native alternative to q37's GraphX path; unpaired
+    // vectors are their own singleton component
+    "q118_components" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      val pairs = Dedup.embeddingNearDup(emb, 0.45).select("a_id", "b_id")
+      val cc = graft.graph.ConnectedComponents.run(pairs, "a_id", "b_id")
+      T(s, dir, "embeddings").select(col("vec_id"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
     })
   )
 
@@ -2972,7 +2987,23 @@ object SparkEntry {
       """WITH w AS (SELECT w FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w
         |                          FROM documents) WHERE len(w) > 0)
         |SELECT w AS key, COUNT(*) AS cnt FROM w GROUP BY 1
-        |HAVING COUNT(*) * 31 > (SELECT COUNT(*) FROM w)""".stripMargin
+        |HAVING COUNT(*) * 31 > (SELECT COUNT(*) FROM w)""".stripMargin,
+
+    // recursive-CTE transitive min-reachable label == the fixpoint of
+    // the Spark min-label propagation — two independent algorithms for
+    // the same pure function of the q34 edge set
+    "q118_components" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e0 a, e0 b
+        |      WHERE a.vec_id < b.vec_id
+        |        AND list_dot_product(a.v, b.v) /
+        |            (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45),
+        |ue AS (SELECT a_id AS a, b_id AS b FROM p UNION SELECT b_id, a_id FROM p),
+        |lbl AS (SELECT a AS n, a AS l FROM ue
+        |        UNION SELECT e.b, lbl.l FROM lbl JOIN ue e ON lbl.n = e.a),
+        |c AS (SELECT n, MIN(l) AS comp FROM lbl GROUP BY 1)
+        |SELECT v.vec_id, COALESCE(c.comp, v.vec_id) AS component
+        |FROM embeddings v LEFT JOIN c ON v.vec_id = c.n""".stripMargin
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
