@@ -1587,7 +1587,37 @@ object SparkEntry {
         .join(cc, col("vec_id") === col("node"), "left")
         .select(col("vec_id"),
           coalesce(col("component"), col("vec_id")).as("component"))
-    })
+    }),
+
+    // tokenizer fertility per source: BPE tokens per character of the
+    // q96 fixed merge table — the tokenizer-efficiency readout used to
+    // compare vocabularies; all-integer rollup (tokens*10^4 div chars)
+    "q119_token_fertility" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val enc = graft.text.Bpe.encode(docs, BpeMerges)
+        .select(col("doc_id"), col("n_tokens"))
+      docs.select(col("doc_id"), col("source"),
+          aggregate(
+            filter(split(translate(lower(col("text")), "\u001F", ""), " "),
+              w => length(w) > 0),
+            lit(0L), (a, w) => a + length(w).cast("long")).as("n_chars"))
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("fert_e4",
+          expr("(sum_tokens * 10000) div greatest(sum_chars, 1L)"))
+    }),
+
+    // per-label embedding prototypes + spread over the q81 int8 codes —
+    // exact integer centroid/tightness, the class-health readout
+    "q120_label_prototypes" -> ((s, dir) =>
+      graft.knn.Prototypes.tightness(
+        graft.knn.Quantize.int8(T(s, dir, "embeddings"), "embedding")
+          .select(col("label"), col("qvec")), "label")
+        .select(col("group").as("label"), col("n_vecs"),
+          col("sum_d2"), col("mean_d2_e2")))
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -3003,7 +3033,51 @@ object SparkEntry {
         |        UNION SELECT e.b, lbl.l FROM lbl JOIN ue e ON lbl.n = e.a),
         |c AS (SELECT n, MIN(l) AS comp FROM lbl GROUP BY 1)
         |SELECT v.vec_id, COALESCE(c.comp, v.vec_id) AS component
-        |FROM embeddings v LEFT JOIN c ON v.vec_id = c.n""".stripMargin
+        |FROM embeddings v LEFT JOIN c ON v.vec_id = c.n""".stripMargin,
+
+    // q96's replace-chain replay + per-source integer rollup
+    "q119_token_fertility" -> {
+      val sep = "chr(31)"
+      val charSplit =
+        s"$sep || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), $sep || $sep) || $sep"
+      val merged = BpeMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
+        s"replace($acc, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+      }
+      s"""WITH ws AS (SELECT doc_id, source,
+         |        list_filter(string_split(replace(lower(text), chr(31), ''), ' '), w -> len(w) > 0) AS ws
+         |      FROM documents),
+         |tk AS (SELECT doc_id, source,
+         |        CAST((len(ts) - len(replace(ts, chr(31), ''))) // 2 AS BIGINT) AS n_tokens,
+         |        COALESCE(CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT), 0) AS n_chars
+         |      FROM (SELECT doc_id, source, ws,
+         |              array_to_string(list_transform(ws, w -> $merged), ' ') AS ts FROM ws))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST((CAST(SUM(n_tokens) AS BIGINT) * 10000) //
+         |       GREATEST(CAST(SUM(n_chars) AS BIGINT), 1) AS BIGINT) AS fert_e4
+         |FROM tk GROUP BY 1""".stripMargin
+    },
+
+    // the q115 codes CTE grouped by label: floor-mean centroids and
+    // exact squared-L2 spread, all in longs
+    "q120_label_prototypes" ->
+      """WITH codes AS (
+        |  SELECT vec_id, label, list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv
+        |  FROM (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |        FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |              FROM embeddings))),
+        |cd AS (SELECT vec_id, label, CAST(u.i - 1 AS BIGINT) AS d, CAST(qv[u.i] AS BIGINT) AS q
+        |       FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+        |cent AS (SELECT label, d, CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |         FROM cd GROUP BY 1, 2),
+        |d2 AS (SELECT cd.vec_id, cd.label, SUM((cd.q - ct.cv) * (cd.q - ct.cv)) AS d2
+        |       FROM cd JOIN cent ct ON cd.label = ct.label AND cd.d = ct.d GROUP BY 1, 2)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+        |  CAST((CAST(SUM(d2) AS BIGINT) * 100) // COUNT(*) AS BIGINT) AS mean_d2_e2
+        |FROM d2 GROUP BY 1""".stripMargin
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
