@@ -44,4 +44,45 @@ object IncrementalAgg {
   def refresh(prevState: DataFrame, delta: DataFrame,
               groupCols: Seq[String], valueCol: String): DataFrame =
     merge(Seq(prevState, state(delta, groupCols, valueCol)), groupCols)
+
+  // ---- mergeable distinct counts -------------------------------------
+  // COUNT(DISTINCT x) is NOT algebraic — distinct sets from two batches
+  // can't be combined from their counts alone, and keeping the sets
+  // would make the state corpus-sized. The standard fix is a mergeable
+  // sketch: an HLL register vector unions by per-register MAX, so the
+  // merged estimate is order- and batching-independent and the state
+  // stays a few KiB per group regardless of cardinality. Estimates are
+  // approximate (~1-2% at the default lgK) — the exact columns above
+  // stay exact; use these for the distinct dimension only.
+
+  /** State with an extra `dsk` HLL-sketch column over `distinctCol`. */
+  def stateWithDistinct(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, distinctCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum"),
+        min(valueCol).as("min"), max(valueCol).as("max"),
+        hll_sketch_agg(col(distinctCol)).as("dsk"))
+
+  /** Merge states carrying sketches: exact columns combine
+    * algebraically, sketches by register union. */
+  def mergeWithDistinct(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeWithDistinct needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum").as("sum"),
+        min("min").as("min"), max("max").as("max"),
+        hll_union_agg(col("dsk")).as("dsk"))
+  }
+
+  /** One refresh step for sketch-carrying state. */
+  def refreshWithDistinct(prevState: DataFrame, delta: DataFrame,
+                          groupCols: Seq[String], valueCol: String,
+                          distinctCol: String): DataFrame =
+    mergeWithDistinct(
+      Seq(prevState, stateWithDistinct(delta, groupCols, valueCol, distinctCol)),
+      groupCols)
+
+  /** Read-time estimate: replaces the sketch with `approx_distinct`. */
+  def estimateDistinct(state: DataFrame): DataFrame =
+    state.withColumn("approx_distinct", hll_sketch_estimate(col("dsk"))).drop("dsk")
 }

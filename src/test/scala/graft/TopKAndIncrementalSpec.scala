@@ -155,4 +155,37 @@ class TopKAndIncrementalSpec extends AnyFunSuite {
     assert(row == Seq((2L, (21L + 46L) * 2)), s"delta-only group wrong: $row")
     st.unpersist()
   }
+
+  // ---- IncrementalAgg: mergeable distinct (HLL sketch state) ---------
+
+  test("sketch refresh == from-scratch sketch: estimates identical under any batching") {
+    val rows = (1 to 30000).map(i => (i.toLong % 4, i.toLong, s"u${i % 2500}"))
+    val all = rows.toDF("g", "v", "u")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.estimateDistinct(df)
+        .select("g", "approx_distinct").as[(Long, Long)].collect().toMap
+    val scratch = est(IncrementalAgg.stateWithDistinct(all, Seq("g"), "v", "u"))
+    for (nb <- Seq(2, 5)) {
+      val batches = rows.grouped(rows.size / nb + 1).map(_.toDF("g", "v", "u")).toSeq
+      val viaRefresh = batches.tail.foldLeft(
+        IncrementalAgg.stateWithDistinct(batches.head, Seq("g"), "v", "u")) {
+        (st, d) => IncrementalAgg.refreshWithDistinct(st, d, Seq("g"), "v", "u")
+      }
+      // register union is max-per-register: merged sketches estimate
+      // EXACTLY what the single-pass sketch estimates
+      assert(est(viaRefresh) == scratch, s"batching nb=$nb changed the estimate")
+    }
+  }
+
+  test("sketch estimate tracks exact distinct within 5%") {
+    val rows = (1 to 50000).map(i => (i.toLong % 3, i.toLong, s"k${(i * 7) % 9000}"))
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.size.toLong).toMap
+    val approx = IncrementalAgg.estimateDistinct(
+      IncrementalAgg.stateWithDistinct(rows.toDF("g", "v", "u"), Seq("g"), "v", "u"))
+      .select("g", "approx_distinct").as[(Long, Long)].collect().toMap
+    exact.foreach { case (g, ex) =>
+      val ap = approx(g)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"g=$g exact=$ex approx=$ap")
+    }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.perf
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the round-10 operators (SemDeDup, PageRank,
+  * connected components, heavy hitters) at 1-2 orders of magnitude
+  * past the sf0.1 tables, on hash-generated synthetic inputs.
+  * Run: `sbt "Test/runMain graft.perf.GraphProbe"`. */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timed(name: String, rows: Long)(body: => Long): Unit = {
+      val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      val out = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+      println(f"$name%-26s rows=$rows%,d out=$out%,d wall=$wall%.2fs cpu=$cpu%.1fs throughput=${rows / wall / 1e6}%.2fM rows/s")
+    }
+
+    // ---- SemDeDup: k scales with n to hold cluster size ~250, so
+    // total assignment work is n*k*dim*iters = O(n^2*dim/250) — flat
+    // Lloyd's inherent cost model (real SemDeDup deployments pay the
+    // same n*k on GPU kmeans); one tier probes the constant factor
+    for (n <- Seq(100000L, 300000L)) {
+      val emb = spark.range(n).select(col("id").as("vec_id"), expr(
+        """transform(sequence(0, 63),
+          |  i -> cast((cast(pmod(xxhash64(id, i), 255) as int) - 127) / 127.0 as float))""".stripMargin)
+        .as("embedding"))
+      val k = (n / 250).toInt
+      timed(s"semDedup(n=$n,k=$k)", n) {
+        graft.knn.SemDeDup.semDedup(emb, "vec_id", "embedding",
+          k = k, iters = 3, tau2PerTenK = 1225L)
+          .filter(col("is_semdup") === 1).count()
+      }
+    }
+
+    // ---- PageRank: both gate paths --------------------------------
+    for ((nNodes, nEdges) <- Seq((1000000L, 5000000L), (2000000L, 5000000L))) {
+      val edges = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("s"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("t"))
+      val path = if (nNodes <= 1000000L) "broadcast" else "shuffle"
+      timed(s"pageRank($path,V=$nNodes)", nEdges) {
+        graft.graph.PageRank.run(edges, "s", "t", iters = 5).count()
+      }
+    }
+
+    // ---- Connected components: supercritical random graph ---------
+    locally {
+      val nNodes = 1000000L; val nEdges = 1500000L
+      val edges = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("b"))
+      timed(s"components(V=$nNodes)", nEdges) {
+        graft.graph.ConnectedComponents.run(edges, "a", "b", maxIters = 60)
+          .select(countDistinct(col("component"))).collect().head.getLong(0)
+      }
+    }
+
+    // ---- Heavy hitters: 20M tokens, 1% hot over a wide tail -------
+    locally {
+      val n = 20000000L
+      // 4 hot keys at ~5% each (> n/31) over a 2M-key tail
+      val toks = spark.range(n).select(expr(
+        """case when pmod(xxhash64(id), 100) < 20 then concat('hot', pmod(xxhash64(id, 2), 4))
+          |     else concat('tail', pmod(xxhash64(id, 3), 2000000)) end""".stripMargin).as("w"))
+      timed("heavyHitters(m=30)", n) {
+        graft.util.HeavyHitters.exact(toks, "w", 30).count()
+      }
+    }
+    spark.stop()
+  }
+}
