@@ -1617,7 +1617,15 @@ object SparkEntry {
         graft.knn.Quantize.int8(T(s, dir, "embeddings"), "embedding")
           .select(col("label"), col("qvec")), "label")
         .select(col("group").as("label"), col("n_vecs"),
-          col("sum_d2"), col("mean_d2_e2")))
+          col("sum_d2"), col("mean_d2_e2"))),
+
+    // leakage-safe split: whole SOURCES land on one side (row-level
+    // splits can't prevent near-dup train/eval contamination) — the
+    // house md5-threshold scheme, one narrow expression
+    "q121_group_split" -> ((s, dir) =>
+      graft.util.Sampling.groupSplit(T(s, dir, "documents"), "source",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 42L)
+        .select(col("doc_id"), col("source"), col("split")))
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -3077,7 +3085,17 @@ object SparkEntry {
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
         |  CAST((CAST(SUM(d2) AS BIGINT) * 100) // COUNT(*) AS BIGINT) AS mean_d2_e2
-        |FROM d2 GROUP BY 1""".stripMargin
+        |FROM d2 GROUP BY 1""".stripMargin,
+
+    // cumulative boundaries floor(0.8*2^32)=0xcccccccc,
+    // floor(0.9*2^32)=0xe6666666; fixed-width lowercase hex compares
+    // as unsigned
+    "q121_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source || '|42'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5(source || '|42'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple

@@ -130,4 +130,30 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__ord", "__rk")
   }
+
+  /** Leakage-safe dataset split: every row of a GROUP (domain, source,
+    * near-dup cluster id, ...) lands on the SAME side, so train/eval
+    * contamination through intra-group duplication is structurally
+    * impossible — the row-level splits (W1/W2) cannot give this
+    * guarantee. The group's md5 picks the side against cumulative
+    * fraction boundaries (the house 8-hex-chars scheme — replayable as
+    * a SQL CASE); a narrow per-row expression, no shuffle, no stats
+    * pass, group membership never materialized. */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 splits: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"groupSplit: fractions must be positive and sum to 1, got $splits")
+    val h = substring(
+      md5(concat(col(groupCol).cast("string"), lit("|"), lit(seed.toString))), 1, 8)
+    val cum = splits.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    // boundary k as 8-hex of floor(cum_k * 2^32); string compare ==
+    // unsigned numeric compare on fixed-width lowercase hex
+    val bounds = cum.init.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+    val label = bounds.zip(splits.map(_._1)).foldRight(
+      lit(splits.last._1)) { case ((b, name), els) =>
+      when(h < lit(b), name).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
 }

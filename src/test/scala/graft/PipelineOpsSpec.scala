@@ -371,4 +371,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ham(base, near) <= 2, s"one tweaked pixel flipped ${ham(base, near)} bits")
     assert(ham(base, far) > 8)
   }
+
+  // ---- Sampling.groupSplit -------------------------------------------
+
+  test("groupSplit: every row of a group lands on one side; fractions roughly honored") {
+    val df = (1 to 20000).map(i => (i.toLong, s"dom${i % 500}")).toDF("id", "g")
+    val out = Sampling.groupSplit(df, "g", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), 7L)
+    // leakage guard: one distinct split per group
+    assert(out.groupBy("g").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // group-level fractions approximate the targets (binomial over 500 groups)
+    val bys = out.select("g", "split").distinct()
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bys("train") - 400L) < 60, bys.toString)
+    assert(bys.values.sum == 500L)
+    // deterministic; seed-sensitive
+    val again = Sampling.groupSplit(df, "g", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), 7L)
+    assert(out.select("id", "split").except(again.select("id", "split")).count() == 0)
+    val other = Sampling.groupSplit(df, "g", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), 8L)
+    assert(other.select("id", "split").except(out.select("id", "split")).count() > 0)
+  }
+
+  test("groupSplit: bad fractions rejected") {
+    val df = Seq((1L, "a")).toDF("id", "g")
+    assertThrows[IllegalArgumentException](
+      Sampling.groupSplit(df, "g", Seq(("a", 0.5), ("b", 0.4)), 1L))
+    assertThrows[IllegalArgumentException](
+      Sampling.groupSplit(df, "g", Seq(("a", 1.5), ("b", -0.5)), 1L))
+  }
 }
