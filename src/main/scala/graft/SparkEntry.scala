@@ -1625,7 +1625,24 @@ object SparkEntry {
     "q121_group_split" -> ((s, dir) =>
       graft.util.Sampling.groupSplit(T(s, dir, "documents"), "source",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 42L)
-        .select(col("doc_id"), col("source"), col("split")))
+        .select(col("doc_id"), col("source"), col("split"))),
+
+    // personalized PageRank: teleport restricted to the User nodes —
+    // item/property ranks become user-proximity scores (the
+    // walk-with-restart recommender baseline), same integer arithmetic
+    "q122_personalized_pagerank" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val userProps = T(s, dir, "customer")
+        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      val itemProps = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      val tri = KGraph.allTriples(r, Seq(
+        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
+        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
+      graft.graph.PageRank.personalized(tri, "head", "tail",
+        n => n.startsWith("User("), iters = 5)
+        .select(col("node"), col("rank_e").as("rank_e9"))
+    })
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -3095,14 +3112,25 @@ object SparkEntry {
         |  CASE WHEN substring(md5(source || '|42'), 1, 8) < 'cccccccc' THEN 'train'
         |       WHEN substring(md5(source || '|42'), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q122_personalized_pagerank" ->
+      pageRankSql(iters = 5, seedCond = Some("{} LIKE 'User(%'"))
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
     * graph: `iters` unrolled rounds of
     * rank' = 15e7 + (85 * sum_in(rank // outdeg)) // 100, all BIGINT
     * (sums re-cast from DuckDB's HUGEINT before the damping multiply). */
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankSql(iters: Int, seedCond: Option[String] = None): String = {
+    // seedCond uses `{}` as the node-column placeholder (the column is
+    // `n` in r0's scope but `n.n` inside the iteration joins)
+    val seedTp = seedCond
+      .map(c => s"CASE WHEN ${c.replace("{}", "n.n")} THEN 150000000 ELSE 0 END")
+      .getOrElse("150000000")
+    val seedR0 = seedCond
+      .map(c => s"CASE WHEN ${c.replace("{}", "n")} THEN 1000000000 ELSE 0 END")
+      .getOrElse("1000000000")
     val triples =
       """SELECT 'User(' || CAST(user_id AS VARCHAR) || ')' AS s,
         |       'Item(' || CAST(item_id AS VARCHAR) || ')' AS t FROM ratings
@@ -3116,7 +3144,7 @@ object SparkEntry {
         |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)""".stripMargin
     val rounds = (0 until iters).map { i =>
       s"""r${i + 1} AS (
-         |  SELECT n.n, CAST(150000000 + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+         |  SELECT n.n, CAST($seedTp + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.t AS n, CAST(SUM(r.r // od.d) AS BIGINT) AS cs
          |    FROM e JOIN r$i r ON e.s = r.n JOIN od ON od.s = e.s GROUP BY 1) c USING (n))""".stripMargin
@@ -3124,7 +3152,7 @@ object SparkEntry {
     R + s""", e AS ($triples),
        |nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT t FROM e)),
        |od AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1),
-       |r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |r0 AS (SELECT n, CAST($seedR0 AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT n AS node, r AS rank_e9 FROM r$iters""".stripMargin
   }

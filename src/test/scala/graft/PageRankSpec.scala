@@ -52,6 +52,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("personalized: teleport and start mass land only on seeds") {
+    // a -> b -> c, seed {a}
+    val df = Seq("a" -> "b", "b" -> "c").toDF("s", "t")
+    val m1 = PageRank.personalized(df, "s", "t", _ === "a", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1("a") == TP)                       // seed, no in-edges
+    assert(m1("b") == 85L * S / 100)            // non-seed: damped inflow only
+    assert(m1("c") == 0L)                       // nothing arrived yet
+    val m2 = PageRank.personalized(df, "s", "t", _ === "a", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2("b") == 85L * m1("a") / 100)
+    assert(m2("c") == 85L * m1("b") / 100)
+  }
+
+  test("personalized with an all-true seed == plain run") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 300).map(_ => s"n${rnd.nextInt(30)}" -> s"n${rnd.nextInt(30)}")
+    val df = edges.toDF("s", "t")
+    val a = PageRank.run(df, "s", "t", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = PageRank.personalized(df, "s", "t", _.isNotNull, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
   test("multi-edges contribute multiply (parallel edges are real edges)") {
     // two parallel a->b edges and one a->c: b gets 2/3 of a's rank
     val m = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c"), 1)
