@@ -59,7 +59,14 @@ object HeavyHitters {
         }(Encoders.STRING)
         .distinct().collect()
       val n = keys.count()
-      keys
+      // a decrement-heavy stream can end a partition's summary EMPTY
+      // (e.g. strict a,b alternation at m=1) — by the MG guarantee that
+      // only happens when no key clears the threshold, so the empty
+      // result is correct; the guard just avoids a zero-arg isin
+      if (candidates.isEmpty)
+        keys.limit(0).groupBy(col(keyCol).as("key"))
+          .agg(count(lit(1)).as("cnt"))
+      else keys
         .filter(col(keyCol).isin(candidates.toIndexedSeq: _*))
         .groupBy(col(keyCol).as("key"))
         .agg(count(lit(1)).as("cnt"))

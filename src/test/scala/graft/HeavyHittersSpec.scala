@@ -49,6 +49,11 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(run(keys, 5, 4).isEmpty) // threshold n/6 ~ 16.7%
   }
 
+  test("strict alternation at m=1 empties the MG summary — empty result, no error") {
+    val keys = (1 to 500).flatMap(_ => Seq("a", "b"))
+    assert(run(keys, 1, 1).isEmpty) // both at exactly n/2, strict > excludes
+  }
+
   test("nulls are dropped from both the count base and the candidates") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b")).toDF("k")
     val got = HeavyHitters.exact(df, "k", 1)
