@@ -1642,7 +1642,15 @@ object SparkEntry {
       graft.graph.PageRank.personalized(tri, "head", "tail",
         n => n.startsWith("User("), iters = 5)
         .select(col("node"), col("rank_e").as("rank_e9"))
-    })
+    }),
+
+    // item-based CF (itemKNN): exact integer-Jaccard item-item
+    // similarities over capped relevant interactions (cap=50 binds
+    // in-query: max relevant user degree is 58 at sf0.1), support
+    // prune cooc>=2, top-10 neighbor lists, top-5 unseen recs
+    "q123_itemknn_recs" -> ((s, dir) =>
+      graft.model.ItemKnn.recs(Tables.ratings(s, dir),
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5))
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -3115,7 +3123,50 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q122_personalized_pagerank" ->
-      pageRankSql(iters = 5, seedCond = Some("{} LIKE 'User(%'"))
+      pageRankSql(iters = 5, seedCond = Some("{} LIKE 'User(%'")),
+
+    // itemKNN: integer-Jaccard sims (cooc*10^6 // union-size, all
+    // nonneg so DuckDB // == Spark div), row_number replays the TopK
+    // heap's (order DESC, tie ASC) total order at every stage
+    "q123_itemknn_recs" -> (R +
+      """, rel AS (
+        |  SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+        |    FROM ratings WHERE rating >= 4.0)
+        |  WHERE rn <= 50
+        |), ideg AS (
+        |  SELECT item_id, count(*) AS deg FROM rel GROUP BY 1
+        |), cooc AS (
+        |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS cooc
+        |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sims AS (
+        |  SELECT item_a, item_b, cooc * 1000000 // (da.deg + db.deg - cooc) AS sim
+        |  FROM cooc
+        |  JOIN ideg da ON da.item_id = item_a
+        |  JOIN ideg db ON db.item_id = item_b
+        |), nbrs AS (
+        |  SELECT item_id, nbr_id, sim FROM (
+        |    SELECT item_id, nbr_id, sim,
+        |           row_number() OVER (PARTITION BY item_id ORDER BY sim DESC, nbr_id) AS rn
+        |    FROM (SELECT item_a AS item_id, item_b AS nbr_id, sim FROM sims
+        |          UNION ALL
+        |          SELECT item_b AS item_id, item_a AS nbr_id, sim FROM sims))
+        |  WHERE rn <= 10
+        |), cand AS (
+        |  SELECT r.user_id, n.nbr_id AS item_id, CAST(SUM(n.sim) AS BIGINT) AS score
+        |  FROM rel r JOIN nbrs n ON n.item_id = r.item_id
+        |  GROUP BY 1, 2
+        |), unseen AS (
+        |  SELECT c.user_id, c.item_id, c.score FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ratings s
+        |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id)
+        |)
+        |SELECT user_id, item_id, score, CAST(rn AS INT) AS rank FROM (
+        |  SELECT user_id, item_id, score,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
+        |  FROM unseen) WHERE rn <= 5""".stripMargin)
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
