@@ -1650,7 +1650,18 @@ object SparkEntry {
     // prune cooc>=2, top-10 neighbor lists, top-5 unseen recs
     "q123_itemknn_recs" -> ((s, dir) =>
       graft.model.ItemKnn.recs(Tables.ratings(s, dir),
-        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5))
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)),
+
+    // triangle count + clustering coefficient on the item
+    // co-interaction projection (degree-ordered orientation: every
+    // triangle counted once at its smallest vertex)
+    "q124_triangles" -> ((s, dir) => {
+      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+      graft.graph.Triangles.localTriangles(
+        graft.model.ItemKnn.cooc(rel, 2)
+          .select(col("item_a").as("u"), col("item_b").as("v")))
+        .select(col("node").as("item_id"), col("deg"), col("tri"), col("cc_e4"))
+    })
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */
@@ -3166,7 +3177,44 @@ object SparkEntry {
         |SELECT user_id, item_id, score, CAST(rn AS INT) AS rank FROM (
         |  SELECT user_id, item_id, score,
         |         row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
-        |  FROM unseen) WHERE rn <= 5""".stripMargin)
+        |  FROM unseen) WHERE rn <= 5""".stripMargin),
+
+    // degree-ordered triangle orientation: each triangle found once at
+    // its (deg, id)-smallest vertex; cc_e4 = 2·tri·10^4 // deg(deg-1)
+    "q124_triangles" -> (R +
+      """, rel AS (
+        |  SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+        |    FROM ratings WHERE rating >= 4.0) WHERE rn <= 50
+        |), edges AS (
+        |  SELECT a.item_id AS u, b.item_id AS v
+        |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), gdeg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
+        |), oriented AS (
+        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ddeg
+        |  FROM edges e JOIN gdeg du ON du.node = e.u JOIN gdeg dv ON dv.node = e.v
+        |), tris AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM oriented e1 JOIN oriented e2
+        |    ON e1.src = e2.src
+        |   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |  WHERE EXISTS (SELECT 1 FROM oriented e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+        |), ntri AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+        |    UNION ALL SELECT c FROM tris) GROUP BY 1
+        |)
+        |SELECT g.node AS item_id, g.deg, COALESCE(n.tri, 0) AS tri,
+        |       CASE WHEN g.deg >= 2
+        |            THEN COALESCE(n.tri, 0) * 20000 // (g.deg * (g.deg - 1))
+        |            ELSE 0 END AS cc_e4
+        |FROM gdeg g LEFT JOIN ntri n ON n.node = g.node""".stripMargin)
   )
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple

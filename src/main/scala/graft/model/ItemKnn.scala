@@ -49,19 +49,26 @@ object ItemKnn {
       Seq("user_id"), "rating", Seq("item_id"), cap)
       .select("user_id", "item_id")
 
+  /** Support-pruned co-occurrence pairs (item_a < item_b, cooc) over
+    * the capped relevant set — also the edge list of the item
+    * co-interaction projection graph ([[graft.graph.Triangles]] runs
+    * on it). */
+  def cooc(rel: DataFrame, minCooc: Int): DataFrame = {
+    val left = rel.select(col("user_id"), col("item_id").as("item_a"))
+    val right = rel.select(col("user_id"), col("item_id").as("item_b"))
+    left.join(right, Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+  }
+
   /** Undirected item-item Jaccard similarities over the capped
     * relevant set; pairs with co-occurrence below `minCooc` are
     * pruned. Output: (item_a < item_b, cooc, deg_a, deg_b, sim). */
   def similarities(rel: DataFrame, minCooc: Int): DataFrame = {
     val deg = rel.groupBy("item_id").agg(count(lit(1)).as("deg"))
-    val left = rel.select(col("user_id"), col("item_id").as("item_a"))
-    val right = rel.select(col("user_id"), col("item_id").as("item_b"))
-    val cooc = left.join(right, Seq("user_id"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("cooc"))
-      .filter(col("cooc") >= minCooc)
-    cooc
+    cooc(rel, minCooc)
       .join(deg.select(col("item_id").as("item_a"), col("deg").as("deg_a")), Seq("item_a"))
       .join(deg.select(col("item_id").as("item_b"), col("deg").as("deg_b")), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("cooc"), col("deg_a"), col("deg_b"),
