@@ -115,20 +115,25 @@ object Sampling {
     * under the seeded-md5 total order (ties broken by the key render —
     * md5 collisions at 32 hex chars are not a practical concern). Unlike
     * Bernoulli sampling this guarantees per-stratum counts — the shape
-    * eval sets and ablation slices need. One window shuffle keyed by the
-    * strata columns; rank + filter, nothing global. */
+    * eval sets and ablation slices need.
+    *
+    * Ranking runs on the [[TopK]] bounded-heap combine, NOT a window:
+    * strata are routinely low-cardinality (a handful of languages over
+    * a trillion-row corpus), and `row_number().over(partitionBy(
+    * strata))` funnels each stratum through ONE task's sort — the
+    * single-task-sort trap this repo documents on q106/q113. The heap
+    * keeps n rows of state per stratum per input partition and
+    * shuffles only candidates. */
   def stratifiedTake(df: DataFrame, strataCols: Seq[String], n: Int, seed: Long,
                      keyCols: Seq[String]): DataFrame = {
     require(n > 0, s"stratifiedTake: n must be positive, got $n")
     val key = keyCols.map(col(_).cast("string"))
       .reduceLeft((a, b) => concat(a, lit("|"), b))
     val order = md5(concat(key, lit("|"), lit(seed.toString)))
-    df.withColumn("__ord", order)
-      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(strataCols.map(col): _*).orderBy(col("__ord"), key)))
-      .filter(col("__rk") <= n)
-      .drop("__ord", "__rk")
+    TopK.perGroup(
+      df.withColumn("__ord", order).withColumn("__key", key),
+      strataCols, "__ord", Seq("__key"), n, descending = false)
+      .drop("__ord", "__key", "rank")
   }
 
   /** Leakage-safe dataset split: every row of a GROUP (domain, source,
