@@ -112,6 +112,11 @@ object Bench {
             .select(concat(lit("User("), col("user_id"), lit(")")).as("h"),
               concat(lit("Item("), col("item_id"), lit(")")).as("t")),
           "h", "t", iters = 5).count()
+        graft.graph.Hits.run(
+          Tables.ratings(spark, sfDir).filter(col("user_id") < 50)
+            .select(concat(lit("User("), col("user_id"), lit(")")).as("h"),
+              concat(lit("Item("), col("item_id"), lit(")")).as("t")),
+          "h", "t", iters = 3).count()
         graft.util.HeavyHitters.exact(
           Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 50)
             .select(explode(split(lower(col("text")), " ")).as("w"))

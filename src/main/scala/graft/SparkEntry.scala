@@ -1652,6 +1652,21 @@ object SparkEntry {
       graft.model.ItemKnn.recs(Tables.ratings(s, dir),
         minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)),
 
+    // HITS hubs/authorities over the KG triple graph: the two-role
+    // link-analysis score (subjects that point at good objects vs
+    // objects endorsed by good subjects), exact scaled-integer
+    "q125_hits" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val userProps = T(s, dir, "customer")
+        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      val itemProps = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      val tri = KGraph.allTriples(r, Seq(
+        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
+        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
+      graft.graph.Hits.run(tri, "head", "tail", iters = 3)
+    }),
+
     // triangle count + clustering coefficient on the item
     // co-interaction projection (degree-ordered orientation: every
     // triangle counted once at its smallest vertex)
@@ -3179,6 +3194,8 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
         |  FROM unseen) WHERE rn <= 5""".stripMargin),
 
+    "q125_hits" -> hitsSql(iters = 3),
+
     // degree-ordered triangle orientation: each triangle found once at
     // its (deg, id)-smallest vertex; cc_e4 = 2·tri·10^4 // deg(deg-1)
     "q124_triangles" -> (R +
@@ -3221,6 +3238,49 @@ object SparkEntry {
     * graph: `iters` unrolled rounds of
     * rank' = 15e7 + (85 * sum_in(rank // outdeg)) // 100, all BIGINT
     * (sums re-cast from DuckDB's HUGEINT before the damping multiply). */
+  /** The q13 triple graph as a (s, t) edge CTE — shared by the
+    * PageRank (q116/q122) and HITS (q125) oracles. */
+  private val triplesEdgeSql: String =
+    """SELECT 'User(' || CAST(user_id AS VARCHAR) || ')' AS s,
+      |       'Item(' || CAST(item_id AS VARCHAR) || ')' AS t FROM ratings
+      |UNION ALL
+      |SELECT 'User(' || CAST(c_custkey AS VARCHAR) || ')',
+      |       'Property(' || c_mktsegment || ', mktsegment)'
+      |FROM customer WHERE c_custkey IN (SELECT user_id FROM ratings)
+      |UNION ALL
+      |SELECT 'Item(' || CAST(p_partkey AS VARCHAR) || ')',
+      |       'Property(' || p_brand || ', brand)'
+      |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)""".stripMargin
+
+  /** DuckDB replay of [[graft.graph.Hits.run]]: `iters` unrolled
+    * rounds of the mutual a/h recursion with L1 fixed-point rescale
+    * (x·10^6 // Σx, sums re-cast from HUGEINT), sparse score CTEs,
+    * zeros only in the final node join — mirrors the Spark plan.
+    * The L1 sum rides as `SUM() OVER ()` so every CTE is referenced
+    * exactly once — a scalar-subquery sum would reference each raw
+    * CTE twice, and DuckDB inlining then re-evaluates the whole
+    * round chain exponentially (2^(2·iters) edge joins; it filled
+    * the disk with spill at sf0.1 before this was rewritten). */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT n, raw * 1000000 // CAST(SUM(raw) OVER () AS BIGINT) AS a FROM (
+         |    SELECT e.t AS n, CAST(SUM(h.h) AS BIGINT) AS raw
+         |    FROM e JOIN h${i - 1} h ON h.n = e.s GROUP BY 1)),
+         |h$i AS (
+         |  SELECT n, raw * 1000000 // CAST(SUM(raw) OVER () AS BIGINT) AS h FROM (
+         |    SELECT e.s AS n, CAST(SUM(a.a) AS BIGINT) AS raw
+         |    FROM e JOIN a$i a ON a.n = e.t GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    R + s""", e AS ($triplesEdgeSql),
+       |nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT t FROM e)),
+       |h0 AS (SELECT n, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT nodes.n AS node, COALESCE(h.h, 0) AS hub_e, COALESCE(a.a, 0) AS auth_e
+       |FROM nodes LEFT JOIN h$iters h ON h.n = nodes.n
+       |           LEFT JOIN a$iters a ON a.n = nodes.n""".stripMargin
+  }
+
   private def pageRankSql(iters: Int, seedCond: Option[String] = None): String = {
     // seedCond uses `{}` as the node-column placeholder (the column is
     // `n` in r0's scope but `n.n` inside the iteration joins)
@@ -3230,17 +3290,7 @@ object SparkEntry {
     val seedR0 = seedCond
       .map(c => s"CASE WHEN ${c.replace("{}", "n")} THEN 1000000000 ELSE 0 END")
       .getOrElse("1000000000")
-    val triples =
-      """SELECT 'User(' || CAST(user_id AS VARCHAR) || ')' AS s,
-        |       'Item(' || CAST(item_id AS VARCHAR) || ')' AS t FROM ratings
-        |UNION ALL
-        |SELECT 'User(' || CAST(c_custkey AS VARCHAR) || ')',
-        |       'Property(' || c_mktsegment || ', mktsegment)'
-        |FROM customer WHERE c_custkey IN (SELECT user_id FROM ratings)
-        |UNION ALL
-        |SELECT 'Item(' || CAST(p_partkey AS VARCHAR) || ')',
-        |       'Property(' || p_brand || ', brand)'
-        |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)""".stripMargin
+    val triples = triplesEdgeSql
     val rounds = (0 until iters).map { i =>
       s"""r${i + 1} AS (
          |  SELECT n.n, CAST($seedTp + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
