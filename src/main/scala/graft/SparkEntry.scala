@@ -1667,6 +1667,40 @@ object SparkEntry {
       graft.graph.Hits.run(tri, "head", "tail", iters = 3)
     }),
 
+    // synchronous label-propagation communities over the KG triple
+    // graph (mode label, smallest-label tie-break — deterministic,
+    // unlike GraphX's hash-order ties)
+    "q126_lpa_communities" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val userProps = T(s, dir, "customer")
+        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      val itemProps = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      val tri = KGraph.allTriples(r, Seq(
+        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
+        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
+      graft.graph.LabelPropagation.run(tri, "head", "tail", iters = 4)
+    }),
+
+    // word2vec-style phrase detection: adjacent-token lift in exact
+    // scaled integers over the documents token stream
+    "q127_collocations" -> ((s, dir) =>
+      graft.text.Collocations.phrases(
+        T(s, dir, "documents"), "text", minCount = 10, delta = 5)),
+
+    // missing-edge proposal on the item co-interaction projection:
+    // distance-2 pairs through centers of degree <= 40, integer
+    // neighborhood Jaccard, existing edges removed
+    "q128_link_prediction" -> ((s, dir) => {
+      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+      graft.graph.LinkPrediction.commonNeighbors(
+        graft.model.ItemKnn.cooc(rel, 2)
+          .select(col("item_a").as("u"), col("item_b").as("v")),
+        minCn = 2, maxCenterDeg = 40)
+        .select(col("a").as("item_a"), col("b").as("item_b"),
+          col("cn"), col("jaccard_e4"))
+    }),
+
     // triangle count + clustering coefficient on the item
     // co-interaction projection (degree-ordered orientation: every
     // triangle counted once at its smallest vertex)
@@ -3196,22 +3230,28 @@ object SparkEntry {
 
     "q125_hits" -> hitsSql(iters = 3),
 
+    "q126_lpa_communities" -> lpaSql(iters = 4),
+
+    // DuckDB's zip-unnest (parallel unnests advance in lockstep)
+    // rebuilds the adjacent pairs; uni is referenced three times but
+    // is a flat CTE, not an unrolled chain — no inlining blowup
+    "q127_collocations" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nw FROM uni),
+        |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cooc FROM (
+        |    SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+        |    FROM w WHERE len(ws) >= 2) GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT bi.a, bi.b, cooc,
+        |  (cooc - 5) * (SELECT nw FROM n) * 10000 // (ua.cnt * ub.cnt) AS lift_e4
+        |FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b""".stripMargin,
+
     // degree-ordered triangle orientation: each triangle found once at
     // its (deg, id)-smallest vertex; cc_e4 = 2·tri·10^4 // deg(deg-1)
-    "q124_triangles" -> (R +
-      """, rel AS (
-        |  SELECT user_id, item_id FROM (
-        |    SELECT user_id, item_id,
-        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
-        |    FROM ratings WHERE rating >= 4.0) WHERE rn <= 50
-        |), edges AS (
-        |  SELECT a.item_id AS u, b.item_id AS v
-        |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), gdeg AS (
-        |  SELECT node, count(*) AS deg FROM (
-        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
-        |), oriented AS (
+    "q124_triangles" -> (R + itemProjSql +
+      """, oriented AS (
         |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
         |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
         |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ddeg
@@ -3231,8 +3271,43 @@ object SparkEntry {
         |       CASE WHEN g.deg >= 2
         |            THEN COALESCE(n.tri, 0) * 20000 // (g.deg * (g.deg - 1))
         |            ELSE 0 END AS cc_e4
-        |FROM gdeg g LEFT JOIN ntri n ON n.node = g.node""".stripMargin)
+        |FROM gdeg g LEFT JOIN ntri n ON n.node = g.node""".stripMargin),
+
+    // distance-2 candidate pairs through sub-cap centers, scored by
+    // integer neighborhood Jaccard; existing edges anti-joined out
+    "q128_link_prediction" -> (R + itemProjSql +
+      """, capped AS (
+        |  SELECT adj.c, adj.x FROM (
+        |    SELECT u AS c, v AS x FROM edges UNION ALL SELECT v, u FROM edges) adj
+        |  JOIN gdeg ON gdeg.node = adj.c AND gdeg.deg <= 40)
+        |, wedges AS (
+        |  SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM capped l JOIN capped r ON l.c = r.c AND l.x < r.x
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT w.a AS item_a, w.b AS item_b, cn,
+        |       cn * 10000 // (CAST(da.deg AS BIGINT) + CAST(db.deg AS BIGINT) - cn) AS jaccard_e4
+        |FROM wedges w
+        |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
+        |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin)
   )
+
+  /** The capped-relevant item co-interaction projection (q123's rel,
+    * minCooc=2 edges, full-graph degrees) — shared by the triangle
+    * (q124) and link-prediction (q128) oracles. */
+  private lazy val itemProjSql: String =
+    """, rel AS (
+      |  SELECT user_id, item_id FROM (
+      |    SELECT user_id, item_id,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+      |    FROM ratings WHERE rating >= 4.0) WHERE rn <= 50
+      |), edges AS (
+      |  SELECT a.item_id AS u, b.item_id AS v
+      |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), gdeg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
+      |)""".stripMargin
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
     * graph: `iters` unrolled rounds of
@@ -3279,6 +3354,29 @@ object SparkEntry {
        |SELECT nodes.n AS node, COALESCE(h.h, 0) AS hub_e, COALESCE(a.a, 0) AS auth_e
        |FROM nodes LEFT JOIN h$iters h ON h.n = nodes.n
        |           LEFT JOIN a$iters a ON a.n = nodes.n""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.graph.LabelPropagation.run]]: `iters`
+    * unrolled synchronous mode-label rounds (count per neighbor
+    * label, ROW_NUMBER pick with the c DESC, l ASC tie-break — byte
+    * ordering matches Spark's UTF8String min on the ASCII labels).
+    * Every round CTE is referenced exactly once (see the q125 note on
+    * DuckDB's exponential inlining of twice-referenced CTEs). */
+  private def lpaSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT n, l FROM (
+         |    SELECT n, l, ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, l) AS rn
+         |    FROM (SELECT ue.b AS n, x.l, COUNT(*) AS c
+         |          FROM ue JOIN l${i - 1} x ON x.n = ue.a GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    R + s""", e AS ($triplesEdgeSql),
+       |ue AS (SELECT DISTINCT a, b FROM
+       |  (SELECT s AS a, t AS b FROM e UNION ALL SELECT t, s FROM e)),
+       |l0 AS (SELECT DISTINCT a AS n, a AS l FROM ue),
+       |$rounds
+       |SELECT n AS node, l AS community FROM l$iters""".stripMargin
   }
 
   private def pageRankSql(iters: Int, seedCond: Option[String] = None): String = {

@@ -64,6 +64,50 @@ object GraphProbe {
       }
     }
 
+    // ---- HITS: both gate paths, same graphs as the PageRank tiers -
+    for ((nNodes, nEdges) <- Seq((1000000L, 5000000L), (2000000L, 5000000L))) {
+      val edges = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("s"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("t"))
+      val path = if (nNodes <= 1000000L) "broadcast" else "shuffle"
+      timed(s"hits($path,V=$nNodes)", nEdges) {
+        graft.graph.Hits.run(edges, "s", "t", iters = 3).count()
+      }
+    }
+
+    // ---- Triangles: 5M random edges + a 100k-degree hub; the
+    // degree-ordered orientation points every hub edge IN, so the
+    // wedge join never fans out on the hub ------------------------
+    locally {
+      val nNodes = 1000000L; val nEdges = 5000000L
+      val raw = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("y"))
+        .union(spark.range(100000).select(lit(0L).as("x"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(nNodes - 1)) + 1).as("y")))
+      val edges = raw.select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .filter(col("u") < col("v")).distinct()
+      timed(s"triangles(V=$nNodes,hub=100k)", nEdges) {
+        graft.graph.Triangles.localTriangles(edges)
+          .agg(sum("tri")).collect().head.getLong(0)
+      }
+    }
+
+    // ---- ItemKnn: 5M interactions, 200k users x 20k items, the
+    // q123 parameterization (cap bounds the pair join) ------------
+    locally {
+      val n = 5000000L
+      val ratings = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(200000)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(20000)).as("item_id"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("double").as("rating"))
+      timed("itemKnn(5M,cap=50)", n) {
+        graft.model.ItemKnn.recs(ratings, minRating = 4.0, cap = 50,
+          minCooc = 2, kNbrs = 10, kRecs = 5).count()
+      }
+    }
+
     // ---- Heavy hitters: 20M tokens, 1% hot over a wide tail -------
     locally {
       val n = 20000000L
