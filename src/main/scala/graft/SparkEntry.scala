@@ -1701,6 +1701,35 @@ object SparkEntry {
           col("cn"), col("jaccard_e4"))
     }),
 
+    // view -> click -> purchase conversion funnel (strict-order
+    // progression, one shuffle + per-user sorted walk)
+    "q129_funnel" -> ((s, dir) =>
+      graft.stream.Funnel.windowFunnel(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        "user_id", "event_type", "ts_ms", Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("step0_ms").as("view_ms"),
+          col("step1_ms").as("click_ms"), col("step2_ms").as("purchase_ms"),
+          col("stage"))),
+
+    // sharded inverted index over the documents corpus (posting rows
+    // bounded at shardSize entries; hot terms spread across shards)
+    "q130_inverted_index" -> ((s, dir) =>
+      graft.text.InvertedIndex.build(T(s, dir, "documents"), "doc_id", "text",
+        shardSize = 64)),
+
+    // weekly cohort retention over the event log (pure epoch-week
+    // buckets, one corpus shuffle)
+    "q131_cohort_retention" -> ((s, dir) =>
+      graft.stream.Cohorts.retention(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        "user_id", "ts_ms")),
+
+    // session Markov transitions with ^/$ entry/exit states
+    // (30-minute gap sessions, one exchange)
+    "q132_session_transitions" -> ((s, dir) =>
+      graft.stream.Journeys.sessionTransitions(
+        Tables.events(s, dir), gapMs = 1800000L)),
+
     // triangle count + clustering coefficient on the item
     // co-interaction projection (degree-ordered orientation: every
     // triangle counted once at its smallest vertex)
@@ -3288,7 +3317,66 @@ object SparkEntry {
         |       cn * 10000 // (CAST(da.deg AS BIGINT) + CAST(db.deg AS BIGINT) - cn) AS jaccard_e4
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
-        |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin)
+        |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // unrolled min-after-min: step i's first completion is the MIN
+    // step-i event strictly after step i-1's completion — equals the
+    // Spark side's sorted-array walk (first qualifying event in
+    // ascending order IS that min; slots never overwrite)
+    "q129_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS et FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE et = 'click' AND ms > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ms) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE et = 'purchase' AND ms > t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |       COALESCE(t1, -1) AS view_ms, COALESCE(t2, -1) AS click_ms,
+        |       COALESCE(t3, -1) AS purchase_ms,
+        |       CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        |         + CAST(t3 IS NOT NULL AS INT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q130_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT t AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                      x -> len(x) > 0)) AS t
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT term, doc_id // 64 AS shard, CAST(COUNT(*) AS BIGINT) AS df,
+        |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY 1, 2""".stripMargin,
+
+    "q131_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS w FROM events),
+        |coh AS (SELECT user_id, MIN(w) AS cw FROM act GROUP BY 1)
+        |SELECT cw AS cohort_week, w - cw AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS users
+        |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // same two chained windows; "next row starts a new session" is
+    // the session-exit test (sessions are contiguous per-user runs)
+    "q132_session_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s AS (SELECT user_id, event_id, event_type, ms,
+        |        CASE WHEN ms - LAG(ms) OVER w > 1800000
+        |               OR LAG(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |t AS (SELECT event_type AS f, new,
+        |        LEAD(event_type) OVER w AS nt, LEAD(new) OVER w AS nn
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |edges AS (
+        |  SELECT f AS from_type,
+        |         CASE WHEN nn IS NULL OR nn = 1 THEN '$' ELSE nt END AS to_type
+        |  FROM t
+        |  UNION ALL
+        |  SELECT '^', f FROM t WHERE new = 1)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM edges GROUP BY 1, 2""".stripMargin
   )
 
   /** The capped-relevant item co-interaction projection (q123's rel,
