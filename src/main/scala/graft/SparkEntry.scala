@@ -1730,6 +1730,26 @@ object SparkEntry {
       graft.stream.Journeys.sessionTransitions(
         Tables.events(s, dir), gapMs = 1800000L)),
 
+    // hybrid retrieval: reciprocal-rank fusion of the itemKNN
+    // ranking (q123) with a global-popularity ranking — rank-only
+    // combination, exact 10^6 div (60 + rank) contributions
+    "q133_rrf_fusion" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val knn = graft.model.ItemKnn.recs(r,
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)
+        .select("user_id", "item_id", "rank")
+      val pcand = r.filter(col("rating") >= 4.0)
+        .groupBy("item_id").agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("item_id")).limit(20)
+      val popRank = graft.util.TopK.perGroup(
+        r.select("user_id").distinct()
+          .crossJoin(broadcast(pcand))
+          .join(r.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti"),
+        Seq("user_id"), "__cnt", Seq("item_id"), 20)
+        .select("user_id", "item_id", "rank")
+      graft.model.Rrf.fuse(Seq(knn, popRank), k = 60L, topK = 5)
+    }),
+
     // triangle count + clustering coefficient on the item
     // co-interaction projection (degree-ordered orientation: every
     // triangle counted once at its smallest vertex)
@@ -3217,45 +3237,34 @@ object SparkEntry {
     // itemKNN: integer-Jaccard sims (cooc*10^6 // union-size, all
     // nonneg so DuckDB // == Spark div), row_number replays the TopK
     // heap's (order DESC, tie ASC) total order at every stage
-    "q123_itemknn_recs" -> (R +
-      """, rel AS (
-        |  SELECT user_id, item_id FROM (
-        |    SELECT user_id, item_id,
-        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
-        |    FROM ratings WHERE rating >= 4.0)
-        |  WHERE rn <= 50
-        |), ideg AS (
-        |  SELECT item_id, count(*) AS deg FROM rel GROUP BY 1
-        |), cooc AS (
-        |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS cooc
-        |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), sims AS (
-        |  SELECT item_a, item_b, cooc * 1000000 // (da.deg + db.deg - cooc) AS sim
-        |  FROM cooc
-        |  JOIN ideg da ON da.item_id = item_a
-        |  JOIN ideg db ON db.item_id = item_b
-        |), nbrs AS (
-        |  SELECT item_id, nbr_id, sim FROM (
-        |    SELECT item_id, nbr_id, sim,
-        |           row_number() OVER (PARTITION BY item_id ORDER BY sim DESC, nbr_id) AS rn
-        |    FROM (SELECT item_a AS item_id, item_b AS nbr_id, sim FROM sims
-        |          UNION ALL
-        |          SELECT item_b AS item_id, item_a AS nbr_id, sim FROM sims))
-        |  WHERE rn <= 10
-        |), cand AS (
-        |  SELECT r.user_id, n.nbr_id AS item_id, CAST(SUM(n.sim) AS BIGINT) AS score
-        |  FROM rel r JOIN nbrs n ON n.item_id = r.item_id
-        |  GROUP BY 1, 2
-        |), unseen AS (
-        |  SELECT c.user_id, c.item_id, c.score FROM cand c
-        |  WHERE NOT EXISTS (SELECT 1 FROM ratings s
-        |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id)
-        |)
-        |SELECT user_id, item_id, score, CAST(rn AS INT) AS rank FROM (
-        |  SELECT user_id, item_id, score,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
-        |  FROM unseen) WHERE rn <= 5""".stripMargin),
+    "q123_itemknn_recs" -> (R + itemKnnChainSql +
+      "\nSELECT user_id, item_id, score, rank FROM knn"),
+
+    // RRF over the q123 itemKNN ranking and a global-popularity
+    // ranking: rank-only fusion, 10^6 div (60 + rank) contributions
+    "q133_rrf_fusion" -> (R + itemKnnChainSql +
+      """, pop AS (
+        |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ratings WHERE rating >= 4.0 GROUP BY 1
+        |), pcand AS (
+        |  SELECT item_id, cnt FROM (
+        |    SELECT item_id, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, item_id) AS pr
+        |    FROM pop) WHERE pr <= 20
+        |), popranked AS (
+        |  SELECT u.user_id, c.item_id,
+        |         ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY c.cnt DESC, c.item_id) AS rank
+        |  FROM (SELECT DISTINCT user_id FROM ratings) u CROSS JOIN pcand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |                    WHERE r.user_id = u.user_id AND r.item_id = c.item_id)
+        |), fused AS (
+        |  SELECT user_id, item_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6
+        |  FROM (SELECT user_id, item_id, rank FROM knn
+        |        UNION ALL SELECT user_id, item_id, rank FROM popranked)
+        |  GROUP BY 1, 2)
+        |SELECT user_id, item_id, rrf_e6, CAST(rn AS INT) AS rank FROM (
+        |  SELECT user_id, item_id, rrf_e6,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rrf_e6 DESC, item_id) AS rn
+        |  FROM fused) WHERE rn <= 5""".stripMargin),
 
     "q125_hits" -> hitsSql(iters = 3),
 
@@ -3378,6 +3387,50 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM edges GROUP BY 1, 2""".stripMargin
   )
+
+  /** The full q123 itemKNN pipeline as CTEs ending in `knn` =
+    * (user_id, item_id, score, rank ≤ 5) — shared by the itemKNN
+    * (q123) and RRF-fusion (q133) oracles. */
+  private lazy val itemKnnChainSql: String =
+    """, rel AS (
+      |  SELECT user_id, item_id FROM (
+      |    SELECT user_id, item_id,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+      |    FROM ratings WHERE rating >= 4.0)
+      |  WHERE rn <= 50
+      |), ideg AS (
+      |  SELECT item_id, count(*) AS deg FROM rel GROUP BY 1
+      |), cooc AS (
+      |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS cooc
+      |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), sims AS (
+      |  SELECT item_a, item_b, cooc * 1000000 // (da.deg + db.deg - cooc) AS sim
+      |  FROM cooc
+      |  JOIN ideg da ON da.item_id = item_a
+      |  JOIN ideg db ON db.item_id = item_b
+      |), nbrs AS (
+      |  SELECT item_id, nbr_id, sim FROM (
+      |    SELECT item_id, nbr_id, sim,
+      |           row_number() OVER (PARTITION BY item_id ORDER BY sim DESC, nbr_id) AS rn
+      |    FROM (SELECT item_a AS item_id, item_b AS nbr_id, sim FROM sims
+      |          UNION ALL
+      |          SELECT item_b AS item_id, item_a AS nbr_id, sim FROM sims))
+      |  WHERE rn <= 10
+      |), cand AS (
+      |  SELECT r.user_id, n.nbr_id AS item_id, CAST(SUM(n.sim) AS BIGINT) AS score
+      |  FROM rel r JOIN nbrs n ON n.item_id = r.item_id
+      |  GROUP BY 1, 2
+      |), unseen AS (
+      |  SELECT c.user_id, c.item_id, c.score FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM ratings s
+      |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id)
+      |), knn AS (
+      |  SELECT user_id, item_id, score, CAST(rn AS INT) AS rank FROM (
+      |    SELECT user_id, item_id, score,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
+      |    FROM unseen) WHERE rn <= 5
+      |)""".stripMargin
 
   /** The capped-relevant item co-interaction projection (q123's rel,
     * minCooc=2 edges, full-graph degrees) — shared by the triangle
