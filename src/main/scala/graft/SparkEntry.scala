@@ -1750,6 +1750,21 @@ object SparkEntry {
       graft.model.Rrf.fuse(Seq(knn, popRank), k = 60L, topK = 5)
     }),
 
+    // hourly rate-burst flags per event type vs the trailing-24h
+    // baseline (exact scaled integers; window on the skinny rollup)
+    "q135_rate_bursts" -> ((s, dir) =>
+      graft.stream.Bursts.hourlyBursts(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        "event_type", "ts_ms", baseline = 24, thresholdE4 = 30000L)),
+
+    // skip-gram context matrix: ordered token pairs within 3
+    // positions, tagged by offset (q127 is the window=1 slice)
+    "q134_cooccurrence" -> ((s, dir) =>
+      graft.text.CoOccurrence.matrix(T(s, dir, "documents"), "text",
+        window = 3, minCount = 5)
+        .select(col("left").as("w_left"), col("right").as("w_right"),
+          col("offset").as("dist"), col("n"))),
+
     // triangle count + clustering coefficient on the item
     // co-interaction projection (degree-ordered orientation: every
     // triangle counted once at its smallest vertex)
@@ -3385,7 +3400,44 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT '^', f FROM t WHERE new = 1)
         |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM edges GROUP BY 1, 2""".stripMargin
+        |FROM edges GROUP BY 1, 2""".stripMargin,
+
+    // per-offset zip-unnest slices (ws[1:n-d] zipped against
+    // ws[1+d:n]); `offset` is a DuckDB keyword, hence `dist`
+    "q134_cooccurrence" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |pairs AS (
+        |  SELECT unnest(ws[1:len(ws)-1]) AS w_left, unnest(ws[2:len(ws)]) AS w_right,
+        |         1 AS dist FROM w WHERE len(ws) > 1
+        |  UNION ALL
+        |  SELECT unnest(ws[1:len(ws)-2]), unnest(ws[3:len(ws)]), 2 FROM w WHERE len(ws) > 2
+        |  UNION ALL
+        |  SELECT unnest(ws[1:len(ws)-3]), unnest(ws[4:len(ws)]), 3 FROM w WHERE len(ws) > 3)
+        |SELECT w_left, w_right, dist, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5""".stripMargin,
+
+    // trailing window EXCLUDES the current hour (a burst can't
+    // dilute its own baseline); partial baselines emit rate -1
+    "q135_rate_bursts" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, hour, cnt,
+        |         CAST(SUM(cnt) OVER w AS BIGINT) AS trail,
+        |         COUNT(*) OVER w AS nw
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, cnt,
+        |  CASE WHEN nw < 24 OR trail = 0 THEN -1
+        |       ELSE cnt * 24 * 10000 // trail END AS rate_e4,
+        |  CASE WHEN nw >= 24 AND trail > 0
+        |            AND cnt * 24 * 10000 // trail >= 30000 THEN 1
+        |       ELSE 0 END AS is_burst
+        |FROM sc""".stripMargin
   )
 
   /** The full q123 itemKNN pipeline as CTEs ending in `knn` =

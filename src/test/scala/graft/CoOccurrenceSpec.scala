@@ -1,0 +1,51 @@
+package graft
+
+import graft.text.{Collocations, CoOccurrence}
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoOccurrenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mat(docs: Seq[String], window: Int, minCount: Long = 1L): Map[(String, String, Int), Long] =
+    CoOccurrence.matrix(docs.toDF("text"), "text", window, minCount)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+
+  test("window=2 pairs with offsets") {
+    assert(mat(Seq("a b c"), 2) == Map(
+      ("a", "b", 1) -> 1L, ("b", "c", 1) -> 1L, ("a", "c", 2) -> 1L))
+  }
+
+  test("window clips at the doc end (no descending-sequence pairs)") {
+    assert(mat(Seq("a b"), 3) == Map(("a", "b", 1) -> 1L))
+    assert(mat(Seq("a"), 3).isEmpty)
+  }
+
+  test("repeated tokens accumulate per offset") {
+    assert(mat(Seq("a a a"), 2) == Map(("a", "a", 1) -> 2L, ("a", "a", 2) -> 1L))
+  }
+
+  test("case folds and empty tokens drop without breaking adjacency") {
+    assert(mat(Seq("A  b"), 1) == Map(("a", "b", 1) -> 1L))
+  }
+
+  test("minCount prunes") {
+    assert(mat(Seq("x y", "x y", "x z"), 1, minCount = 2) == Map(("x", "y", 1) -> 2L))
+  }
+
+  test("window=1 counts equal the Collocations bigram counts") {
+    val docs = (1 to 30).map(i => s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} w${i % 3}")
+    val co = mat(docs, 1).map { case ((a, b, _), n) => (a, b) -> n }
+    val ph = Collocations.phrases(docs.toDF("text"), "text", minCount = 1, delta = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(co == ph)
+  }
+
+  test("window must be positive") {
+    intercept[IllegalArgumentException] {
+      CoOccurrence.matrix(Seq("a b").toDF("text"), "text", 0)
+    }
+  }
+}
