@@ -1750,6 +1750,19 @@ object SparkEntry {
       graft.model.Rrf.fuse(Seq(knn, popRank), k = 60L, topK = 5)
     }),
 
+    // the streaming funnel kernel run in batch mode (one group pass,
+    // empty initial state == the q129 batch walk, same oracle)
+    "q136_funnel_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.stream.EventStreams.Event]
+      graft.stream.Funnel.statefulProgress(ev, Seq("view", "click", "purchase")).toDF()
+        .select(col("user_id"), col("slots")(0).as("view_ms"),
+          col("slots")(1).as("click_ms"), col("slots")(2).as("purchase_ms"),
+          col("stage"))
+    }),
+
     // hourly rate-burst flags per event type vs the trailing-24h
     // baseline (exact scaled integers; window on the skinny rollup)
     "q135_rate_bursts" -> ((s, dir) =>
@@ -3347,22 +3360,11 @@ object SparkEntry {
     // step-i event strictly after step i-1's completion — equals the
     // Spark side's sorted-array walk (first qualifying event in
     // ascending order IS that min; slots never overwrite)
-    "q129_funnel" ->
-      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS et FROM events
-        |            WHERE event_type IN ('view', 'click', 'purchase')),
-        |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
-        |       WHERE et = 'click' AND ms > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(ms) AS t3 FROM ev e JOIN s2 USING (user_id)
-        |       WHERE et = 'purchase' AND ms > t2 GROUP BY 1)
-        |SELECT u.user_id,
-        |       COALESCE(t1, -1) AS view_ms, COALESCE(t2, -1) AS click_ms,
-        |       COALESCE(t3, -1) AS purchase_ms,
-        |       CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
-        |         + CAST(t3 IS NOT NULL AS INT) AS stage
-        |FROM (SELECT DISTINCT user_id FROM ev) u
-        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q129_funnel" -> funnelSql,
+
+    // the stateful kernel invoked in batch mode == the batch walk
+    // (one group pass, empty initial state) — same replay
+    "q136_funnel_stateful" -> funnelSql,
 
     "q130_inverted_index" ->
       """WITH tf AS (
@@ -3439,6 +3441,25 @@ object SparkEntry {
         |       ELSE 0 END AS is_burst
         |FROM sc""".stripMargin
   )
+
+  /** DuckDB replay of the view→click→purchase funnel — shared by the
+    * batch walk (q129) and the stateful kernel in batch mode (q136). */
+  private lazy val funnelSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS et FROM events
+      |            WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
+      |       WHERE et = 'click' AND ms > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(ms) AS t3 FROM ev e JOIN s2 USING (user_id)
+      |       WHERE et = 'purchase' AND ms > t2 GROUP BY 1)
+      |SELECT u.user_id,
+      |       COALESCE(t1, -1) AS view_ms, COALESCE(t2, -1) AS click_ms,
+      |       COALESCE(t3, -1) AS purchase_ms,
+      |       CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+      |         + CAST(t3 IS NOT NULL AS INT) AS stage
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)""".stripMargin
 
   /** The full q123 itemKNN pipeline as CTEs ending in `knn` =
     * (user_id, item_id, score, rank ≤ 5) — shared by the itemKNN

@@ -1,7 +1,8 @@
 package graft.stream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Ordered-step conversion funnel over an event log — the product
   * analytics primitive behind "view → click → purchase" dashboards
@@ -62,5 +63,52 @@ object Funnel {
       .select(col("user_id") +: (
         (0 until k).map(i => col("acc")(i).as(s"step${i}_ms")) :+
           expr("size(filter(acc, x -> x <> -1L))").as("stage")): _*)
+  }
+
+  case class FunnelSlots(slots: List[Long])
+  case class FunnelProgress(user_id: Long, slots: List[Long], stage: Int)
+
+  /** Stateful streaming form of [[windowFunnel]]: per-user funnel
+    * slots live in flatMapGroupsWithState; a trigger emits a
+    * progress row when the user is first seen or any slot advances
+    * (append mode — dashboards consume funnel PROGRESS events).
+    * State is k longs per user, forever (funnels have no horizon;
+    * bound the key space upstream if users are unbounded).
+    *
+    * Same caveat as [[EventStreams.asofEnrich]]: an event arriving
+    * out of order ACROSS triggers cannot retro-correct an earlier
+    * skip (a view landing after its click was already rejected).
+    * Within a trigger, events fold in (ts, type) order — the batch
+    * walk's exact order — so a BATCH invocation (one group pass,
+    * empty initial state) equals [[windowFunnel]] row-for-row,
+    * which is how q136 runs under the oracle; streaming equals
+    * batch on trigger-ordered feeds (spec-pinned across triggers).
+    */
+  def statefulProgress(events: Dataset[EventStreams.Event],
+                       steps: Seq[String]): Dataset[FunnelProgress] = {
+    val k = steps.length
+    require(k >= 1 && steps.distinct.size == k, "funnel: steps must be distinct and nonempty")
+    val stepIdx = steps.zipWithIndex.toMap
+    import events.sparkSession.implicits._
+    events.filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSlots, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EventStreams.Event], state) =>
+          val first = !state.exists
+          val slots0 = state.getOption.map(_.slots).getOrElse(List.fill(k)(-1L))
+          val slots = slots0.toArray
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            val s = stepIdx(e.event_type)
+            if (slots(s) == -1L &&
+              (s == 0 || (slots(s - 1) != -1L && e.ts.getTime > slots(s - 1))))
+              slots(s) = e.ts.getTime
+          }
+          val out = slots.toList
+          state.update(FunnelSlots(out))
+          if (first || out != slots0)
+            Iterator(FunnelProgress(user, out, out.count(_ != -1L)))
+          else Iterator.empty
+      }
   }
 }
