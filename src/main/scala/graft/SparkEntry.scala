@@ -1763,6 +1763,31 @@ object SparkEntry {
           col("stage"))
     }),
 
+    // beyond-accuracy eval: catalog coverage + Gini concentration of
+    // the itemKNN top-5 recommendations (exact scaled ints; the Gini
+    // rank sum needs no per-item rank — count-of-counts rollup only)
+    "q137_rec_coverage" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val recs = graft.model.ItemKnn.recs(r,
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)
+        .select("user_id", "item_id")
+      graft.eval.Coverage.summary(recs, r.select("item_id"))
+    }),
+
+    // beyond-accuracy eval: per-user novelty (mean self-information,
+    // q12-precedent rounded log2) + intra-list diversity (exact e6
+    // ints over the itemKNN similarity table)
+    "q138_novelty_ild" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val rel = graft.model.ItemKnn.relevantCapped(r, 4.0, 50)
+      val sims = graft.model.ItemKnn.similarities(rel, 2)
+      val recs = graft.model.ItemKnn.recommend(r, rel,
+        graft.model.ItemKnn.neighbors(sims, 10), 5)
+        .select("user_id", "item_id")
+      graft.eval.Coverage.noveltyIld(recs, r,
+        sims.select("item_a", "item_b", "sim"))
+    }),
+
     // hourly rate-burst flags per event type vs the trailing-24h
     // baseline (exact scaled integers; window on the skinny rollup)
     "q135_rate_bursts" -> ((s, dir) =>
@@ -3294,6 +3319,42 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rrf_e6 DESC, item_id) AS rn
         |  FROM fused) WHERE rn <= 5""".stripMargin),
 
+    // coverage/Gini: count-of-counts rollup — the rank-weighted sum
+    // v·(m·s + m(m+1)/2) per tie group is tie-order invariant, so no
+    // per-item global rank exists on either engine
+    "q137_rec_coverage" -> (R + itemKnnChainSql +
+      """, rc AS (SELECT item_id, COUNT(*) AS cnt FROM knn GROUP BY 1)
+        |, bv AS (SELECT cnt, COUNT(*) AS m FROM rc GROUP BY 1)
+        |, cum AS (SELECT cnt, m,
+        |    COALESCE(CAST(SUM(m) OVER (ORDER BY cnt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+        |  FROM bv)
+        |, g AS (SELECT CAST(SUM(cnt * (m * before + (m * (m + 1)) // 2)) AS BIGINT) AS t,
+        |               CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(cnt * m) AS BIGINT) AS s FROM cum)
+        |, cat AS (SELECT COUNT(DISTINCT item_id) AS catalog_items FROM ratings)
+        |SELECT catalog_items, n AS recommended_items,
+        |       n * 1000000 // catalog_items AS coverage_e6,
+        |       CAST((2 * t * 1000000) // (n * s) - (1000000 * (n + 1)) // n AS BIGINT) AS gini_e6
+        |FROM g, cat""".stripMargin),
+
+    // novelty: −log2(pop/|U|) mean per user (round-6 double, the q12
+    // log2 precedent); ILD: 10⁶ − mean pairwise itemKNN similarity
+    // within each top-5 list, exact ints (absent pair = 0)
+    "q138_novelty_ild" -> (R + itemKnnChainSql +
+      """, uc AS (SELECT COUNT(DISTINCT user_id) AS u FROM ratings)
+        |, pop AS (SELECT item_id, COUNT(*) AS pcnt FROM ratings GROUP BY 1)
+        |, nov AS (SELECT k.user_id,
+        |            ROUND(SUM(LOG2(CAST(u AS DOUBLE) / CAST(pcnt AS DOUBLE))) / COUNT(*), 6) AS novelty
+        |          FROM knn k JOIN pop USING (item_id) CROSS JOIN uc GROUP BY 1)
+        |, prs AS (SELECT a.user_id, COALESCE(s.sim, 0) AS sim
+        |          FROM knn a JOIN knn b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |          LEFT JOIN sims s ON s.item_a = a.item_id AND s.item_b = b.item_id)
+        |, ild AS (SELECT user_id,
+        |            1000000 - CAST(SUM(sim) AS BIGINT) // COUNT(*) AS ild_e6
+        |          FROM prs GROUP BY 1)
+        |SELECT n.user_id, n.novelty, COALESCE(i.ild_e6, 1000000) AS ild_e6
+        |FROM nov n LEFT JOIN ild i ON n.user_id = i.user_id""".stripMargin),
+
     "q125_hits" -> hitsSql(iters = 3),
 
     "q126_lpa_communities" -> lpaSql(iters = 4),
@@ -3463,19 +3524,26 @@ object SparkEntry {
 
   /** The full q123 itemKNN pipeline as CTEs ending in `knn` =
     * (user_id, item_id, score, rank ≤ 5) — shared by the itemKNN
-    * (q123) and RRF-fusion (q133) oracles. */
-  private lazy val itemKnnChainSql: String =
-    """, rel AS (
+    * (q123), RRF-fusion (q133), coverage/Gini (q137) and novelty/ILD
+    * (q138) oracles. */
+  private lazy val itemKnnChainSql: String = itemKnnChain("ratings", 5, "rel")
+
+  /** [[itemKnnChainSql]] parameterized: interaction source table,
+    * final recommendation cutoff, and the name of the capped-relevant
+    * CTE (renameable so composed oracles — the q142 k-fold experiment
+    * — can still use `rel` for the metric CTEs of [[relSql]]). */
+  private def itemKnnChain(src: String, kRecs: Int, relName: String): String =
+    s""", $relName AS (
       |  SELECT user_id, item_id FROM (
       |    SELECT user_id, item_id,
       |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
-      |    FROM ratings WHERE rating >= 4.0)
+      |    FROM $src WHERE rating >= 4.0)
       |  WHERE rn <= 50
       |), ideg AS (
-      |  SELECT item_id, count(*) AS deg FROM rel GROUP BY 1
+      |  SELECT item_id, count(*) AS deg FROM $relName GROUP BY 1
       |), cooc AS (
       |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS cooc
-      |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+      |  FROM $relName a JOIN $relName b ON a.user_id = b.user_id AND a.item_id < b.item_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2
       |), sims AS (
       |  SELECT item_a, item_b, cooc * 1000000 // (da.deg + db.deg - cooc) AS sim
@@ -3492,17 +3560,17 @@ object SparkEntry {
       |  WHERE rn <= 10
       |), cand AS (
       |  SELECT r.user_id, n.nbr_id AS item_id, CAST(SUM(n.sim) AS BIGINT) AS score
-      |  FROM rel r JOIN nbrs n ON n.item_id = r.item_id
+      |  FROM $relName r JOIN nbrs n ON n.item_id = r.item_id
       |  GROUP BY 1, 2
       |), unseen AS (
       |  SELECT c.user_id, c.item_id, c.score FROM cand c
-      |  WHERE NOT EXISTS (SELECT 1 FROM ratings s
+      |  WHERE NOT EXISTS (SELECT 1 FROM $src s
       |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id)
       |), knn AS (
       |  SELECT user_id, item_id, score, CAST(rn AS INT) AS rank FROM (
       |    SELECT user_id, item_id, score,
       |           row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
-      |    FROM unseen) WHERE rn <= 5
+      |    FROM unseen) WHERE rn <= $kRecs
       |)""".stripMargin
 
   /** The capped-relevant item co-interaction projection (q123's rel,
