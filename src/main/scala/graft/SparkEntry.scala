@@ -1788,6 +1788,20 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"))
     }),
 
+    // MMR diversification of the itemKNN top-10 candidates: 3 greedy
+    // picks per user at λ=1/2 (integer mmr2x = rel − max sim to the
+    // picked set; per-user bounded walk, exact BIGINTs)
+    "q139_mmr_diversify" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val rel = graft.model.ItemKnn.relevantCapped(r, 4.0, 50)
+      val sims = graft.model.ItemKnn.similarities(rel, 2)
+      val cands = graft.model.ItemKnn.recommend(r, rel,
+        graft.model.ItemKnn.neighbors(sims, 10), 10)
+        .select("user_id", "item_id", "score")
+      graft.model.Mmr.diversify(cands,
+        sims.select("item_a", "item_b", "sim"), 3)
+    }),
+
     // hourly rate-burst flags per event type vs the trailing-24h
     // baseline (exact scaled integers; window on the skinny rollup)
     "q135_rate_bursts" -> ((s, dir) =>
@@ -3336,6 +3350,35 @@ object SparkEntry {
         |       n * 1000000 // catalog_items AS coverage_e6,
         |       CAST((2 * t * 1000000) // (n * s) - (1000000 * (n + 1)) // n AS BIGINT) AS gini_e6
         |FROM g, cat""".stripMargin),
+
+    // MMR: the 3-step greedy unrolled — pick t = argmax over
+    // remaining candidates of score − GREATEST(sim to each picked),
+    // ties by item_id; `ss` is the symmetric flat sim lookup
+    "q139_mmr_diversify" -> (R + itemKnnChain("ratings", 10, "rel") +
+      """, ss AS (SELECT item_a AS ia, item_b AS ib, sim FROM sims
+        |         UNION ALL SELECT item_b AS ia, item_a AS ib, sim FROM sims)
+        |, p1 AS (SELECT user_id, item_id AS i1, score AS m1 FROM knn WHERE rank = 1)
+        |, c2 AS (SELECT k.user_id, k.item_id, k.score - COALESCE(s1.sim, 0) AS mmr
+        |         FROM knn k JOIN p1 ON k.user_id = p1.user_id
+        |         LEFT JOIN ss s1 ON s1.ia = k.item_id AND s1.ib = p1.i1
+        |         WHERE k.item_id <> p1.i1)
+        |, p2 AS (SELECT user_id, item_id AS i2, mmr AS m2 FROM (
+        |           SELECT user_id, item_id, mmr,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY mmr DESC, item_id) AS rn
+        |           FROM c2) WHERE rn = 1)
+        |, c3 AS (SELECT k.user_id, k.item_id,
+        |                k.score - GREATEST(COALESCE(s1.sim, 0), COALESCE(s2.sim, 0)) AS mmr
+        |         FROM knn k JOIN p1 ON k.user_id = p1.user_id JOIN p2 ON k.user_id = p2.user_id
+        |         LEFT JOIN ss s1 ON s1.ia = k.item_id AND s1.ib = p1.i1
+        |         LEFT JOIN ss s2 ON s2.ia = k.item_id AND s2.ib = p2.i2
+        |         WHERE k.item_id <> p1.i1 AND k.item_id <> p2.i2)
+        |, p3 AS (SELECT user_id, item_id AS i3, mmr AS m3 FROM (
+        |           SELECT user_id, item_id, mmr,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY mmr DESC, item_id) AS rn
+        |           FROM c3) WHERE rn = 1)
+        |SELECT user_id, i1 AS item_id, CAST(1 AS INT) AS pick, m1 AS mmr2x FROM p1
+        |UNION ALL SELECT user_id, i2, CAST(2 AS INT), m2 FROM p2
+        |UNION ALL SELECT user_id, i3, CAST(3 AS INT), m3 FROM p3""".stripMargin),
 
     // novelty: −log2(pop/|U|) mean per user (round-6 double, the q12
     // log2 precedent); ILD: 10⁶ − mean pairwise itemKNN similarity
