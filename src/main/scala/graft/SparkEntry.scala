@@ -1802,6 +1802,27 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // the q129 funnel under a 24h conversion horizon (ClickHouse
+    // windowFunnel's `window`): steps 2..k must land within 24h of
+    // the first view
+    "q140_funnel_horizon" -> ((s, dir) =>
+      graft.stream.Funnel.windowFunnel(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        "user_id", "event_type", "ts_ms", Seq("view", "click", "purchase"),
+        horizonMs = Some(86400000L))
+        .select(col("user_id"), col("step0_ms").as("view_ms"),
+          col("step1_ms").as("click_ms"), col("step2_ms").as("purchase_ms"),
+          col("stage"))),
+
+    // last-touch attribution: each purchase credited to the latest
+    // preceding view/click within a 6h lookback (as-of kernel — one
+    // exchange, zero join nodes)
+    "q141_attribution" -> ((s, dir) =>
+      graft.stream.Attribution.lastTouch(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackMs = 21600000L)),
+
     // hourly rate-burst flags per event type vs the trailing-24h
     // baseline (exact scaled integers; window on the skinny rollup)
     "q135_rate_bursts" -> ((s, dir) =>
@@ -3469,6 +3490,40 @@ object SparkEntry {
     // the stateful kernel invoked in batch mode == the batch walk
     // (one group pass, empty initial state) — same replay
     "q136_funnel_stateful" -> funnelSql,
+
+    // the horizon form: t2/t3 additionally bounded by t1 + 24h (the
+    // anchor is the earliest view — greedy, same as the Spark walk)
+    "q140_funnel_horizon" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS et FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE et = 'click' AND ms > t1 AND ms <= t1 + 86400000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ms) AS t3 FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE et = 'purchase' AND ms > t2 AND ms <= t1 + 86400000 GROUP BY 1)
+        |SELECT u.user_id,
+        |       COALESCE(t1, -1) AS view_ms, COALESCE(t2, -1) AS click_ms,
+        |       COALESCE(t3, -1) AS purchase_ms,
+        |       CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        |         + CAST(t3 IS NOT NULL AS INT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // DuckDB native ASOF LEFT JOIN replay (the q77 precedent) over
+    // (user, ms)-collapsed touches; lookback applied post-match
+    "q141_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS conversion_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_ms(ts) AS ms, MAX(event_id) AS touch_id,
+        |             ARG_MAX(event_type, event_id) AS touch_type
+        |      FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.conversion_ms,
+        |       CASE WHEN t.ms >= p.conversion_ms - 21600000 THEN t.touch_id END AS touch_id,
+        |       CASE WHEN t.ms >= p.conversion_ms - 21600000 THEN t.touch_type END AS touch_type,
+        |       CASE WHEN t.ms >= p.conversion_ms - 21600000 THEN t.ms END AS touch_ms
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.conversion_ms >= t.ms""".stripMargin,
 
     "q130_inverted_index" ->
       """WITH tf AS (

@@ -32,14 +32,27 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object Funnel {
 
-  /** @param steps ordered distinct step types; k = steps.length
+  /** @param steps     ordered distinct step types; k = steps.length
+    * @param horizonMs  conversion window (ClickHouse windowFunnel's
+    *                   `window`): when set, steps 2..k must land
+    *                   within `horizonMs` of the FIRST step's
+    *                   completion time — the anchor is the earliest
+    *                   step-1 event (greedy, deterministic; a later
+    *                   anchor is never retried, which is the
+    *                   min-after-min semantics the oracle replays)
     * @return (user_id, step0_ms .. step{k-1}_ms, stage) */
   def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
-                   tsMsCol: String, steps: Seq[String]): DataFrame = {
+                   tsMsCol: String, steps: Seq[String],
+                   horizonMs: Option[Long] = None): DataFrame = {
     val k = steps.length
     require(k >= 1 && steps.distinct.size == k, "funnel: steps must be distinct and nonempty")
     require(steps.forall(s => !s.contains("'")), "funnel: step names must not contain quotes")
     val stepsLit = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // for i >= 1 the prefix property guarantees acc[0] is set, so the
+    // horizon test never reads the -1 sentinel
+    val horizonCond = horizonMs
+      .map(h => s"\n              AND (i = 0 OR e.ts_ms <= acc[0] + ${h}L)")
+      .getOrElse("")
     val walk =
       s"""aggregate(
          |  evs,
@@ -47,7 +60,7 @@ object Funnel {
          |  (acc, e) -> transform(acc, (x, i) ->
          |    CASE WHEN x <> -1L THEN x
          |         WHEN array_position($stepsLit, e.et) = i + 1
-         |              AND (i = 0 OR (acc[i - 1] <> -1L AND e.ts_ms > acc[i - 1]))
+         |              AND (i = 0 OR (acc[i - 1] <> -1L AND e.ts_ms > acc[i - 1]))$horizonCond
          |         THEN e.ts_ms ELSE x END))""".stripMargin
     events
       .filter(col(typeCol).isInCollection(steps))

@@ -1,0 +1,57 @@
+package graft
+
+import graft.stream.Attribution
+import org.scalatest.funsuite.AnyFunSuite
+
+class AttributionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (event_id, user_id, event_type, ts_ms)
+  private def run(evs: Seq[(Long, Long, String, Long)], lookback: Long) =
+    Attribution.lastTouch(
+      evs.toDF("event_id", "user_id", "event_type", "ts_ms"),
+      "purchase", Seq("view", "click"), lookback)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4)), Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  test("the LATEST preceding touch wins") {
+    val out = run(Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "purchase", 25L)), 100L)
+    assert(out(3L) == ((Some(2L), Some("click"), Some(20L))))
+  }
+
+  test("touches older than the lookback yield NULL credit") {
+    val out = run(Seq((1L, 1L, "view", 10L), (2L, 1L, "purchase", 200L)), 50L)
+    assert(out(2L) == ((None, None, None)))
+  }
+
+  test("lookback boundary is inclusive") {
+    val out = run(Seq((1L, 1L, "view", 150L), (2L, 1L, "purchase", 200L)), 50L)
+    assert(out(2L) == ((Some(1L), Some("view"), Some(150L))))
+  }
+
+  test("a touch at the conversion's exact ms matches; max event_id breaks ts ties") {
+    val out = run(Seq(
+      (5L, 1L, "click", 20L), (7L, 1L, "view", 20L), (9L, 1L, "purchase", 20L)), 100L)
+    assert(out(9L) == ((Some(7L), Some("view"), Some(20L))))
+  }
+
+  test("no touch at all -> left-outer NULLs; non-touch types are ignored") {
+    val out = run(Seq(
+      (1L, 1L, "signup", 10L), (2L, 1L, "purchase", 20L),
+      (3L, 2L, "view", 5L), (4L, 2L, "purchase", 30L)), 100L)
+    assert(out(2L) == ((None, None, None)))
+    assert(out(4L) == ((Some(3L), Some("view"), Some(5L))))
+  }
+
+  test("each conversion attributes independently (two purchases, one user)") {
+    val out = run(Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "purchase", 15L),
+      (3L, 1L, "click", 30L), (4L, 1L, "purchase", 35L)), 100L)
+    assert(out(2L) == ((Some(1L), Some("view"), Some(10L))))
+    assert(out(4L) == ((Some(3L), Some("click"), Some(30L))))
+  }
+}

@@ -72,6 +72,35 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  private def funnelH(evs: Seq[(Long, Long, String)], h: Long): Map[Long, (Long, Long, Long, Int)] =
+    Funnel.windowFunnel(evs.toDF("user_id", "ts_ms", "event_type"),
+      "user_id", "event_type", "ts_ms", steps, horizonMs = Some(h))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+
+  test("conversion horizon blocks steps landing after anchor + horizon") {
+    assert(funnelH(Seq((1L, 0L, "A"), (1L, 50L, "B"), (1L, 200L, "C")), 100L) ==
+      Map(1L -> ((0L, 50L, -1L, 2))))
+  }
+
+  test("horizon boundary is inclusive (ts == anchor + horizon advances)") {
+    assert(funnelH(Seq((1L, 0L, "A"), (1L, 100L, "B")), 100L) ==
+      Map(1L -> ((0L, 100L, -1L, 2))))
+  }
+
+  test("the anchor is the EARLIEST first step — a later one is never retried") {
+    // anchor 0 puts B@120 out of the 100ms horizon even though the
+    // second A@50 would admit it (greedy min-after-min semantics)
+    assert(funnelH(Seq((1L, 0L, "A"), (1L, 50L, "A"), (1L, 120L, "B")), 100L) ==
+      Map(1L -> ((0L, -1L, -1L, 1))))
+  }
+
+  test("a large horizon reproduces the unwindowed funnel") {
+    val evs = Seq((1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"))
+    assert(funnelH(evs, Long.MaxValue / 2) == funnel(evs))
+  }
+
   test("stateful streaming funnel: per-trigger progress, final state == batch walk") {
     import graft.stream.EventStreams.Event
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
