@@ -1823,6 +1823,26 @@ object SparkEntry {
         convType = "purchase", touchTypes = Seq("view", "click"),
         lookbackMs = 21600000L)),
 
+    // a full offline recommender experiment in ONE query — the
+    // reference's core loop (framework/experiment.py:31-113): k-fold
+    // user split -> train itemKNN on folds 2..5 -> AP@5 + nDCG@5 per
+    // user against fold 1 (composition of q08 + q123 + q11 + q12)
+    "q142_kfold_knn_eval" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val folded = EdgeSplits.kFold(r, 5, "user", Seq(col("item_id")))
+      val train = folded.filter(col("fold") =!= 1).select("user_id", "item_id", "rating")
+      val test = folded.filter(col("fold") === 1).select("user_id", "item_id", "rating")
+      val recs = graft.model.ItemKnn.recs(train,
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)
+        .select("user_id", "item_id", "rank")
+      // one-pass metrics: the trained-model subtree is consumed ONCE
+      // (two independent metric trees would recompute the whole chain
+      // — Spark reuses no exchanges across them; measured 0 reused/31)
+      Metrics.perUserAtK(recs, test, 5, 4.0)
+        .select(col("user_id"), round(col("ap"), 6).as("ap"),
+          round(col("ndcg"), 6).as("ndcg"))
+    }),
+
     // hourly rate-burst flags per event type vs the trailing-24h
     // baseline (exact scaled integers; window on the skinny rollup)
     "q135_rate_bursts" -> ((s, dir) =>
@@ -3371,6 +3391,21 @@ object SparkEntry {
         |       n * 1000000 // catalog_items AS coverage_e6,
         |       CAST((2 * t * 1000000) // (n * s) - (1000000 * (n + 1)) // n AS BIGINT) AS gini_e6
         |FROM g, cat""".stripMargin),
+
+    // the composed experiment: q08's ntile fold CTE, the itemKNN
+    // chain retargeted at `train` (its capped-relevant CTE renamed
+    // `krel` so relSql's metric `rel` keeps its name), then the
+    // SHARED q11/q12 metric CTEs verbatim — one oracle drift point
+    // per fragment, zero duplicated SQL
+    "q142_kfold_knn_eval" -> (R +
+      """, kf AS (SELECT user_id, item_id, rating,
+        |         NTILE(5) OVER (PARTITION BY user_id ORDER BY item_id) AS fold FROM ratings)
+        |, train AS (SELECT user_id, item_id, rating FROM kf WHERE fold <> 1)
+        |, test AS (SELECT user_id, item_id, rating FROM kf WHERE fold = 1)""".stripMargin
+      + itemKnnChain("train", 5, "krel")
+      + "\n, recs AS (SELECT user_id, item_id, rank FROM knn)"
+      + relSql + apCtesSql + ndcgCtesSql +
+      "\nSELECT a.user_id, ROUND(ap, 6) AS ap, ROUND(ndcg, 6) AS ndcg FROM ap a JOIN nd USING (user_id)"),
 
     // MMR: the 3-step greedy unrolled — pick t = argmax over
     // remaining candidates of score − GREATEST(sim to each picked),

@@ -94,7 +94,18 @@ object Metrics {
     * (map, ndcg). Value-identical to [[mapAtK]]/[[ndcgAtK]] (spec-pinned):
     * the AP hit dedup (first occurrence by rank) and the un-deduped DCG
     * graded relevance both match their standalone formulations. */
-  def meansAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame = {
+  def meansAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame =
+    perUserAtK(recs, test, k, relevanceThreshold)
+      .agg(avg("ap").as("map"), avg("ndcg").as("ndcg"))
+
+  /** Per-user AP@k AND nDCG@k in ONE pass → (user_id, ap, ndcg) — the
+    * [[meansAtK]] body before its final mean. Value-identical to
+    * [[apPerUser]] ⋈ [[ndcgPerUser]] (both restrict to users with ≥ 1
+    * relevant test item that received recommendations) but consumes
+    * `recs` ONCE — composed experiments (q142) feed an expensive
+    * trained-model subtree here, and Spark does not reuse exchanges
+    * across two independently-built metric trees. */
+  def perUserAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame = {
     val rel = relevant(test, relevanceThreshold)
     val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("nrel"))
     val iw = Window.partitionBy("user_id").orderBy(col("rating").desc, col("item_id"))
@@ -115,9 +126,8 @@ object Metrics {
       .groupBy("user_id", "nrel", "idcg")
       .agg(sum(col("hit") * col("cum_hits") / col("rank").cast("double")).as("ap_sum"),
         sum(col("rel_rating") / log2(col("rank").cast("double") + 1.0)).as("dcg"))
-      .select(
+      .select(col("user_id"),
         (col("ap_sum") / least(col("nrel"), lit(k)).cast("double")).as("ap"),
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg"))
-      .agg(avg("ap").as("map"), avg("ndcg").as("ndcg"))
   }
 }
