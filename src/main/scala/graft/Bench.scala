@@ -123,6 +123,31 @@ object Bench {
             .filter(length(col("w")) > 0), "w", m = 30).count()
         spark.catalog.clearCache()
       }
+      // itemKNN-chain family (q123/q133/q137/q138/q139/q142) + LPA
+      // (q126): ~20 generated stages across seven timed queries, all
+      // sharing the chain. Rather than hand-replicating each pipeline
+      // (drift risk when parameters change), write a 50-user slice of
+      // the base TABLES and run the timed query functions themselves
+      // on it — same constants inlined into the same generated classes,
+      // scan stages included. Results discarded.
+      locally {
+        val wdir = java.nio.file.Files.createTempDirectory("graft_warmtbl")
+        val ord = Tables.t(spark, sfDir, "orders").filter(col("o_custkey") < 50)
+        ord.write.mode("overwrite").parquet(s"$wdir/orders.parquet")
+        Tables.t(spark, sfDir, "lineitem")
+          .join(ord.select(col("o_orderkey").as("__ok")),
+            col("l_orderkey") === col("__ok"), "left_semi")
+          .write.mode("overwrite").parquet(s"$wdir/lineitem.parquet")
+        Tables.t(spark, sfDir, "customer").filter(col("c_custkey") < 50)
+          .write.mode("overwrite").parquet(s"$wdir/customer.parquet")
+        Tables.t(spark, sfDir, "part").filter(col("p_partkey") < 500)
+          .write.mode("overwrite").parquet(s"$wdir/part.parquet")
+        Seq("q123_itemknn_recs", "q126_lpa_communities", "q133_rrf_fusion",
+          "q137_rec_coverage", "q138_novelty_ild", "q139_mmr_diversify",
+          "q142_kfold_knn_eval")
+          .foreach(n => SparkEntry.queries(n)(spark, wdir.toString).count())
+        spark.catalog.clearCache()
+      }
     }
     // deterministic alphabetical order: the relational chain (q09-q12)
     // shares its cached split early, and the RDD-heavy model queries
