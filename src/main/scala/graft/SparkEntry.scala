@@ -1802,6 +1802,19 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // resource-allocation link prediction on the item projection:
+    // common neighbors weighted by 10⁶ div deg(center) — the
+    // exact-integer Adamic-Adar stand-in (Zhou et al. 2009)
+    "q143_resource_allocation" -> ((s, dir) => {
+      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+      graft.graph.LinkPrediction.resourceAllocation(
+        graft.model.ItemKnn.cooc(rel, 2)
+          .select(col("item_a").as("u"), col("item_b").as("v")),
+        minCn = 2, maxCenterDeg = 40)
+        .select(col("a").as("item_a"), col("b").as("item_b"),
+          col("cn"), col("ra_e6"))
+    }),
+
     // the q129 funnel under a 24h conversion horizon (ClickHouse
     // windowFunnel's `window`): steps 2..k must land within 24h of
     // the first view
@@ -3515,6 +3528,22 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // RA: the q128 wedge replay with the center's degree carried into
+    // the aggregation — Σ 10⁶ // deg(c) alongside the cn count
+    "q143_resource_allocation" -> (R + itemProjSql +
+      """, capped AS (
+        |  SELECT adj.c, adj.x, gdeg.deg AS cdeg FROM (
+        |    SELECT u AS c, v AS x FROM edges UNION ALL SELECT v, u FROM edges) adj
+        |  JOIN gdeg ON gdeg.node = adj.c AND gdeg.deg <= 40)
+        |, wedges AS (
+        |  SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |         CAST(SUM(1000000 // l.cdeg) AS BIGINT) AS ra_e6
+        |  FROM capped l JOIN capped r ON l.c = r.c AND l.x < r.x
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT w.a AS item_a, w.b AS item_b, cn, ra_e6
+        |FROM wedges w
+        |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b""".stripMargin),
 
     // unrolled min-after-min: step i's first completion is the MIN
     // step-i event strictly after step i-1's completion — equals the

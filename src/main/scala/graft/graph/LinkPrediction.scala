@@ -66,4 +66,37 @@ object LinkPrediction {
       .select(col("a"), col("b"), col("cn"),
         expr("cn * 10000L div (__da + __db - cn)").as("jaccard_e4"))
   }
+
+  /** Resource-allocation index (Zhou, Lü & Zhang 2009):
+    * `ra = Σ_{c ∈ CN(a,b)} 1/deg(c)` — common neighbors weighted DOWN
+    * by their degree, the top performer of the local similarity
+    * indices in the original benchmark and the natural exact-integer
+    * stand-in for Adamic-Adar (1/log deg cannot hash-match across
+    * engines; 10⁶ div deg can). Emits (a, b, cn, ra_e6) for
+    * non-adjacent pairs with ≥ `minCn` sub-cap common neighbors.
+    *
+    * Same wedge shape and center-degree cap as [[commonNeighbors]];
+    * the only difference is the wedge carries its center's degree so
+    * the per-center weight `10⁶ div deg(c)` sums map-side in the same
+    * aggregation that counts `cn`. */
+  def resourceAllocation(edges: DataFrame, minCn: Long = 1L,
+                         maxCenterDeg: Long = 10000L): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("u").as("c"), col("v").as("x"))
+      .union(e.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c").as("node")).agg(count(lit(1)).as("deg"))
+    val capped = adj
+      .join(deg.filter(col("deg") <= maxCenterDeg)
+        .select(col("node").as("c"), col("deg").as("cdeg")), Seq("c"))
+      .repartition(col("c"))
+    val l = capped.select(col("c"), col("cdeg"), col("x").as("a"))
+    val r = capped.select(col("c"), col("x").as("b"))
+    l.join(r, Seq("c")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000L div cdeg")).as("ra_e6"))
+      .filter(col("cn") >= minCn)
+      .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("cn"), col("ra_e6"))
+  }
 }

@@ -52,4 +52,36 @@ class LinkPredictionSpec extends AnyFunSuite {
     assert(m.keySet == Set(("a", "c"), ("b", "d")))
     assert(lp(Seq("a" -> "b", "b" -> "c"), minCn = 2).isEmpty)
   }
+
+  private def ra(edges: Seq[(String, String)], minCn: Long = 1L,
+                 maxCenterDeg: Long = 10000L): Map[(String, String), (Long, Long)] =
+    LinkPrediction.resourceAllocation(edges.toDF("u", "v"), minCn, maxCenterDeg)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("RA weights each common neighbor by 10^6 div its degree") {
+    // (a,c) through b: deg(b)=2 -> 500000
+    assert(ra(Seq("a" -> "b", "b" -> "c")) == Map(("a", "c") -> ((1L, 500000L))))
+    // 4-cycle diagonals: two deg-2 centers each -> 10^6
+    assert(ra(Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d")).values.toSet ==
+      Set((2L, 1000000L)))
+  }
+
+  test("RA demotes high-degree centers where cn treats them equally") {
+    // (x,y) reachable through c (deg 2) and hub h (deg 4):
+    // ra = 10^6/2 + 10^6/4 = 750000 with cn = 2
+    val g = Seq("c" -> "x", "c" -> "y", "h" -> "x", "h" -> "y",
+      "h" -> "z1", "h" -> "z2")
+    assert(ra(g, minCn = 2)(("x", "y")) == ((2L, 750000L)))
+  }
+
+  test("RA honors the center cap and the existing-edge anti-join") {
+    val g = Seq("c" -> "x", "c" -> "y", "h" -> "x", "h" -> "y",
+      "h" -> "z1", "h" -> "z2")
+    // cap 2 silences h: only c contributes
+    assert(ra(g, maxCenterDeg = 2)(("x", "y")) == ((1L, 500000L)))
+    // a triangle proposes nothing
+    assert(ra(Seq("a" -> "b", "b" -> "c", "a" -> "c")).isEmpty)
+  }
 }
