@@ -1802,6 +1802,12 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // bigram-LM document scoring with add-one smoothing (the rung
+    // above q55's unigram on the CCNet/KenLM quality ladder); narrow
+    // zip pairing + the same estimate-and-score shuffle shape
+    "q144_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(T(s, dir, "documents"))),
+
     // resource-allocation link prediction on the item projection:
     // common neighbors weighted by 10⁶ div deg(center) — the
     // exact-integer Adamic-Adar stand-in (Zhou et al. 2009)
@@ -2531,6 +2537,23 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |       ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logp
         |FROM toks JOIN vocab USING (tk), tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // bigram LM: pairs from the zip of w against its 1-shifted self
+    // (numeric struct index — DuckDB's list_zip yields unnamed
+    // structs); counts and V exactly as the Spark side
+    "q144_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, t.tk FROM d, UNNEST(w) AS t(tk)),
+        |bg AS (SELECT doc_id, p[1] AS l, p[2] AS r
+        |       FROM (SELECT doc_id, UNNEST(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        |             FROM d WHERE len(w) >= 2)),
+        |bgc AS (SELECT l, r, COUNT(*) AS cbg FROM bg GROUP BY 1, 2),
+        |lc AS (SELECT l, COUNT(*) AS cl FROM bg GROUP BY 1),
+        |vs AS (SELECT CAST(COUNT(DISTINCT tk) AS DOUBLE) AS v FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       ROUND(AVG(ln((CAST(cbg AS DOUBLE) + 1.0) / (CAST(cl AS DOUBLE) + v))), 6) AS avg_logp
+        |FROM bg JOIN bgc USING (l, r) JOIN lc USING (l), vs
         |GROUP BY doc_id""".stripMargin,
 
     "q56_label_join" ->

@@ -108,6 +108,44 @@ object TextOps {
         round(avg(log(col("c").cast("double") / col("n_total"))), 6).as("avg_logp"))
   }
 
+  /** Bigram LM scoring with add-one smoothing — the next rung above
+    * [[unigramLogProb]] on the CCNet/KenLM quality-filter ladder:
+    * avg_logp = round-6 mean over a document's adjacent token pairs of
+    * ln((c(w₁w₂) + 1) / (c(w₁·) + V)), with c(w₁·) the corpus count of
+    * w₁ as a bigram LEFT and V the full unigram vocabulary size.
+    * Smoothing is REQUIRED here (unlike the unigram MLE): a document's
+    * own bigrams are always in-corpus, but the +1/+V Laplace form is
+    * what makes the model usable on held-out text, so the pipeline
+    * shape ships with it. Documents under 2 tokens have no bigrams and
+    * are absent. Returns (doc_id, n_bigrams, avg_logp).
+    *
+    * Scale shape: bigram pairing is NARROW (one zip_with of the token
+    * array against its own 1-shifted slice — the q134 ascending-zip
+    * pattern, no window, no per-doc sort); then the same
+    * estimate-and-score shape as [[unigramLogProb]] — two hash
+    * aggregations keyed by (l, r) and (l) with map-side combine, two
+    * equi-joins back onto the bigram stream on the same keys, V as a
+    * broadcast 1-row aggregate, one final doc-keyed aggregation. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val bg = d.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS l, b AS r))")).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val bgc = bg.groupBy("l", "r").agg(count(lit(1)).as("cbg"))
+    val lc = bg.groupBy("l").agg(count(lit(1)).as("cl"))
+    val vs = d.select(explode(col("w")).as("tk"))
+      .agg(countDistinct("tk").cast("double").as("v"))
+    bg.join(bgc, Seq("l", "r")).join(lc, Seq("l"))
+      .crossJoin(broadcast(vs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cbg").cast("double") + 1.0)
+          / (col("cl").cast("double") + col("v")))), 6).as("avg_logp"))
+  }
+
   /** Gopher-style within-document repetition signals — the standard
     * quality filter next to perplexity in large-scale training-data
     * pipelines (Rae et al. 2021 §A1.1 "repetitious" heuristics):

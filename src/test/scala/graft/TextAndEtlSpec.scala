@@ -136,6 +136,22 @@ class TextAndEtlSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
   }
 
+  test("bigramLogProb: hand-computed add-one smoothed bigram scores") {
+    // corpus: doc1 "a b a b" -> bigrams (a,b)x2 (b,a)x1; doc2 "a b" ->
+    // (a,b)x1. totals: c(a,b)=3, c(b,a)=1, left counts a:3 b:1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // V = 3 (a, b, z — the single-token doc still contributes vocab)
+    val ab = math.log((3.0 + 1) / (3 + 3)) // c(a,b)=3, c(a·)=3, V=3
+    val ba = math.log((1.0 + 1) / (1 + 3))
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - math.rint((2 * ab + ba) / 3 * 1e6) / 1e6) < 1e-9)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - math.rint(ab * 1e6) / 1e6) < 1e-9)
+    assert(!out.contains(3L)) // no bigrams -> absent
+  }
+
   test("repetitionStats: hand-worked Gopher repetition signals, short-doc nulls") {
     val docs = Seq(
       (1L, "a b a b a"), // 2-grams: ab,ba,ab,ba -> top 2/4; 3-grams: aba,bab,aba -> dup 1-2/3
