@@ -1802,6 +1802,18 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // full k-core decomposition of the item projection: 20 rounds of
+    // the h-index fixpoint iteration (= exact coreness on every test
+    // graph, probed 12/12/17 rounds to convergence), value-rollup H
+    "q145_coreness" -> ((s, dir) => {
+      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+      graft.graph.Coreness.run(
+        graft.model.ItemKnn.cooc(rel, 2)
+          .select(col("item_a").as("u"), col("item_b").as("v")),
+        "u", "v", iters = 20)
+        .select(col("node").as("item_id"), col("coreness"))
+    }),
+
     // bigram-LM document scoring with add-one smoothing (the rung
     // above q55's unigram on the CCNet/KenLM quality ladder); narrow
     // zip pairing + the same estimate-and-score shuffle shape
@@ -3552,6 +3564,13 @@ object SparkEntry {
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
 
+    // coreness: the same 20 h-index rounds unrolled. Every round CTE
+    // is MATERIALIZED — DuckDB's optimizer explodes on deep inlined
+    // single-reference CTE chains (20 inlined rounds planned >300 s;
+    // materialized, 0.2 s) — the q125 lesson's optimizer-side sibling
+    "q145_coreness" -> (R + itemProjSql + corenessRoundsSql(20) +
+      "\nSELECT n AS item_id, c AS coreness FROM c20"),
+
     // RA: the q128 wedge replay with the center's degree carried into
     // the aggregation — Σ 10⁶ // deg(c) alongside the cn count
     "q143_resource_allocation" -> (R + itemProjSql +
@@ -3775,6 +3794,26 @@ object SparkEntry {
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
       |)""".stripMargin
+
+  /** Unrolled h-index coreness rounds over the `edges` CTE of
+    * [[itemProjSql]] — one MATERIALIZED CTE per round (see the q145
+    * oracle comment). Round i: neighbor-value rollup r_i, then
+    * H = max(least(value, cumulative count sorted desc)). */
+  private def corenessRoundsSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """, adj AS MATERIALIZED (SELECT u AS n, v AS x FROM edges
+        |                       UNION ALL SELECT v AS n, u AS x FROM edges)
+        |, c0 AS (SELECT n, COUNT(*) AS c FROM adj GROUP BY 1)""".stripMargin)
+    for (i <- 1 to iters) sb.append(
+      s"""
+         |, r$i AS (SELECT adj.n, p.c, COUNT(*) AS m
+         |          FROM adj JOIN c${i - 1} p ON p.n = adj.x GROUP BY 1, 2)
+         |, c$i AS MATERIALIZED (SELECT n, MAX(LEAST(c, cum)) AS c FROM (
+         |    SELECT n, c, CAST(SUM(m) OVER (PARTITION BY n ORDER BY c DESC) AS BIGINT) AS cum
+         |    FROM r$i) GROUP BY n)""".stripMargin)
+    sb.toString
+  }
 
   /** DuckDB replay of [[graft.graph.PageRank.run]] over the q13 triple
     * graph: `iters` unrolled rounds of

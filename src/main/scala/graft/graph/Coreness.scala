@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Full k-core decomposition (coreness per node) by the h-index
+  * fixed-point iteration (Lü, Zhou et al. 2016, "The H-index of a
+  * network node"): start every node at its degree and repeatedly set
+  * `c(v) ← H({c(u) : u ∈ N(v)})`, the largest h such that at least h
+  * neighbors currently hold value ≥ h. The iterate decreases
+  * monotonically and its fixed point IS the coreness — unlike the
+  * classic sequential peel (min-degree deletion, inherently serial),
+  * every round is one synchronous relational pass, the same
+  * fixed-iteration discipline as [[PageRank]]/[[Hits]]. The operator
+  * is defined as the `iters`-round iterate (exact, engine-replayable);
+  * on the test graphs it converges well before the default 20 rounds
+  * (probed: 12 / 12 / 17 rounds to fixpoint at sf0.001/0.01/0.1, each
+  * matching an independent exact-peeling implementation).
+  *
+  * Scale anatomy of one round:
+  *   1. neighbor values: one equi-join of the persisted adjacency
+  *      against the skinny (node, c) table (AQE may broadcast it);
+  *   2. H is computed from the per-node VALUE ROLLUP, not the raw
+  *      neighbor list: group to (n, c, m), then
+  *      `H = max(least(c, cum_m))` over values sorted descending —
+  *      the window sees at most |distinct neighbor values| rows per
+  *      node (≤ deg, typically ≪), the same rollup-first discipline
+  *      as the Gini rank sum (q137);
+  *   3. each round ends in an eager `localCheckpoint` — the
+  *      [[PageRank]] discipline: persist alone leaves the logical plan
+  *      deepening every round and Catalyst re-analysis turns 20 rounds
+  *      superlinear (measured here: 10 rounds 22.7 s persist-only vs
+  *      flat ~0.3 s/round truncated).
+  *
+  * All integers; bit-exact in any engine. The DuckDB replay unrolls
+  * the same rounds with one MATERIALIZED CTE per round — deep
+  * single-reference CTE chains explode DuckDB's optimizer even when
+  * evaluation would be linear (the q125 lesson's optimizer-side
+  * sibling; 20 inlined rounds planned > 300 s, materialized 0.2 s).
+  */
+object Coreness {
+
+  /** @param edges undirected simple edges (one row per edge)
+    * @return (node, coreness) — the `iters`-round h-index iterate */
+  def run(edges: DataFrame, uCol: String, vCol: String, iters: Int = 20): DataFrame = {
+    require(iters >= 0, "coreness: iters >= 0")
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    // adj stays pinned for the whole loop and the result's lifetime
+    // (every round and the final lineage reference it)
+    val adj = e.select(col("u").as("n"), col("v").as("x"))
+      .union(e.select(col("v").as("n"), col("u").as("x")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = adj.groupBy("n").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("n").orderBy(col("c").desc)
+    for (_ <- 1 to iters) {
+      val nb = adj.join(cur.select(col("n").as("x"), col("c")), Seq("x"))
+      cur = nb.groupBy("n", "c").agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum("m").over(w))
+        .groupBy("n").agg(max(least(col("c"), col("cum"))).as("c"))
+        .localCheckpoint(true) // eager: materializes AND truncates lineage
+    }
+    cur.select(col("n").as("node"), col("c").as("coreness"))
+  }
+}
