@@ -1802,6 +1802,21 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // serendipity@5 on the q142 k-fold frame: relevant AND absent
+    // from the popularity primitive's top-5 (exact n·10⁶ div 5)
+    "q146_serendipity" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val folded = EdgeSplits.kFold(r, 5, "user", Seq(col("item_id")))
+      val train = folded.filter(col("fold") =!= 1).select("user_id", "item_id", "rating")
+      val test = folded.filter(col("fold") === 1).select("user_id", "item_id", "rating")
+      val recs = graft.model.ItemKnn.recs(train,
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)
+        .select("user_id", "item_id", "rank")
+      Metrics.serendipityAtK(recs,
+        PopularityRecommender.recommend(train, 5).select("user_id", "item_id"),
+        test, 5, 4.0)
+    }),
+
     // full k-core decomposition of the item projection: 20 rounds of
     // the h-index fixpoint iteration (= exact coreness on every test
     // graph, probed 12/12/17 rounds to convergence), value-rollup H
@@ -3563,6 +3578,38 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // serendipity: the q142 frame + the popularity primitive (popSql
+    // replicated p-prefixed over the k-fold train — the chain already
+    // owns `cand`); relevant-and-unexpected counted per user
+    "q146_serendipity" -> (R +
+      """, kf AS (SELECT user_id, item_id, rating,
+        |         NTILE(5) OVER (PARTITION BY user_id ORDER BY item_id) AS fold FROM ratings)
+        |, train AS (SELECT user_id, item_id, rating FROM kf WHERE fold <> 1)
+        |, test AS (SELECT user_id, item_id, rating FROM kf WHERE fold = 1)""".stripMargin
+      + itemKnnChain("train", 5, "krel") +
+      """, ppop AS (SELECT item_id, COUNT(*) AS cnt FROM train GROUP BY 1)
+        |, pmaxr AS (SELECT MAX(c) AS m FROM (SELECT COUNT(*) AS c FROM train GROUP BY user_id))
+        |, pcand AS (SELECT item_id, cnt FROM (
+        |    SELECT item_id, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, item_id) AS pr FROM ppop)
+        |  WHERE pr <= (SELECT m + 5 FROM pmaxr))
+        |, precs AS (SELECT user_id, item_id FROM (
+        |    SELECT u.user_id, c.item_id,
+        |           ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY c.cnt DESC, c.item_id) AS prank
+        |    FROM (SELECT DISTINCT user_id FROM train) u CROSS JOIN pcand c
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t
+        |                      WHERE t.user_id = u.user_id AND t.item_id = c.item_id))
+        |  WHERE prank <= 5)
+        |, qual AS (SELECT DISTINCT user_id FROM test WHERE rating >= 4.0)
+        |, ser AS (SELECT k.user_id,
+        |            CAST(SUM(CASE WHEN p.item_id IS NULL AND x.item_id IS NOT NULL
+        |                          THEN 1 ELSE 0 END) AS BIGINT) AS n_serendip
+        |          FROM knn k JOIN qual q ON q.user_id = k.user_id
+        |          LEFT JOIN precs p ON p.user_id = k.user_id AND p.item_id = k.item_id
+        |          LEFT JOIN (SELECT user_id, item_id FROM test WHERE rating >= 4.0) x
+        |            ON x.user_id = k.user_id AND x.item_id = k.item_id
+        |          GROUP BY 1)
+        |SELECT user_id, n_serendip, n_serendip * 1000000 // 5 AS ser_e6 FROM ser""".stripMargin),
 
     // coreness: the same 20 h-index rounds unrolled. Every round CTE
     // is MATERIALIZED — DuckDB's optimizer explodes on deep inlined

@@ -80,6 +80,32 @@ object Metrics {
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg"))
   }
 
+  /** Serendipity@k (Ge et al. 2010, simplified to the standard
+    * primitive-baseline form): the share of a user's top-k that is
+    * both RELEVANT (a positive test item) and UNEXPECTED (absent from
+    * a primitive baseline's top-k — canonically the popularity
+    * recommender, which is exactly what "obvious" means in a
+    * recommender). Exact integers: ser_e6 = n_serendip·10⁶ div k.
+    * Users qualify by the [[apPerUser]] rule (≥ 1 relevant test item
+    * and present in `recs`). One exchange keyed by (user, item) for
+    * the two left joins + one user-keyed aggregation. */
+  def serendipityAtK(recs: DataFrame, primitive: DataFrame, test: DataFrame,
+                     k: Int, relevanceThreshold: Double): DataFrame = {
+    val rel = relevant(test, relevanceThreshold)
+    val qualified = rel.select("user_id").distinct()
+    recs.filter(col("rank") <= k)
+      .join(qualified, Seq("user_id")) // inner: qualifying users only
+      .join(primitive.select(col("user_id"), col("item_id"), lit(1).as("in_prim")),
+        Seq("user_id", "item_id"), "left")
+      .join(rel.select(col("user_id"), col("item_id"), lit(1).as("hit")),
+        Seq("user_id", "item_id"), "left")
+      .groupBy("user_id")
+      .agg(sum(when(col("in_prim").isNull && col("hit") === 1, 1L)
+        .otherwise(0L)).as("n_serendip"))
+      .select(col("user_id"), col("n_serendip"),
+        expr(s"n_serendip * 1000000L div $k").as("ser_e6"))
+  }
+
   /** MAP@k: mean of per-user AP over qualifying users (map.py:15-16). */
   def mapAtK(recs: DataFrame, test: DataFrame, k: Int, relevanceThreshold: Double): DataFrame =
     apPerUser(recs, test, k, relevanceThreshold).agg(avg("ap").as("map"))

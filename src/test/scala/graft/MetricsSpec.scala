@@ -68,6 +68,21 @@ class MetricsSpec extends AnyFunSuite {
     (ap ++ nd).foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("serendipity@k counts relevant-AND-unexpected only") {
+    val r = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), // user 1: A B C
+      (2L, 10L, 1)) // user 2 has no relevant test items -> absent
+      .toDF("user_id", "item_id", "rank")
+    val prim = Seq((1L, 10L), (1L, 20L)).toDF("user_id", "item_id")
+    val t = Seq((1L, 20L, 5.0), (1L, 30L, 4.0), (1L, 40L, 5.0))
+      .toDF("user_id", "item_id", "rating")
+    val out = Metrics.serendipityAtK(r, prim, t, 3, 4.0)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // item 20: relevant but in the primitive -> expected, not counted;
+    // item 30: relevant and absent from the primitive -> counted;
+    // item 10: unexpected but irrelevant -> not counted
+    assert(out == Map(1L -> ((1L, 1000000L / 3))))
+  }
+
   test("fused meansAtK equals the standalone MAP@k and nDCG@k means") {
     // hand-worked fixture PLUS a duplicate-recommendation user so the
     // fused path's hit dedup and un-deduped DCG are both exercised
