@@ -1802,6 +1802,12 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // leakage-safe split: test/train buckets drawn on the NEAR-DUP
+    // CLUSTER id (q37's components), so duplicate documents can never
+    // straddle the split (Lee et al. 2021 contamination discipline)
+    "q147_leakage_safe_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(dedupCc(s, dir), seed = 7L, nBuckets = 5, testBucket = 0)),
+
     // serendipity@5 on the q142 k-fold frame: relevant AND absent
     // from the popularity primitive's top-5 (exact n·10⁶ div 5)
     "q146_serendipity" -> ((s, dir) => {
@@ -3578,6 +3584,22 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // leakage-safe split: q37's recursive-CC labeling + the q84 md5
+    // bucket arithmetic on the CLUSTER id
+    "q147_leakage_safe_split" -> (minhashCtes(8, 2).replace("WITH ", "WITH RECURSIVE ") +
+      """,
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |          JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+        |       UNION SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a),
+        |lbl AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |       (CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR) || '|' || '7'), 1, 8)) AS BIGINT) % 5) = 0 AS is_test
+        |FROM lbl""".stripMargin),
 
     // serendipity: the q142 frame + the popularity primitive (popSql
     // replicated p-prefixed over the k-fold train — the chain already

@@ -376,6 +376,27 @@ object Dedup {
       clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  /** Leakage-safe train/test assignment: buckets are drawn on the
+    * near-dup CLUSTER id, not the document id, so every member of a
+    * duplicate cluster lands on the same side — the split discipline
+    * that keeps eval sets honest (a near-copy of a training document
+    * in the test set is contamination, the exact failure mode the
+    * Lee et al. 2021 dedup paper measures). Same seeded-md5 bucket
+    * arithmetic as [[graft.util.Sampling.shard]] (first 8 hex chars as
+    * an int, mod `nBuckets`); `is_test` = bucket == `testBucket`.
+    * One narrow projection over the cluster table — the corpus itself
+    * never shuffles; join the result back on doc_id to materialize
+    * the sides. */
+  def leakageSafeSplit(clusters: DataFrame, seed: Long,
+                       nBuckets: Int = 5, testBucket: Int = 0): DataFrame = {
+    require(nBuckets > 1 && testBucket >= 0 && testBucket < nBuckets,
+      "leakageSafeSplit: need nBuckets > 1 and testBucket in [0, nBuckets)")
+    val h = md5(concat(col("cluster_id").cast("string"), lit("|"), lit(seed.toString)))
+    clusters.select(col("doc_id"), col("cluster_id"),
+      ((conv(substring(h, 1, 8), 16, 10).cast("long") % nBuckets).cast("int")
+        === testBucket).as("is_test"))
+  }
+
   /** Embedding-cosine near-dup pairs: (a_id, b_id, cos) with a < b and
     * cos >= threshold.
     *

@@ -58,6 +58,30 @@ class SessionAndClusterSpec extends AnyFunSuite {
     cc.unpersist(blocking = false)
   }
 
+  test("leakageSafeSplit keeps whole clusters on one side, deterministically") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = graft.text.Dedup.leakageSafeSplit(clusters, seed = 7L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 6)
+    // all members of a cluster share their flag
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(5L)._2 == out(6L)._2)
+    // same seed reproduces; a different seed is a different draw overall
+    val again = graft.text.Dedup.leakageSafeSplit(clusters, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again == out.map { case (k, (_, t)) => k -> t })
+    // flag matches the Sampling.shard arithmetic: bucket(cluster) == 0
+    val buckets = graft.util.Sampling.shard(
+      clusters.select("cluster_id").distinct().withColumnRenamed("cluster_id", "doc_id"),
+      nShards = 5, seed = 7L, keyCols = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 0)).toMap
+    out.foreach { case (_, (cl, t)) => assert(t == buckets(cl)) }
+    intercept[IllegalArgumentException] {
+      graft.text.Dedup.leakageSafeSplit(clusters, 7L, nBuckets = 1)
+    }
+  }
+
   test("multimodal stub features replay as integer byte sums") {
     // "ab" bytes 97,98: dim 2 -> f0 = 97/255, f1 = 98/255
     val f = graft.multimodal.MultimodalOps.decodeStub("ab".getBytes("UTF-8"), 2)
