@@ -1802,6 +1802,13 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // seeded uniform negative sampling (the BPR training-set step):
+    // constant-width hash draws against a dense item index — no
+    // users×items cross join, no partitioning-dependent rand()
+    "q148_negative_sampling" -> ((s, dir) =>
+      graft.model.NegativeSampling.uniformNegatives(
+        Tables.ratings(s, dir), k = 4, oversample = 3, seed = 11L)),
+
     // leakage-safe split: test/train buckets drawn on the NEAR-DUP
     // CLUSTER id (q37's components), so duplicate documents can never
     // straddle the split (Lee et al. 2021 contamination discipline)
@@ -3584,6 +3591,31 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // negative sampling: dense index = ROW_NUMBER over distinct items
+    // (DuckDB's single sort IS the oracle's luxury; the Spark side
+    // decomposes it), then the same md5-mod draws, min-first-draw
+    // dedup, anti-join, rank
+    "q148_negative_sampling" -> (R +
+      """, it AS (SELECT item_id, ROW_NUMBER() OVER (ORDER BY item_id) AS idx
+        |         FROM (SELECT DISTINCT item_id FROM ratings))
+        |, nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM it)
+        |, draws AS (SELECT user_id, t.i
+        |            FROM (SELECT DISTINCT user_id FROM ratings),
+        |                 UNNEST(generate_series(1, 12)) AS t(i))
+        |, cand AS (SELECT d.user_id, d.i,
+        |             CAST(('0x' || substring(md5(CAST(d.user_id AS VARCHAR) || '|' ||
+        |                    CAST(d.i AS VARCHAR) || '|' || '11'), 1, 8)) AS BIGINT) % n + 1 AS idx
+        |           FROM draws d, nit)
+        |, mapped AS (SELECT c.user_id, it.item_id, MIN(c.i) AS fi
+        |             FROM cand c JOIN it USING (idx) GROUP BY 1, 2)
+        |, unseen AS (SELECT m.user_id, m.item_id, m.fi FROM mapped m
+        |             WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |                               WHERE r.user_id = m.user_id AND r.item_id = m.item_id))
+        |SELECT user_id, item_id, CAST(rn AS INT) AS neg_rank FROM (
+        |  SELECT user_id, item_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY fi, item_id) AS rn
+        |  FROM unseen) WHERE rn <= 4""".stripMargin),
 
     // leakage-safe split: q37's recursive-CC labeling + the q84 md5
     // bucket arithmetic on the CLUSTER id
