@@ -131,6 +131,72 @@ class StreamingSoakSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("soak: stateful funnel over 4 triggers — dups no-op, rejects emit nothing, state == users") {
+    import EventStreams.Event
+    import graft.stream.Funnel
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(min: Long) = new java.sql.Timestamp(min * 60000)
+    val steps = Seq("view", "click", "purchase")
+
+    val t1 = Seq( // out of order WITHIN the trigger (the kernel sorts)
+      Event(1, m(1), 1L, "view", 0.0),
+      Event(2, m(0), 1L, "click", 0.0)) // before any view: skipped
+    val t2 = Seq(
+      Event(3, m(5), 1L, "click", 0.0),
+      Event(4, m(3), 2L, "view", 0.0),
+      Event(1, m(1), 1L, "view", 0.0)) // dup of a SET slot: no-op
+    val t3 = Seq( // nothing can advance: dup + a click predating user 2's view
+      Event(3, m(5), 1L, "click", 0.0),
+      Event(5, m(2), 2L, "click", 0.0))
+    val t4 = Seq(
+      Event(6, m(9), 1L, "purchase", 0.0),
+      Event(7, m(7), 2L, "click", 0.0))
+    val triggers = Seq(t1, t2, t3, t4)
+
+    val input = MemoryStream[Event]
+    val q = Funnel.statefulProgress(input.toDS(), steps)
+      .writeStream.outputMode("append").format("memory").queryName("soak_funnel").start()
+    try {
+      var delivered = Seq.empty[Event]
+      var emittedBefore = 0L
+      triggers.zipWithIndex.foreach { case (batch, i) =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        delivered ++= batch
+
+        // latest snapshot per user (slots are monotone, so max stage
+        // with first-seen fallback = the last emission) == the batch
+        // walk over everything delivered so far, duplicates INCLUDED
+        // (batch is idempotent to them the same way the state is)
+        val latest = spark.table("soak_funnel")
+          .groupBy("user_id").agg(max(struct(col("stage"), col("slots"))).as("s"))
+          .select(col("user_id"), col("s.slots"), col("s.stage"))
+          .as[(Long, Seq[Long], Int)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val batchWalk = Funnel.windowFunnel(
+          delivered.map(e => (e.user_id, e.ts.getTime, e.event_type))
+            .toDF("user_id", "ts_ms", "event_type"),
+          "user_id", "event_type", "ts_ms", steps)
+          .collect()
+          .map(r => r.getLong(0) -> ((Seq(r.getLong(1), r.getLong(2), r.getLong(3)), r.getInt(4))))
+          .toMap
+        assert(latest == batchWalk, s"trigger ${i + 1}: $latest != $batchWalk")
+
+        // state: one k-slot row per user ever seen
+        val users = delivered.map(_.user_id).distinct.size.toLong
+        assert(stateRows(q) == users,
+          s"trigger ${i + 1}: state rows ${stateRows(q)} != $users users")
+
+        // the all-noop trigger 3 emits nothing
+        val emittedNow = spark.table("soak_funnel").count()
+        if (i == 2) assert(emittedNow == emittedBefore,
+          s"trigger 3 (dup + pre-view click) emitted ${emittedNow - emittedBefore} rows")
+        emittedBefore = emittedNow
+      }
+    } finally q.stop()
+  }
+
   test("soak: asofEnrich over 4 triggers — out-of-order, dup rights, horizon-bounded state") {
     import EventStreams.Event
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

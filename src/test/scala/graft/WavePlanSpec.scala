@@ -61,4 +61,48 @@ class WavePlanSpec extends AnyFunSuite {
     assert(nOps(p, "Exchange") == 2)
     assert(nOps(p, "\\w*Join") == 0)
   }
+
+  // ---- continuation wave (q137+) --------------------------------------
+
+  test("q137 coverage/Gini: every window input is a rollup, never the raw rec table") {
+    val p = plan("q137_rec_coverage")
+    // exactly one window (the cumulative over distinct count VALUES);
+    // the knn chain's TopK heaps contribute none
+    assert(nOps(p, "Window") == 1)
+  }
+
+  test("q140 funnel horizon keeps the q129 shape: one exchange, no window") {
+    val p = plan("q140_funnel_horizon")
+    assert(nOps(p, "Exchange") == 1)
+    assert(nOps(p, "Window") == 0)
+  }
+
+  test("q141 attribution: zero join nodes (the as-of merge-sort shape)") {
+    val p = plan("q141_attribution")
+    assert(nOps(p, "\\w*Join") == 0)
+  }
+
+  test("q144 bigram LM: bigram pairing is narrow (no window, no per-doc sort before the zip)") {
+    val p = plan("q144_bigram_logprob")
+    assert(nOps(p, "Window") == 0)
+    assert(nOps(p, "Generate") >= 1)
+  }
+
+  test("q148 negative sampling: DenseIndex plan is range-partitioned ranks, no cartesian") {
+    // the query's own final plan starts at TopK's RDD materialization,
+    // so pin the DenseIndex subplan directly: a range exchange feeding
+    // the per-partition local rank, the #partitions-row offset cumsum,
+    // and the broadcast offset join — and never a global single-
+    // partition sort of the key table
+    val items = Tables.ratings(spark, dir).select("item_id").distinct()
+    val p = graft.util.DenseIndex.byKey(items, "item_id").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(nOps(p, "Window") == 2)
+    assert(p.contains("rangepartitioning"))
+    // the offset attach is the explicit broadcast() — never a shuffle
+    // join (ratings' own build joins are broadcast too at this scale)
+    assert(nOps(p, "SortMergeJoin") == 0 && nOps(p, "ShuffledHashJoin") == 0)
+    val q = plan("q148_negative_sampling")
+    assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoop"))
+  }
 }
