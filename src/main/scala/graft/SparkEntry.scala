@@ -1802,6 +1802,20 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // recency-decayed popularity in exact power-of-two integer
+    // weights (10⁶ div 2^(age div 30d)), top-20 trending items
+    "q149_trending" -> ((s, dir) =>
+      graft.model.Trending.trending(
+        Tables.ratings(s, dir).select("item_id", "ts"),
+        halfLifeMs = 2592000000L, k = 20)),
+
+    // time-windowed co-visitation ("bought this, soon bought that"):
+    // capped pair join with a 90-day window predicate, support >= 2,
+    // symmetric top-5 lists on the bounded heap
+    "q150_covisitation" -> ((s, dir) =>
+      graft.model.ItemKnn.covisitation(Tables.ratings(s, dir),
+        minRating = 4.0, cap = 50, windowMs = 7776000000L, minCooc = 2, k = 5)),
+
     // seeded uniform negative sampling (the BPR training-set step):
     // constant-width hash draws against a dense item index — no
     // users×items cross join, no partitioning-dependent rand()
@@ -3591,6 +3605,33 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // trending: the same bucketed half-life weights (`<<` is exact on
+    // BIGINT in both engines), global top-20
+    "q149_trending" -> (R +
+      """, mx AS (SELECT MAX(ts) AS mx FROM ratings)
+        |SELECT item_id,
+        |       CAST(SUM(1000000 // (CAST(1 AS BIGINT) << CAST(LEAST((mx - ts) // 2592000000, 40) AS INT))) AS BIGINT) AS score_e6,
+        |       COUNT(*) AS n
+        |FROM ratings, mx GROUP BY item_id
+        |ORDER BY score_e6 DESC, item_id LIMIT 20""".stripMargin),
+
+    // covisitation: the capped-rel pair join with the 90-day window
+    // predicate, symmetrized, per-item top-5
+    "q150_covisitation" -> (R +
+      """, rel AS (SELECT user_id, item_id, ts FROM (
+        |    SELECT user_id, item_id, ts,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+        |    FROM ratings WHERE rating >= 4.0) WHERE rn <= 50)
+        |, prs AS (SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS cnt
+        |          FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |            AND abs(a.ts - b.ts) <= 7776000000
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_id, covis_id, cnt, CAST(rn AS INT) AS rank FROM (
+        |  SELECT item_id, covis_id, cnt,
+        |         row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, covis_id) AS rn
+        |  FROM (SELECT item_a AS item_id, item_b AS covis_id, cnt FROM prs
+        |        UNION ALL SELECT item_b, item_a, cnt FROM prs)) WHERE rn <= 5""".stripMargin),
 
     // negative sampling: dense index = ROW_NUMBER over distinct items
     // (DuckDB's single sort IS the oracle's luxury; the Spark side

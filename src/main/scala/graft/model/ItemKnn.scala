@@ -104,4 +104,34 @@ object ItemKnn {
     val rel = relevantCapped(ratings, minRating, cap)
     recommend(ratings, rel, neighbors(similarities(rel, minCooc), kNbrs), kRecs)
   }
+
+  /** Time-windowed co-visitation lists — the "people who bought this
+    * soon also bought" production primitive (the session/basket-scoped
+    * variant of [[cooc]]): item pairs a user interacted with within
+    * `windowMs` of each other, counted, support-pruned, symmetrized,
+    * top-`k` per item by (count DESC, covis_id). Same cap²-bounded
+    * pair join as the similarity chain — the window predicate only
+    * FILTERS pairs, it never changes the join shape — and the final
+    * cut rides the [[TopK]] bounded heap.
+    *
+    * @param ratings (user_id, item_id, rating, ts) with ts epoch-ms
+    * @return (item_id, covis_id, cnt, rank ≤ k) */
+  def covisitation(ratings: DataFrame, minRating: Double, cap: Int,
+                   windowMs: Long, minCooc: Int, k: Int): DataFrame = {
+    val rel = TopK.perGroup(
+      ratings.filter(col("rating") >= minRating)
+        .select("user_id", "item_id", "rating", "ts"),
+      Seq("user_id"), "rating", Seq("item_id"), cap)
+      .select("user_id", "item_id", "ts")
+    val pairs = rel.select(col("user_id"), col("item_id").as("item_a"), col("ts").as("ts_a"))
+      .join(rel.select(col("user_id"), col("item_id").as("item_b"), col("ts").as("ts_b")),
+        Seq("user_id"))
+      .filter(col("item_a") < col("item_b") &&
+        abs(col("ts_a") - col("ts_b")) <= windowMs)
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCooc)
+    val sym = pairs.select(col("item_a").as("item_id"), col("item_b").as("covis_id"), col("cnt"))
+      .unionByName(pairs.select(col("item_b").as("item_id"), col("item_a").as("covis_id"), col("cnt")))
+    TopK.perGroup(sym, Seq("item_id"), "cnt", Seq("covis_id"), k)
+  }
 }

@@ -108,4 +108,39 @@ class ItemKnnSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected heap-based ranking, found WindowExec:\n$plan")
   }
+
+  private def ratingsTs(rows: (Int, Int, Double, Long)*): DataFrame =
+    rows.map { case (u, i, r, t) => (u.toLong, i.toLong, r, t) }
+      .toDF("user_id", "item_id", "rating", "ts")
+
+  test("covisitation: window predicate gates pairs, support prunes, lists symmetric") {
+    val day = 86400000L
+    val r = ratingsTs(
+      (1, 10, 5.0, 0), (1, 20, 5.0, day), (1, 30, 5.0, 100 * day),
+      (2, 10, 5.0, 5 * day), (2, 20, 5.0, 7 * day),
+      (2, 30, 4.0, 200 * day))
+    val out = ItemKnn.covisitation(r, 4.0, 50, windowMs = 90 * day, minCooc = 2, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getInt(3)))).toMap
+    // only (10,20) co-occurs twice WITHIN 90 days; (x,30) pairs are
+    // outside the window for both users
+    assert(out == Map((10L, 20L) -> ((2L, 1)), (20L, 10L) -> ((2L, 1))))
+    // with the window removed, (10,30)/(20,30) pairs reappear at minCooc=1
+    val open = ItemKnn.covisitation(r, 4.0, 50, Long.MaxValue / 2, 1, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(open == Set(10L, 20L, 30L))
+  }
+
+  test("trending: exact half-life bucket weights, recency beats raw count, old clamps to 0") {
+    import graft.model.Trending
+    val hl = 1000L
+    val mx = 100000L
+    val inter = Seq(
+      (10L, mx), (10L, mx - hl),           // 1e6 + 5e5 = 1.5e6, n=2
+      (20L, mx - 2 * hl), (20L, mx - 2 * hl), (20L, mx - 2 * hl), // 3x 25e4 = 75e4, n=3
+      (30L, mx - 41 * hl))                 // age 41 half-lives -> weight 0
+      .toDF("item_id", "ts")
+    val out = Trending.trending(inter, hl, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1500000L, 2L), (20L, 750000L, 3L), (30L, 0L, 1L)))
+  }
 }

@@ -108,6 +108,39 @@ object GraphProbe {
       }
     }
 
+    // ---- Coreness: 20 h-index rounds over a 5M-edge random graph
+    // with a planted 100k-degree hub (the value-rollup H keeps the
+    // hub's window input at |distinct neighbor values|, not deg) ----
+    locally {
+      val nNodes = 1000000L; val nEdges = 5000000L
+      val raw = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("y"))
+        .union(spark.range(100000).select(lit(0L).as("x"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(nNodes - 1)) + 1).as("y")))
+      val edges = raw.select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .filter(col("u") < col("v")).distinct()
+      timed(s"coreness(V=$nNodes,hub=100k,20r)", nEdges) {
+        graft.graph.Coreness.run(edges, "u", "v", iters = 20)
+          .agg(max("coreness")).collect().head.getLong(0)
+      }
+    }
+
+    // ---- DenseIndex + negative sampling: 50M-row interaction table,
+    // 2M-item catalog — the draw amplification is k·oversample per
+    // user, never users×items ---------------------------------------
+    locally {
+      val n = 50000000L
+      val ratings = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(5000000)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(2000000)).as("item_id"),
+        lit(5.0).as("rating"))
+      timed("negatives(50M,k=4,os=3)", n) {
+        graft.model.NegativeSampling.uniformNegatives(ratings, 4, 3, 7L).count()
+      }
+    }
+
     // ---- Heavy hitters: 20M tokens, 1% hot over a wide tail -------
     locally {
       val n = 20000000L
