@@ -1802,6 +1802,14 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // user-based CF (the itemKNN transpose): double-capped relevant
+    // set (per-user AND per-item — the viral-item pair bound),
+    // user-user integer Jaccard, neighbor-vote scoring
+    "q151_userknn_recs" -> ((s, dir) =>
+      graft.model.UserKnn.recs(Tables.ratings(s, dir),
+        minRating = 4.0, capPerUser = 50, capPerItem = 50,
+        minCooc = 2, kNbrs = 10, kRecs = 5)),
+
     // recency-decayed popularity in exact power-of-two integer
     // weights (10⁶ div 2^(age div 30d)), top-20 trending items
     "q149_trending" -> ((s, dir) =>
@@ -3605,6 +3613,39 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // userKNN: the transposed chain — per-user cap, then per-item
+    // rater cap, user-pair Jaccard, neighbor-vote scores
+    "q151_userknn_recs" -> (R +
+      """, urel AS (SELECT user_id, item_id, rating FROM (
+        |    SELECT user_id, item_id, rating,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+        |    FROM ratings WHERE rating >= 4.0) WHERE rn <= 50)
+        |, urel2 AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY item_id ORDER BY rating DESC, user_id) AS rn
+        |    FROM urel) WHERE rn <= 50)
+        |, udeg AS (SELECT user_id, COUNT(*) AS deg FROM urel2 GROUP BY 1)
+        |, ucooc AS (SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS cooc
+        |            FROM urel2 a JOIN urel2 b ON a.item_id = b.item_id AND a.user_id < b.user_id
+        |            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |, usims AS (SELECT user_a, user_b, cooc * 1000000 // (da.deg + db.deg - cooc) AS sim
+        |            FROM ucooc JOIN udeg da ON da.user_id = user_a
+        |                       JOIN udeg db ON db.user_id = user_b)
+        |, unbrs AS (SELECT user_id, nbr_id, sim FROM (
+        |    SELECT user_id, nbr_id, sim,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY sim DESC, nbr_id) AS rn
+        |    FROM (SELECT user_a AS user_id, user_b AS nbr_id, sim FROM usims
+        |          UNION ALL SELECT user_b, user_a, sim FROM usims)) WHERE rn <= 10)
+        |, ucand AS (SELECT n.user_id, r.item_id, CAST(SUM(n.sim) AS BIGINT) AS score
+        |            FROM unbrs n JOIN urel2 r ON r.user_id = n.nbr_id GROUP BY 1, 2)
+        |, uunseen AS (SELECT c.user_id, c.item_id, c.score FROM ucand c
+        |              WHERE NOT EXISTS (SELECT 1 FROM ratings s
+        |                                WHERE s.user_id = c.user_id AND s.item_id = c.item_id))
+        |SELECT user_id, item_id, score, CAST(rn AS INT) AS rank FROM (
+        |  SELECT user_id, item_id, score,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rn
+        |  FROM uunseen) WHERE rn <= 5""".stripMargin),
 
     // trending: the same bucketed half-life weights (`<<` is exact on
     // BIGINT in both engines), global top-20
