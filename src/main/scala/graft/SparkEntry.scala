@@ -1802,6 +1802,16 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // rating prediction: Koren's regularized baseline (µ + b_u + b_i)
+    // in exact e6 ints on the q142 fold frame, per-user MSE
+    "q152_baseline_mse" -> ((s, dir) => {
+      val folded = EdgeSplits.kFold(Tables.ratings(s, dir), 5, "user", Seq(col("item_id")))
+      graft.model.BiasedBaseline.mseByUser(
+        folded.filter(col("fold") =!= 1).select("user_id", "item_id", "rating"),
+        folded.filter(col("fold") === 1).select("user_id", "item_id", "rating"),
+        lambda1 = 10L, lambda2 = 25L)
+    }),
+
     // user-based CF (the itemKNN transpose): double-capped relevant
     // set (per-user AND per-item — the viral-item pair bound),
     // user-user integer Jaccard, neighbor-vote scoring
@@ -3613,6 +3623,28 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // baseline predictor: same shrunk-bias integer arithmetic (both
+    // engines truncate div toward zero on NEGATIVE dividends — probed
+    // −7 // 2 = −3 in DuckDB and −7 div 2 = −3 in Spark)
+    "q152_baseline_mse" -> (R +
+      """, kf AS (SELECT user_id, item_id, rating,
+        |         NTILE(5) OVER (PARTITION BY user_id ORDER BY item_id) AS fold FROM ratings)
+        |, train AS (SELECT user_id, item_id, CAST(rating * 1000000 AS BIGINT) AS r FROM kf WHERE fold <> 1)
+        |, test AS (SELECT user_id, item_id, CAST(rating * 1000000 AS BIGINT) AS r FROM kf WHERE fold = 1)
+        |, mu AS (SELECT CAST(SUM(r) AS BIGINT) // COUNT(*) AS mu FROM train)
+        |, bu AS (SELECT user_id, CAST(SUM(r - mu) AS BIGINT) // (10 + COUNT(*)) AS bu
+        |         FROM train, mu GROUP BY 1, mu.mu)
+        |, bi AS (SELECT item_id, CAST(SUM(t.r - mu - bu.bu) AS BIGINT) // (25 + COUNT(*)) AS bi
+        |         FROM train t JOIN bu USING (user_id), mu GROUP BY 1, mu.mu)
+        |, pred AS (SELECT t.user_id, t.r,
+        |             GREATEST(1000000, LEAST(5000000,
+        |               mu + COALESCE(bu.bu, 0) + COALESCE(bi.bi, 0))) AS p
+        |           FROM test t LEFT JOIN bu ON bu.user_id = t.user_id
+        |                       LEFT JOIN bi ON bi.item_id = t.item_id, mu)
+        |SELECT user_id, COUNT(*) AS n_test,
+        |       CAST(SUM((r - p) * (r - p)) AS BIGINT) // COUNT(*) AS mse_e12
+        |FROM pred GROUP BY 1""".stripMargin),
 
     // userKNN: the transposed chain — per-user cap, then per-item
     // rater cap, user-pair Jaccard, neighbor-vote scores
