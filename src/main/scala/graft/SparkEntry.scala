@@ -1802,6 +1802,28 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // k-truss backbone of the item projection: synchronous support
+    // peeling, 8 fixed rounds (cascade depths probed 1/5/3 at the
+    // three SFs; k=4 binds at the sf0.01 gate scale: -> 401 edges,
+    // leaves the dense sf0.001 projection whole, empties sparse sf0.1)
+    "q153_ktruss" -> ((s, dir) => {
+      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+      graft.graph.Truss.ktruss(
+        graft.model.ItemKnn.cooc(rel, 2)
+          .select(col("item_a").as("u"), col("item_b").as("v")),
+        "u", "v", k = 4, iters = 8)
+        .select(col("u").as("item_a"), col("v").as("item_b"), col("support"))
+    }),
+
+    // multi-touch LINEAR attribution: every view/click within 6h of a
+    // purchase shares its credit equally (exact 10⁶ div n) — the
+    // (user, time-bin) equi-join form of the point-in-interval match
+    "q154_linear_attribution" -> ((s, dir) =>
+      graft.stream.Attribution.linearTouch(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackMs = 21600000L, binWidthMs = 21600000L)),
+
     // rating prediction: Koren's regularized baseline (µ + b_u + b_i)
     // in exact e6 ints on the q142 fold frame, per-user MSE
     "q152_baseline_mse" -> ((s, dir) => {
@@ -3624,6 +3646,29 @@ object SparkEntry {
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
 
+    // k-truss: 8 unrolled peel rounds, every round CTE MATERIALIZED
+    // (the q145 optimizer rule); triangles close by the (a, b) edge
+    // join, each credits its three edges
+    "q153_ktruss" -> (R + itemProjSql + trussRoundsSql(4, 8) +
+      "\nSELECT u AS item_a, v AS item_b, support FROM s8"),
+
+    // linear attribution: the oracle affords the raw theta join; the
+    // Spark side bins (user, time) — same matches exactly
+    "q154_linear_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS conversion_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |             epoch_ms(ts) AS touch_ms
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT p.event_id, p.user_id, p.conversion_ms,
+        |             t.touch_id, t.touch_type, t.touch_ms
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |        AND t.touch_ms BETWEEN p.conversion_ms - 21600000 AND p.conversion_ms),
+        |n AS (SELECT event_id, COUNT(*) AS n FROM m GROUP BY 1)
+        |SELECT m.event_id, m.user_id, m.conversion_ms, m.touch_id, m.touch_type,
+        |       m.touch_ms, 1000000 // n.n AS credit_e6
+        |FROM m JOIN n USING (event_id)""".stripMargin,
+
     // baseline predictor: same shrunk-bias integer arithmetic (both
     // engines truncate div toward zero on NEGATIVE dividends — probed
     // −7 // 2 = −3 in DuckDB and −7 div 2 = −3 in Spark)
@@ -4027,6 +4072,33 @@ object SparkEntry {
          |, c$i AS MATERIALIZED (SELECT n, MAX(LEAST(c, cum)) AS c FROM (
          |    SELECT n, c, CAST(SUM(m) OVER (PARTITION BY n ORDER BY c DESC) AS BIGINT) AS cum
          |    FROM r$i) GROUP BY n)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled k-truss peel rounds over the `edges` CTE of
+    * [[itemProjSql]] — every round CTE MATERIALIZED (the q145 rule:
+    * deep inlined chains explode DuckDB's optimizer). e0 = edges;
+    * round i closes triangles of e_{i-1} and keeps support ≥ k−2. */
+  private def trussRoundsSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("\n, e0 AS MATERIALIZED (SELECT u, v FROM edges)")
+    for (i <- 1 to iters) sb.append(
+      s"""
+         |, adj$i AS MATERIALIZED (SELECT u AS c, v AS x FROM e${i - 1}
+         |                         UNION ALL SELECT v, u FROM e${i - 1})
+         |, tri$i AS MATERIALIZED (
+         |    SELECT w.c, w.a, w.b
+         |    FROM (SELECT l.c, l.x AS a, r.x AS b
+         |          FROM adj$i l JOIN adj$i r
+         |            ON l.c = r.c AND l.c < l.x AND l.x < r.x) w
+         |    JOIN e${i - 1} e ON e.u = w.a AND e.v = w.b)
+         |, s$i AS MATERIALIZED (
+         |    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+         |      SELECT a AS u, b AS v FROM tri$i
+         |      UNION ALL SELECT LEAST(c, a), GREATEST(c, a) FROM tri$i
+         |      UNION ALL SELECT LEAST(c, b), GREATEST(c, b) FROM tri$i)
+         |    GROUP BY 1, 2 HAVING COUNT(*) >= ${k - 2})
+         |, e$i AS MATERIALIZED (SELECT u, v FROM s$i)""".stripMargin)
     sb.toString
   }
 

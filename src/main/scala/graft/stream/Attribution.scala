@@ -50,4 +50,48 @@ object Attribution {
         when(inWindow, col("asof_touch_type")).as("touch_type"),
         when(inWindow, col("asof_ts")).as("touch_ms"))
   }
+
+  /** Multi-touch LINEAR attribution: every touch inside the lookback
+    * shares the conversion's credit equally, `credit_e6 = 10⁶ div n`
+    * (exact integers — each conversion's credits sum to 10⁶ minus the
+    * div remainder, deterministically). Unlike [[lastTouch]] this
+    * needs ALL in-window touches, i.e. a point-in-interval join —
+    * which Spark plans as BroadcastNestedLoop from a raw BETWEEN.
+    * This kernel bins the time axis instead (the [[graft.util.RangeJoin]]
+    * trick) AND keys the equi-join by (user_id, bin), so only a
+    * user's own bin-local touches ever meet a conversion: one
+    * exchange pair, interval blowup ≤ lookback div binWidth + 1 rows
+    * per conversion, hot users = AQE skew case. The per-conversion
+    * touch count attaches by a second aggregation + equi-join (no
+    * window — a bot user's conversion may have unbounded in-window
+    * touches).
+    *
+    * @return one row per (conversion, in-window touch): (event_id,
+    *         user_id, conversion_ms, touch_id, touch_type, touch_ms,
+    *         credit_e6); untouched conversions are absent */
+  def linearTouch(events: DataFrame, convType: String, touchTypes: Seq[String],
+                  lookbackMs: Long, binWidthMs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "attribution: touch types must be nonempty and exclude the conversion type")
+    require(lookbackMs >= 0 && binWidthMs >= 1, "attribution: bad window params")
+    val conversions = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts_ms").as("conversion_ms"))
+      .withColumn("__bs", expr(s"(conversion_ms - ${lookbackMs}L) div ${binWidthMs}L"))
+      .withColumn("__be", expr(s"conversion_ms div ${binWidthMs}L"))
+      .withColumn("__bin", explode(expr("sequence(__bs, __be)")))
+      .drop("__bs", "__be")
+    val touches = events.filter(col("event_type").isInCollection(touchTypes))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts_ms").as("touch_ms"))
+      .withColumn("__bin", expr(s"touch_ms div ${binWidthMs}L"))
+    val matched = touches.join(conversions, Seq("user_id", "__bin"))
+      .filter(col("touch_ms") >= col("conversion_ms") - lookbackMs &&
+        col("touch_ms") <= col("conversion_ms"))
+      .drop("__bin")
+    val n = matched.groupBy("event_id").agg(count(lit(1)).as("__n"))
+    matched.join(n, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("conversion_ms"),
+        col("touch_id"), col("touch_type"), col("touch_ms"),
+        expr("1000000L div __n").as("credit_e6"))
+  }
 }

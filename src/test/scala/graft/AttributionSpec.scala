@@ -47,6 +47,52 @@ class AttributionSpec extends AnyFunSuite {
     assert(out(4L) == ((Some(3L), Some("view"), Some(5L))))
   }
 
+  private def runLinear(evs: Seq[(Long, Long, String, Long)], lookback: Long, bin: Long) =
+    Attribution.linearTouch(
+      evs.toDF("event_id", "user_id", "event_type", "ts_ms"),
+      "purchase", Seq("view", "click"), lookback, bin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getString(4), r.getLong(5), r.getLong(6))))
+      .toMap
+
+  test("linear: every in-window touch shares the credit equally") {
+    val out = runLinear(Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "view", 30L),
+      (4L, 1L, "purchase", 40L)), 100L, 100L)
+    assert(out.size == 3)
+    assert(out((4L, 1L)) == (("view", 10L, 333333L)))
+    assert(out((4L, 2L)) == (("click", 20L, 333333L)))
+    assert(out((4L, 3L)) == (("view", 30L, 333333L)))
+  }
+
+  test("linear: window boundaries inclusive on both ends, outside excluded") {
+    val out = runLinear(Seq(
+      (1L, 1L, "view", 100L),   // == cms - L: in
+      (2L, 1L, "click", 200L),  // == cms: in
+      (3L, 1L, "view", 99L),    // out
+      (4L, 1L, "purchase", 200L)), 100L, 100L)
+    assert(out.keySet == Set((4L, 1L), (4L, 2L)))
+    assert(out.values.forall(_._3 == 500000L))
+  }
+
+  test("linear: bin boundaries never lose matches (narrow bins vs one wide bin)") {
+    val evs = Seq(
+      (1L, 1L, "view", 5L), (2L, 1L, "click", 57L), (3L, 1L, "view", 99L),
+      (4L, 1L, "purchase", 100L),
+      (5L, 2L, "view", 98L), (6L, 2L, "purchase", 150L))
+    val narrow = runLinear(evs, 95L, 7L)
+    val wide = runLinear(evs, 95L, 1000L)
+    assert(narrow == wide && narrow.size == 4)
+  }
+
+  test("linear: conversions without touches are absent; users never cross") {
+    val out = runLinear(Seq(
+      (1L, 1L, "purchase", 50L),
+      (2L, 2L, "view", 40L), (3L, 2L, "purchase", 60L)), 100L, 50L)
+    assert(out.keySet == Set((3L, 2L)))
+    assert(out((3L, 2L))._3 == 1000000L)
+  }
+
   test("each conversion attributes independently (two purchases, one user)") {
     val out = run(Seq(
       (1L, 1L, "view", 10L), (2L, 1L, "purchase", 15L),
