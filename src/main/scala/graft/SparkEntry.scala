@@ -1802,6 +1802,18 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // first-order Markov next-item transitions over user timelines
+    // (the sequential-rec baseline; q144's narrow zip pairing)
+    "q155_markov_next_item" -> ((s, dir) =>
+      graft.model.MarkovNextItem.transitions(Tables.ratings(s, dir),
+        minCount = 2L, k = 5)),
+
+    // windowed PMI association scores (Church & Hanks; SGNS
+    // factorizes shifted PMI) over the offset-aggregated q134 matrix
+    "q156_pmi" -> ((s, dir) =>
+      graft.text.CoOccurrence.pmi(T(s, dir, "documents"), "text",
+        window = 3, minCount = 5L)),
+
     // k-truss backbone of the item projection: synchronous support
     // peeling, 8 fixed rounds (cascade depths probed 1/5/3 at the
     // three SFs; k=4 binds at the sf0.01 gate scale: -> 401 edges,
@@ -3645,6 +3657,40 @@ object SparkEntry {
         |FROM wedges w
         |  ANTI JOIN edges ON edges.u = w.a AND edges.v = w.b
         |  JOIN gdeg da ON da.node = w.a JOIN gdeg db ON db.node = w.b""".stripMargin),
+
+    // Markov next-item: ordered timelines via row_number, consecutive
+    // pairs by rn+1 self-join (the oracle's luxury; Spark zips)
+    "q155_markov_next_item" -> (R +
+      """, sq AS (SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts, item_id) AS rn
+        |         FROM ratings)
+        |, pr AS (SELECT a.item_id AS prev, b.item_id AS nxt
+        |         FROM sq a JOIN sq b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |         WHERE a.item_id <> b.item_id)
+        |, tc AS (SELECT prev, nxt, COUNT(*) AS cnt FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT prev, nxt, cnt, CAST(rn AS INT) AS rank FROM (
+        |  SELECT prev, nxt, cnt,
+        |         row_number() OVER (PARTITION BY prev ORDER BY cnt DESC, nxt) AS rn
+        |  FROM tc) WHERE rn <= 5""".stripMargin),
+
+    // PMI: q134's per-offset zip-unnest pairs aggregated over offsets,
+    // unigrams over the same filtered stream, q12's round-6 log2
+    "q156_pmi" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |pairs AS (
+        |  SELECT unnest(ws[1:len(ws)-1]) AS l, unnest(ws[2:len(ws)]) AS r FROM w WHERE len(ws) > 1
+        |  UNION ALL
+        |  SELECT unnest(ws[1:len(ws)-2]), unnest(ws[3:len(ws)]) FROM w WHERE len(ws) > 2
+        |  UNION ALL
+        |  SELECT unnest(ws[1:len(ws)-3]), unnest(ws[4:len(ws)]) FROM w WHERE len(ws) > 3),
+        |pc AS (SELECT l AS wl, r AS wr, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+        |       HAVING COUNT(*) >= 5),
+        |uni AS (SELECT t.tk AS w, CAST(COUNT(*) AS BIGINT) AS c FROM w, UNNEST(ws) AS t(tk) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS nn FROM uni)
+        |SELECT wl AS "left", wr AS "right", n,
+        |       ROUND(LOG2(CAST(n AS DOUBLE) * nn / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE))), 6) AS pmi
+        |FROM pc JOIN uni ul ON ul.w = wl JOIN uni ur ON ur.w = wr, tot""".stripMargin,
 
     // k-truss: 8 unrolled peel rounds, every round CTE MATERIALIZED
     // (the q145 optimizer rule); triangles close by the (a, b) edge

@@ -45,4 +45,35 @@ object CoOccurrence {
       .groupBy("left", "right", "offset").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Pointwise mutual information over the offset-AGGREGATED window
+    * matrix — the association score an embedding-adjacent pipeline
+    * reads off the co-occurrence counts (Church & Hanks 1990; the
+    * word2vec SGNS objective factorizes shifted PMI, Levy & Goldberg
+    * 2014): `pmi = log2(c(l,r)·N / (c(l)·c(r)))` with N the total
+    * token count and unigrams over the same filtered stream. Log is
+    * the q12 rounded-double precedent (round 6); the exact-integer
+    * sibling is [[Collocations]]' lift. `minCount` prunes the
+    * aggregated directed pair count BEFORE the unigram joins. Same
+    * narrow pair generation as [[matrix]]; two extra broadcast-or-
+    * shuffle equi-joins against the skinny unigram rollup.
+    *
+    * @return (left, right, n, pmi) for directed pairs within `window` */
+  def pmi(docs: DataFrame, textCol: String, window: Int,
+          minCount: Long): DataFrame = {
+    val toks = docs
+      .select(filter(split(lower(col(textCol)), " "), w => length(w) > 0).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").cast("double").as("nn"))
+    matrix(docs, textCol, window, 1L)
+      .groupBy("left", "right").agg(sum("n").as("n"))
+      .filter(col("n") >= minCount)
+      .join(uni.select(col("w").as("left"), col("c").as("cl")), Seq("left"))
+      .join(uni.select(col("w").as("right"), col("c").as("cr")), Seq("right"))
+      .crossJoin(broadcast(total))
+      .select(col("left"), col("right"), col("n"),
+        round(log2(col("n").cast("double") * col("nn")
+          / (col("cl").cast("double") * col("cr").cast("double"))), 6).as("pmi"))
+  }
 }

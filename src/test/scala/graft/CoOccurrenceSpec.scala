@@ -48,4 +48,26 @@ class CoOccurrenceSpec extends AnyFunSuite {
       CoOccurrence.matrix(Seq("a b").toDF("text"), "text", 0)
     }
   }
+
+  test("pmi: hand-computed log2 association over the aggregated matrix") {
+    // pairs within window 3: (a,b)x2, (a,c)x1; unigrams a:3 b:2 c:1, N=6
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val out = CoOccurrence.pmi(docs, "text", window = 3, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // pmi(a,b) = log2(2*6 / (3*2)) = 1; pmi(a,c) = log2(1*6 / (3*1)) = 1
+    assert(out == Map(("a", "b") -> ((2L, 1.0)), ("a", "c") -> ((1L, 1.0))))
+    // minCount prunes the AGGREGATED count
+    assert(CoOccurrence.pmi(docs, "text", 3, 2L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+  }
+
+  test("pmi aggregates across offsets before pruning") {
+    // (a,b) occurs once at offset 1 and once at offset 2 -> n = 2
+    // survives minCount 2 even though no single offset reaches it
+    val docs = Seq("a b", "a x b").toDF("text")
+    val ab = CoOccurrence.pmi(docs, "text", 3, 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(ab.toSeq == Seq(("a", "b", 2L)))
+  }
 }
