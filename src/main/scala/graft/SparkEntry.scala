@@ -1808,6 +1808,12 @@ object SparkEntry {
       graft.model.MarkovNextItem.transitions(Tables.ratings(s, dir),
         minCount = 2L, k = 5)),
 
+    // serve the Markov model: each user's last item -> its top next
+    // unseen transitions (sequential-rec composition of q155)
+    "q157_markov_recs" -> ((s, dir) =>
+      graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
+        minCount = 2L, kTrans = 5, k = 5)),
+
     // windowed PMI association scores (Church & Hanks; SGNS
     // factorizes shifted PMI) over the offset-aggregated q134 matrix
     "q156_pmi" -> ((s, dir) =>
@@ -3672,6 +3678,32 @@ object SparkEntry {
         |  SELECT prev, nxt, cnt,
         |         row_number() OVER (PARTITION BY prev ORDER BY cnt DESC, nxt) AS rn
         |  FROM tc) WHERE rn <= 5""".stripMargin),
+
+    // Markov serving: the q155 chain + last-item lookup + anti-join
+    "q157_markov_recs" -> (R +
+      """, sq AS (SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts, item_id) AS rn
+        |         FROM ratings)
+        |, pr AS (SELECT a.item_id AS prev, b.item_id AS nxt
+        |         FROM sq a JOIN sq b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |         WHERE a.item_id <> b.item_id)
+        |, tc AS (SELECT prev, nxt, COUNT(*) AS cnt FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |, tk AS (SELECT prev, nxt, cnt FROM (
+        |    SELECT prev, nxt, cnt,
+        |           row_number() OVER (PARTITION BY prev ORDER BY cnt DESC, nxt) AS rn
+        |    FROM tc) WHERE rn <= 5)
+        |, lastq AS (SELECT user_id, item_id AS prev FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, item_id) AS rn
+        |    FROM ratings) WHERE rn = 1)
+        |, mc AS (SELECT l.user_id, t.nxt AS item_id, t.cnt
+        |         FROM lastq l JOIN tk t ON t.prev = l.prev
+        |         WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |                           WHERE r.user_id = l.user_id AND r.item_id = t.nxt))
+        |SELECT user_id, item_id, cnt, CAST(rn AS INT) AS rank FROM (
+        |  SELECT user_id, item_id, cnt,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
+        |  FROM mc) WHERE rn <= 5""".stripMargin),
 
     // PMI: q134's per-offset zip-unnest pairs aggregated over offsets,
     // unigrams over the same filtered stream, q12's round-6 log2

@@ -28,6 +28,26 @@ import graft.util.TopK
   * @return (prev, nxt, cnt ≥ minCount, rank ≤ k) */
 object MarkovNextItem {
 
+  /** Serve the model: each user's LAST item (max ts, item_id tie)
+    * looks up its transition list; already-seen items anti-join out;
+    * re-rank the survivors. The transition table is items×k rows —
+    * broadcastable in most deployments, a plain equi-join otherwise.
+    * Users whose last item has no surviving transitions are absent
+    * (fall back to popularity upstream).
+    *
+    * @return (user_id, item_id, cnt, rank ≤ k) */
+  def recommend(ratings: DataFrame, minCount: Long, kTrans: Int, k: Int): DataFrame = {
+    val trans = transitions(ratings, minCount, kTrans)
+    val last = TopK.perGroup(
+      ratings.select("user_id", "item_id", "ts"),
+      Seq("user_id"), "ts", Seq("item_id"), 1)
+      .select(col("user_id"), col("item_id").as("prev"))
+    last.join(trans.select(col("prev"), col("nxt").as("item_id"), col("cnt")), Seq("prev"))
+      .join(ratings.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")
+      .transform(TopK.perGroup(_, Seq("user_id"), "cnt", Seq("item_id"), k))
+      .select("user_id", "item_id", "cnt", "rank")
+  }
+
   def transitions(ratings: DataFrame, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, "markov: positive minCount and k")
     ratings.select("user_id", "item_id", "ts")

@@ -38,4 +38,21 @@ class MarkovNextItemSpec extends AnyFunSuite {
     val out = run(Seq((1L, 20L, 1L), (1L, 10L, 1L)))
     assert(out.keySet == Set((10L, 20L)))
   }
+
+  test("recommend: last item looks up transitions, seen items excluded") {
+    // transitions (minCount 1): A->B x2 (u1, u2), B->C (u1)
+    // u1 last = C -> no outgoing -> absent
+    // u2 last = B -> candidates {C}; u2 hasn't seen C -> recommended
+    // u3 last = A -> candidates {B, C? no: A->B only} minus seen B -> absent
+    val rows = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L),
+      (3L, 20L, 1L), (3L, 10L, 2L)) // u3: B then A (last = A); saw B
+    val out = MarkovNextItem.recommend(
+      rows.map { case (u, i, t) => (u, i, 5.0, t) }
+        .toDF("user_id", "item_id", "rating", "ts"),
+      minCount = 1L, kTrans = 5, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+    assert(out.toMap == Map(2L -> ((30L, 1L, 1))))
+  }
 }
