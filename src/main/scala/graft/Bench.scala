@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    graft.util.Scratch.sweepStaleRuns(SparkEntry.runScratch)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +40,7 @@ object Bench {
     // between draws). SPARK_GRAFT_WARMUP=0 skips it.
     if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) {
       import org.apache.spark.sql.functions._
-      val wtmp = java.nio.file.Files.createTempDirectory("graft_warm")
+      val wtmp = graft.util.Scratch.deleteOnExit(java.nio.file.Files.createTempDirectory("graft_warm"))
       graft.schema.TypedCsv.write(
         Tables.ratings(spark, sfDir).filter(col("user_id") < 150).select(
           col("user_id").cast("string").as("user_id"),
@@ -131,7 +132,7 @@ object Bench {
       // on it — same constants inlined into the same generated classes,
       // scan stages included. Results discarded.
       locally {
-        val wdir = java.nio.file.Files.createTempDirectory("graft_warmtbl")
+        val wdir = graft.util.Scratch.deleteOnExit(java.nio.file.Files.createTempDirectory("graft_warmtbl"))
         val ord = Tables.t(spark, sfDir, "orders").filter(col("o_custkey") < 50)
         ord.write.mode("overwrite").parquet(s"$wdir/orders.parquet")
         Tables.t(spark, sfDir, "lineitem")
@@ -206,7 +207,7 @@ object Bench {
       // headline's users×candidates ranking needs that execution memory
       // (storage pressure here GC-thrashed an 8g heap before this line)
       spark.catalog.clearCache()
-      val tmp = java.nio.file.Files.createTempDirectory("graft_headline")
+      val tmp = graft.util.Scratch.deleteOnExit(java.nio.file.Files.createTempDirectory("graft_headline"))
       graft.schema.TypedCsv.write(
         Tables.ratings(spark, sfDir).select(
           col("user_id").cast("string").as("user_id"),

@@ -37,7 +37,10 @@ object SparkEntry {
     * fixed `/tmp/graft_qNN` constants did exactly that. The oracle SQL
     * for the roundtrip queries interpolates the SAME value, and both
     * sides are emitted by the same JVM (Verify dumps oracle_sql.json),
-    * so the DuckDB replay always reads this run's files. */
+    * so the DuckDB replay always reads this run's files. The dir must
+    * therefore OUTLIVE the JVM (the driver replays the oracle after
+    * Verify exits) — cleanup is the startup sweep of dead-pid siblings
+    * in [[graft.util.Scratch.sweepStaleRuns]], not a shutdown hook. */
   private[graft] val runScratch: String =
     s"/tmp/graft_run_${sys.env.getOrElse("SPARK_GRAFT_RUN_ID", ProcessHandle.current().pid().toString)}"
 

@@ -93,9 +93,15 @@ object Metrics {
                      k: Int, relevanceThreshold: Double): DataFrame = {
     val rel = relevant(test, relevanceThreshold)
     val qualified = rel.select("user_id").distinct()
+    // "expected" = the baseline's top-k: cut here when the frame still
+    // carries a rank column; a rank-less frame must already BE a top-k
+    // list (the pre-cut contract) or the metric silently loosens
+    val prim =
+      if (primitive.columns.contains("rank")) primitive.filter(col("rank") <= k)
+      else primitive
     recs.filter(col("rank") <= k)
       .join(qualified, Seq("user_id")) // inner: qualifying users only
-      .join(primitive.select(col("user_id"), col("item_id"), lit(1).as("in_prim")),
+      .join(prim.select(col("user_id"), col("item_id"), lit(1).as("in_prim")),
         Seq("user_id", "item_id"), "left")
       .join(rel.select(col("user_id"), col("item_id"), lit(1).as("hit")),
         Seq("user_id", "item_id"), "left")

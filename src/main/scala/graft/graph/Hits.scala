@@ -43,8 +43,10 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("n")).union(e.select(col("t").as("n"))).distinct()
     val nid = nodes.withColumn("nid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = nid.count() // pins the arbitrary ids
+      // eager localCheckpoint (not persist): eviction/recompute would
+      // re-draw the arbitrary ids and mis-wire the label join-back
+      .localCheckpoint(true)
+    val nNodes = nid.count()
     val small = nNodes <= broadcastMaxNodes
     def gate(df: DataFrame) = if (small) broadcast(df) else df
     val en = e

@@ -86,8 +86,12 @@ object PageRank {
       // skinny flag next to the internal id
       .withColumn("seed",
         seedPred.map(p => when(p(col("n")), 1L).otherwise(0L)).getOrElse(lit(1L)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = nid.count() // also pins the arbitrary ids
+      // eager localCheckpoint, not persist: a persisted-but-evicted (or
+      // executor-loss-recomputed) dictionary would re-draw different
+      // monotonically_increasing_id values and silently mis-wire the
+      // final label join-back; a checkpoint either survives or fails loud
+      .localCheckpoint(true)
+    val nNodes = nid.count()
     val small = nNodes <= broadcastMaxNodes
     def gate(df: DataFrame) = if (small) broadcast(df) else df
     val en = e

@@ -58,15 +58,39 @@ object EdgeSplits {
       .drop("__rn", "__n")
   }
 
-  /** W1/W2 `random_by_ratio` with seeded-hash order (edge_splitter.py:85-101). */
-  def randomByRatio(ratings: DataFrame, p: Double, level: String, seed: Long): DataFrame =
-    byRatio(ratings, p, level, Seq(edgeHash(seed), col("item_id")))
+  /** W1/W2 `random_by_ratio` with seeded-hash order (edge_splitter.py:85-101).
+    *
+    * `level = "global"` routes through [[byRatioGlobalScalable]] (bucketed
+    * by the top bits of the hash key, spec-pinned bit-equal to the
+    * monolithic window) so no user-facing path sorts the corpus in one
+    * task. The naive window form remains reachable via [[byRatio]] for
+    * oracle replays. */
+  def randomByRatio(ratings: DataFrame, p: Double, level: String, seed: Long): DataFrame = {
+    val key = Seq(edgeHash(seed), col("item_id"))
+    if (level == "global") byRatioGlobalScalable(ratings, p, key, longBucket(edgeHash(seed)))
+    else byRatio(ratings, p, level, key)
+  }
 
   /** W3 `timestamp_by_ratio`: most recent ceil(n*p) edges are test
     * (edge_splitter.py:103-119). Ties broken by item then user id so the
-    * assignment is a pure function of the edge. */
-  def timestampByRatio(ratings: DataFrame, p: Double, level: String): DataFrame =
-    byRatio(ratings, p, level, Seq(col("ts"), col("item_id"), col("user_id")))
+    * assignment is a pure function of the edge.
+    *
+    * `level = "global"` decomposes the global rank over uniform
+    * `width_bucket` ranges of ts (min/max via one skinny aggregate —
+    * an eager action at plan-build time). Uniform time buckets can be
+    * skewed if events concentrate; worst case one bucket degrades to
+    * the naive per-task sort, never worse than the monolithic window. */
+  def timestampByRatio(ratings: DataFrame, p: Double, level: String): DataFrame = {
+    val key = Seq(col("ts"), col("item_id"), col("user_id"))
+    if (level == "global") {
+      val mm = ratings.agg(min("ts"), max("ts")).head
+      if (mm.isNullAt(0) || mm.getLong(0) == mm.getLong(1))
+        byRatio(ratings, p, level, key) // empty or single-instant input: degenerate anyway
+      else
+        byRatioGlobalScalable(ratings, p, key,
+          width_bucket(col("ts"), lit(mm.getLong(0)), lit(mm.getLong(1)), lit(1022)))
+    } else byRatio(ratings, p, level, key)
+  }
 
   /** Scale-path variant of the global ratio split: threshold the ordering
     * column at its (1-p) quantile instead of a total order. Approximate
@@ -165,7 +189,12 @@ object EdgeSplits {
     ratings.withColumn("fold", ntile(k).over(rankW))
   }
 
-  /** Seeded-hash-ordered k-fold (the default "random" flavor). */
-  def kFoldRandom(ratings: DataFrame, k: Int, level: String, seed: Long): DataFrame =
-    kFold(ratings, k, level, Seq(edgeHash(seed), col("item_id")))
+  /** Seeded-hash-ordered k-fold (the default "random" flavor).
+    * `level = "global"` routes through [[kFoldGlobalScalable]]
+    * (spec-pinned ntile-equal) — see [[randomByRatio]]. */
+  def kFoldRandom(ratings: DataFrame, k: Int, level: String, seed: Long): DataFrame = {
+    val key = Seq(edgeHash(seed), col("item_id"))
+    if (level == "global") kFoldGlobalScalable(ratings, k, key, longBucket(edgeHash(seed)))
+    else kFold(ratings, k, level, key)
+  }
 }

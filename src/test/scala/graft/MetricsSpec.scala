@@ -83,6 +83,24 @@ class MetricsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((1L, 1000000L / 3))))
   }
 
+  test("serendipity@k cuts a rank-bearing baseline to its top-k (r10 advice)") {
+    val r = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("user_id", "item_id", "rank")
+    // item 30 sits at baseline rank 4 > k=3 — beyond the baseline's
+    // top-k it is NOT "expected", so a relevant rec of it counts
+    val prim = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 50L, 3), (1L, 30L, 4))
+      .toDF("user_id", "item_id", "rank")
+    val t = Seq((1L, 20L, 5.0), (1L, 30L, 4.0)).toDF("user_id", "item_id", "rating")
+    val out = Metrics.serendipityAtK(r, prim, t, 3, 4.0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+    // same frame WITHOUT the cut (uncut rank-less contract violation
+    // shape) would have treated 30 as expected -> 0 serendipitous
+    val outUncut = Metrics.serendipityAtK(r, prim.drop("rank"), t, 3, 4.0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(outUncut == Map(1L -> 0L))
+  }
+
   test("fused meansAtK equals the standalone MAP@k and nDCG@k means") {
     // hand-worked fixture PLUS a duplicate-recommendation user so the
     // fused path's hit dedup and un-deduped DCG are both exercised
