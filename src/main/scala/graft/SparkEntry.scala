@@ -1865,6 +1865,15 @@ object SparkEntry {
         convType = "purchase", touchTypes = Seq("view", "click"),
         lookbackMs = 21600000L, binWidthMs = 21600000L)),
 
+    // time-decay multi-touch attribution: per-touch weight 10^6 div
+    // 2^(age div 1h) (exact power-of-two buckets, the q149 trick),
+    // normalized per conversion — recent touches dominate
+    "q159_timedecay_attribution" -> ((s, dir) =>
+      graft.stream.Attribution.timeDecayTouch(
+        Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackMs = 21600000L, binWidthMs = 21600000L, halfLifeMs = 3600000L)),
+
     // rating prediction: Koren's regularized baseline (µ + b_u + b_i)
     // in exact e6 ints on the q142 fold frame, per-user MSE
     "q152_baseline_mse" -> ((s, dir) => {
@@ -3796,6 +3805,27 @@ object SparkEntry {
         |SELECT m.event_id, m.user_id, m.conversion_ms, m.touch_id, m.touch_type,
         |       m.touch_ms, 1000000 // n.n AS credit_e6
         |FROM m JOIN n USING (event_id)""".stripMargin,
+
+    // time-decay attribution: the q154 frame with power-of-two
+    // half-life-bucket weights (`<<` exact on BIGINT both engines)
+    "q159_timedecay_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS conversion_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |             epoch_ms(ts) AS touch_ms
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT p.event_id, p.user_id, p.conversion_ms,
+        |             t.touch_id, t.touch_type, t.touch_ms,
+        |             1000000 // (CAST(1 AS BIGINT) <<
+        |               CAST(LEAST((p.conversion_ms - t.touch_ms) // 3600000, 40) AS INT)) AS w_e6
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |        AND t.touch_ms BETWEEN p.conversion_ms - 21600000 AND p.conversion_ms),
+        |w AS (SELECT event_id, CAST(SUM(w_e6) AS BIGINT) AS tw FROM m GROUP BY 1)
+        |SELECT m.event_id, m.user_id, m.conversion_ms, m.touch_id, m.touch_type,
+        |       m.touch_ms, CAST(m.w_e6 AS BIGINT) AS w_e6,
+        |       CASE WHEN w.tw > 0 THEN CAST(m.w_e6 * 1000000 // w.tw AS BIGINT)
+        |            ELSE 0 END AS credit_e6
+        |FROM m JOIN w USING (event_id)""".stripMargin,
 
     // baseline predictor: same shrunk-bias integer arithmetic (both
     // engines truncate div toward zero on NEGATIVE dividends — probed

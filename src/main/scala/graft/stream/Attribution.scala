@@ -71,6 +71,54 @@ object Attribution {
     *         credit_e6); untouched conversions are absent */
   def linearTouch(events: DataFrame, convType: String, touchTypes: Seq[String],
                   lookbackMs: Long, binWidthMs: Long): DataFrame = {
+    val matched = inWindowTouches(events, convType, touchTypes, lookbackMs, binWidthMs)
+    val n = matched.groupBy("event_id").agg(count(lit(1)).as("__n"))
+    matched.join(n, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("conversion_ms"),
+        col("touch_id"), col("touch_type"), col("touch_ms"),
+        expr("1000000L div __n").as("credit_e6"))
+  }
+
+  /** Multi-touch TIME-DECAY attribution — the third canonical model
+    * next to [[lastTouch]] and [[linearTouch]]: a touch `age` ms
+    * before its conversion earns weight `2^(-age/halfLife)`, so recent
+    * touches dominate but every in-window touch keeps some credit.
+    * Exact integers via the [[graft.model.Trending]] half-life-bucket
+    * trick: `w_e6 = 10⁶ div 2^min(age div halfLife, 40)` (whole
+    * half-life buckets — a fractional exponent is a double and cannot
+    * hash-match across engines), normalized per conversion as
+    * `credit_e6 = w_e6 · 10⁶ div Σw_e6`. Ancient-touch conversions
+    * whose every weight truncates to 0 emit credit 0 (guarded — no
+    * div-by-zero).
+    *
+    * Same 100 TB shape as [[linearTouch]]: the shared bin-keyed
+    * equi-join candidate frame, then one skinny per-conversion
+    * aggregate joined back — no window over unbounded touch lists.
+    *
+    * @return one row per (conversion, in-window touch): (event_id,
+    *         user_id, conversion_ms, touch_id, touch_type, touch_ms,
+    *         w_e6, credit_e6); untouched conversions are absent */
+  def timeDecayTouch(events: DataFrame, convType: String, touchTypes: Seq[String],
+                     lookbackMs: Long, binWidthMs: Long, halfLifeMs: Long): DataFrame = {
+    require(halfLifeMs >= 1, "attribution: halfLife must be >= 1 ms")
+    val matched = inWindowTouches(events, convType, touchTypes, lookbackMs, binWidthMs)
+      .withColumn("w_e6", expr("1000000L div shiftleft(1L, " +
+        s"cast(least((conversion_ms - touch_ms) div ${halfLifeMs}L, 40L) as int))"))
+    val tot = matched.groupBy("event_id").agg(sum("w_e6").as("__W"))
+    matched.join(tot, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("conversion_ms"),
+        col("touch_id"), col("touch_type"), col("touch_ms"), col("w_e6"),
+        when(col("__W") > 0, expr("w_e6 * 1000000L div __W"))
+          .otherwise(lit(0L)).as("credit_e6"))
+  }
+
+  /** Shared candidate frame of the multi-touch models: one row per
+    * (conversion, in-window touch), built with the bin-keyed
+    * (user_id, time-bin) equi-join described on [[linearTouch]] —
+    * never a raw BETWEEN theta-join. */
+  private def inWindowTouches(events: DataFrame, convType: String,
+                              touchTypes: Seq[String], lookbackMs: Long,
+                              binWidthMs: Long): DataFrame = {
     require(touchTypes.nonEmpty && !touchTypes.contains(convType),
       "attribution: touch types must be nonempty and exclude the conversion type")
     require(lookbackMs >= 0 && binWidthMs >= 1, "attribution: bad window params")
@@ -84,14 +132,9 @@ object Attribution {
       .select(col("user_id"), col("event_id").as("touch_id"),
         col("event_type").as("touch_type"), col("ts_ms").as("touch_ms"))
       .withColumn("__bin", expr(s"touch_ms div ${binWidthMs}L"))
-    val matched = touches.join(conversions, Seq("user_id", "__bin"))
+    touches.join(conversions, Seq("user_id", "__bin"))
       .filter(col("touch_ms") >= col("conversion_ms") - lookbackMs &&
         col("touch_ms") <= col("conversion_ms"))
       .drop("__bin")
-    val n = matched.groupBy("event_id").agg(count(lit(1)).as("__n"))
-    matched.join(n, Seq("event_id"))
-      .select(col("event_id"), col("user_id"), col("conversion_ms"),
-        col("touch_id"), col("touch_type"), col("touch_ms"),
-        expr("1000000L div __n").as("credit_e6"))
   }
 }

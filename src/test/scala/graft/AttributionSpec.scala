@@ -100,4 +100,45 @@ class AttributionSpec extends AnyFunSuite {
     assert(out(2L) == ((Some(1L), Some("view"), Some(10L))))
     assert(out(4L) == ((Some(3L), Some("click"), Some(30L))))
   }
+
+  private def runDecay(evs: Seq[(Long, Long, String, Long)], lookback: Long,
+                       bin: Long, halfLife: Long) =
+    Attribution.timeDecayTouch(
+      evs.toDF("event_id", "user_id", "event_type", "ts_ms"),
+      "purchase", Seq("view", "click"), lookback, bin, halfLife)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(6), r.getLong(7))))
+      .toMap
+
+  test("time-decay: hand-worked half-life buckets and normalization") {
+    // ages 25, 15, 5 at halfLife 10 -> buckets 2, 1, 0 ->
+    // weights 250000, 500000, 1000000; W = 1750000
+    val out = runDecay(Seq(
+      (1L, 1L, "view", 75L), (2L, 1L, "click", 85L), (3L, 1L, "view", 95L),
+      (4L, 1L, "purchase", 100L)), 100L, 100L, 10L)
+    assert(out((4L, 1L)) == ((250000L, 250000L * 1000000L / 1750000L)))
+    assert(out((4L, 2L)) == ((500000L, 500000L * 1000000L / 1750000L)))
+    assert(out((4L, 3L)) == ((1000000L, 1000000L * 1000000L / 1750000L)))
+    // credits sum to 10^6 minus truncation remainders, never more
+    val total = out.values.map(_._2).sum
+    assert(total <= 1000000L && total > 1000000L - 3)
+  }
+
+  test("time-decay: a same-ms touch gets full weight; bucket 40 clamps to 0 credit") {
+    val out = runDecay(Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "purchase", 100L),
+      // user 2: only an ancient touch -> weight 0 -> guarded credit 0
+      (3L, 2L, "view", 0L), (4L, 2L, "purchase", 41L)), 50L, 50L, 1L)
+    assert(out((2L, 1L)) == ((1000000L, 1000000L)))
+    assert(out((4L, 3L)) == ((0L, 0L)))
+  }
+
+  test("time-decay matches linear when the half-life dwarfs the lookback") {
+    val evs = Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 40L), (3L, 1L, "view", 70L),
+      (4L, 1L, "purchase", 80L))
+    val dec = runDecay(evs, 100L, 100L, 1000000L)
+    val lin = runLinear(evs, 100L, 100L)
+    assert(dec.view.mapValues(_._2).toMap == lin.view.mapValues(_._3).toMap)
+  }
 }
