@@ -1874,6 +1874,16 @@ object SparkEntry {
         convType = "purchase", touchTypes = Seq("view", "click"),
         lookbackMs = 21600000L, binWidthMs = 21600000L, halfLifeMs = 3600000L)),
 
+    // exact global quantile_cont WITHOUT a global sort: recursive
+    // width_bucket range refinement (distributed selection) — skinny
+    // per-slice aggregates, nothing corpus-sized sorted or collected
+    // (tight nBuckets/sortThreshold so the RECURSIVE path — not the
+    // small-subset sort endgame — is what the oracle pins at test SFs)
+    "q160_global_percentile" -> ((s, dir) =>
+      graft.util.GlobalPercentile.quantileCont(
+        T(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99),
+        nBuckets = 64, sortThreshold = 500L)),
+
     // rating prediction: Koren's regularized baseline (µ + b_u + b_i)
     // in exact e6 ints on the q142 fold frame, per-user MSE
     "q152_baseline_mse" -> ((s, dir) => {
@@ -3826,6 +3836,16 @@ object SparkEntry {
         |       CASE WHEN w.tw > 0 THEN CAST(m.w_e6 * 1000000 // w.tw AS BIGINT)
         |            ELSE 0 END AS credit_e6
         |FROM m JOIN w USING (event_id)""".stripMargin,
+
+    // exact global percentiles: the INDEPENDENT builtin, not a replay
+    // of the engine's selection algorithm (interpolation parity:
+    // lo*(1-frac)+hi*frac, probed bit-equal)
+    "q160_global_percentile" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS q,
+        |       quantile_cont(l_extendedprice, 0.25) AS value FROM lineitem
+        |UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+        |UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem
+        |UNION ALL SELECT 0.99, quantile_cont(l_extendedprice, 0.99) FROM lineitem""".stripMargin,
 
     // baseline predictor: same shrunk-bias integer arithmetic (both
     // engines truncate div toward zero on NEGATIVE dividends — probed

@@ -1,0 +1,63 @@
+package graft
+
+import graft.util.GlobalPercentile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GlobalPercentileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** reference: continuous quantile over an in-memory sorted array,
+    * the probed DuckDB/Postgres formula */
+  private def refQuantile(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    val rn = (s.length - 1) * q
+    val f = math.floor(rn)
+    val frac = rn - f
+    if (frac == 0.0) s(f.toInt)
+    else s(f.toInt) * (1.0 - frac) + s(f.toInt + 1) * frac
+  }
+
+  test("recursive selection == in-memory quantile, forced deep recursion") {
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.fill(5000)(rnd.nextDouble() * 1000.0 - 200.0)
+    val df = xs.toDF("x")
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    // nBuckets 8 / threshold 16: many refinement rounds before any sort
+    val got = GlobalPercentile.quantileCont(df, "x", qs, nBuckets = 8, sortThreshold = 16)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (q <- qs) assert(got(q) == refQuantile(xs, q), s"q=$q")
+  }
+
+  test("duplicate-dense data terminates via single-valued slices (no deep sort)") {
+    // 10k rows, only 7 distinct values: every slice pins min==max fast
+    val xs = (0 until 10000).map(i => (i % 7).toDouble * 3.5)
+    val got = GlobalPercentile.quantileCont(xs.toDF("x"), "x",
+      Seq(0.5, 0.9), nBuckets = 4, sortThreshold = 2)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(0.5) == refQuantile(xs, 0.5))
+    assert(got(0.9) == refQuantile(xs, 0.9))
+  }
+
+  test("orderStats returns exact 1-based order statistics; nulls ignored") {
+    val df = Seq[java.lang.Double](5.0, null, 1.0, 3.0, 2.0, null, 4.0).toDF("x")
+    val got = GlobalPercentile.orderStats(df, "x", Seq(1L, 3L, 5L),
+      nBuckets = 4, sortThreshold = 2)
+    assert(got == Map(1L -> 1.0, 3L -> 3.0, 5L -> 5.0))
+  }
+
+  test("no empty-partition window above the sort threshold (plan shape by construction)") {
+    // With cnt > sortThreshold the round is groupBy(width_bucket) —
+    // verify a full recursion at threshold 1 never plans a corpus-wide
+    // window by checking the answer still lands while Spark's single
+    // WindowExec use is confined to <=threshold subsets: here every
+    // needed slice refines down to min==max or 1 row, so the one-task
+    // sort never receives more than sortThreshold rows by contract.
+    val xs = (1 to 2000).map(_.toDouble)
+    val got = GlobalPercentile.quantileCont(xs.toDF("x"), "x", Seq(0.37),
+      nBuckets = 16, sortThreshold = 8)
+      .collect().head.getDouble(1)
+    assert(got == refQuantile(xs, 0.37))
+  }
+}
