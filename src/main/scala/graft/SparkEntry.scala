@@ -1884,6 +1884,28 @@ object SparkEntry {
         T(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99),
         nBuckets = 64, sortThreshold = 500L)),
 
+    // BPR matrix factorization (Rendle 2009) on the bounded subgraph —
+    // the q41 golden scheme: pin_order full-batch logistic-pairwise
+    // SGD, bit-exact across sessions; recs via dot+bias broadcast
+    // serving with the k' = k + maxRated unseen guarantee
+    "q162_bpr_recs" -> ((s, dir) =>
+      graft.model.BprMf.recs(s,
+        trainRatings(s, dir).filter(col("user_id") < 200),
+        minRating = 4.0, dim = 16, epochs = 3, lr = 0.05, reg = 0.01,
+        seed = 42L, k = 5, pinOrder = true)),
+
+    // FULL truss decomposition of the minCooc=3 item projection:
+    // bounded peel-to-empty (kMax=8 > probed max trussness 7,
+    // innerIters=16 > probed max cascade 13) — exact max-k per edge
+    "q161_trussness" -> ((s, dir) => {
+      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+      graft.graph.Truss.trussness(
+        graft.model.ItemKnn.cooc(rel, 3)
+          .select(col("item_a").as("u"), col("item_b").as("v")),
+        "u", "v", kMax = 8, innerIters = 16)
+        .select(col("u").as("item_a"), col("v").as("item_b"), col("trussness"))
+    }),
+
     // rating prediction: Koren's regularized baseline (µ + b_u + b_i)
     // in exact e6 ints on the q142 fold frame, per-user MSE
     "q152_baseline_mse" -> ((s, dir) => {
@@ -3847,6 +3869,17 @@ object SparkEntry {
         |UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem
         |UNION ALL SELECT 0.99, quantile_cont(l_extendedprice, 0.99) FROM lineitem""".stripMargin,
 
+    // truss decomposition: the bounded unrolled peel (id-ordered
+    // wedges — support is orientation-invariant, see q153)
+    "q161_trussness" -> (R + itemProjSqlAt(3) + trussnessRoundsSql(8, 16)),
+
+    // golden-file oracle, q41 scheme (regenerate with
+    // `runMain graft.GoldenGen q162_bpr_recs <sfdirs...>`)
+    "q162_bpr_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q162_bpr_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
     // baseline predictor: same shrunk-bias integer arithmetic (both
     // engines truncate div toward zero on NEGATIVE dividends — probed
     // −7 // 2 = −3 in DuckDB and −7 div 2 = −3 in Spark)
@@ -4216,10 +4249,11 @@ object SparkEntry {
       |)""".stripMargin
 
   /** The capped-relevant item co-interaction projection (q123's rel,
-    * minCooc=2 edges, full-graph degrees) — shared by the triangle
-    * (q124) and link-prediction (q128) oracles. */
-  private lazy val itemProjSql: String =
-    """, rel AS (
+    * parameterized min co-occurrence, full-graph degrees) — shared by
+    * the triangle (q124), link-prediction (q128) and trussness (q161)
+    * oracles. */
+  private def itemProjSqlAt(minCooc: Int): String =
+    s""", rel AS (
       |  SELECT user_id, item_id FROM (
       |    SELECT user_id, item_id,
       |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
@@ -4227,11 +4261,57 @@ object SparkEntry {
       |), edges AS (
       |  SELECT a.item_id AS u, b.item_id AS v
       |  FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |  GROUP BY 1, 2 HAVING count(*) >= $minCooc
       |), gdeg AS (
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
       |)""".stripMargin
+
+  private lazy val itemProjSql: String = itemProjSqlAt(2)
+
+  /** Unrolled bounded truss-DECOMPOSITION peel over the `edges` CTE of
+    * [[itemProjSqlAt]]: for k = 3..kMax, `innerIters` cascade rounds
+    * (each the q153 triangle-close + support filter, every CTE
+    * MATERIALIZED per the q145 rule), then trussness = 2 + the number
+    * of k-truss fixpoints f3..fkMax still containing the edge
+    * (peeling is monotone, so membership is a prefix). Probed exact
+    * vs an in-memory peel-to-empty at all three SFs. */
+  private def trussnessRoundsSql(kMax: Int, innerIters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("\n, f2 AS MATERIALIZED (SELECT u, v FROM edges)")
+    var prev = "f2"
+    for (k <- 3 to kMax) {
+      var cur = prev
+      for (i <- 1 to innerIters) {
+        val tag = s"k${k}r$i"
+        sb.append(
+          s"""
+             |, adj$tag AS MATERIALIZED (SELECT u AS c, v AS x FROM $cur
+             |                           UNION ALL SELECT v, u FROM $cur)
+             |, tri$tag AS MATERIALIZED (
+             |    SELECT w.c, w.a, w.b
+             |    FROM (SELECT l.c, l.x AS a, r.x AS b FROM adj$tag l JOIN adj$tag r
+             |          ON l.c = r.c AND l.c < l.x AND l.x < r.x) w
+             |    JOIN $cur e ON e.u = w.a AND e.v = w.b)
+             |, e$tag AS MATERIALIZED (
+             |    SELECT u, v FROM (
+             |      SELECT a AS u, b AS v FROM tri$tag
+             |      UNION ALL SELECT LEAST(c, a), GREATEST(c, a) FROM tri$tag
+             |      UNION ALL SELECT LEAST(c, b), GREATEST(c, b) FROM tri$tag)
+             |    GROUP BY 1, 2 HAVING COUNT(*) >= ${k - 2})""".stripMargin)
+        cur = s"e$tag"
+      }
+      sb.append(s"\n, f$k AS MATERIALIZED (SELECT u, v FROM $cur)")
+      prev = s"f$k"
+    }
+    val joins = (3 to kMax)
+      .map(k => s"\nLEFT JOIN f$k ON f$k.u = e.u AND f$k.v = e.v").mkString
+    val summands = (3 to kMax)
+      .map(k => s"(CASE WHEN f$k.u IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+    sb.append(s"\nSELECT e.u AS item_a, e.v AS item_b," +
+      s" CAST(2 + $summands AS BIGINT) AS trussness FROM f2 e$joins")
+    sb.toString
+  }
 
   /** Unrolled h-index coreness rounds over the `edges` CTE of
     * [[itemProjSql]] — one MATERIALIZED CTE per round (see the q145

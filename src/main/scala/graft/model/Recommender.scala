@@ -54,6 +54,7 @@ object Recommenders {
   /** name -> factory, mirroring model2class.py. Config is a flat
     * string map (the YAML `parameters` block). */
   def registry: Map[String, Map[String, String] => Recommender] = Map(
-    "popularity" -> (cfg => new PopularityRecommender(cfg))
+    "popularity" -> (cfg => new PopularityRecommender(cfg)),
+    "bpr" -> (cfg => new BprRecommender(cfg))
   ) ++ graft.walk.DeepWalkRecommender.registry ++ graft.kge.KgeRecommender.registry
 }

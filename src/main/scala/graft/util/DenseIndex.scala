@@ -32,6 +32,15 @@ object DenseIndex {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lr", row_number().over(
         Window.partitionBy("__pid").orderBy(col(key))))
+      // eager checkpoint: `local` feeds BOTH the offsets aggregate and
+      // the output join. Without pinning, the two branches may each
+      // re-execute the range exchange (exchange reuse is best-effort),
+      // and RangePartitioner re-SAMPLES boundaries per execution — a
+      // __pid meaning one thing in the offsets and another in the rows
+      // yields duplicated/gapped ids (observed: idx 1443 in a
+      // 1437-key set, order-dependent flake). One materialized layout
+      // makes the invariance argument in the scaladoc actually hold.
+      .localCheckpoint(true)
     val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(
         sum("__c").over(Window.orderBy("__pid")

@@ -178,6 +178,38 @@ object GraphProbe {
       timed(s"ktruss(V=$nNodes,hub=100k,8r)", nEdges) {
         graft.graph.Truss.ktruss(edges, "u", "v", k = 4, iters = 8).count()
       }
+      // full decomposition on the same hub graph: the outer peel
+      // re-runs the oriented wedge per (k, round) — the stats-barrier
+      // checkpoint keeps Catalyst size estimates bounded (Truss.scala)
+      timed(s"trussness(V=$nNodes,hub=100k,k<=5)", nEdges) {
+        graft.graph.Truss.trussness(edges, "u", "v", kMax = 5, innerIters = 4)
+          .agg(max("trussness")).collect().head.getLong(0)
+      }
+    }
+
+    // ---- r10 graph ops, untiered until now: LPA, HITS, link
+    // prediction — same 5M-edge hub shape; the center-degree cap is
+    // what keeps the link-prediction wedge from fanning deg(hub)² ---
+    locally {
+      val nNodes = 1000000L; val nEdges = 5000000L
+      val raw = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("y"))
+        .union(spark.range(100000).select(lit(0L).as("x"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(nNodes - 1)) + 1).as("y")))
+      val edges = raw.select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .filter(col("u") < col("v")).distinct()
+      timed(s"lpa(V=$nNodes,hub=100k,5r)", nEdges) {
+        graft.graph.LabelPropagation.run(edges, "u", "v", iters = 5).count()
+      }
+      timed(s"hits(V=$nNodes,hub=100k,5r)", nEdges) {
+        graft.graph.Hits.run(edges, "u", "v", iters = 5).count()
+      }
+      timed(s"linkPred-RA(V=$nNodes,hub=100k)", nEdges) {
+        graft.graph.LinkPrediction.resourceAllocation(edges,
+          minCn = 2L, maxCenterDeg = 200L).count()
+      }
     }
 
     // ---- Heavy hitters: 20M tokens, 1% hot over a wide tail -------
