@@ -1884,6 +1884,15 @@ object SparkEntry {
         T(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99),
         nBuckets = 64, sortThreshold = 500L)),
 
+    // streaming-trending serving path, batch form: per-(item, absolute
+    // half-life bucket) counts with 41-bucket retention (the bounded
+    // flatMapGroupsWithState state), then the exact integer decay
+    // rollup — stream == batch spec-pinned under trigger slicing
+    "q163_trending_buckets" -> ((s, dir) =>
+      graft.stream.StreamingTrending.trendingFromBuckets(
+        graft.stream.StreamingTrending.bucketCountsBatch(
+          Tables.ratings(s, dir).select("item_id", "ts"), 2592000000L, 41), 20)),
+
     // BPR matrix factorization (Rendle 2009) on the bounded subgraph —
     // the q41 golden scheme: pin_order full-batch logistic-pairwise
     // SGD, bit-exact across sessions; recs via dot+bias broadcast
@@ -3872,6 +3881,22 @@ object SparkEntry {
     // truss decomposition: the bounded unrolled peel (id-ordered
     // wedges — support is orientation-invariant, see q153)
     "q161_trussness" -> (R + itemProjSqlAt(3) + trussnessRoundsSql(8, 16)),
+
+    // bucketed trending: absolute half-life buckets, per-item newest-41
+    // retention, bucket-index-age decay against the global max bucket
+    "q163_trending_buckets" -> (R +
+      """, b AS (SELECT item_id, ts // 2592000000 AS bucket, COUNT(*) AS n
+        |        FROM ratings GROUP BY 1, 2),
+        |bm AS (SELECT item_id, MAX(bucket) AS mb FROM b GROUP BY 1),
+        |kept AS (SELECT b.item_id, b.bucket, b.n FROM b JOIN bm USING (item_id)
+        |         WHERE b.bucket > bm.mb - 41),
+        |gm AS (SELECT MAX(bucket) AS g FROM kept)
+        |SELECT item_id,
+        |       CAST(SUM(n * (1000000 // (CAST(1 AS BIGINT) <<
+        |         CAST(LEAST(g - bucket, 40) AS INT)))) AS BIGINT) AS score_e6,
+        |       CAST(SUM(n) AS BIGINT) AS n
+        |FROM kept, gm GROUP BY item_id
+        |ORDER BY score_e6 DESC, item_id LIMIT 20""".stripMargin),
 
     // golden-file oracle, q41 scheme (regenerate with
     // `runMain graft.GoldenGen q162_bpr_recs <sfdirs...>`)
