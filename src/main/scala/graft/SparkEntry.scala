@@ -1903,6 +1903,14 @@ object SparkEntry {
         minRating = 4.0, dim = 16, epochs = 3, lr = 0.05, reg = 0.01,
         seed = 42L, k = 5, pinOrder = true)),
 
+    // explicit-feedback ALS on the bounded subgraph — exact per-row
+    // normal equations (no learning rate), pin_order bit-exact, the
+    // q41/q162 golden scheme; serving shares the BPR dot-product path
+    "q164_als_recs" -> ((s, dir) =>
+      graft.model.Als.recs(s,
+        trainRatings(s, dir).filter(col("user_id") < 200),
+        dim = 8, iters = 3, lambda = 0.1, seed = 42L, k = 5, pinOrder = true)),
+
     // FULL truss decomposition of the minCooc=3 item projection:
     // bounded peel-to-empty (kMax=8 > probed max trussness 7,
     // innerIters=16 > probed max cascade 13) — exact max-k per edge
@@ -3903,6 +3911,11 @@ object SparkEntry {
     "q162_bpr_recs" -> (R +
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q162_bpr_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    "q164_als_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q164_als_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // baseline predictor: same shrunk-bias integer arithmetic (both

@@ -269,61 +269,16 @@ object BprMf {
   def recs(spark: SparkSession, ratings: DataFrame, minRating: Double, dim: Int,
            epochs: Int, lr: Double, reg: Double, seed: Long, k: Int,
            pinOrder: Boolean = false): DataFrame = {
-    val pos = ratings.filter(col("rating") >= minRating)
-      .select(col("user_id"), col("item_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uIdx = graft.util.DenseIndex.byKey(pos.select("user_id").distinct(), "user_id")
-      .select(col("user_id"), (col("idx") - 1).cast("int").as("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val iIdx = graft.util.DenseIndex.byKey(pos.select("item_id").distinct(), "item_id")
-      .select(col("item_id"), (col("idx") - 1).cast("int").as("i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pos, uIdx, iIdx, dense) = MfServing.denseIds(ratings, minRating)
     val nUsers = uIdx.count().toInt
     val nItems = iIdx.count().toInt
-    val dense = pos.join(uIdx, Seq("user_id")).join(iIdx, Seq("item_id"))
-      .select("u", "i")
     val (pDf, qDf) = new BprMf(dim, epochs, lr, reg, seed, pinOrder)
       .fitEmb(spark, dense, nUsers, nItems)
     // item matrix (+bias) to the driver once — the broadcast-gated side
     val qArr = new Array[Array[Float]](nItems)
     qDf.collect().foreach(r => qArr(r.getInt(0)) = r.getSeq[Float](1).toArray)
-    val bcQ = spark.sparkContext.broadcast(qArr)
-    val maxRated = dense.groupBy("u").agg(count(lit(1)).as("c"))
-      .agg(max("c")).first().getLong(0).toInt
-    val kPrime = math.min(k + maxRated, nItems)
-    val d = dim
-    import spark.implicits._
-    val topRaw = pDf.as[(Int, Array[Float])].mapPartitions { it =>
-      val qq = bcQ.value
-      it.flatMap { case (u, pv) =>
-        // bounded heap of size kPrime; deterministic (score desc, item asc)
-        val ord = Ordering.by[(Float, Int), (Float, Int)] { case (s, i) => (-s, i) }
-        val heap = mutable.PriorityQueue.empty[(Float, Int)](ord) // min-heap on our order
-        var i = 0
-        while (i < qq.length) {
-          val qv = qq(i)
-          var s = qv(d); var j = 0
-          while (j < d) { s += pv(j) * qv(j); j += 1 }
-          if (heap.size < kPrime) heap.enqueue((s, i))
-          else {
-            val worst = heap.head
-            if (s > worst._1 || (s == worst._1 && i < worst._2)) {
-              heap.dequeue(); heap.enqueue((s, i))
-            }
-          }
-          i += 1
-        }
-        heap.iterator.map { case (s, item) => (u, item, s) }
-      }
-    }.toDF("u", "i", "score")
-    val out = topRaw
-      .join(dense.select(col("u"), col("i"), lit(1).as("__seen")), Seq("u", "i"), "left")
-      .filter(col("__seen").isNull)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("u").orderBy(col("score").desc, col("i"))))
-      .filter(col("rank") <= k)
-      .join(uIdx, Seq("u")).join(iIdx, Seq("i"))
-      .select(col("user_id"), col("item_id"), col("rank"))
+    val out = MfServing.topKRecs(spark, pDf, qArr, dim, bias = true,
+        dense, uIdx, iIdx, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the chain's internal caches
     pos.unpersist(blocking = false)

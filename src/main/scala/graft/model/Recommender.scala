@@ -55,6 +55,7 @@ object Recommenders {
     * string map (the YAML `parameters` block). */
   def registry: Map[String, Map[String, String] => Recommender] = Map(
     "popularity" -> (cfg => new PopularityRecommender(cfg)),
-    "bpr" -> (cfg => new BprRecommender(cfg))
+    "bpr" -> (cfg => new BprRecommender(cfg)),
+    "als" -> (cfg => new AlsRecommender(cfg))
   ) ++ graft.walk.DeepWalkRecommender.registry ++ graft.kge.KgeRecommender.registry
 }
