@@ -95,12 +95,27 @@ class WavePlanSpec extends AnyFunSuite {
     // and the broadcast offset join — and never a global single-
     // partition sort of the key table
     val items = Tables.ratings(spark, dir).select("item_id").distinct()
+    // the layout phase (range exchange + per-partition local rank) now
+    // sits BEHIND the eager checkpoint that pins one boundary sample
+    // (DenseIndex.scala) — assert its shape on the same pipeline byKey
+    // builds, pre-checkpoint
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, spark_partition_id}
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val localShape = items.repartitionByRange(parts, col("item_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("__pid").orderBy(col("item_id"))))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(nOps(localShape, "Window") == 1)
+    assert(localShape.contains("rangepartitioning"))
+    // the post-checkpoint plan: only the skinny #partitions-row offset
+    // cumsum window survives, and the offset attach is the explicit
+    // broadcast() — never a shuffle join
     val p = graft.util.DenseIndex.byKey(items, "item_id").queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(nOps(p, "Window") == 2)
-    assert(p.contains("rangepartitioning"))
-    // the offset attach is the explicit broadcast() — never a shuffle
-    // join (ratings' own build joins are broadcast too at this scale)
+    assert(nOps(p, "Window") == 1)
     assert(nOps(p, "SortMergeJoin") == 0 && nOps(p, "ShuffledHashJoin") == 0)
     val q = plan("q148_negative_sampling")
     assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoop"))
