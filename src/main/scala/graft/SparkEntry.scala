@@ -1950,6 +1950,13 @@ object SparkEntry {
         minRating = 4.0, dim = 16, epochs = 3, lr = 0.05, reg = 0.01,
         seed = 42L, k = 5, pinOrder = true)),
 
+    // market-basket frequent triples: a-priori — every sub-pair of a
+    // candidate triple must itself be frequent, so the basket join is
+    // pair-pruned at each step (never a raw C(cap,3) explode)
+    "q165_frequent_triples" -> ((s, dir) =>
+      graft.model.Baskets.frequentTriples(Tables.ratings(s, dir),
+        minRating = 4.0, cap = 50, minSupport = 2)),
+
     // explicit-feedback ALS on the bounded subgraph — exact per-row
     // normal equations (no learning rate), pin_order bit-exact, the
     // q41/q162 golden scheme; serving shares the BPR dot-product path
@@ -3958,6 +3965,27 @@ object SparkEntry {
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q164_als_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // frequent triples: the identical a-priori pair-pruned 3-way join
+    "q165_frequent_triples" -> (R +
+      """, rel AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS rn
+        |    FROM ratings WHERE rating >= 4.0) WHERE rn <= 50)
+        |, pairs AS (SELECT a.item_id AS x, b.item_id AS y
+        |    FROM rel a JOIN rel b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a AS item_a, b AS item_b, c AS item_c, support FROM (
+        |  SELECT r1.item_id AS a, r2.item_id AS b, r3.item_id AS c,
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM rel r1
+        |  JOIN rel r2 ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
+        |  JOIN pairs pab ON pab.x = r1.item_id AND pab.y = r2.item_id
+        |  JOIN rel r3 ON r2.user_id = r3.user_id AND r2.item_id < r3.item_id
+        |  JOIN pairs pbc ON pbc.x = r2.item_id AND pbc.y = r3.item_id
+        |  JOIN pairs pac ON pac.x = r1.item_id AND pac.y = r3.item_id
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |""".stripMargin),
 
     // baseline predictor: same shrunk-bias integer arithmetic (both
     // engines truncate div toward zero on NEGATIVE dividends — probed

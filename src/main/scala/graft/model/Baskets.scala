@@ -1,0 +1,43 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket frequent itemsets (Agrawal & Srikant's a-priori,
+  * 1994) over the capped relevant set — the classic "bought together"
+  * analytics the co-occurrence pair family (q124/q150) stops one
+  * level short of. Pairs are [[ItemKnn.cooc]]; this adds the 3-item
+  * tier with the a-priori bound: a triple can only be frequent if all
+  * THREE of its sub-pairs are, so the user-basket enumeration join is
+  * pruned by the frequent-pair table at every step — never a raw
+  * C(cap, 3) explode.
+  *
+  * Scale shape: per-user fanout is bounded by the cap (≤ C(cap, 2)
+  * candidate extensions per basket item) AND by the pair prune —
+  * frequent pairs are broadcast-or-shuffle equi-joins, support is one
+  * map-side-combined count. The same caps-as-dials story as the
+  * itemKNN chain; SQL-replayable verbatim (q165).
+  */
+object Baskets {
+
+  /** Frequent triples: (item_a < item_b < item_c, support ≥
+    * `minSupport`), support counted over distinct capped user baskets. */
+  def frequentTriples(ratings: DataFrame, minRating: Double, cap: Int,
+                      minSupport: Int): DataFrame = {
+    require(minSupport >= 1, "baskets: minSupport >= 1")
+    val rel = ItemKnn.relevantCapped(ratings, minRating, cap)
+    val pairs = ItemKnn.cooc(rel, minSupport).select("item_a", "item_b")
+    val r1 = rel.select(col("user_id"), col("item_id").as("a"))
+    val r2 = rel.select(col("user_id"), col("item_id").as("b"))
+    val r3 = rel.select(col("user_id"), col("item_id").as("c"))
+    r1.join(r2, Seq("user_id")).filter(col("a") < col("b"))
+      .join(pairs.select(col("item_a").as("a"), col("item_b").as("b")), Seq("a", "b"))
+      .join(r3, Seq("user_id")).filter(col("b") < col("c"))
+      .join(pairs.select(col("item_a").as("b"), col("item_b").as("c")), Seq("b", "c"))
+      .join(pairs.select(col("item_a").as("a"), col("item_b").as("c")), Seq("a", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport.toLong)
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"), col("support"))
+  }
+}

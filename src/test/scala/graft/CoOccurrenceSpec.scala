@@ -70,4 +70,20 @@ class CoOccurrenceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(ab.toSeq == Seq(("a", "b", 2L)))
   }
+
+  test("frequent triples: a-priori counts exactly, sub-pair prune removes weak triples") {
+    // baskets (all ratings relevant): u1 {1,2,3}, u2 {1,2,3}, u3 {1,2,4}
+    val ratings = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L))
+      .map { case (u, i) => (u, i, 5.0) }.toDF("user_id", "item_id", "rating")
+    val out = graft.model.Baskets.frequentTriples(ratings, 4.0, 50, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // {1,2,3} support 2 -> frequent; {1,2,4}: pairs (1,4)/(2,4) have
+    // support 1 -> pruned before counting
+    assert(out == Map((1L, 2L, 3L) -> 2L))
+    // minSupport 3 empties it
+    assert(graft.model.Baskets.frequentTriples(ratings, 4.0, 50, 3).count() == 0)
+  }
 }
