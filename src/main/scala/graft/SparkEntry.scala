@@ -1950,6 +1950,14 @@ object SparkEntry {
         minRating = 4.0, dim = 16, epochs = 3, lr = 0.05, reg = 0.01,
         seed = 42L, k = 5, pinOrder = true)),
 
+    // leakage-safe recency feature: per-event decayed count of the
+    // user's strictly-prior events — per-(user,bucket) rollup + a
+    // bounded 41-offset join, never a per-row history scan
+    "q166_recency_feature" -> ((s, dir) =>
+      graft.prep.TemporalFeatures.decayedPriorCount(
+        Tables.ratings(s, dir).select("user_id", "item_id", "ts"),
+        halfLifeMs = 2592000000L)),
+
     // market-basket frequent triples: a-priori — every sub-pair of a
     // candidate triple must itself be frequent, so the basket join is
     // pair-pruned at each step (never a raw C(cap,3) explode)
@@ -3965,6 +3973,25 @@ object SparkEntry {
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q164_als_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // recency feature: same bucket rollup + 40-offset join + strictly-
+    // earlier same-bucket window, all exact ints
+    "q166_recency_feature" -> (R +
+      """, ev AS (SELECT user_id, item_id, ts, ts // 2592000000 AS b FROM ratings)
+        |, counts AS (SELECT user_id, b AS bj, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+        |, same AS (SELECT user_id, item_id, ts, b,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, b ORDER BY ts, item_id) - 1 AS prior_same
+        |  FROM ev)
+        |, dec AS (SELECT s.user_id, s.item_id,
+        |    CAST(SUM(c.n * (1000000 // (CAST(1 AS BIGINT) << CAST(t.k AS INT)))) AS BIGINT) AS decay
+        |  FROM same s
+        |  JOIN range(1, 41) t(k) ON TRUE
+        |  JOIN counts c ON c.user_id = s.user_id AND c.bj = s.b - t.k
+        |  GROUP BY 1, 2)
+        |SELECT s.user_id, s.item_id, s.ts,
+        |       CAST(1000000 * s.prior_same + COALESCE(d.decay, 0) AS BIGINT) AS prior_e6
+        |FROM same s LEFT JOIN dec d
+        |  ON d.user_id = s.user_id AND d.item_id = s.item_id""".stripMargin),
 
     // frequent triples: the identical a-priori pair-pruned 3-way join
     "q165_frequent_triples" -> (R +

@@ -88,4 +88,30 @@ class SchemaAndPrepSpec extends AnyFunSuite {
     assert(twice.count() == once.count())
     kc.release()
   }
+
+  test("decayedPriorCount: hand-worked half-life buckets, strictly-prior only") {
+    // user 1, H=100: ts 0,50 (bucket 0), 150 (b1), 250,260 (b2);
+    // user 2 isolated (no cross-user leakage)
+    val ev = Seq(
+      (1L, 10L, 0L), (1L, 11L, 50L), (1L, 12L, 150L),
+      (1L, 13L, 250L), (1L, 14L, 260L),
+      (2L, 10L, 55L))
+      .toDF("user_id", "item_id", "ts")
+    val out = graft.prep.TemporalFeatures.decayedPriorCount(ev, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out((1L, 10L)) == 0L) // first event: nothing prior
+    assert(out((1L, 11L)) == 1000000L) // one same-bucket prior
+    assert(out((1L, 12L)) == 1000000L) // bucket0 count 2 at k=1: 2*500000
+    // k=1: b1 count 1 -> 500000; k=2: b0 count 2 -> 2*250000
+    assert(out((1L, 13L)) == 1000000L)
+    assert(out((1L, 14L)) == 2000000L) // + the same-bucket ts=250 event
+    assert(out((2L, 10L)) == 0L)
+  }
+
+  test("decayedPriorCount: events beyond maxBuckets half-lives weigh zero") {
+    val ev = Seq((1L, 10L, 0L), (1L, 11L, 100L * 45)).toDF("user_id", "item_id", "ts")
+    val out = graft.prep.TemporalFeatures.decayedPriorCount(ev, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out((1L, 11L)) == 0L) // 45 half-lives old: outside the 40-bucket window
+  }
 }
