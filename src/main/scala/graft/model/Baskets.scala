@@ -27,10 +27,18 @@ object Baskets {
     require(minSupport >= 1, "baskets: minSupport >= 1")
     val rel = ItemKnn.relevantCapped(ratings, minRating, cap)
     val pairs = ItemKnn.cooc(rel, minSupport).select("item_a", "item_b")
-    val r1 = rel.select(col("user_id"), col("item_id").as("a"))
-    val r2 = rel.select(col("user_id"), col("item_id").as("b"))
-    val r3 = rel.select(col("user_id"), col("item_id").as("c"))
-    r1.join(r2, Seq("user_id")).filter(col("a") < col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a-priori one level down: every member of a frequent triple sits
+    // in some frequent pair, so basket rows on infrequent items can
+    // never contribute — semi-join them away BEFORE the 3-way join
+    // (at sparse supports this collapses the enumeration input)
+    val freqItems = pairs.select(col("item_a").as("item_id"))
+      .union(pairs.select(col("item_b").as("item_id"))).distinct()
+    val relF = rel.join(freqItems, Seq("item_id"), "left_semi")
+    val r1 = relF.select(col("user_id"), col("item_id").as("a"))
+    val r2 = relF.select(col("user_id"), col("item_id").as("b"))
+    val r3 = relF.select(col("user_id"), col("item_id").as("c"))
+    val out = r1.join(r2, Seq("user_id")).filter(col("a") < col("b"))
       .join(pairs.select(col("item_a").as("a"), col("item_b").as("b")), Seq("a", "b"))
       .join(r3, Seq("user_id")).filter(col("b") < col("c"))
       .join(pairs.select(col("item_a").as("b"), col("item_b").as("c")), Seq("b", "c"))
@@ -39,5 +47,9 @@ object Baskets {
       .filter(col("support") >= minSupport.toLong)
       .select(col("a").as("item_a"), col("b").as("item_b"),
         col("c").as("item_c"), col("support"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then drop the 4-times-referenced pair cache
+    pairs.unpersist(blocking = false)
+    out
   }
 }
