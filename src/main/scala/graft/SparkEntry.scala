@@ -1950,6 +1950,15 @@ object SparkEntry {
         minRating = 4.0, dim = 16, epochs = 3, lr = 0.05, reg = 0.01,
         seed = 42L, k = 5, pinOrder = true)),
 
+    // exact per-row global ECDF of the extended price — the q109 rank
+    // decomposition as a public primitive: bucket-partitioned windows
+    // only, never a corpus-wide single-partition sort
+    "q167_global_ecdf" -> ((s, dir) =>
+      graft.util.GlobalRank.ecdf(
+        T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", Seq(col("l_orderkey"), col("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn", "pct_e6")),
+
     // leakage-safe recency feature: per-event decayed count of the
     // user's strictly-prior events — per-(user,bucket) rollup + a
     // bounded 41-offset join, never a per-row history scan
@@ -3973,6 +3982,15 @@ object SparkEntry {
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q164_als_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // ECDF: the monolithic window form DuckDB can afford
+    "q167_global_ecdf" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn,
+        |       rn * 1000000 // n_total AS pct_e6
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |        COUNT(*) OVER () AS n_total
+        |      FROM lineitem)""".stripMargin,
 
     // recency feature: same bucket rollup + 40-offset join + strictly-
     // earlier same-bucket window, all exact ints

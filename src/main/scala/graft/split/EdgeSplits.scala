@@ -152,26 +152,13 @@ object EdgeSplits {
       .drop("__rn", "__N", "__q", "__r")
   }
 
-  /** Shared rank decomposition: appends `__rn` (exact global row
-    * number under `orderKey`) and `__N` (total count) via skinny
-    * per-bucket offsets + a bucket-partitioned corpus window. */
+  /** Shared rank decomposition — the public primitive is
+    * [[graft.util.GlobalRank.withGlobalRank]]; this shim keeps the
+    * splits' historical `__rn`/`__N` column names (value-identical). */
   private def withGlobalRank(ratings: DataFrame, orderKey: Seq[Column],
-                             bucket: Column): DataFrame = {
-    val tagged = ratings.withColumn("__b", bucket)
-    // both windows below run on the bounded per-bucket count table
-    // (one row per occupied bucket), never on corpus rows
-    val base = tagged.groupBy("__b").agg(count(lit(1)).as("__c"))
-      .withColumn("__base", coalesce(
-        sum("__c").over(Window.orderBy("__b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__N", sum("__c").over(Window.partitionBy()))
-      .select("__b", "__base", "__N")
-    tagged.join(broadcast(base), Seq("__b"))
-      .withColumn("__rn",
-        col("__base") + row_number().over(
-          Window.partitionBy("__b").orderBy(orderKey: _*)))
-      .drop("__b", "__base")
-  }
+                             bucket: Column): DataFrame =
+    graft.util.GlobalRank.withGlobalRank(ratings, orderKey, bucket,
+      rankCol = "__rn", totalCol = "__N")
 
   /** W4 `fixed_timestamp`: test = edges with ts strictly greater than t
     * (edge_splitter.py:52-60). No shuffle at all — a pushed-down filter. */

@@ -47,6 +47,24 @@ class GlobalPercentileSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1.0, 3L -> 3.0, 5L -> 5.0))
   }
 
+  test("GlobalRank.ecdf: exact ranks/percentiles, corpus windows bucket-partitioned") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(900)(rnd.nextDouble() * 50.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val out = graft.util.GlobalRank.ecdf(df, "x", Seq($"id"), nBuckets = 16)
+    // every empty-partition window runs on the skinny bucket table only
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = out.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val cols = w.child.output.map(_.name)
+      assert(!cols.contains("x") && !cols.contains("id"), s"corpus window: $cols")
+    }
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val expect = xs.zipWithIndex.sortBy { case (v, i) => (v, i) }.zipWithIndex
+      .map { case ((_, id), r) => id.toLong -> ((r + 1L, (r + 1L) * 1000000L / 900L)) }.toMap
+    assert(got == expect)
+  }
+
   test("no empty-partition window above the sort threshold (plan shape by construction)") {
     // With cnt > sortThreshold the round is groupBy(width_bucket) —
     // verify a full recursion at threshold 1 never plans a corpus-wide
