@@ -115,32 +115,19 @@ object SparkEntry {
   // most expensive relational stage in the chain and must run once
   private val popRecsMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private def popRecs(s: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(s), dir)
-    popRecsMemo.get(key).filter(_.sparkSession eq s).map { df =>
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-      }
-      df
-    }.getOrElse {
-      val df = PopularityRecommender.recommend(trainRatings(s, dir), 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      popRecsMemo.putIfAbsent(key, df) match {
-        case Some(prev) if prev.sparkSession eq s =>
-          df.unpersist(blocking = false); prev
-        case Some(_) => popRecsMemo.put(key, df); df
-        case None => df
-      }
-    }
-  }
+  private def popRecs(s: SparkSession, dir: String): DataFrame =
+    memoDf(popRecsMemo, s, dir)(
+      PopularityRecommender.recommend(trainRatings(s, dir), 5))
 
   /** Shared memo discipline of tsSplit/popRecs, generalized: persist +
     * eager materialization once per (session, dir), storage-level
-    * re-pin after a session-wide clearCache, last-wins on race. */
+    * re-pin after a session-wide clearCache, last-wins on race.
+    * Entries whose session has stopped are evicted on every call —
+    * without this, dead sessions' DataFrames are retained for the JVM
+    * lifetime in long-lived multi-session processes. */
   private def memoDf(memo: scala.collection.concurrent.TrieMap[(Int, String), DataFrame],
                      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    memo.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     val key = (System.identityHashCode(s), dir)
     memo.get(key).filter(_.sparkSession eq s).map { df =>
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {

@@ -7,6 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     graft.util.Scratch.sweepStaleRuns(SparkEntry.runScratch)
+    graft.util.Scratch.claim(SparkEntry.runScratch)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

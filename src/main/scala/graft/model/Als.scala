@@ -213,6 +213,12 @@ object Als {
       var piv = i; var best = math.abs(a(i)(i))
       var r = i + 1
       while (r < d) { val m = math.abs(a(r)(i)); if (m > best) { best = m; piv = r }; r += 1 }
+      // a row with fewer observations than dim and ridge == 0 yields a
+      // singular system — fail loudly instead of propagating NaN factors
+      if (!(best > 1e-12))
+        throw new IllegalStateException(
+          s"ALS normal equations singular at elimination step $i (pivot $best): " +
+          "a user/item has fewer ratings than dim with lambda == 0 — use lambda > 0")
       if (piv != i) { val t = a(i); a(i) = a(piv); a(piv) = t
         val tb = x(i); x(i) = x(piv); x(piv) = tb }
       val di = a(i)(i)
@@ -251,10 +257,8 @@ object Als {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (pDf, qDf) = new Als(dim, iters, lambda, seed, pinOrder)
       .fitEmb(spark, dense, nUsers, nItems)
-    val qArr = new Array[Array[Float]](nItems)
-    qDf.collect().foreach(r => qArr(r.getInt(0)) = r.getSeq[Float](1).toArray)
-    val out = MfServing.topKRecs(spark, pDf, qArr, dim, bias = false,
-        dense.select("u", "i"), uIdx, iIdx, k)
+    val out = MfServing.topKRecs(spark, pDf, qDf, dim, bias = false,
+        dense.select("u", "i"), uIdx, iIdx, k, knownItemCount = nItems)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     pos.unpersist(blocking = false)

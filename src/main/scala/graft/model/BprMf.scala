@@ -185,6 +185,9 @@ class BprMf(val dim: Int, val epochs: Int, val lr: Double, val reg: Double,
           a
         }
         .map(_._2)
+        // consumed twice below (user + item update) — persist so the
+        // gather-join + gradient reduce runs once per epoch, not twice
+        .persist()
       def applyUpdates(table: DataFrame, isUser: Boolean): DataFrame = {
         val g = summed.filter(_._1 == isUser).map(x => (x._2, x._3)).toDF("id", "g")
         table.join(g, Seq("id"), "left")
@@ -201,6 +204,7 @@ class BprMf(val dim: Int, val epochs: Int, val lr: Double, val reg: Double,
       }
       val newP = applyUpdates(p, isUser = true).localCheckpoint(eager = true)
       val newQ = applyUpdates(q, isUser = false).localCheckpoint(eager = true)
+      summed.unpersist(blocking = false)
       p.unpersist(blocking = false); q.unpersist(blocking = false)
       p = newP; q = newQ
     }
@@ -260,9 +264,9 @@ object BprMf {
     * training, then dot+bias serving: per-user top-(k + maxRated)
     * against the broadcast item matrix (a bounded per-partition heap,
     * the [[graft.walk.DeepWalkRecommender]] k' trick), seen items
-    * anti-joined away, final rank ≤ k. Serving requires the item
-    * factor matrix to broadcast (≤ ~2M items at d=16); larger catalogs
-    * should serve through the ANN index family (SrpLsh/IVF) instead.
+    * anti-joined away, final rank ≤ k. Serving is size-gated inside
+    * [[MfServing.topKRecs]]: catalogs above `collectMaxItems` route
+    * through the block-shuffle kernel and never touch the driver.
     *
     * @return (user_id, item_id, rank) with the (score desc, item_id)
     *         tie-break every recommender here uses */
@@ -274,11 +278,8 @@ object BprMf {
     val nItems = iIdx.count().toInt
     val (pDf, qDf) = new BprMf(dim, epochs, lr, reg, seed, pinOrder)
       .fitEmb(spark, dense, nUsers, nItems)
-    // item matrix (+bias) to the driver once — the broadcast-gated side
-    val qArr = new Array[Array[Float]](nItems)
-    qDf.collect().foreach(r => qArr(r.getInt(0)) = r.getSeq[Float](1).toArray)
-    val out = MfServing.topKRecs(spark, pDf, qArr, dim, bias = true,
-        dense, uIdx, iIdx, k)
+    val out = MfServing.topKRecs(spark, pDf, qDf, dim, bias = true,
+        dense, uIdx, iIdx, k, knownItemCount = nItems)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the chain's internal caches
     pos.unpersist(blocking = false)

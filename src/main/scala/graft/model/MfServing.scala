@@ -6,45 +6,117 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** Shared dot-product serving for the matrix-factorization family
-  * ([[BprMf]], [[Als]]): score every (user, item) as `p·q (+ bias)`
-  * against a broadcast item matrix with a bounded per-user heap of
-  * size `k + maxRated` (the [[graft.walk.DeepWalkRecommender]] k'
-  * trick guarantees ≥ k unseen survivors), anti-join the seen pairs,
-  * rank ≤ k. Requires the item matrix to broadcast (≤ ~2M items at
-  * d=16); larger catalogs serve through the ANN index family
-  * (SrpLsh/IVF) instead.
+  * ([[BprMf]], [[Als]], [[AlsImplicit]]): score every (user, item) as
+  * `p·q (+ bias)`, keep a bounded per-user heap of size `k + maxRated`
+  * (the [[graft.walk.DeepWalkRecommender]] k' trick guarantees ≥ k
+  * unseen survivors), anti-join the seen pairs, rank ≤ k.
+  *
+  * Physical strategy is size-gated two ways (value-identical — the
+  * dispatch spec pins bit-equality):
+  *
+  *  - item catalogs at or below `collectMaxItems` (default 2M rows ≈
+  *    136 MB at d=16 floats): collect + broadcast the item matrix,
+  *    fused score-and-select per user partition — users never shuffle,
+  *    only the ≤ k'-per-user survivors do.
+  *  - larger catalogs: NEVER collected to the driver — a block
+  *    cartesian over glom'd factor partitions (each item block
+  *    deserializes once per block pair, not once per scored pair)
+  *    feeds per-user bounded heaps, merged order-independently under
+  *    the same (score desc, item asc) total order. The exchange
+  *    carries at most n_users × n_item_blocks × k' skinny rows; the
+  *    N×M scored stream never crosses the wire. Float accumulation
+  *    order per pair is identical to the broadcast kernel, so scores
+  *    are bit-equal and the merged top-k' set is deterministic under
+  *    any partitioning.
+  *
+  * This mirrors [[graft.knn.CosineKnn.topK]]'s dispatch; the ANN index
+  * family (SrpLsh/IVF) remains the recommended serving path above
+  * ~10M items, with the block kernel as the exact fallback.
   */
 private[model] object MfServing {
 
+  /** Which kernel this thread's last [[topKRecs]] call dispatched to —
+    * observable for plan-regression specs (both kernels are RDD-backed
+    * and indistinguishable in the result's SQL plan string). */
+  private[graft] val lastKernelTl = new ThreadLocal[String]
+  private[graft] def lastKernel: String = lastKernelTl.get()
+  private def lastKernel_=(v: String): Unit = lastKernelTl.set(v)
+
   /** @param pDf     user factors (id, vec)
-    * @param qArr    item factor matrix indexed by dense id
+    * @param qDf     item factors (id, vec) under dense ids 0..nItems-1
     * @param d       factor width used for the dot product
     * @param bias    score starts at `q(d)` (a trailing bias slot)
     *                instead of 0
     * @param dense   seen (u, i) pairs
     * @param uIdx    (user_id, u) dense user index
     * @param iIdx    (item_id, i) dense item index
+    * @param collectMaxItems largest catalog the broadcast kernel takes
+    * @param knownItemCount  pass nItems when already known (≥ 0) and
+    *                        the gating count() scan is skipped
     * @return (user_id, item_id, rank) — (score desc, item_id) tie-break */
-  def topKRecs(spark: SparkSession, pDf: DataFrame, qArr: Array[Array[Float]],
+  def topKRecs(spark: SparkSession, pDf: DataFrame, qDf: DataFrame,
                d: Int, bias: Boolean, dense: DataFrame,
-               uIdx: DataFrame, iIdx: DataFrame, k: Int): DataFrame = {
-    val bcQ = spark.sparkContext.broadcast(qArr)
+               uIdx: DataFrame, iIdx: DataFrame, k: Int,
+               collectMaxItems: Long = 2000000L,
+               knownItemCount: Long = -1L): DataFrame = {
+    val nItems = if (knownItemCount >= 0L) knownItemCount else qDf.count()
     val maxRated = dense.groupBy("u").agg(count(lit(1)).as("c"))
       .agg(max("c")).first().getLong(0).toInt
-    val kPrime = math.min(k + maxRated, qArr.length)
+    val kPrime = math.min(k.toLong + maxRated, nItems).toInt
+    val topRaw =
+      if (nItems <= collectMaxItems) {
+        lastKernel = "broadcast-heap"
+        topKBroadcast(spark, pDf, qDf, d, bias, kPrime, nItems.toInt)
+      } else {
+        lastKernel = "block-shuffle"
+        topKBlockShuffle(spark, pDf, qDf, d, bias, kPrime)
+      }
+    topRaw
+      .join(dense.select(col("u"), col("i"), lit(1).as("__seen")), Seq("u", "i"), "left")
+      .filter(col("__seen").isNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("u").orderBy(col("score").desc, col("i"))))
+      .filter(col("rank") <= k)
+      .join(uIdx, Seq("u")).join(iIdx, Seq("i"))
+      .select(col("user_id"), col("item_id"), col("rank"))
+  }
+
+  /** Worst candidate under (score desc, item asc) dequeues first. */
+  private def worstFirst: Ordering[(Float, Int)] =
+    new Ordering[(Float, Int)] {
+      def compare(a: (Float, Int), b: (Float, Int)): Int = {
+        val c = java.lang.Float.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Integer.compare(a._2, b._2)
+      }
+    }
+
+  /** Bias-aware dot in the exact float order both kernels share. */
+  @inline private def score(pv: Array[Float], qv: Array[Float], d: Int,
+                            bias: Boolean): Float = {
+    var s = if (bias) qv(d) else 0.0f
+    var j = 0
+    while (j < d) { s += pv(j) * qv(j); j += 1 }
+    s
+  }
+
+  /** Broadcast kernel: item matrix to every executor once, fused
+    * score-and-select over the user partitions. */
+  private def topKBroadcast(spark: SparkSession, pDf: DataFrame, qDf: DataFrame,
+                            d: Int, bias: Boolean, kPrime: Int,
+                            nItems: Int): DataFrame = {
     import spark.implicits._
-    val topRaw = pDf.as[(Int, Array[Float])].mapPartitions { it =>
+    val qArr = new Array[Array[Float]](nItems)
+    qDf.select(col("id").cast("int"), col("vec"))
+      .collect().foreach(r => qArr(r.getInt(0)) = r.getSeq[Float](1).toArray)
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val ord = worstFirst
+    pDf.as[(Int, Array[Float])].mapPartitions { it =>
       val qq = bcQ.value
       it.flatMap { case (u, pv) =>
-        // bounded heap of size kPrime; deterministic (score desc, item asc)
-        val ord = Ordering.by[(Float, Int), (Float, Int)] { case (s, i) => (-s, i) }
-        val heap = mutable.PriorityQueue.empty[(Float, Int)](ord) // head = current worst
+        val heap = mutable.PriorityQueue.empty[(Float, Int)](ord)
         var i = 0
         while (i < qq.length) {
-          val qv = qq(i)
-          var s = if (bias) qv(d) else 0.0f
-          var j = 0
-          while (j < d) { s += pv(j) * qv(j); j += 1 }
+          val s = score(pv, qq(i), d, bias)
           if (heap.size < kPrime) heap.enqueue((s, i))
           else {
             val worst = heap.head
@@ -57,14 +129,49 @@ private[model] object MfServing {
         heap.iterator.map { case (s, item) => (u, item, s) }
       }
     }.toDF("u", "i", "score")
-    topRaw
-      .join(dense.select(col("u"), col("i"), lit(1).as("__seen")), Seq("u", "i"), "left")
-      .filter(col("__seen").isNull)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("u").orderBy(col("score").desc, col("i"))))
-      .filter(col("rank") <= k)
-      .join(uIdx, Seq("u")).join(iIdx, Seq("i"))
-      .select(col("user_id"), col("item_id"), col("rank"))
+  }
+
+  /** Block kernel for catalogs too large to collect OR broadcast: each
+    * (user block × item block) task scores its cross product into
+    * per-user bounded heaps; heaps merge by concat-sort-truncate under
+    * the shared total order (associative + commutative, so the merge
+    * tree shape never changes the survivor set). */
+  private def topKBlockShuffle(spark: SparkSession, pDf: DataFrame, qDf: DataFrame,
+                               d: Int, bias: Boolean, kPrime: Int): DataFrame = {
+    import spark.implicits._
+    val ord = worstFirst
+    val pBlocks = pDf.select(col("id").cast("int"), col("vec"))
+      .as[(Int, Array[Float])].rdd.glom()
+    val qBlocks = qDf.select(col("id").cast("int"), col("vec"))
+      .as[(Int, Array[Float])].rdd.glom()
+    val partials = pBlocks.cartesian(qBlocks).flatMap { case (ps, qs) =>
+      ps.iterator.map { case (u, pv) =>
+        val heap = mutable.PriorityQueue.empty[(Float, Int)](ord)
+        var x = 0
+        while (x < qs.length) {
+          val (i, qv) = qs(x)
+          val s = score(pv, qv, d, bias)
+          if (heap.size < kPrime) heap.enqueue((s, i))
+          else {
+            val worst = heap.head
+            if (s > worst._1 || (s == worst._1 && i < worst._2)) {
+              heap.dequeue(); heap.enqueue((s, i))
+            }
+          }
+          x += 1
+        }
+        (u, heap.toArray)
+      }
+    }
+    val merged = partials.reduceByKey { (a, b) =>
+      val all = a ++ b
+      // under worstFirst a HIGHER score compares smaller (the PQ
+      // dequeues its max = the worst), so ascending sort is best-first
+      java.util.Arrays.sort(all, ord)
+      if (all.length <= kPrime) all else all.take(kPrime)
+    }
+    merged.flatMap { case (u, arr) => arr.iterator.map { case (s, i) => (u, i, s) } }
+      .toDF("u", "i", "score")
   }
 
   /** Dense-index a rating frame's positive pairs: (pos, uIdx, iIdx,

@@ -65,7 +65,10 @@ object StreamingTrending {
           var (m, seq) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
           var changed = false
           it.foreach { e =>
-            val b = Math.floorDiv(e.ts, halfLifeMs)
+            // truncating division, NOT floorDiv — must bucket exactly like
+            // the batch form's SQL `ts div H` (and the DuckDB oracle) for
+            // pre-epoch timestamps, or the pinned batch == stream breaks
+            val b = e.ts / halfLifeMs
             m = m.updated(b, m.getOrElse(b, 0L) + 1L)
             changed = true
           }

@@ -43,11 +43,26 @@ object Scratch {
       }
     } catch { case _: Exception => () } // best-effort: never fail a run over /tmp
 
+  /** Create the current run's scratch dir and record the owning pid in
+    * an `OWNER_PID` marker, so a custom-SPARK_GRAFT_RUN_ID run that
+    * outlives `maxAgeMs` is liveness-checked (not mtime-guessed) by a
+    * later startup's [[sweepStaleRuns]]. */
+  def claim(self: String): Unit =
+    try {
+      val dir = Paths.get(self)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("OWNER_PID"),
+        ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    } catch { case _: Exception => () }
+
   /** Delete stale `/tmp/graft_run_*` dirs from PREVIOUS runs: numeric
     * suffixes are pids — removed when the pid is dead; opaque
-    * SPARK_GRAFT_RUN_ID suffixes are removed after `maxAgeMs`. The
-    * current run's dir (`self`) is always kept for the post-exit
-    * DuckDB replay. */
+    * SPARK_GRAFT_RUN_ID suffixes are removed when their `OWNER_PID`
+    * marker names a dead pid (falling back to age > `maxAgeMs` for
+    * dirs without a marker). A marker naming a LIVE pid always keeps
+    * the dir, however old — a >24h run can no longer lose its scratch
+    * to a concurrent startup. The current run's dir (`self`) is always
+    * kept for the post-exit DuckDB replay. */
   def sweepStaleRuns(self: String, maxAgeMs: Long = 24L * 3600 * 1000): Unit =
     try {
       val tmp = Paths.get("/tmp")
@@ -57,10 +72,21 @@ object Scratch {
           .forEach { p =>
             if (p.toString != self) {
               val suffix = p.getFileName.toString.stripPrefix("graft_run_")
+              def pidDead(pid: Long): Boolean =
+                ProcessHandle.of(pid).map[Boolean](!_.isAlive).orElse(true)
               val stale = suffix.toLongOption match {
-                case Some(pid) => ProcessHandle.of(pid).map[Boolean](!_.isAlive).orElse(true)
+                case Some(pid) => pidDead(pid)
                 case None =>
-                  System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis > maxAgeMs
+                  val marker = p.resolve("OWNER_PID")
+                  val owner =
+                    if (Files.isRegularFile(marker))
+                      new String(Files.readAllBytes(marker), "UTF-8").trim.toLongOption
+                    else None
+                  owner match {
+                    case Some(pid) => pidDead(pid)
+                    case None =>
+                      System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis > maxAgeMs
+                  }
               }
               if (stale) deleteRecursively(p)
             }
