@@ -1969,6 +1969,16 @@ object SparkEntry {
         trainRatings(s, dir).filter(col("user_id") < 200),
         dim = 8, iters = 3, lambda = 0.1, seed = 42L, k = 5, pinOrder = true)),
 
+    // implicit-feedback ALS (Hu-Koren-Volinsky 2008) on the bounded
+    // subgraph — the q164 golden scheme with confidence c = 1 + α·r
+    // and the per-half-sweep YᵀY gram trick; the regime matching the
+    // reference's binarize + relevance workflow
+    "q168_als_implicit_recs" -> ((s, dir) =>
+      graft.model.AlsImplicit.recs(s,
+        trainRatings(s, dir).filter(col("user_id") < 200),
+        dim = 8, iters = 3, lambda = 0.1, alpha = 40.0, seed = 42L, k = 5,
+        pinOrder = true)),
+
     // FULL truss decomposition of the minCooc=3 item projection:
     // bounded peel-to-empty (kMax=8 > probed max trussness 7,
     // innerIters=16 > probed max cascade 13) — exact max-k per edge
@@ -3968,6 +3978,11 @@ object SparkEntry {
     "q164_als_recs" -> (R +
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q164_als_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    "q168_als_implicit_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q168_als_implicit_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // ECDF: the monolithic window form DuckDB can afford

@@ -56,6 +56,7 @@ object Recommenders {
   def registry: Map[String, Map[String, String] => Recommender] = Map(
     "popularity" -> (cfg => new PopularityRecommender(cfg)),
     "bpr" -> (cfg => new BprRecommender(cfg)),
-    "als" -> (cfg => new AlsRecommender(cfg))
+    "als" -> (cfg => new AlsRecommender(cfg)),
+    "als_implicit" -> (cfg => new AlsImplicitRecommender(cfg))
   ) ++ graft.walk.DeepWalkRecommender.registry ++ graft.kge.KgeRecommender.registry
 }

@@ -21,7 +21,8 @@ class GoldenRegenSpec extends AnyFunSuite {
     "q49_fuzzy_extract_one", "q52_ann_ivf", "q67_distmult_recs",
     "q68_rotate_recs", "q69_complex_recs", "q70_transh_recs",
     "q71_transr_recs", "q72_transd_recs", "q73_rescal_recs",
-    "q74_tucker_recs", "q162_bpr_recs", "q164_als_recs")
+    "q74_tucker_recs", "q162_bpr_recs", "q164_als_recs",
+    "q168_als_implicit_recs")
 
   goldenNames.foreach { name =>
     test(s"golden $name reproduces bit-exactly on a fresh run") {

@@ -116,4 +116,35 @@ class Ml100kQualitySpec extends AnyFunSuite {
       assert(n2vMap > 2.0 * teMap)
       assert(n2vMap > 0.005 && n2vMap < 0.95)
     }
+
+  test("implicit ALS learns beyond popularity on binarized folds (the reference's regime)") {
+    // binarize at 3.0 (methods.py default) collapses ratings to 0/1 —
+    // the reference's implicit workflow. Measured on this fixture
+    // (fold 1, 27-param sweep probed): popularity 0.0044, HKV 0.0093,
+    // BPR 0.0111 — the implicit family sits 2-2.5× above the
+    // popularity floor, which is the real personalization claim here.
+    // Explicit ALS scores 0.083 on the SAME fold, but that is a
+    // fixture artifact, not a model ranking: MlFixture assigns rating
+    // VALUES by deterministic (u,i) affinity rank, so regressing the
+    // observed 0/1 values learns the affinity function directly,
+    // while the implicit family must learn the observation PATTERN
+    // (mostly Zipf popularity + 80% community bias). On real implicit
+    // data the 0s aren't observed at all and HKV is the canonical
+    // choice — the pinned relations are the ones the fixture supports.
+    val r = graft.prep.Preprocess.binarize(MlFixture.ratings(spark, 42L), 3.0)
+    val folded = graft.split.EdgeSplits.kFold(r, 5, "user", Seq(col("item_id")))
+    val train = folded.filter(col("fold") =!= 1).select("user_id", "item_id", "rating")
+    val test = folded.filter(col("fold") === 1).select("user_id", "item_id", "rating")
+    def mapAt5(recs: org.apache.spark.sql.DataFrame): Double =
+      graft.eval.Metrics.meansAtK(
+        recs.select(col("user_id"), col("item_id"), col("rank")), test, 5, 1.0)
+        .collect().head.getDouble(0)
+    val popMap = mapAt5(graft.model.PopularityRecommender.recommend(train, 5))
+    val implicitMap = mapAt5(graft.model.AlsImplicit.recs(spark, train,
+      dim = 8, iters = 5, lambda = 0.1, alpha = 5.0, seed = 42L, k = 5))
+    info(f"binarized fold 1: als_implicit MAP@5=$implicitMap%.5f vs popularity $popMap%.5f")
+    assert(popMap > 0.0, s"popularity MAP@5=$popMap — eval wiring broken")
+    assert(implicitMap > 1.5 * popMap,
+      s"als_implicit ($implicitMap) did not clear 1.5x the popularity floor ($popMap)")
+  }
 }
