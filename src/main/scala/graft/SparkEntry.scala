@@ -1969,6 +1969,25 @@ object SparkEntry {
         trainRatings(s, dir).filter(col("user_id") < 200),
         dim = 8, iters = 3, lambda = 0.1, seed = 42L, k = 5, pinOrder = true)),
 
+    // Efraimidis-Spirakis weighted reservoir: exactly 500 orders,
+    // P(selected) ∝ o_totalprice — the md5-derived A-ES key quantized
+    // to e-12 ints so the DuckDB replay is an exact-integer order;
+    // bounded-heap combine, no global sort (plan spec-pinned)
+    "q169_weighted_sample" -> ((s, dir) =>
+      graft.util.Sampling.weightedReservoir(
+        T(s, dir, "orders"), n = 500, weightCol = "o_totalprice",
+        keyCols = Seq("o_orderkey"), seed = 42L)
+        .select("o_orderkey", "o_totalprice", "rank")),
+
+    // stratified A-ES: an independent 50-row weighted reservoir per
+    // order priority (TopK heap combine — low-cardinality strata never
+    // funnel the corpus through one task's window sort)
+    "q170_weighted_sample_stratified" -> ((s, dir) =>
+      graft.util.Sampling.weightedReservoirByGroup(
+        T(s, dir, "orders"), n = 50, weightCol = "o_totalprice",
+        strataCols = Seq("o_orderpriority"), keyCols = Seq("o_orderkey"), seed = 7L)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")),
+
     // implicit-feedback ALS (Hu-Koren-Volinsky 2008) on the bounded
     // subgraph — the q164 golden scheme with confidence c = 1 + α·r
     // and the per-half-sweep YᵀY gram trick; the regime matching the
@@ -3984,6 +4003,28 @@ object SparkEntry {
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q168_als_implicit_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    // A-ES weighted reservoir: the e-12-quantized ln(u)/w key is an
+    // exact-integer order both engines compute identically (the md5 →
+    // 52-bit uniform scheme of q31's portable hash)
+    "q169_weighted_sample" ->
+      """WITH k AS (SELECT o_orderkey, o_totalprice,
+        |  CAST(round(ln((('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||'|42'),1,13))::UBIGINT + 1)
+        |       / 4503599627370497.0) / CAST(o_totalprice AS DOUBLE) * 1e12) AS BIGINT) AS key
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT o_orderkey, o_totalprice,
+        |       ROW_NUMBER() OVER (ORDER BY key DESC, o_orderkey) AS rank
+        |FROM k QUALIFY rank <= 500""".stripMargin,
+
+    "q170_weighted_sample_stratified" ->
+      """WITH k AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(round(ln((('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||'|7'),1,13))::UBIGINT + 1)
+        |       / 4503599627370497.0) / CAST(o_totalprice AS DOUBLE) * 1e12) AS BIGINT) AS key
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                          ORDER BY key DESC, o_orderkey) AS rank
+        |FROM k QUALIFY rank <= 50""".stripMargin,
 
     // ECDF: the monolithic window form DuckDB can afford
     "q167_global_ecdf" ->

@@ -136,6 +136,84 @@ object Sampling {
       .drop("__ord", "__key", "rank")
   }
 
+  /** Efraimidis-Spirakis (2006, "Weighted random sampling with a
+    * reservoir", algorithm A-ES) selection key: the classic form draws
+    * u ~ Uniform(0,1) per row and keeps the n largest `u^(1/w)` — an
+    * exact weighted sample without replacement. Here u derives from
+    * the house md5 scheme (13 hex chars = 52 bits → `(h+1)/(2^52+1)`
+    * ∈ (0,1), never 0 or 1), and the comparison runs on the monotone
+    * transform `ln(u)/w` QUANTIZED to e-12 integers: selection becomes
+    * an exact-integer order both engines replay identically — the only
+    * cross-engine float exposure is a ≤1-ulp `ln` difference landing
+    * within 1e-21 of a rounding boundary (≈2e-9 per row). Ties at the
+    * e-12 cell break by the id columns, deterministically on both
+    * sides. A-ES order is invariant under scaling all weights by a
+    * constant, so the e-12 grid suits any weight scale whose keys
+    * aren't all inside one cell (|ln(u)/w| ≥ ~1e-9; rescale weights
+    * toward ~1 otherwise). */
+  def aesKeyE12(seed: Long, weight: Column, keyCols: Seq[Column]): Column = {
+    val key = keyCols.map(_.cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    val h = conv(substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 13),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4503599627370497.0) // 2^52 + 1
+    round(log(u) / weight.cast("double") * lit(1e12)).cast("long")
+  }
+
+  /** Weighted reservoir sample of exactly `min(n, rows)` rows,
+    * P(row ∈ sample) ∝ weight (without replacement, A-ES). Rows with
+    * weight ≤ 0 or NULL are excluded (A-ES is defined on w > 0; a
+    * NULL weight nulls the key like a NULL id nulls [[hashKeep]]).
+    *
+    * Physical strategy, size-gated (value-identical, spec-pinned):
+    *  - n ≤ `heapMaxN`: [[TopK]]'s map-side bounded-heap combine under
+    *    a constant group — k rows of state per input partition, the
+    *    exchange carries only candidates, no sort anywhere.
+    *  - larger n: the [[GlobalRank]] bucket decomposition (width_bucket
+    *    over an eagerly-probed key min/max) — rank = bucket offset +
+    *    within-bucket row_number, at most one bucket's rows per task
+    *    sort, never the corpus and never a driver-sized merge.
+    * Output: the input columns plus `rank` (1-based, key desc). */
+  def weightedReservoir(df: DataFrame, n: Long, weightCol: String,
+                        keyCols: Seq[String], seed: Long,
+                        heapMaxN: Int = 100000, nBuckets: Int = 1022): DataFrame = {
+    require(n > 0, s"weightedReservoir: n must be positive, got $n")
+    val tagged = df.filter(col(weightCol) > 0)
+      .withColumn("__aes", aesKeyE12(seed, col(weightCol), keyCols.map(col)))
+    if (n <= heapMaxN)
+      TopK.perGroup(tagged.withColumn("__g", lit(1)),
+          Seq("__g"), "__aes", keyCols, n.toInt, descending = true)
+        .drop("__g", "__aes")
+    else {
+      val mm = tagged.agg(min("__aes"), max("__aes")).head
+      val bucket =
+        if (mm.isNullAt(0) || mm.getLong(0) == mm.getLong(1)) lit(0L)
+        else width_bucket(-col("__aes"), lit(-mm.getLong(1)), lit(-mm.getLong(0)),
+          lit(nBuckets))
+      GlobalRank.withGlobalRank(tagged,
+          Seq(col("__aes").desc) ++ keyCols.map(col), bucket, "rank", "__N")
+        .filter(col("rank") <= n)
+        .drop("__aes", "__N")
+        .withColumn("rank", col("rank").cast("int"))
+    }
+  }
+
+  /** Stratified A-ES: an independent weighted reservoir of `n` rows
+    * per stratum. Ranking reuses the [[TopK]] bounded-heap combine
+    * (k rows of state per live stratum per partition), so a
+    * low-cardinality stratum column never funnels the corpus through
+    * one task's sort. */
+  def weightedReservoirByGroup(df: DataFrame, n: Int, weightCol: String,
+                               strataCols: Seq[String], keyCols: Seq[String],
+                               seed: Long): DataFrame = {
+    require(n > 0, s"weightedReservoirByGroup: n must be positive, got $n")
+    TopK.perGroup(
+      df.filter(col(weightCol) > 0)
+        .withColumn("__aes", aesKeyE12(seed, col(weightCol), keyCols.map(col))),
+      strataCols, "__aes", keyCols, n, descending = true)
+      .drop("__aes")
+  }
+
   /** Leakage-safe dataset split: every row of a GROUP (domain, source,
     * near-dup cluster id, ...) lands on the SAME side, so train/eval
     * contamination through intra-group duplication is structurally
