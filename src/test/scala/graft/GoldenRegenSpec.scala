@@ -17,8 +17,8 @@ class GoldenRegenSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val goldenNames = Seq(
-    "q22_ann_lsh", "q40_deepwalk_recs", "q41_transe_recs",
-    "q49_fuzzy_extract_one", "q52_ann_ivf", "q67_distmult_recs",
+    "q40_deepwalk_recs", "q41_transe_recs",
+    "q49_fuzzy_extract_one", "q67_distmult_recs",
     "q68_rotate_recs", "q69_complex_recs", "q70_transh_recs",
     "q71_transr_recs", "q72_transd_recs", "q73_rescal_recs",
     "q74_tucker_recs", "q162_bpr_recs", "q164_als_recs",
