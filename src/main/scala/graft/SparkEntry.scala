@@ -1880,6 +1880,19 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // order-2 Markov transitions (session-based higher-order baseline):
+    // consecutive timeline triples, minSupport-pruned state space
+    "q171_markov2_transitions" -> ((s, dir) =>
+      graft.model.MarkovNextItem.transitions2(Tables.ratings(s, dir),
+        minCount = 2L, k = 5)),
+
+    // serve order-2 with order-1 backoff: last-two-items context, per
+    // user; users whose order-2 context yields no unseen candidate
+    // fall back to the first-order table (ord marks which served)
+    "q172_markov2_recs" -> ((s, dir) =>
+      graft.model.MarkovNextItem.recommendBackoff(Tables.ratings(s, dir),
+        minCount = 2L, kTrans = 5, k = 5)),
+
     // windowed PMI association scores (Church & Hanks; SGNS
     // factorizes shifted PMI) over the offset-aggregated q134 matrix
     "q156_pmi" -> ((s, dir) =>
@@ -3886,6 +3899,67 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // order-2 Markov: the q155 scheme extended to timeline triples
+    "q171_markov2_transitions" -> (R +
+      """, sq AS (SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts, item_id) AS rn
+        |         FROM ratings)
+        |, tr AS (SELECT a.item_id AS prev2, b.item_id AS prev1, c.item_id AS nxt
+        |         FROM sq a JOIN sq b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |                   JOIN sq c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        |         WHERE c.item_id <> b.item_id)
+        |, tc AS (SELECT prev2, prev1, nxt, COUNT(*) AS cnt FROM tr
+        |         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |SELECT prev2, prev1, nxt, cnt, CAST(rn AS INT) AS rank FROM (
+        |  SELECT prev2, prev1, nxt, cnt,
+        |         row_number() OVER (PARTITION BY prev2, prev1 ORDER BY cnt DESC, nxt) AS rn
+        |  FROM tc) WHERE rn <= 5""".stripMargin),
+
+    // order-2 serving with order-1 backoff: q157's chain on the
+    // last-two context, union the first-order fallback for users with
+    // no unseen order-2 candidate
+    "q172_markov2_recs" -> (R +
+      """, sq AS (SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts, item_id) AS rn
+        |         FROM ratings)
+        |, tr2 AS (SELECT a.item_id AS prev2, b.item_id AS prev1, c.item_id AS nxt
+        |          FROM sq a JOIN sq b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |                    JOIN sq c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        |          WHERE c.item_id <> b.item_id)
+        |, tk2 AS (SELECT prev2, prev1, nxt, cnt FROM (
+        |    SELECT prev2, prev1, nxt, COUNT(*) AS cnt,
+        |           row_number() OVER (PARTITION BY prev2, prev1
+        |                              ORDER BY COUNT(*) DESC, nxt) AS rn
+        |    FROM tr2 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2) WHERE rn <= 5)
+        |, tr1 AS (SELECT a.item_id AS prev, b.item_id AS nxt
+        |          FROM sq a JOIN sq b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |          WHERE a.item_id <> b.item_id)
+        |, tk1 AS (SELECT prev, nxt, cnt FROM (
+        |    SELECT prev, nxt, COUNT(*) AS cnt,
+        |           row_number() OVER (PARTITION BY prev ORDER BY COUNT(*) DESC, nxt) AS rn
+        |    FROM tr1 GROUP BY 1, 2 HAVING COUNT(*) >= 2) WHERE rn <= 5)
+        |, lastq AS (SELECT user_id, item_id, rnk FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, item_id) AS rnk
+        |    FROM ratings) WHERE rnk <= 2)
+        |, ctx AS (SELECT l1.user_id, l2.item_id AS prev2, l1.item_id AS prev1
+        |          FROM lastq l1 JOIN lastq l2
+        |            ON l1.user_id = l2.user_id AND l1.rnk = 1 AND l2.rnk = 2)
+        |, c2 AS (SELECT x.user_id, t.nxt AS item_id, t.cnt, 2 AS ord
+        |         FROM ctx x JOIN tk2 t ON t.prev2 = x.prev2 AND t.prev1 = x.prev1
+        |         WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |                           WHERE r.user_id = x.user_id AND r.item_id = t.nxt))
+        |, c1 AS (SELECT l.user_id, t.nxt AS item_id, t.cnt, 1 AS ord
+        |         FROM lastq l JOIN tk1 t ON t.prev = l.item_id AND l.rnk = 1
+        |         WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |                           WHERE r.user_id = l.user_id AND r.item_id = t.nxt)
+        |           AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.user_id = l.user_id))
+        |, uni AS (SELECT * FROM c2 UNION ALL SELECT * FROM c1)
+        |SELECT user_id, item_id, cnt, ord, CAST(rn AS INT) AS rank FROM (
+        |  SELECT user_id, item_id, cnt, ord,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
+        |  FROM uni) WHERE rn <= 5""".stripMargin),
 
     // PMI: q134's per-offset zip-unnest pairs aggregated over offsets,
     // unigrams over the same filtered stream, q12's round-6 log2

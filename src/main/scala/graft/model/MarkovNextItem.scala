@@ -48,6 +48,73 @@ object MarkovNextItem {
       .select("user_id", "item_id", "cnt", "rank")
   }
 
+  /** Order-2 transition table: (prev2, prev1) → next counts from
+    * consecutive TRIPLES of each user's timeline — the classic
+    * session-based higher-order baseline. The state space is pruned by
+    * the same minSupport discipline as [[Baskets]] (`cnt >= minCount`
+    * kills the quadratic-in-items context tail before the TopK cut);
+    * triples come from a narrow indexed transform of the sorted event
+    * array (no window, no second shuffle), self-successions
+    * (nxt == prev1) dropped like the first-order table.
+    *
+    * @return (prev2, prev1, nxt, cnt ≥ minCount, rank ≤ k) */
+  def transitions2(ratings: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, "markov2: positive minCount and k")
+    ratings.select("user_id", "item_id", "ts")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("item_id")))).as("evs"))
+      .filter(size(col("evs")) > 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(evs) - 2), i -> struct(" +
+          "element_at(evs, i).item_id AS prev2, " +
+          "element_at(evs, i + 1).item_id AS prev1, " +
+          "element_at(evs, i + 2).item_id AS nxt))")).as("t"))
+      .select(col("t.prev2").as("prev2"), col("t.prev1").as("prev1"), col("t.nxt").as("nxt"))
+      .filter(col("nxt") =!= col("prev1"))
+      .groupBy("prev2", "prev1", "nxt").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .transform(TopK.perGroup(_, Seq("prev2", "prev1"), "cnt", Seq("nxt"), k))
+  }
+
+  /** Serve order-2 with order-1 BACKOFF: each user's last two items
+    * look up the order-2 table; a user whose order-2 context yields no
+    * UNSEEN candidates (including users with fewer than 2 distinct-ts
+    * events, contexts pruned by minSupport, and contexts whose every
+    * survivor is already rated) falls back to the first-order table on
+    * the last item alone. `ord` records which order served (2 or 1).
+    *
+    * Scale shape: both transition tables are items-bounded and
+    * minSupport-pruned (equi-joins, broadcastable in most
+    * deployments); the per-user context is a TopK bounded-heap k=2
+    * cut, never a timeline window.
+    *
+    * @return (user_id, item_id, cnt, ord, rank ≤ k) */
+  def recommendBackoff(ratings: DataFrame, minCount: Long, kTrans: Int, k: Int): DataFrame = {
+    val t2 = transitions2(ratings, minCount, kTrans)
+    val t1 = transitions(ratings, minCount, kTrans)
+    val lastTwo = TopK.perGroup(
+      ratings.select("user_id", "item_id", "ts"),
+      Seq("user_id"), "ts", Seq("item_id"), 2)
+    val prev1 = lastTwo.filter(col("rank") === 1)
+      .select(col("user_id"), col("item_id").as("prev1"))
+    val prev2 = lastTwo.filter(col("rank") === 2)
+      .select(col("user_id"), col("item_id").as("prev2"))
+    val seen = ratings.select("user_id", "item_id")
+    val c2 = prev1.join(prev2, Seq("user_id"))
+      .join(t2.select(col("prev2"), col("prev1"), col("nxt").as("item_id"), col("cnt")),
+        Seq("prev2", "prev1"))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .select(col("user_id"), col("item_id"), col("cnt"), lit(2).as("ord"))
+    val c1 = prev1
+      .join(t1.select(col("prev").as("prev1"), col("nxt").as("item_id"), col("cnt")),
+        Seq("prev1"))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .join(c2.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("item_id"), col("cnt"), lit(1).as("ord"))
+    TopK.perGroup(c2.unionByName(c1), Seq("user_id"), "cnt", Seq("item_id"), k)
+      .select("user_id", "item_id", "cnt", "ord", "rank")
+  }
+
   def transitions(ratings: DataFrame, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, "markov: positive minCount and k")
     ratings.select("user_id", "item_id", "ts")

@@ -55,4 +55,51 @@ class MarkovNextItemSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
     assert(out.toMap == Map(2L -> ((30L, 1L, 1))))
   }
+
+  private def df(rows: Seq[(Long, Long, Long)]) =
+    rows.map { case (u, i, t) => (u, i, 5.0, t) }
+      .toDF("user_id", "item_id", "rating", "ts")
+
+  test("order-2: consecutive triples, nxt == prev1 dropped, <3-event users skipped") {
+    // u1: A B C D -> (A,B,C), (B,C,D); u2: A B B -> (A,B,B) dropped
+    // (nxt == prev1); u3: A B (too short)
+    val out = MarkovNextItem.transitions2(df(Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 40L, 4L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 20L, 3L),
+      (3L, 10L, 1L), (3L, 20L, 2L))), minCount = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.toSet == Set((10L, 20L, 30L, 1L, 1), (20L, 30L, 40L, 1L, 1)))
+  }
+
+  test("order-2 minCount prunes the context tail (the Baskets discipline)") {
+    // (A,B)->C twice, (A,B)->D once
+    val rows = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L),
+      (3L, 10L, 1L), (3L, 20L, 2L), (3L, 40L, 3L))
+    val out = MarkovNextItem.transitions2(df(rows), minCount = 2L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((10L, 20L, 30L, 2L)))
+  }
+
+  test("backoff serving: ord 2 when the order-2 context has unseen candidates, else ord 1") {
+    // trained on ALL histories (minCount 1):
+    //   t1: A->B cnt3, B->C cnt2, D->B cnt1; t2: (A,B)->C cnt2
+    //   u1/u2: A B C -> context (B,C): no t2 entry; t1 on C: nothing
+    //          -> absent
+    //   u3: A B      -> context (A,B): t2 hit C, unseen by u3 -> ord 2
+    //   u4: D B      -> context (D,B): no t2 entry -> back off to t1
+    //          on last item B -> C unseen by u4 -> ord 1
+    val rows = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L),
+      (3L, 10L, 1L), (3L, 20L, 2L),
+      (4L, 40L, 1L), (4L, 20L, 2L))
+    val out = MarkovNextItem.recommendBackoff(df(rows), minCount = 1L, kTrans = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    val byUser = out.groupBy(_._1)
+    assert(byUser.keySet == Set(3L, 4L), s"served users: ${byUser.keySet}")
+    assert(byUser(3L).toSet == Set((3L, 30L, 2, 1)), s"u3: ${byUser(3L).toSeq}")
+    assert(byUser(4L).toSet == Set((4L, 30L, 1, 1)), s"u4: ${byUser(4L).toSeq}")
+  }
 }
