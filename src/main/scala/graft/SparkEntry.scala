@@ -1880,6 +1880,16 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // grouped EXACT quantile_cont: the q160 recursive width_bucket
+    // selection generalized to (group, value) — breadth-wise rounds
+    // across all groups' slices, one job per round; sortThreshold
+    // forced low so the refinement recursion is what the oracle gates
+    "q173_grouped_quantiles" -> ((s, dir) =>
+      graft.util.GlobalPercentile.quantileContByGroup(
+        T(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9),
+        nBuckets = 64, sortThreshold = 500L)),
+
     // order-2 Markov transitions (session-based higher-order baseline):
     // consecutive timeline triples, minSupport-pruned state space
     "q171_markov2_transitions" -> ((s, dir) =>
@@ -3899,6 +3909,16 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // grouped quantile_cont: DuckDB's builtin list form, q cast to
+    // DOUBLE so both engines render 0.9 identically
+    "q173_grouped_quantiles" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]) AS vs
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST([0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS q, vs[i] AS value
+        |FROM g, UNNEST(generate_series(1, 4)) AS t(i)""".stripMargin,
 
     // order-2 Markov: the q155 scheme extended to timeline triples
     "q171_markov2_transitions" -> (R +

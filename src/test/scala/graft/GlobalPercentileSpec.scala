@@ -78,4 +78,34 @@ class GlobalPercentileSpec extends AnyFunSuite {
       .collect().head.getDouble(1)
     assert(got == refQuantile(xs, 0.37))
   }
+
+  test("grouped selection == per-group in-memory quantile, skewed group sizes") {
+    val rnd = new scala.util.Random(7)
+    // group sizes 10 / 400 / 6000 (1-600x skew), duplicates in the big one
+    val rows =
+      Seq.fill(10)(("tiny", rnd.nextDouble() * 10)) ++
+      Seq.fill(400)(("mid", rnd.nextDouble() * 1000 - 500)) ++
+      Seq.fill(6000)(("big", (rnd.nextInt(300)).toDouble / 3.0))
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = GlobalPercentile.quantileContByGroup(df, Seq("g"), "x", qs,
+        nBuckets = 8, sortThreshold = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byG = rows.groupBy(_._1).map { case (g, v) => g -> v.map(_._2) }
+    assert(got.size == 3 * qs.size)
+    for ((g, xs) <- byG; q <- qs)
+      assert(got((g, q)) == refQuantile(xs, q), s"g=$g q=$q")
+  }
+
+  test("grouped: multi-column groups, single-row groups, null values ignored") {
+    val df = Seq(
+      ("a", 1, Some(5.0)), ("a", 1, Some(1.0)), ("a", 1, None),
+      ("a", 2, Some(9.0)),
+      ("b", 1, Some(2.0)), ("b", 1, Some(4.0)), ("b", 1, Some(8.0)))
+      .toDF("g1", "g2", "x")
+    val got = GlobalPercentile.quantileContByGroup(df, Seq("g1", "g2"), "x", Seq(0.5),
+        nBuckets = 4, sortThreshold = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got == Map(("a", 1) -> 3.0, ("a", 2) -> 9.0, ("b", 1) -> 4.0))
+  }
 }
