@@ -1880,6 +1880,20 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // the `triples: all` KGE TRAINING frame exactly as KgeRecommender
+    // assembles it from the CLI loader's property-edge explosion
+    // (KGraph.propertyEdges — multi-column, null/'' filtered):
+    // rating triples ∪ (src_label, relation, dst_label)→(head, r, tail)
+    "q174_kge_triples_all" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val items = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      val p = graft.graph.KGraph.propertyEdges(items, "p_partkey", isUser = false,
+        Seq("p_brand", "p_type")).get
+      graft.graph.KGraph.ratingTriples(r).unionByName(
+        p.select(col("src_label").as("head"), col("relation"), col("dst_label").as("tail")))
+    }),
+
     // grouped EXACT quantile_cont: the q160 recursive width_bucket
     // selection generalized to (group, value) — breadth-wise rounds
     // across all groups' slices, one job per round; sortThreshold
@@ -3909,6 +3923,24 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // triples:all training frame: q13's label algebra over the
+    // two-column property explosion
+    "q174_kge_triples_all" -> (R +
+      """SELECT 'User(' || CAST(user_id AS VARCHAR) || ')' AS head,
+        |       'rating' || CAST(CAST(rating AS BIGINT) AS VARCHAR) || '.0' AS relation,
+        |       'Item(' || CAST(item_id AS VARCHAR) || ')' AS tail
+        |FROM ratings
+        |UNION ALL
+        |SELECT 'Item(' || CAST(p_partkey AS VARCHAR) || ')', 'has',
+        |       'Property(' || p_brand || ', p_brand)'
+        |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)
+        |  AND p_brand IS NOT NULL AND p_brand <> ''
+        |UNION ALL
+        |SELECT 'Item(' || CAST(p_partkey AS VARCHAR) || ')', 'has',
+        |       'Property(' || p_type || ', p_type)'
+        |FROM part WHERE p_partkey IN (SELECT item_id FROM ratings)
+        |  AND p_type IS NOT NULL AND p_type <> ''""".stripMargin),
 
     // grouped quantile_cont: DuckDB's builtin list form, q cast to
     // DOUBLE so both engines render 0.9 identically

@@ -73,24 +73,12 @@ object Experiment {
     }
 
   /** Entity-column -> Property-edge explosion (`_add_node_property`,
-    * graph.py:246-257): each feature column value becomes a
-    * Property(value, column) node; string_list columns fan out. */
+    * graph.py:246-257) — hoisted to [[graft.graph.KGraph.propertyEdges]]
+    * so the q174 oracle gates the exact construction this loader feeds
+    * into `triples: all` training. */
   private def propertyEdgesFrom(df: DataFrame, idCol: String, isUser: Boolean,
-                                cols: Seq[String]): Option[DataFrame] = {
-    import graft.graph.KGraph
-    cols.filter(df.columns.contains).map { f =>
-      val vals = df.schema(f).dataType match {
-        case _: org.apache.spark.sql.types.ArrayType =>
-          df.select(col(idCol), explode(col(f)).as("v"))
-        case _ => df.select(col(idCol), col(f).cast("string").as("v"))
-      }
-      vals.filter(col("v").isNotNull && col("v") =!= "")
-        .select(
-          (if (isUser) KGraph.userLabel(col(idCol)) else KGraph.itemLabel(col(idCol))).as("src_label"),
-          lit(if (isUser) "is" else "has").as("relation"),
-          KGraph.propertyLabel(col("v"), f).as("dst_label"))
-    }.reduceOption(_ unionByName _)
-  }
+                                cols: Seq[String]): Option[DataFrame] =
+    graft.graph.KGraph.propertyEdges(df, idCol, isUser, cols)
 
   /** The loaded dataset: validated rating edges, optional dims, and the
     * two edge channels models consume (property edges feed the KG

@@ -58,6 +58,29 @@ object KGraph {
   def allTriples(ratings: DataFrame, props: Seq[DataFrame]): DataFrame =
     props.foldLeft(ratingTriples(ratings))(_ unionByName _)
 
+  /** Entity-column → Property-edge explosion (`_add_node_property`,
+    * graph.py:246-257): each feature column value becomes a
+    * Property(value, column) node; string_list columns fan out; null
+    * and empty values are skipped. The construction the Experiment
+    * CLI's enrich/extra_features channels feed into KGE `triples: all`
+    * training — q174 puts it under the oracle gate.
+    *
+    * @return None when none of `cols` exist on `df` */
+  def propertyEdges(df: DataFrame, idCol: String, isUser: Boolean,
+                    cols: Seq[String]): Option[DataFrame] =
+    cols.filter(df.columns.contains).map { f =>
+      val vals = df.schema(f).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          df.select(col(idCol), explode(col(f)).as("v"))
+        case _ => df.select(col(idCol), col(f).cast("string").as("v"))
+      }
+      vals.filter(col("v").isNotNull && col("v") =!= "")
+        .select(
+          (if (isUser) userLabel(col(idCol)) else itemLabel(col(idCol))).as("src_label"),
+          lit(if (isUser) "is" else "has").as("relation"),
+          propertyLabel(col("v"), f).as("dst_label"))
+    }.reduceOption(_ unionByName _)
+
   /** Bijective node-label -> dense-int relabeling, the Spark analogue of
     * `convert_node_labels_to_integer` (graph.py:168-191). Deterministic:
     * ids are the 0-based rank in the canonical label ordering, NOT

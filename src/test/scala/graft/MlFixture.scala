@@ -94,4 +94,41 @@ object MlFixture {
     import spark.implicits._
     spark.sparkContext.parallelize(rows, 8).toDF("user_id", "item_id", "rating", "ts")
   }
+
+  /** Enriched.csv-shaped property table at the reference's ml-100k
+    * coverage rates (`data_integration/metadata.md:66-74`): one row per
+    * item, eight DBpedia-property columns, absent values null. Values
+    * align with the planted genre structure the way real DBpedia
+    * properties align with tastes — subject/director/starring/producer/
+    * writer draw from per-genre pools (shared property nodes connect
+    * same-genre items), abstract is unique per item (degree-1 noise
+    * nodes, like real abstracts), distributor/cinematography are
+    * genre-blind pools (cross-genre noise). This is what makes the
+    * reference's thesis — `triples: all` beats `triples: ratings` —
+    * assertable on the fixture. */
+  def enriched(spark: SparkSession, seed: Long = 42L): DataFrame = {
+    val nComm = 10
+    def genre(i: Int) = i % nComm
+    def h(i: Int, tag: Int): Int = math.abs(
+      scala.util.hashing.MurmurHash3.productHash((i, tag, seed)))
+    // (name, coverage per-mille, pool size within genre; pool < 0 =>
+    // genre-blind pool of |pool|; pool == 0 => unique per item)
+    val specs = Seq(
+      ("subject", 1000, 2), ("abstract", 997, 0), ("starring", 938, 40),
+      ("director", 932, 30), ("distributor", 877, -25), ("writer", 832, 25),
+      ("producer", 769, 15), ("cinematography", 728, -40))
+    val rows = (0 until NItems).map { i =>
+      val vals = specs.map { case (name, cov, pool) =>
+        if (h(i, name.hashCode) % 1000 >= cov) null
+        else if (pool == 0) s"${name}_${i + 1}"
+        else if (pool < 0) s"${name}_${h(i, name.hashCode * 31) % -pool}"
+        else s"${name}_g${genre(i)}_${h(i, name.hashCode * 31) % pool}"
+      }
+      (i.toLong + 1, vals(0), vals(1), vals(2), vals(3), vals(4), vals(5), vals(6), vals(7))
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(rows, 4).toDF("item_id",
+      "subject", "abstract", "starring", "director", "distributor",
+      "writer", "producer", "cinematography")
+  }
 }
