@@ -139,9 +139,16 @@ class AlsImplicit(val dim: Int, val iters: Int, val lambda: Double,
       val bcG = spark.sparkContext.broadcast(g)
       val fixedKey = if (byUserSide) "i" else "u"
       val outKey = if (byUserSide) "u" else "i"
+      // the join's output is partitioned by the FIXED side's key, so
+      // without re-keying every partition's accumulation map sees up to
+      // ~all out-side keys (~1.3 KB of normal-equation state each at
+      // d=16: 3M users x 64 partitions OOMed the 10M-row probe).
+      // Re-partitioning by the out key bounds the map at nKeys/nParts
+      // entries and makes the reduceByKey exchange near-empty.
       val gathered = data
         .join(fixed.select(col("id").as(fixedKey), col("vec").as("fv")), Seq(fixedKey))
         .select(col(outKey).as("key"), col("fv"), col("r"))
+        .repartition(col("key"))
       gathered.as[(Int, Array[Float], Double)]
         .rdd.mapPartitions { it =>
           val m = mutable.HashMap.empty[Int, (Array[Double], Array[Double])]
