@@ -1880,6 +1880,14 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // composed streaming surface, batch form: sessionize → session-
+    // count funnel (stage = min(ordinal, 3)) → half-life trending —
+    // the stream form chains three fMGWS in ONE query (soak-pinned)
+    "q175_session_funnel_trending" -> ((s, dir) =>
+      graft.stream.SessionFunnelTrending.batch(Tables.events(s, dir),
+        gapMs = 30 * 60000L, maxStage = 3, halfLifeMs = 21600000L,
+        keep = 41, k = 3)),
+
     // the `triples: all` KGE TRAINING frame exactly as KgeRecommender
     // assembles it from the CLI loader's property-edge explosion
     // (KGraph.propertyEdges — multi-column, null/'' filtered):
@@ -3923,6 +3931,35 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // composed sessionize → funnel → trending: q35's session CTEs,
+    // stage = least(session ordinal, 3), q163's decay rollup
+    "q175_session_funnel_trending" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id, event_id, ms,
+        |  CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |         OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sid AS (SELECT user_id, ms,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, MAX(ms) AS session_end
+        |         FROM sid GROUP BY 1, 2),
+        |msx AS (SELECT LEAST(session_id, 3) AS item_id, session_end AS ts FROM sess),
+        |b AS (SELECT item_id, ts // 21600000 AS bucket, COUNT(*) AS n
+        |      FROM msx GROUP BY 1, 2),
+        |bm AS (SELECT item_id, MAX(bucket) AS mb FROM b GROUP BY 1),
+        |kept AS (SELECT b.item_id, b.bucket, b.n FROM b JOIN bm USING (item_id)
+        |         WHERE b.bucket > bm.mb - 41),
+        |gm AS (SELECT MAX(bucket) AS g FROM kept)
+        |SELECT item_id AS stage,
+        |       CAST(SUM(n * (1000000 // (CAST(1 AS BIGINT) <<
+        |         CAST(LEAST(g - bucket, 40) AS INT)))) AS BIGINT) AS score_e6,
+        |       CAST(SUM(n) AS BIGINT) AS n
+        |FROM kept, gm GROUP BY item_id
+        |ORDER BY score_e6 DESC, stage LIMIT 3""".stripMargin,
 
     // triples:all training frame: q13's label algebra over the
     // two-column property explosion
