@@ -140,10 +140,25 @@ private[model] object MfServing {
                                d: Int, bias: Boolean, kPrime: Int): DataFrame = {
     import spark.implicits._
     val ord = worstFirst
-    val pBlocks = pDf.select(col("id").cast("int"), col("vec"))
-      .as[(Int, Array[Float])].rdd.glom()
-    val qBlocks = qDf.select(col("id").cast("int"), col("vec"))
-      .as[(Int, Array[Float])].rdd.glom()
+    val pRdd = pDf.select(col("id").cast("int"), col("vec"))
+      .as[(Int, Array[Float])].rdd
+    val qRdd = qDf.select(col("id").cast("int"), col("vec"))
+      .as[(Int, Array[Float])].rdd
+    // total row-decode cost is pRows×qBlocks + qRows×pBlocks — the
+    // huge item side is deserialized once PER USER BLOCK, so coalesce
+    // the user side as far as parallelism allows (tasks = pBlocks ×
+    // qBlocks must still cover the cluster), capped at 4× the input
+    // partitioning so a glom'd block never exceeds ~4 input partitions
+    // of rows in one task's memory (probed: 10M items × 64 users fell
+    // 32 → 8 user blocks, 4× less item-side decode)
+    val qParts = math.max(1, qRdd.getNumPartitions)
+    val minForParallelism =
+      (spark.sparkContext.defaultParallelism + qParts - 1) / qParts
+    val targetPBlocks = math.max(1,
+      math.max(minForParallelism, pRdd.getNumPartitions / 4))
+    val pBlocks = (if (pRdd.getNumPartitions > targetPBlocks)
+      pRdd.coalesce(targetPBlocks) else pRdd).glom()
+    val qBlocks = qRdd.glom()
     val partials = pBlocks.cartesian(qBlocks).flatMap { case (ps, qs) =>
       ps.iterator.map { case (u, pv) =>
         val heap = mutable.PriorityQueue.empty[(Float, Int)](ord)
