@@ -1880,6 +1880,16 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // item2vec (Barkan & Koenigstein 2016) on the bounded subgraph —
+    // SGNS over per-user rating baskets, deterministic mean-pooled
+    // user vectors, the q40 golden scheme (pin_order total-orders the
+    // sentence list + threads=1)
+    "q176_item2vec_recs" -> ((s, dir) =>
+      graft.model.Item2Vec.recs(s,
+        trainRatings(s, dir).filter(col("user_id") < 200),
+        minRating = 4.0, dim = 16, window = 100, epochs = 3, lr = 0.025,
+        negative = 5, seed = 42L, k = 5, pinOrder = true)),
+
     // composed streaming surface, batch form: sessionize → session-
     // count funnel (stage = min(ordinal, 3)) → half-life trending —
     // the stream form chains three fMGWS in ONE query (soak-pinned)
@@ -4166,6 +4176,11 @@ object SparkEntry {
     "q168_als_implicit_recs" -> (R +
       """SELECT user_id, item_id, rank
         |FROM '/root/repo/goldens/q168_als_implicit_recs.parquet'
+        |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
+
+    "q176_item2vec_recs" -> (R +
+      """SELECT user_id, item_id, rank
+        |FROM '/root/repo/goldens/q176_item2vec_recs.parquet'
         |WHERE n_ratings = (SELECT COUNT(*) FROM ratings)""".stripMargin),
 
     // A-ES weighted reservoir: the e-12-quantized ln(u)/w key is an

@@ -57,6 +57,7 @@ object Recommenders {
     "popularity" -> (cfg => new PopularityRecommender(cfg)),
     "bpr" -> (cfg => new BprRecommender(cfg)),
     "als" -> (cfg => new AlsRecommender(cfg)),
-    "als_implicit" -> (cfg => new AlsImplicitRecommender(cfg))
+    "als_implicit" -> (cfg => new AlsImplicitRecommender(cfg)),
+    "item2vec" -> (cfg => new Item2VecRecommender(cfg))
   ) ++ graft.walk.DeepWalkRecommender.registry ++ graft.kge.KgeRecommender.registry
 }

@@ -51,10 +51,14 @@ class ExperimentRegistrySpec extends AnyFunSuite {
          |      parameters: {embedding_dim: 8, iters: 3, lambda: 0.1, seed: 42}
          |    - name: als_implicit
          |      parameters: {embedding_dim: 8, iters: 3, lambda: 0.1, alpha: 20.0, seed: 42}
+         |    - name: item2vec
+         |      parameters: {embedding_dim: 8, window: 100, epochs: 3, min_rating: 1.0, seed: 42}
          |    - name: deepwalk
          |      parameters: {embedding_size: 24, n_walks: 5, walk_len: 8, window_size: 3, seed: 42}
          |    - name: node2vec
          |      parameters: {embedding_size: 16, n_walks: 5, walk_len: 8, p: 1.0, q: 2.0, seed: 42}
+         |    - name: item2vec
+         |      parameters: {embedding_dim: 8, window: 100, epochs: 3, min_rating: 1.0, seed: 42}
          |    - name: deepwalk_based
          |      parameters: {embedding_size: 16, n_walks: 5, walk_len: 8, p: 1.0, q: 1.0, seed: 42}
          |    - name: transE
@@ -87,7 +91,7 @@ class ExperimentRegistrySpec extends AnyFunSuite {
     }
     val report = graft.cli.Experiment.run(spark, s"$tmp/exp.yml")
       .select("model", "MAP@5_mean", "nDCG@5_mean").collect()
-    assert(report.length == 16, s"expected 16 report rows, got ${report.length}")
+    assert(report.length == 17, s"expected 17 report rows, got ${report.length}")
     report.foreach { r =>
       val (m, map, ndcg) = (r.getString(0), r.getDouble(1), r.getDouble(2))
       assert(!map.isNaN && map >= 0.0 && map <= 1.0, s"$m MAP=$map")

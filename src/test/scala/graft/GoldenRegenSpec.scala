@@ -22,7 +22,7 @@ class GoldenRegenSpec extends AnyFunSuite {
     "q68_rotate_recs", "q69_complex_recs", "q70_transh_recs",
     "q71_transr_recs", "q72_transd_recs", "q73_rescal_recs",
     "q74_tucker_recs", "q162_bpr_recs", "q164_als_recs",
-    "q168_als_implicit_recs")
+    "q168_als_implicit_recs", "q176_item2vec_recs")
 
   goldenNames.foreach { name =>
     test(s"golden $name reproduces bit-exactly on a fresh run") {
