@@ -1880,6 +1880,26 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // HyperLogLog distinct (Flajolet 2007) — the md5-portable,
+    // exact-integer-state variant: registers and the scaled harmonic
+    // sum are pure ints both engines compute identically; est_e6 is
+    // the one float, derived from those ints
+    "q177_hll_distinct" -> ((s, dir) =>
+      graft.util.Sketches.hllEstimate(
+        graft.util.Sketches.hllRegisters(
+          T(s, dir, "lineitem"), Seq("l_orderkey"), b = 10, seed = 42L), b = 10)),
+
+    // Count-Min frequency estimates (Cormode-Muthukrishnan 2005) for
+    // the low suppkeys — counters exact ints, est = min over depth
+    "q178_cms_counts" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      graft.util.Sketches.cmsEstimate(
+        graft.util.Sketches.cmsCounters(li, Seq("l_suppkey"), depth = 4,
+          width = 512, seed = 7L),
+        li.filter(col("l_suppkey") <= 20).select("l_suppkey").distinct(),
+        Seq("l_suppkey"), depth = 4, width = 512, seed = 7L)
+    }),
+
     // item2vec (Barkan & Koenigstein 2016) on the bounded subgraph —
     // SGNS over per-user rating baskets, deterministic mean-pooled
     // user vectors, the q40 golden scheme (pin_order total-orders the
@@ -3941,6 +3961,39 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // HLL: identical md5 hash, bin()-length rho, exact scaled sum
+    "q177_hll_distinct" ->
+      """WITH h AS (SELECT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |           FROM lineitem),
+        |reg AS (SELECT h >> 42 AS idx,
+        |        CASE WHEN (h & ((1::UBIGINT << 42) - 1)) = 0 THEN 43
+        |             ELSE 42 - length(bin(h & ((1::UBIGINT << 42) - 1))) + 1 END AS rho
+        |        FROM h),
+        |regs AS (SELECT idx, MAX(rho) AS r FROM reg GROUP BY idx),
+        |agg AS (SELECT COUNT(*) AS occ,
+        |               SUM((1::UBIGINT << (42 - r))::HUGEINT) AS socc FROM regs),
+        |est AS (SELECT 1024 AS m, CAST(1024 - occ AS BIGINT) AS n_zero,
+        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 42) AS BIGINT) AS s_scaled
+        |        FROM agg)
+        |SELECT m, n_zero, s_scaled,
+        |  CAST(round(CASE WHEN raw <= 2560.0 AND n_zero > 0
+        |               THEN 1024.0 * ln(1024.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
+        |FROM est, LATERAL (SELECT (0.7213 / (1.0 + 1.079/1024)) * 1024.0 * 1024.0
+        |                          * 4398046511104.0 / CAST(s_scaled AS DOUBLE) AS raw)""".stripMargin,
+
+    // CMS: same md5(key|row|seed) % width counters, min over rows
+    "q178_cms_counts" ->
+      """WITH c AS (SELECT j AS row,
+        |    CAST(('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)||'|'||CAST(j AS VARCHAR)||'|7'),1,13))::UBIGINT % 512 AS BIGINT) AS idx,
+        |    COUNT(*) AS c
+        |  FROM lineitem, UNNEST(generate_series(0, 3)) AS t(j) GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 20),
+        |e AS (SELECT q.l_suppkey, j AS row,
+        |    CAST(('0x'||substr(md5(CAST(q.l_suppkey AS VARCHAR)||'|'||CAST(j AS VARCHAR)||'|7'),1,13))::UBIGINT % 512 AS BIGINT) AS idx
+        |  FROM q, UNNEST(generate_series(0, 3)) AS t(j))
+        |SELECT e.l_suppkey, MIN(COALESCE(c.c, 0)) AS est
+        |FROM e LEFT JOIN c USING (row, idx) GROUP BY 1""".stripMargin,
 
     // composed sessionize → funnel → trending: q35's session CTEs,
     // stage = least(session ordinal, 3), q163's decay rollup

@@ -1,0 +1,131 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for 100 TB-scale profiling — HyperLogLog
+  * distinct counting (Flajolet et al. 2007) and Count-Min frequency
+  * estimation (Cormode & Muthukrishnan 2005) — built DETERMINISTIC
+  * and oracle-replayable, which stock sketch libraries are not:
+  *
+  *  - hashes are the house md5 scheme (13 hex chars = 52 portable
+  *    bits), so DuckDB recomputes every register/counter bit-for-bit;
+  *  - sketch STATE is exact integers under order-independent
+  *    aggregates (register = MAX of rhos, counter = SUM), so state is
+  *    invariant to partitioning and mergeable by construction — the
+  *    whole point of a sketch on a cluster;
+  *  - rho (leading-zero rank) is computed from the INTEGER bit length
+  *    (`length(bin(v))` / `length(printf('%b', v))`), never
+  *    floor(log2(·)) whose boundary ulps differ across engines;
+  *  - HLL's one float — the harmonic-mean estimate — divides by an
+  *    integer-EXACT scaled sum `S = Σ 2^(w − M_j)` (each term a power
+  *    of two ≤ 2^52, register count ≤ 2^11, so S fits a long exactly),
+  *    making the estimate a pure function of exact ints on both sides.
+  */
+object Sketches {
+
+  /** 52-bit md5-derived hash of the rendered key (the
+    * [[Sampling.hashKeep]] scheme: '|'-joined casts + seed). */
+  private def h52(seed: Long, keyCols: Seq[Column]): Column = {
+    val key = keyCols.map(_.cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    conv(substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 13),
+      16, 10).cast("long")
+  }
+
+  /** HyperLogLog register table: `m = 2^b` rows (occupied registers
+    * only) of (idx, r) where r = max over the register's keys of
+    * (leading-zero count of the low w = 52−b hash bits) + 1, capped at
+    * w+1 for v = 0. One map-side-combined groupBy — the corpus never
+    * shuffles raw keys, only ≤ m skinny rows. Registers from disjoint
+    * row sets MERGE by max(r) per idx (union semantics) — spec-pinned.
+    *
+    * @param b register-index bits, 4 ≤ b ≤ 11 (m ≤ 2048 keeps the
+    *          estimate's scaled sum exactly representable in a long) */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], b: Int,
+                   seed: Long): DataFrame = {
+    require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
+    val w = 52 - b
+    val h = h52(seed, keyCols.map(col))
+    val v = h.bitwiseAND(lit((1L << w) - 1))
+    // leading zeros of v within width w = w - bit_length(v); bin() is
+    // integer-exact in both engines (never floor(log2))
+    val rho = when(v === 0L, lit(w + 1))
+      .otherwise(lit(w) - length(bin(v)) + 1)
+    df.select(shiftright(h, w).as("idx"), rho.cast("int").as("rho"))
+      .groupBy("idx").agg(max("rho").as("r"))
+  }
+
+  /** The HLL estimate from a register table: one row
+    * (m, n_zero, s_scaled, est_e6) where `s_scaled = Σ_j 2^(w − M_j)`
+    * over ALL m registers (absent idx ⇒ M = 0) is the exact-integer
+    * scaled harmonic sum, and
+    * `est = α_m · m² · 2^w / s_scaled` with linear counting below
+    * 2.5·m when empty registers remain (the original HLL small-range
+    * correction). est_e6 = round(est · 10⁶) — the only float, derived
+    * from exact ints identically on both sides. */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
+    val m = 1 << b
+    val w = 52 - b
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .agg(count(lit(1)).as("__occ"),
+        expr(s"sum(shiftleft(1L, $w - r))").as("__sOcc"))
+      .select(
+        lit(m).as("m"),
+        (lit(m) - col("__occ")).cast("long").as("n_zero"),
+        // absent registers carry M = 0 ⇒ term 2^w each
+        (col("__sOcc") + (lit(m) - col("__occ")) * lit(1L << w)).as("s_scaled"))
+      .withColumn("__raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, w)) /
+          col("s_scaled").cast("double"))
+      .withColumn("est_e6", round(
+        when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          // linear counting: m · ln(m / n_zero)
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("__raw")) * lit(1e6)).cast("long"))
+      .select("m", "n_zero", "s_scaled", "est_e6")
+  }
+
+  /** Count-Min sketch table: `depth × width` counters (occupied only)
+    * — (row, idx, c) with c = Σ weight (default 1 per input row). Each
+    * of the `depth` hash rows uses an independent seed derivative.
+    * Exact integers under SUM: partition-invariant, mergeable by
+    * adding counters (spec-pinned). The corpus collapses to ≤
+    * depth·width skinny rows in one map-side-combined aggregate per
+    * row... all rows in ONE pass via explode of the depth sequence. */
+  def cmsCounters(df: DataFrame, keyCols: Seq[String], depth: Int, width: Int,
+                  seed: Long, weightCol: Option[String] = None): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2, s"cms: bad depth/width $depth/$width")
+    val wcol = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    df.select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        struct(keyCols.map(col): _*).as("__k"), wcol.as("__w"))
+      .select(col("row"),
+        pmod(h52(seed, keyCols.indices.map(i => col("__k")(keyCols(i))) :+ col("row")),
+          lit(width.toLong)).as("idx"),
+        col("__w"))
+      .groupBy("row", "idx").agg(sum("__w").as("c"))
+  }
+
+  /** Point estimates for `queries` (a frame carrying the key columns):
+    * est = MIN over the depth rows of that row's counter — the CMS
+    * overestimate guarantee (est ≥ true count, spec-pinned). */
+  def cmsEstimate(counters: DataFrame, queries: DataFrame, keyCols: Seq[String],
+                  depth: Int, width: Int, seed: Long): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2, s"cms: bad depth/width $depth/$width")
+    queries.select((keyCols.map(col) :+
+        explode(sequence(lit(0), lit(depth - 1))).as("row")): _*)
+      .withColumn("idx",
+        pmod(h52(seed, keyCols.map(col) :+ col("row")), lit(width.toLong)))
+      .join(counters, Seq("row", "idx"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("c").as("est"))
+  }
+}

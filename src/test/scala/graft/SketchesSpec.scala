@@ -1,0 +1,85 @@
+package graft
+
+import graft.util.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def estimate(n: Int, b: Int): Double = {
+    val df = (0 until n).map(i => s"key_$i").toDF("k")
+    Sketches.hllEstimate(Sketches.hllRegisters(df, Seq("k"), b, 42L), b)
+      .collect().head.getLong(3) / 1e6
+  }
+
+  test("HLL estimate lands within 3 sigma (1.04/sqrt(m)) across cardinalities") {
+    for (n <- Seq(1000, 5000, 20000)) {
+      val est = estimate(n, b = 10)
+      val sigma = 1.04 / math.sqrt(1024.0)
+      assert(math.abs(est - n) <= 3 * sigma * n,
+        f"n=$n est=$est%.0f (err ${(est - n) / n * 100}%.1f%%)")
+    }
+  }
+
+  test("HLL small range routes through linear counting (tight)") {
+    val est = estimate(60, b = 10)
+    assert(math.abs(est - 60) <= 6, s"linear-counting est=$est for n=60")
+  }
+
+  test("HLL registers: partition-invariant, duplicate-insensitive, merge by max") {
+    val a = (0 until 3000).map(i => s"k$i").toDF("k")
+    val b = (2000 until 5000).map(i => s"k$i").toDF("k")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, Seq("k"), 8, 1L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val union = regs(a.union(b))
+    assert(regs(a.union(b).repartition(13)) == union, "partitioning changed state")
+    assert(regs(a.union(b).union(b)) == union, "duplicates changed state")
+    val merged = (regs(a).toSeq ++ regs(b).toSeq).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    assert(merged == union, "max-merge of per-shard registers != union registers")
+  }
+
+  test("CMS: est >= true count for every key; exact when the sketch is collision-free") {
+    // 40 keys, zipf-ish counts, width 4096 >> keys: collisions absent
+    // in practice for THIS seed — pinned by the equality check itself
+    val rows = (0 until 40).flatMap(k => Seq.fill(k + 1)(s"key_$k")).toDF("k")
+    val truth = (0 until 40).map(k => s"key_$k" -> (k + 1).toLong).toMap
+    val queries = truth.keys.toSeq.toDF("k")
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsCounters(rows, Seq("k"), 4, 4096, 7L), queries, Seq("k"), 4, 4096, 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == truth, "width-4096 sketch should be exact on 40 keys")
+    // narrow sketch: collisions inevitable, the guarantee is one-sided
+    val narrow = Sketches.cmsEstimate(
+      Sketches.cmsCounters(rows, Seq("k"), 4, 8, 7L), queries, Seq("k"), 4, 8, 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(narrow(k) >= t, s"$k: est ${narrow(k)} below true $t")
+    }
+  }
+
+  test("CMS counters: partition-invariant and mergeable by counter addition") {
+    val a = (0 until 500).map(i => s"k${i % 50}").toDF("k")
+    val b = (0 until 300).map(i => s"k${i % 30}").toDF("k")
+    def cnt(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCounters(df, Seq("k"), 3, 64, 2L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val union = cnt(a.union(b))
+    assert(cnt(a.union(b).repartition(7)) == union)
+    val merged = (cnt(a).toSeq ++ cnt(b).toSeq).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == union, "sum-merge of per-shard counters != union counters")
+  }
+
+  test("CMS weighted: counters accumulate the weight column") {
+    val rows = Seq(("a", 5L), ("a", 7L), ("b", 1L)).toDF("k", "w")
+    val est = Sketches.cmsEstimate(
+      Sketches.cmsCounters(rows, Seq("k"), 2, 128, 3L, weightCol = Some("w")),
+      Seq("a", "b").toDF("k"), Seq("k"), 2, 128, 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 12L, "b" -> 1L))
+  }
+}
