@@ -74,6 +74,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == union, "sum-merge of per-shard counters != union counters")
   }
 
+  test("HLL composes with Structured Streaming: register state == batch under slicing") {
+    // the register table is a plain max-aggregate, so the STREAMING
+    // form is just hllRegisters over a streaming DF in update mode —
+    // no custom state code; last emitted value per idx is the state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = (0 until 4000).map(i => s"k$i")
+    val input = MemoryStream[String]
+    val q = Sketches.hllRegisters(input.toDS().toDF("k"), Seq("k"), 8, 1L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hll_stream").start()
+    try {
+      keys.grouped(700).foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      val rows = spark.sql("SELECT * FROM hll_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+      // update mode re-emits a register on change: last emission wins,
+      // and max is monotone so last == max
+      val streamed = rows.zipWithIndex.groupBy(_._1._1)
+        .view.mapValues(_.maxBy(_._2)._1._2).toMap
+      val batch = Sketches.hllRegisters(keys.toDF("k"), Seq("k"), 8, 1L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS hll_stream")
+    }
+  }
+
   test("CMS weighted: counters accumulate the weight column") {
     val rows = Seq(("a", 5L), ("a", 7L), ("b", 1L)).toDF("k", "w")
     val est = Sketches.cmsEstimate(
