@@ -1880,6 +1880,15 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // Holt linear smoothing per event type over the dense daily count
+    // series — level/trend/7-day forecast; the recursion is one
+    // codegen'd aggregate HOF with the exact op sequence the DuckDB
+    // recursive CTE replays (α=1/2, β=1/4, binary-exact)
+    "q179_holt_forecast" -> ((s, dir) =>
+      graft.model.Forecast.holtLinear(Tables.events(s, dir), Seq("event_type"),
+        unix_millis(col("ts").cast("timestamp")), bucketMs = 86400000L,
+        horizon = 7)),
+
     // HyperLogLog distinct (Flajolet 2007) — the md5-portable,
     // exact-integer-state variant: registers and the scaled harmonic
     // sum are pure ints both engines compute identically; est_e6 is
@@ -3961,6 +3970,33 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // Holt recursion replayed as a recursive CTE, identical op order
+    "q179_holt_forecast" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d FROM events),
+        |mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |ks AS (SELECT DISTINCT event_type FROM e),
+        |y AS (SELECT ks.event_type, t.i, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS y
+        |      FROM ks CROSS JOIN mm
+        |      CROSS JOIN UNNEST(generate_series(0, CAST(mm.d1 - mm.d0 AS INT))) AS t(i)
+        |      LEFT JOIN (SELECT event_type, d, COUNT(*) AS cnt FROM e GROUP BY 1, 2) c
+        |        ON c.event_type = ks.event_type AND c.d = mm.d0 + t.i),
+        |tt AS (SELECT CAST(max(i) AS INT) AS tmax FROM y),
+        |r AS (
+        |  SELECT y0.event_type, 1 AS i, y1.y AS l, y1.y - y0.y AS b
+        |  FROM y y0 JOIN y y1 ON y1.event_type = y0.event_type AND y1.i = 1
+        |  WHERE y0.i = 0
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |         0.5 * y.y + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * y.y + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+        |  FROM r JOIN y ON y.event_type = r.event_type AND y.i = r.i + 1
+        |  WHERE r.i < (SELECT tmax FROM tt))
+        |SELECT event_type, (SELECT tmax FROM tt) + 1 AS n_buckets,
+        |       ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+        |       ROUND(l + 7.0 * b, 4) AS forecast
+        |FROM r WHERE i = (SELECT tmax FROM tt)""".stripMargin,
 
     // HLL: identical md5 hash, bin()-length rho, exact scaled sum
     "q177_hll_distinct" ->

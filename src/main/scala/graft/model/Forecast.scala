@@ -1,0 +1,82 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series forecasting: Holt's linear (double
+  * exponential) smoothing — the classic trend-aware baseline
+  * (Holt 1957; Hyndman & Athanasopoulos ch. 8):
+  *
+  *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+  *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},   ŷ_{T+h} = l_T + h·b_T
+  *
+  * initialized l_0 = y_0, b_0 = y_1 − y_0 over the DENSE bucket
+  * series (missing buckets count 0 — a gap is a real zero for event
+  * counts).
+  *
+  * Spark shape: one skinny groupBy to per-(key, bucket) counts, a
+  * bounded dense-range join (keys × T rows), one collect_list per key
+  * (state = that key's series — T is bounded: it's a bucket count,
+  * not a row count), and the recursion as ONE codegen'd `aggregate`
+  * HOF over the ordered array. No window over raw rows, no driver
+  * loop, every key independent.
+  *
+  * Oracle parity: the recursion is evaluated with the IDENTICAL
+  * operation sequence DuckDB's recursive-CTE replay uses (l_t spelled
+  * out twice inside b_t on both sides), so doubles stay bit-equal;
+  * α/β default to exact binary fractions (1/2, 1/4) and outputs are
+  * rounded to 4 places, the house float discipline. */
+object Forecast {
+
+  /** @param tsMs    epoch-millis column
+    * @param horizon  forecast steps past the last bucket
+    * @return keyCols..., n_buckets, level, trend, forecast (round 4) */
+  def holtLinear(df: DataFrame, keyCols: Seq[String], tsMs: Column,
+                 bucketMs: Long, horizon: Int,
+                 alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    require(bucketMs >= 1 && horizon >= 0, "holtLinear: bad bucket/horizon")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"holtLinear: alpha in (0,1], beta in [0,1], got $alpha/$beta")
+    // integer-exact bucketing: Spark's `/` is double division — divide
+    // only after subtracting the remainder so the quotient is an exact
+    // double (multiples of bucketMs below 2^53 divide exactly)
+    val ms = tsMs.cast("long")
+    val keyed = df.select(keyCols.map(col) :+
+      ((ms - pmod(ms, lit(bucketMs))) / lit(bucketMs)).cast("long").as("__d"): _*)
+    val mm = keyed.agg(min("__d"), max("__d")).head
+    require(!mm.isNullAt(0), "holtLinear: empty input")
+    val d0 = mm.getLong(0)
+    val tMax = (mm.getLong(1) - d0).toInt // 0-based last bucket index
+    require(tMax >= 1, "holtLinear: need at least 2 buckets for the trend init")
+    val counts = keyed.groupBy(keyCols.map(col) :+ col("__d"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val dense = keyed.select(keyCols.map(col): _*).distinct()
+      .select(keyCols.map(col) :+ explode(sequence(lit(0), lit(tMax))).as("__i"): _*)
+      .join(counts.withColumn("__i", (col("__d") - d0).cast("int")).drop("__d"),
+        keyCols :+ "__i", "left")
+      .select(keyCols.map(col) :+ col("__i") :+
+        coalesce(col("__c"), lit(0L)).cast("double").as("__y"): _*)
+    val series = dense.groupBy(keyCols.map(col): _*)
+      .agg(expr("transform(sort_array(collect_list(struct(__i, __y))), e -> e.__y)").as("ys"))
+    val a = alpha; val b = beta
+    // the t=1 step collapses ALGEBRAICALLY for any α, β:
+    // l_1 = α·y_1 + (1−α)(y_0 + (y_1−y_0)) = y_1 and b_1 = y_1 − y_0
+    // — so both engines initialize with those float-EXACT values and
+    // recur from t=2, l_t spelled out twice inside b_t in the exact
+    // op sequence the DuckDB recursive CTE evaluates
+    val walk =
+      s"""aggregate(
+         |  slice(ys, 3, size(ys) - 2),
+         |  named_struct('l', ys[1], 'b', ys[1] - ys[0]),
+         |  (acc, v) -> named_struct(
+         |     'l', ${a}D * v + ${1 - a}D * (acc.l + acc.b),
+         |     'b', ${b}D * ((${a}D * v + ${1 - a}D * (acc.l + acc.b)) - acc.l) + ${1 - b}D * acc.b))""".stripMargin
+    series
+      .withColumn("__st", expr(walk))
+      .select(keyCols.map(col) :+
+        lit(tMax + 1).as("n_buckets") :+
+        round(col("__st.l"), 4).as("level") :+
+        round(col("__st.b"), 4).as("trend") :+
+        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 4).as("forecast"): _*)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.model.Forecast
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ForecastSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** local reference with the same init (l_1 = y_1, b_1 = y_1 − y_0) */
+  private def ref(ys: Seq[Double], a: Double, b: Double, h: Int): (Double, Double, Double) = {
+    var l = ys(1); var bt = ys(1) - ys(0)
+    ys.drop(2).foreach { y =>
+      val nl = a * y + (1 - a) * (l + bt)
+      bt = b * (nl - l) + (1 - b) * bt
+      l = nl
+    }
+    (l, bt, l + h * bt)
+  }
+
+  private def events(counts: Map[(String, Int), Int]) =
+    counts.toSeq.flatMap { case ((k, day), n) =>
+      Seq.fill(n)((k, day.toLong * 86400000L + 5L))
+    }.toDF("k", "ms")
+
+  test("matches the local recursion on a hand-built multi-key series with gaps") {
+    // key A days 0..5 counts 2,4,0(gap),6,8,10; key B flat 3s
+    val df = events(Map(
+      ("A", 0) -> 2, ("A", 1) -> 4, ("A", 3) -> 6, ("A", 4) -> 8, ("A", 5) -> 10,
+      ("B", 0) -> 3, ("B", 1) -> 3, ("B", 2) -> 3, ("B", 3) -> 3, ("B", 4) -> 3, ("B", 5) -> 3))
+    val out = Forecast.holtLinear(df, Seq("k"), col("ms"), 86400000L, horizon = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def rnd(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (la, ba, fa) = ref(Seq(2, 4, 0, 6, 8, 10), 0.5, 0.25, 2)
+    assert(out("A") == ((6, rnd(la), rnd(ba), rnd(fa))), s"A: ${out("A")}")
+    // a flat series: level converges to the constant, trend to ~0
+    val (lb, bb, fb) = ref(Seq(3, 3, 3, 3, 3, 3), 0.5, 0.25, 2)
+    assert(out("B") == ((6, rnd(lb), rnd(bb), rnd(fb))))
+    assert(math.abs(out("B")._2 - 3.0) < 1e-9 && math.abs(out("B")._3) < 1e-9)
+  }
+
+  test("a linear ramp forecasts the continuation (trend captured)") {
+    // y_t = 10 + 5t for 10 days: Holt is exact on pure linear input
+    val df = events((0 until 10).map(d => ("L", d) -> (10 + 5 * d)).toMap)
+    val r = Forecast.holtLinear(df, Seq("L" match { case _ => "k" }), col("ms"),
+      86400000L, horizon = 3).collect().head
+    assert(r.getDouble(2) == 55.0 && r.getDouble(3) == 5.0 && r.getDouble(4) == 70.0,
+      s"level=${r.getDouble(2)} trend=${r.getDouble(3)} forecast=${r.getDouble(4)}")
+  }
+
+  test("guards: empty input, single bucket, bad params") {
+    intercept[IllegalArgumentException] {
+      Forecast.holtLinear(Seq(("a", 1L)).toDF("k", "ms").filter(lit(false)),
+        Seq("k"), col("ms"), 86400000L, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Forecast.holtLinear(Seq(("a", 1L), ("a", 2L)).toDF("k", "ms"),
+        Seq("k"), col("ms"), 86400000L, 1) // both in bucket 0
+    }
+    intercept[IllegalArgumentException] {
+      Forecast.holtLinear(events(Map(("a", 0) -> 1, ("a", 1) -> 1)),
+        Seq("k"), col("ms"), 86400000L, 1, alpha = 0.0)
+    }
+  }
+}
