@@ -1880,6 +1880,24 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // winsorization at exact per-group p05/p95 (deterministic clip
+    // bounds from the grouped quantile selection), rolled up to
+    // clip-rate + clipped-sum stats per group
+    "q180_winsorize" -> ((s, dir) => {
+      val w = graft.util.GlobalPercentile.winsorizeByGroup(
+        T(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        loQ = 0.05, hiQ = 0.95, nBuckets = 64, sortThreshold = 500L)
+      w.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("l_extendedprice_lo"), 1L)
+            .otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("l_extendedprice") > col("l_extendedprice_hi"), 1L)
+            .otherwise(0L)).as("n_clipped_hi"),
+          round(max("l_extendedprice_lo"), 4).as("lo_bound"),
+          round(max("l_extendedprice_hi"), 4).as("hi_bound"),
+          round(sum("l_extendedprice_w"), 2).as("sum_w"))
+    }),
+
     // Holt linear smoothing per event type over the dense daily count
     // series — level/trend/7-day forecast; the recursion is one
     // codegen'd aggregate HOF with the exact op sequence the DuckDB
@@ -3970,6 +3988,19 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // winsorize: DuckDB quantile_cont bounds + LEAST/GREATEST clip
+    "q180_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, 0.05) AS lo,
+        |             quantile_cont(l_extendedprice, 0.95) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       ROUND(MAX(lo), 4) AS lo_bound, ROUND(MAX(hi), 4) AS hi_bound,
+        |       ROUND(SUM(LEAST(GREATEST(l_extendedprice, lo), hi)), 2) AS sum_w
+        |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin,
 
     // Holt recursion replayed as a recursive CTE, identical op order
     "q179_holt_forecast" ->

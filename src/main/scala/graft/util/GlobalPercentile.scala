@@ -223,6 +223,31 @@ object GlobalPercentile {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Winsorize `valueCol` per group at the EXACT [loQ, hiQ]
+    * continuous quantiles (the standard outlier-clipping step of a
+    * feature/reward pipeline — approximate-percentile clipping moves
+    * the bounds run-to-run; this one is deterministic): bounds come
+    * from [[quantileContByGroup]], broadcast-join back, one narrow
+    * clip expression. Returns the input plus `<valueCol>_lo`,
+    * `<valueCol>_hi` (the group's bounds) and `<valueCol>_w` (the
+    * clipped value); rows with NULL values pass through unclipped
+    * with NULL bounds columns only if their group produced no bounds. */
+  def winsorizeByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       loQ: Double, hiQ: Double, nBuckets: Int = 256,
+                       sortThreshold: Long = 100000L): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"winsorize: need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val qs = quantileContByGroup(df, groupCols, valueCol, Seq(loQ, hiQ),
+      nBuckets, sortThreshold)
+    val bounds = qs.groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("q") === loQ, col("value"))).as(s"${valueCol}_lo"),
+        max(when(col("q") === hiQ, col("value"))).as(s"${valueCol}_hi"))
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col(s"${valueCol}_lo")),
+          col(s"${valueCol}_hi")))
+  }
+
   /** Resolve `ranks` (1-based WITHIN the [lo, hi] subset, ascending)
     * to values. `cnt` = subset row count. */
   private def solve(base: DataFrame, lo: Double, hi: Double, cnt: Long,

@@ -108,4 +108,26 @@ class GlobalPercentileSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
     assert(got == Map(("a", 1) -> 3.0, ("a", 2) -> 9.0, ("b", 1) -> 4.0))
   }
+
+  test("winsorizeByGroup clips at the exact per-group quantile bounds") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(2000)(i => (if (i % 2 == 0) "a" else "b",
+      rnd.nextDouble() * 100 + (if (i % 2 == 0) 0 else 500)))
+    val df = rows.toDF("g", "x")
+    val out = GlobalPercentile.winsorizeByGroup(df, Seq("g"), "x", 0.1, 0.9,
+        nBuckets = 8, sortThreshold = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.groupBy(_._1).foreach { case (g, rs) =>
+      val lo = refQuantile(byG(g), 0.1); val hi = refQuantile(byG(g), 0.9)
+      rs.foreach { case (_, x, gl, gh, w) =>
+        assert(gl == lo && gh == hi, s"$g bounds $gl/$gh != $lo/$hi")
+        assert(w == math.min(math.max(x, lo), hi), s"$g clip of $x")
+      }
+      // winsorization actually bites on both tails
+      assert(rs.exists(r => r._5 == lo && r._2 < lo))
+      assert(rs.exists(r => r._5 == hi && r._2 > hi))
+    }
+  }
 }
