@@ -1880,6 +1880,14 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // sketched table profile — the 100 TB ANALYZE: per-column HLL
+    // distinct estimates (bounded register state, one Expand-shaped
+    // scan) next to plain nonnull/min/max; integer columns so the
+    // string extrema render identically cross-engine
+    "q181_profile_sketched" -> ((s, dir) =>
+      graft.util.Profile.profileSketched(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), b = 10, seed = 42L)),
+
     // winsorization at exact per-group p05/p95 (deterministic clip
     // bounds from the grouped quantile selection), rolled up to
     // clip-rate + clipped-sum stats per group
@@ -3988,6 +3996,35 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // sketched profile: the q177 HLL replay per exploded column
+    "q181_profile_sketched" ->
+      """WITH src AS (
+        |  SELECT u.col, u.v FROM lineitem,
+        |  LATERAL (VALUES ('l_orderkey', CAST(l_orderkey AS VARCHAR)),
+        |                  ('l_partkey', CAST(l_partkey AS VARCHAR)),
+        |                  ('l_suppkey', CAST(l_suppkey AS VARCHAR))) AS u(col, v)
+        |  WHERE u.v IS NOT NULL),
+        |h AS (SELECT col, ('0x'||substr(md5(v||'|42'),1,13))::UBIGINT AS h FROM src),
+        |reg AS (SELECT col, h >> 42 AS idx,
+        |        CASE WHEN (h & ((1::UBIGINT << 42) - 1)) = 0 THEN 43
+        |             ELSE 42 - length(bin(h & ((1::UBIGINT << 42) - 1))) + 1 END AS rho
+        |        FROM h),
+        |regs AS (SELECT col, idx, MAX(rho) AS r FROM reg GROUP BY 1, 2),
+        |agg AS (SELECT col, COUNT(*) AS occ,
+        |               SUM((1::UBIGINT << (42 - r))::HUGEINT) AS socc FROM regs GROUP BY 1),
+        |est AS (SELECT col, CAST(1024 - occ AS BIGINT) AS n_zero,
+        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 42) AS BIGINT) AS s_scaled
+        |        FROM agg),
+        |ee AS (SELECT col,
+        |  CAST(round(CASE WHEN raw <= 2560.0 AND n_zero > 0
+        |               THEN 1024.0 * ln(1024.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS distinct_est_e6
+        |  FROM est, LATERAL (SELECT (0.7213 / (1.0 + 1.079/1024)) * 1024.0 * 1024.0
+        |                            * 4398046511104.0 / CAST(s_scaled AS DOUBLE) AS raw)),
+        |stats AS (SELECT col, COUNT(*) AS nonnull, MIN(v) AS min_s, MAX(v) AS max_s
+        |          FROM src GROUP BY 1)
+        |SELECT stats.col, nonnull, min_s, max_s, distinct_est_e6
+        |FROM stats JOIN ee USING (col)""".stripMargin,
 
     // winsorize: DuckDB quantile_cont bounds + LEAST/GREATEST clip
     "q180_winsorize" ->

@@ -30,6 +30,31 @@ object Profile {
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** The 100 TB variant of [[profile]]: per-column distinct counts via
+    * the oracle-replayable [[Sketches]] HLL instead of exact
+    * `count(DISTINCT c)` — the exact form Expands ×|cols| and shuffles
+    * EVERY distinct value; this one carries ≤ |cols|·2^b register rows
+    * of state. One sketch scan (the same Expand shape, bounded state)
+    * plus one plain min/max/non-null aggregate. Output: one row per
+    * column (col, nonnull, distinct_est_e6, min_s/max_s) — extrema are
+    * LEXICOGRAPHIC on the rendered string (the uniform-schema trade;
+    * [[profile]] keeps native-typed extrema). Pass integer-typed
+    * columns for cross-engine string parity. */
+  def profileSketched(df: DataFrame, cols: Seq[String], b: Int = 10,
+                      seed: Long = 42L): DataFrame = {
+    require(cols.nonEmpty, "profileSketched: at least one column")
+    val est = Sketches.hllEstimateGrouped(
+      Sketches.hllRegistersByColumn(df, cols, b, seed), Seq("col"), b)
+      .select(col("col"), col("est_e6").as("distinct_est_e6"))
+    val stats = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .filter(col("e.v").isNotNull)
+      .groupBy(col("e.col").as("col"))
+      .agg(count(lit(1)).as("nonnull"),
+        min(col("e.v")).as("min_s"), max(col("e.v")).as("max_s"))
+    stats.join(est, Seq("col"))
+  }
+
   /** Per-group EXACT interpolated quantiles (the `percentile` aggregate
     * — position p·(n−1), linear interpolation, the same definition as
     * ANSI `percentile_cont` / DuckDB `quantile_cont`, which is what

@@ -93,6 +93,61 @@ object Sketches {
       .select("m", "n_zero", "s_scaled", "est_e6")
   }
 
+  /** Per-COLUMN HLL registers in ONE scan: each row explodes to
+    * (col_name, rendered value) pairs — the Expand shape Catalyst uses
+    * for multi-column DISTINCT, but feeding bounded register state
+    * instead of shuffling every distinct value. NULLs are skipped
+    * (distinct counts ignore NULL, matching `count(DISTINCT c)`). */
+  def hllRegistersByColumn(df: DataFrame, cols: Seq[String], b: Int,
+                           seed: Long): DataFrame = {
+    require(cols.nonEmpty, "hllByColumn: at least one column")
+    require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
+    val w = 52 - b
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .filter(col("e.v").isNotNull)
+      .select(col("e.col").as("col"),
+        conv(substring(md5(concat(col("e.v"), lit("|"), lit(seed.toString))), 1, 13),
+          16, 10).cast("long").as("h"))
+    val v = col("h").bitwiseAND(lit((1L << w) - 1))
+    val rho = when(v === 0L, lit(w + 1))
+      .otherwise(lit(w) - length(bin(v)) + 1)
+    pairs.select(col("col"), shiftright(col("h"), w).as("idx"), rho.cast("int").as("rho"))
+      .groupBy("col", "idx").agg(max("rho").as("r"))
+  }
+
+  /** [[hllEstimate]] per group — registers carry extra key columns
+    * (e.g. the `col` tag of [[hllRegistersByColumn]]). */
+  def hllEstimateGrouped(registers: DataFrame, groupCols: Seq[String],
+                         b: Int): DataFrame = {
+    require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
+    val m = 1 << b
+    val w = 52 - b
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__occ"),
+        expr(s"sum(shiftleft(1L, $w - r))").as("__sOcc"))
+      .select(groupCols.map(col) ++ Seq(
+        lit(m).as("m"),
+        (lit(m) - col("__occ")).cast("long").as("n_zero"),
+        (col("__sOcc") + (lit(m) - col("__occ")) * lit(1L << w)).as("s_scaled")): _*)
+      .withColumn("__raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, w)) /
+          col("s_scaled").cast("double"))
+      .withColumn("est_e6", round(
+        when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("__raw")) * lit(1e6)).cast("long"))
+      .select(groupCols.map(col) ++ Seq(col("m"), col("n_zero"),
+        col("s_scaled"), col("est_e6")): _*)
+  }
+
   /** Count-Min sketch table: `depth × width` counters (occupied only)
     * — (row, idx, c) with c = Σ weight (default 1 per input row). Each
     * of the `depth` hash rows uses an independent seed derivative.

@@ -110,4 +110,24 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("a" -> 12L, "b" -> 1L))
   }
+
+  test("per-column HLL (profileSketched): estimates match single-column sketches") {
+    val df = (0 until 5000).map(i => (i.toLong % 700, (i % 40).toString))
+      .toDF("a", "b")
+    val byCol = Sketches.hllEstimateGrouped(
+      Sketches.hllRegistersByColumn(df, Seq("a", "b"), 9, 5L), Seq("col"), 9)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    def single(c: String) = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.select(col(c).cast("string").as("k")), Seq("k"), 9, 5L), 9)
+      .collect().head.getLong(3)
+    assert(byCol("a") == single("a") && byCol("b") == single("b"),
+      s"per-column != single-column: $byCol vs ${single("a")}/${single("b")}")
+    // small-cardinality column b lands on linear counting, near-exact
+    // LC std at (m=512, n=40) is ~1.3; 3-4 sigma band
+    assert(math.abs(byCol("b") / 1e6 - 40.0) <= 5.0, s"b est ${byCol("b")}")
+    val prof = graft.util.Profile.profileSketched(df, Seq("a", "b"), 9, 5L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(prof("a")._1 == 5000L && prof("b") == ((5000L, "0", "9")),
+      s"profile stats: $prof") // lexicographic string extrema: "9" > "39"
+  }
 }
