@@ -1880,6 +1880,16 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // train/eval decontamination (GPT-3 C / FineWeb stage): 5-gram
+    // overlap against the doc_id<20 "benchmark" slice, contaminated at
+    // >= 3 shared distinct grams with any one eval doc
+    "q182_decontamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.text.Decontamination.flags(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        k = 5, minShared = 3L)
+    }),
+
     // sketched table profile — the 100 TB ANALYZE: per-column HLL
     // distinct estimates (bounded register state, one Expand-shaped
     // scan) next to plain nonnull/min/max; integer columns so the
@@ -3996,6 +4006,20 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // decontamination: the q33 shingle algebra, train x eval overlap
+    "q182_decontamination" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        |       WHERE len(w) >= 5),
+        |j AS (SELECT tr.doc_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+        |      FROM (SELECT * FROM sh WHERE doc_id >= 20) tr
+        |      JOIN (SELECT * FROM sh WHERE doc_id < 20) ev USING (s)
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(n_shared) AS max_shared
+        |FROM j GROUP BY 1""".stripMargin,
 
     // sketched profile: the q177 HLL replay per exploded column
     "q181_profile_sketched" ->
