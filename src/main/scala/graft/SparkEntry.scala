@@ -1880,6 +1880,17 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // int8-quantized cosine top-k: per-vector symmetric quantization
+    // (scales cancel in cosine → exact-integer dots, order-free)
+    "q183_quantized_knn" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.knn.Quantize.cosTopK(e.filter(col("id") < 30), e, 3, excludeSelf = true)
+        .select(col("query_id"), col("item_id"), col("rank"),
+          round(col("qcos"), 6).as("qcos_r"))
+    }),
+
     // train/eval decontamination (GPT-3 C / FineWeb stage): 5-gram
     // overlap against the doc_id<20 "benchmark" slice, contaminated at
     // >= 3 shared distinct grams with any one eval doc
@@ -4006,6 +4017,32 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // quantized kNN: same round/clamp quantization, exact-int dots
+    "q183_quantized_knn" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (SELECT id,
+        |         CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale, v, mx
+        |       FROM e, LATERAL (SELECT list_reduce(list_transform(v, x -> abs(x)),
+        |                                           (a, b) -> greatest(a, b)) AS mx)),
+        |qv AS (SELECT id, list_transform(v, x ->
+        |         CAST(least(greatest(round(x / scale), -127.0), 127.0) AS BIGINT)) AS q
+        |       FROM qz),
+        |sc AS (SELECT a.id AS query_id, b.id AS item_id,
+        |         list_dot_product(a.q, b.q) AS ab,
+        |         list_dot_product(a.q, a.q) AS aa,
+        |         list_dot_product(b.q, b.q) AS bb
+        |       FROM qv a, qv b WHERE a.id < 30 AND a.id <> b.id),
+        |r AS (SELECT query_id, item_id,
+        |        CASE WHEN aa = 0 OR bb = 0 THEN -2.0
+        |             ELSE ab / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))) END AS qcos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |          CASE WHEN aa = 0 OR bb = 0 THEN -2.0
+        |               ELSE ab / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))) END DESC,
+        |          item_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, item_id, rank, ROUND(qcos, 6) AS qcos_r
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // decontamination: the q33 shingle algebra, train x eval overlap
     "q182_decontamination" ->
