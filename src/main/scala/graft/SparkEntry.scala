@@ -1880,6 +1880,18 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // Hampel-filter outliers (median/MAD robust z) per event type —
+    // exact fences from the grouped quantile selection, twice
+    "q184_mad_outliers" -> ((s, dir) =>
+      graft.util.GlobalPercentile.madOutliersByGroup(
+        Tables.events(s, dir).select("event_type", "value"),
+        Seq("event_type"), "value", k = 3.5, nBuckets = 64, sortThreshold = 500L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(max("__med"), 4).as("med"),
+          round(max("__mad"), 4).as("mad"))),
+
     // int8-quantized cosine top-k: per-vector symmetric quantization
     // (scales cancel in cosine → exact-integer dots, order-free)
     "q183_quantized_knn" -> ((s, dir) => {
@@ -4017,6 +4029,20 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // Hampel: DuckDB medians + the same left-assoc fence expression
+    "q184_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN (CASE WHEN md.mad = 0 THEN d.dev > 0
+        |                   ELSE d.dev > 3.5 * 1.4826 * md.mad END)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       ROUND(MAX(d.med), 4) AS med, ROUND(MAX(md.mad), 4) AS mad
+        |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin,
 
     // quantized kNN: same round/clamp quantization, exact-int dots
     "q183_quantized_knn" ->

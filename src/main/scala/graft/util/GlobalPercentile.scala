@@ -248,6 +248,38 @@ object GlobalPercentile {
           col(s"${valueCol}_hi")))
   }
 
+  /** Robust per-group outlier tagging on median/MAD (Hampel filter —
+    * the data-quality classic that, unlike mean/stddev z-scores, is
+    * not corrupted by the very outliers it hunts): a row is an outlier
+    * iff `|x − median_g| > k · 1.4826 · MAD_g` (1.4826 scales MAD to
+    * σ under normality; k = 3.5 is Hampel's default). Both the median
+    * and the MAD come from the EXACT grouped quantile selection, so
+    * the fences are deterministic. A degenerate group (MAD = 0: over
+    * half the values identical) flags every deviation from the median.
+    *
+    * Scale shape: two bounded quantile passes (each one-job-per-round
+    * breadth-wise selection) + two broadcast join-backs + one narrow
+    * tag expression — the corpus never shuffles.
+    * @return input + `__med`, `__mad`, `is_outlier` */
+  def madOutliersByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         k: Double = 3.5, nBuckets: Int = 256,
+                         sortThreshold: Long = 100000L): DataFrame = {
+    require(k > 0, s"madOutliers: k must be positive, got $k")
+    val med = quantileContByGroup(df, groupCols, valueCol, Seq(0.5),
+        nBuckets, sortThreshold)
+      .select(groupCols.map(col) :+ col("value").as("__med"): _*)
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = quantileContByGroup(withMed, groupCols, "__dev", Seq(0.5),
+        nBuckets, sortThreshold)
+      .select(groupCols.map(col) :+ col("value").as("__mad"): _*)
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier",
+        when(col("__mad") === 0.0, col("__dev") > 0.0)
+          .otherwise(col("__dev") > lit(k) * lit(1.4826) * col("__mad")))
+      .drop("__dev")
+  }
+
   /** Resolve `ranks` (1-based WITHIN the [lo, hi] subset, ascending)
     * to values. `cnt` = subset row count. */
   private def solve(base: DataFrame, lo: Double, hi: Double, cnt: Long,

@@ -130,4 +130,22 @@ class GlobalPercentileSpec extends AnyFunSuite {
       assert(rs.exists(r => r._5 == hi && r._2 > hi))
     }
   }
+
+  test("madOutliersByGroup: Hampel fences from exact medians, degenerate MAD handled") {
+    // group a: values 0..20 plus planted spikes 1000, -1000
+    //   med = 10, MAD = median(|x-10|) over 23 values = 5
+    //   fence = 3.5 * 1.4826 * 5 = 25.9455 -> only the spikes flag
+    // group b: 9x identical 7.0 plus one 8.0 -> MAD 0, the 8.0 flags
+    val rows = ((0 to 20).map(v => ("a", v.toDouble)) ++
+      Seq(("a", 1000.0), ("a", -1000.0)) ++
+      Seq.fill(9)(("b", 7.0)) :+ ("b", 8.0))
+    val out = GlobalPercentile.madOutliersByGroup(rows.toDF("g", "x"), Seq("g"), "x",
+        k = 3.5, nBuckets = 8, sortThreshold = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(4)))
+    val aOut = out.filter(x => x._1 == "a" && x._3).map(_._2).toSet
+    assert(aOut == Set(1000.0, -1000.0), s"a outliers: $aOut")
+    val bOut = out.filter(x => x._1 == "b" && x._3).map(_._2).toSet
+    assert(bOut == Set(8.0), s"b outliers (MAD=0 path): $bOut")
+    assert(out.count(!_._3) == rows.size - 3)
+  }
 }
