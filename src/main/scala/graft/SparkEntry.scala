@@ -1880,6 +1880,21 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // purged temporal split: a 7-day embargo after the cut keeps
+    // trailing-window features from leaking into test labels
+    "q185_purged_split" -> ((s, dir) =>
+      graft.split.EdgeSplits.fixedTimestampPurged(
+        Tables.ratings(s, dir), FixedTs, embargoMs = 7L * 86400000L)
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          round(avg("rating"), 6).as("avg_rating"))),
+
+    // group-aware k-fold: folds assigned at source granularity, so
+    // same-source docs never straddle a fold boundary
+    "q186_group_kfold" -> ((s, dir) =>
+      graft.util.Sampling.groupKFold(T(s, dir, "documents"), "source", 4, 42L)
+        .groupBy("fold").agg(count(lit(1)).as("n"),
+          countDistinct("source").as("n_sources"))),
+
     // Hampel-filter outliers (median/MAD robust z) per event type —
     // exact fences from the grouped quantile selection, twice
     "q184_mad_outliers" -> ((s, dir) =>
@@ -4029,6 +4044,18 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    "q185_purged_split" -> (R +
+      """SELECT CASE WHEN ts <= 915148800000 THEN 'train' ELSE 'test' END AS split,
+        |       COUNT(*) AS n, ROUND(AVG(rating), 6) AS avg_rating
+        |FROM ratings
+        |WHERE ts <= 915148800000 OR ts > 915148800000 + 604800000
+        |GROUP BY 1""".stripMargin),
+
+    "q186_group_kfold" ->
+      """SELECT CAST(('0x'||substr(md5(source||'|42'),1,8))::UBIGINT % 4 + 1 AS INT) AS fold,
+        |       COUNT(*) AS n, COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // Hampel: DuckDB medians + the same left-assoc fence expression
     "q184_mad_outliers" ->

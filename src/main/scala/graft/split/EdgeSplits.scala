@@ -165,6 +165,17 @@ object EdgeSplits {
   def fixedTimestamp(ratings: DataFrame, t: Long): DataFrame =
     ratings.withColumn("is_test", col("ts") > t)
 
+  /** Purged (embargoed) temporal split — the time-series-ML leakage
+    * guard (de Prado 2018 §7): rows inside `(t, t + embargoMs]` are
+    * DROPPED, so a feature computed over a trailing window of train
+    * rows can never overlap a test label's lookback. `split` ∈
+    * {train, test}; one narrow filter + tag, no shuffle. */
+  def fixedTimestampPurged(ratings: DataFrame, t: Long, embargoMs: Long): DataFrame = {
+    require(embargoMs >= 0, s"purged split: embargoMs >= 0, got $embargoMs")
+    ratings.filter(col("ts") <= t || col("ts") > t + embargoMs)
+      .withColumn("split", when(col("ts") <= t, "train").otherwise("test"))
+  }
+
   /** W5/W6 `k_fold`: contiguous blocks of the (shuffled) order become
     * folds (edge_splitter.py:121-151). sklearn.KFold hands the first
     * N mod k folds one extra element — exactly ntile(k) semantics.

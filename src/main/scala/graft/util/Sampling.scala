@@ -214,6 +214,20 @@ object Sampling {
       .drop("__aes")
   }
 
+  /** Group-aware k-fold (sklearn GroupKFold's leakage guarantee with
+    * deterministic assignment): every row of a GROUP lands in the SAME
+    * fold, so intra-group duplication can never straddle a fold
+    * boundary — [[groupSplit]]'s k-fold sibling. Fold = the group's
+    * seeded-md5 hash mod k + 1 (hash-balanced, not count-balanced:
+    * exact balancing needs group sizes, this needs nothing — a narrow
+    * per-row expression, no stats pass, no shuffle). */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 2, s"groupKFold: k >= 2, got $k")
+    df.withColumn("fold",
+      (conv(substring(md5(concat(col(groupCol).cast("string"),
+          lit("|"), lit(seed.toString))), 1, 8), 16, 10).cast("long") % k + 1).cast("int"))
+  }
+
   /** Leakage-safe dataset split: every row of a GROUP (domain, source,
     * near-dup cluster id, ...) lands on the SAME side, so train/eval
     * contamination through intra-group duplication is structurally

@@ -179,4 +179,19 @@ class EdgeSplitsSpec extends AnyFunSuite {
       EdgeSplits.byRatio(r, 0.2, "global", tkey)
         .select("user_id", "item_id", "is_test").collect().toSet)
   }
+
+  test("purged temporal split: embargo rows dropped, sides tagged, no leakage window") {
+    val r = (0 until 100).map(i => (i.toLong, i.toLong, 5.0, i.toLong * 1000))
+      .toDF("user_id", "item_id", "rating", "ts")
+    val out = EdgeSplits.fixedTimestampPurged(r, t = 50000, embargoMs = 10000)
+      .collect().map(x => (x.getLong(3), x.getString(4)))
+    assert(out.length == 90, s"expected 10 embargoed rows dropped, got ${out.length}")
+    out.foreach { case (ts, s) =>
+      assert(if (ts <= 50000) s == "train" else s == "test")
+      assert(ts <= 50000 || ts > 60000, s"embargoed ts $ts leaked as $s")
+    }
+    intercept[IllegalArgumentException] {
+      EdgeSplits.fixedTimestampPurged(r, 1, -1)
+    }
+  }
 }

@@ -401,4 +401,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.groupSplit(df, "g", Seq(("a", 1.5), ("b", -0.5)), 1L))
   }
+
+  test("groupKFold: every group entirely inside one fold, folds span 1..k, deterministic") {
+    val df = (0 until 400).map(i => (i.toLong, s"g${i % 37}")).toDF("id", "g")
+    val out = Sampling.groupKFold(df, "g", 4, 9L)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out.forall(x => x._2 >= 1 && x._2 <= 4))
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, s"group $g straddles folds")
+    }
+    assert(out.map(_._2).distinct.sorted.length >= 3, "37 groups should hit >= 3 of 4 folds")
+    val again = Sampling.groupKFold(df, "g", 4, 9L)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

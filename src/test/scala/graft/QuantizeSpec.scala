@@ -17,7 +17,7 @@ class QuantizeSpec extends AnyFunSuite {
     val df = Seq(
       (1L, Array(0.5, -1.0, 0.25, 0.0)),
       (2L, Array(0.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
-    val q = Quantize.int8(df)
+    val q = Quantize.int8Compact(df)
     assert(q.schema("qvec").dataType ==
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
     val rows = q.collect().map(r => r.getLong(0) ->
