@@ -1880,6 +1880,14 @@ object SparkEntry {
       graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
         minCount = 2L, kTrans = 5, k = 5)),
 
+    // two-sided CUSUM drift alarms per event type (Page 1954) —
+    // baseline-mean target over the first 10 days, the q179
+    // recursion-parity discipline
+    "q187_cusum_alarms" -> ((s, dir) =>
+      graft.model.Forecast.cusum(Tables.events(s, dir), Seq("event_type"),
+        unix_millis(col("ts").cast("timestamp")), bucketMs = 86400000L,
+        baseline = 10, kappa = 3.0, h = 25.0)),
+
     // purged temporal split: a 7-day embargo after the cut keeps
     // trailing-window features from leaking into test labels
     "q185_purged_split" -> ((s, dir) =>
@@ -4044,6 +4052,39 @@ object SparkEntry {
         |  SELECT user_id, item_id, cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item_id) AS rn
         |  FROM mc) WHERE rn <= 5""".stripMargin),
+
+    // CUSUM: the q179 recursive-CTE scheme with double-typed anchors
+    "q187_cusum_alarms" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d FROM events),
+        |mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |ks AS (SELECT DISTINCT event_type FROM e),
+        |y AS (SELECT ks.event_type, t.i, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS y
+        |      FROM ks CROSS JOIN mm
+        |      CROSS JOIN UNNEST(generate_series(0, CAST(mm.d1 - mm.d0 AS INT))) AS t(i)
+        |      LEFT JOIN (SELECT event_type, d, COUNT(*) AS cnt FROM e GROUP BY 1, 2) c
+        |        ON c.event_type = ks.event_type AND c.d = mm.d0 + t.i),
+        |tt AS (SELECT CAST(max(i) AS INT) AS tmax FROM y),
+        |mu AS (SELECT event_type, SUM(y) / 10.0 AS mu FROM y WHERE i < 10 GROUP BY 1),
+        |r AS (
+        |  SELECT y.event_type, 9 AS i,
+        |         CAST(0.0 AS DOUBLE) AS shi, CAST(0.0 AS DOUBLE) AS slo, -1 AS alarm
+        |  FROM y WHERE i = 0
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |         greatest(0.0, r.shi + (y.y - mu.mu - 3.0)),
+        |         greatest(0.0, r.slo + (mu.mu - 3.0 - y.y)),
+        |         CASE WHEN r.alarm >= 0 THEN r.alarm
+        |              WHEN greatest(0.0, r.shi + (y.y - mu.mu - 3.0)) > 25.0
+        |                OR greatest(0.0, r.slo + (mu.mu - 3.0 - y.y)) > 25.0 THEN r.i + 1
+        |              ELSE -1 END
+        |  FROM r JOIN y ON y.event_type = r.event_type AND y.i = r.i + 1
+        |  JOIN mu ON mu.event_type = r.event_type
+        |  WHERE r.i < (SELECT tmax FROM tt))
+        |SELECT r.event_type, (SELECT tmax FROM tt) + 1 AS n_buckets,
+        |       ROUND(mu.mu, 4) AS mu, ROUND(shi, 4) AS s_hi, ROUND(slo, 4) AS s_lo,
+        |       alarm AS first_alarm
+        |FROM r JOIN mu USING (event_type) WHERE i = (SELECT tmax FROM tt)""".stripMargin,
 
     "q185_purged_split" -> (R +
       """SELECT CASE WHEN ts <= 915148800000 THEN 'train' ELSE 'test' END AS split,

@@ -28,6 +28,34 @@ import org.apache.spark.sql.functions._
   * rounded to 4 places, the house float discipline. */
 object Forecast {
 
+  /** Dense per-key bucket series (missing buckets are real zeros for
+    * counts): (keyCols..., ys ordered array) plus the 0-based last
+    * bucket index — the shared front half of [[holtLinear]]/[[cusum]]. */
+  private def denseSeries(df: DataFrame, keyCols: Seq[String], tsMs: Column,
+                          bucketMs: Long): (DataFrame, Int) = {
+    // integer-exact bucketing: Spark's `/` is double division — divide
+    // only after subtracting the remainder so the quotient is an exact
+    // double (multiples of bucketMs below 2^53 divide exactly)
+    val ms = tsMs.cast("long")
+    val keyed = df.select(keyCols.map(col) :+
+      ((ms - pmod(ms, lit(bucketMs))) / lit(bucketMs)).cast("long").as("__d"): _*)
+    val mm = keyed.agg(min("__d"), max("__d")).head
+    require(!mm.isNullAt(0), "time series: empty input")
+    val d0 = mm.getLong(0)
+    val tMax = (mm.getLong(1) - d0).toInt // 0-based last bucket index
+    val counts = keyed.groupBy(keyCols.map(col) :+ col("__d"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val dense = keyed.select(keyCols.map(col): _*).distinct()
+      .select(keyCols.map(col) :+ explode(sequence(lit(0), lit(tMax))).as("__i"): _*)
+      .join(counts.withColumn("__i", (col("__d") - d0).cast("int")).drop("__d"),
+        keyCols :+ "__i", "left")
+      .select(keyCols.map(col) :+ col("__i") :+
+        coalesce(col("__c"), lit(0L)).cast("double").as("__y"): _*)
+    (dense.groupBy(keyCols.map(col): _*)
+      .agg(expr("transform(sort_array(collect_list(struct(__i, __y))), e -> e.__y)").as("ys")),
+      tMax)
+  }
+
   /** @param tsMs    epoch-millis column
     * @param horizon  forecast steps past the last bucket
     * @return keyCols..., n_buckets, level, trend, forecast (round 4) */
@@ -37,27 +65,8 @@ object Forecast {
     require(bucketMs >= 1 && horizon >= 0, "holtLinear: bad bucket/horizon")
     require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
       s"holtLinear: alpha in (0,1], beta in [0,1], got $alpha/$beta")
-    // integer-exact bucketing: Spark's `/` is double division — divide
-    // only after subtracting the remainder so the quotient is an exact
-    // double (multiples of bucketMs below 2^53 divide exactly)
-    val ms = tsMs.cast("long")
-    val keyed = df.select(keyCols.map(col) :+
-      ((ms - pmod(ms, lit(bucketMs))) / lit(bucketMs)).cast("long").as("__d"): _*)
-    val mm = keyed.agg(min("__d"), max("__d")).head
-    require(!mm.isNullAt(0), "holtLinear: empty input")
-    val d0 = mm.getLong(0)
-    val tMax = (mm.getLong(1) - d0).toInt // 0-based last bucket index
+    val (series, tMax) = denseSeries(df, keyCols, tsMs, bucketMs)
     require(tMax >= 1, "holtLinear: need at least 2 buckets for the trend init")
-    val counts = keyed.groupBy(keyCols.map(col) :+ col("__d"): _*)
-      .agg(count(lit(1)).as("__c"))
-    val dense = keyed.select(keyCols.map(col): _*).distinct()
-      .select(keyCols.map(col) :+ explode(sequence(lit(0), lit(tMax))).as("__i"): _*)
-      .join(counts.withColumn("__i", (col("__d") - d0).cast("int")).drop("__d"),
-        keyCols :+ "__i", "left")
-      .select(keyCols.map(col) :+ col("__i") :+
-        coalesce(col("__c"), lit(0L)).cast("double").as("__y"): _*)
-    val series = dense.groupBy(keyCols.map(col): _*)
-      .agg(expr("transform(sort_array(collect_list(struct(__i, __y))), e -> e.__y)").as("ys"))
     val a = alpha; val b = beta
     // the t=1 step collapses ALGEBRAICALLY for any α, β:
     // l_1 = α·y_1 + (1−α)(y_0 + (y_1−y_0)) = y_1 and b_1 = y_1 − y_0
@@ -78,5 +87,53 @@ object Forecast {
         round(col("__st.l"), 4).as("level") :+
         round(col("__st.b"), 4).as("trend") :+
         round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 4).as("forecast"): _*)
+  }
+
+  /** Two-sided CUSUM changepoint detection (Page 1954) per key over
+    * the dense bucket series — the classic drift monitor a metrics
+    * pipeline runs on ingested counts:
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (y_t − μ − κ)),
+    *   S⁻_t = max(0, S⁻_{t−1} + (μ − κ − y_t)),  alarm when either > h
+    *
+    * with μ the mean of the first `baseline` buckets (exact: integer
+    * counts sum exactly in doubles regardless of order). The recursion
+    * runs from bucket `baseline` onward as one codegen'd aggregate HOF
+    * per key — the q179 oracle discipline (identical op sequence to
+    * the DuckDB recursive-CTE replay, S′ spelled out twice inside the
+    * alarm test, double-typed anchors).
+    *
+    * @return keyCols..., n_buckets, mu/s_hi/s_lo (round 4),
+    *         first_alarm (bucket index, −1 when none) */
+  def cusum(df: DataFrame, keyCols: Seq[String], tsMs: Column, bucketMs: Long,
+            baseline: Int, kappa: Double, h: Double): DataFrame = {
+    require(bucketMs >= 1 && baseline >= 1 && kappa >= 0 && h > 0,
+      s"cusum: bad params bucket=$bucketMs baseline=$baseline kappa=$kappa h=$h")
+    val (series, tMax) = denseSeries(df, keyCols, tsMs, bucketMs)
+    require(tMax + 1 > baseline, s"cusum: need more than $baseline buckets, have ${tMax + 1}")
+    val walk =
+      s"""aggregate(
+         |  slice(ys, ${baseline + 1}, size(ys) - $baseline),
+         |  named_struct('shi', cast(0.0 as double), 'slo', cast(0.0 as double),
+         |               'alarm', -1, 'i', ${baseline - 1}),
+         |  (acc, v) -> named_struct(
+         |     'shi', greatest(0.0d, acc.shi + (v - __mu - ${kappa}D)),
+         |     'slo', greatest(0.0d, acc.slo + (__mu - ${kappa}D - v)),
+         |     'alarm', case when acc.alarm >= 0 then acc.alarm
+         |                   when greatest(0.0d, acc.shi + (v - __mu - ${kappa}D)) > ${h}D
+         |                     or greatest(0.0d, acc.slo + (__mu - ${kappa}D - v)) > ${h}D
+         |                   then acc.i + 1 else -1 end,
+         |     'i', acc.i + 1))""".stripMargin
+    series
+      .withColumn("__mu",
+        expr(s"aggregate(slice(ys, 1, $baseline), cast(0.0 as double), (a, v) -> a + v)") /
+          lit(baseline.toDouble))
+      .withColumn("__st", expr(walk))
+      .select(keyCols.map(col) :+
+        lit(tMax + 1).as("n_buckets") :+
+        round(col("__mu"), 4).as("mu") :+
+        round(col("__st.shi"), 4).as("s_hi") :+
+        round(col("__st.slo"), 4).as("s_lo") :+
+        col("__st.alarm").as("first_alarm"): _*)
   }
 }

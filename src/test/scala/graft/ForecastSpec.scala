@@ -64,4 +64,32 @@ class ForecastSpec extends AnyFunSuite {
         Seq("k"), col("ms"), 86400000L, 1, alpha = 0.0)
     }
   }
+
+  test("CUSUM: planted level shift alarms at the right bucket; stable series never alarms") {
+    // key S: baseline 3/day for 10 days, then a jump to 15/day — with
+    // kappa=2 and h=20 the alarm fires once S+ accumulates past 20:
+    // each post-shift day adds (15 - 3 - 2) = 10, so day 12 (index)
+    // S+ = 20 (not > 20), day 13? walk: i=10 S=10, i=11 S=20, i=12 S=30 > 20 -> alarm at 12
+    val shifted = (0 until 10).map(d => ("S", d) -> 3) ++ (10 until 20).map(d => ("S", d) -> 15)
+    val stable = (0 until 20).map(d => ("F", d) -> 4)
+    val df = events((shifted ++ stable).toMap)
+    val out = graft.model.Forecast.cusum(df, Seq("k"), col("ms"), 86400000L,
+      baseline = 10, kappa = 2.0, h = 20.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getInt(5)))).toMap
+    assert(out("S") == ((3.0, 12)), s"S: ${out("S")}")
+    assert(out("F")._2 == -1, s"stable series alarmed: ${out("F")}")
+  }
+
+  test("CUSUM: downward drift trips the lower side; guards reject short series") {
+    val drop = (0 until 10).map(d => ("D", d) -> 20) ++ (10 until 16).map(d => ("D", d) -> 5)
+    val out = graft.model.Forecast.cusum(events(drop.toMap), Seq("k"), col("ms"),
+      86400000L, baseline = 10, kappa = 3.0, h = 20.0)
+      .collect().map(r => (r.getDouble(4), r.getInt(5))).head
+    // each post-shift day adds (20 - 3 - 5) = 12 to S-: i=10 12, i=11 24 > 20 -> alarm 11
+    assert(out._2 == 11, s"lower-side alarm: $out")
+    intercept[IllegalArgumentException] {
+      graft.model.Forecast.cusum(events(Map(("a", 0) -> 1, ("a", 1) -> 1)),
+        Seq("k"), col("ms"), 86400000L, baseline = 10, kappa = 1.0, h = 5.0)
+    }
+  }
 }

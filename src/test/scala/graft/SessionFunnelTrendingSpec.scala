@@ -103,6 +103,45 @@ class SessionFunnelTrendingSpec extends AnyFunSuite {
     assert(runComposed(realEvents.map(Seq(_))) == want, "1-event slices diverged")
   }
 
+  test("state stays bounded across all three operators (soak metric check)") {
+    // total state rows = open sessions (≤ live users) + funnel
+    // counters (one long per user ever seen) + trending buckets
+    // (≤ keep per stage) — asserted from the state-store metrics of
+    // the final trigger, the StreamingSoakSpec discipline
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[EventStreams.Event]
+    val q = StreamingTrending.bucketCountsStream(
+      SessionFunnelTrending.sessionMilestones(
+        EventStreams.sessionize(
+          input.toDS().withWatermark("ts", "10 minutes"), GapMs)
+          .filter(_.user_id != 99L), maxStage = 3), H, Keep)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sft_state").start()
+    try {
+      realEvents.grouped(3).foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      input.addData(ev(9001, 500, 99)); q.processAllAvailable()
+      input.addData(ev(9002, 600, 99)); q.processAllAvailable()
+      val ops = q.recentProgress.flatMap(_.stateOperators).takeRight(3)
+      val total = ops.map(_.numRowsTotal).sum
+      // 4 users' funnel counters (3 real + sentinel never reaches op 2:
+      // filtered — so 3) + ≤1 open session (sentinel's) + stage buckets
+      val bound = 1L + 3L + 3L * Keep
+      assert(total > 0 && total <= bound, s"state rows $total above bound $bound")
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS sft_state")
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      }
+    }
+  }
+
   test("the served trending refresh matches the q175 batch kernel end-to-end") {
     val fromStream = StreamingTrending.trendingFromBuckets(
         runComposed(realEvents.grouped(4).toSeq).toSeq.toDF("item_id", "bucket", "n"), 3)
