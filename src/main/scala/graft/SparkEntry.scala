@@ -4167,15 +4167,15 @@ object SparkEntry {
         |        FROM h),
         |regs AS (SELECT col, idx, MAX(rho) AS r FROM reg GROUP BY 1, 2),
         |agg AS (SELECT col, COUNT(*) AS occ,
-        |               SUM((1::UBIGINT << (42 - r))::HUGEINT) AS socc FROM regs GROUP BY 1),
+        |               SUM((1::UBIGINT << (43 - r))::HUGEINT) AS socc FROM regs GROUP BY 1),
         |est AS (SELECT col, CAST(1024 - occ AS BIGINT) AS n_zero,
-        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 42) AS BIGINT) AS s_scaled
+        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 43) AS BIGINT) AS s_scaled
         |        FROM agg),
         |ee AS (SELECT col,
         |  CAST(round(CASE WHEN raw <= 2560.0 AND n_zero > 0
         |               THEN 1024.0 * ln(1024.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS distinct_est_e6
         |  FROM est, LATERAL (SELECT (0.7213 / (1.0 + 1.079/1024)) * 1024.0 * 1024.0
-        |                            * 4398046511104.0 / CAST(s_scaled AS DOUBLE) AS raw)),
+        |                            * 8796093022208.0 / CAST(s_scaled AS DOUBLE) AS raw)),
         |stats AS (SELECT col, COUNT(*) AS nonnull, MIN(v) AS min_s, MAX(v) AS max_s
         |          FROM src GROUP BY 1)
         |SELECT stats.col, nonnull, min_s, max_s, distinct_est_e6
@@ -4231,15 +4231,15 @@ object SparkEntry {
         |        FROM h),
         |regs AS (SELECT idx, MAX(rho) AS r FROM reg GROUP BY idx),
         |agg AS (SELECT COUNT(*) AS occ,
-        |               SUM((1::UBIGINT << (42 - r))::HUGEINT) AS socc FROM regs),
+        |               SUM((1::UBIGINT << (43 - r))::HUGEINT) AS socc FROM regs),
         |est AS (SELECT 1024 AS m, CAST(1024 - occ AS BIGINT) AS n_zero,
-        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 42) AS BIGINT) AS s_scaled
+        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 43) AS BIGINT) AS s_scaled
         |        FROM agg)
         |SELECT m, n_zero, s_scaled,
         |  CAST(round(CASE WHEN raw <= 2560.0 AND n_zero > 0
         |               THEN 1024.0 * ln(1024.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
         |FROM est, LATERAL (SELECT (0.7213 / (1.0 + 1.079/1024)) * 1024.0 * 1024.0
-        |                          * 4398046511104.0 / CAST(s_scaled AS DOUBLE) AS raw)""".stripMargin,
+        |                          * 8796093022208.0 / CAST(s_scaled AS DOUBLE) AS raw)""".stripMargin,
 
     // CMS: same md5(key|row|seed) % width counters, min over rows
     "q178_cms_counts" ->

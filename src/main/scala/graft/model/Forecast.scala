@@ -33,12 +33,12 @@ object Forecast {
     * bucket index — the shared front half of [[holtLinear]]/[[cusum]]. */
   private def denseSeries(df: DataFrame, keyCols: Seq[String], tsMs: Column,
                           bucketMs: Long): (DataFrame, Int) = {
-    // integer-exact bucketing: Spark's `/` is double division — divide
-    // only after subtracting the remainder so the quotient is an exact
-    // double (multiples of bucketMs below 2^53 divide exactly)
-    val ms = tsMs.cast("long")
-    val keyed = df.select(keyCols.map(col) :+
-      ((ms - pmod(ms, lit(bucketMs))) / lit(bucketMs)).cast("long").as("__d"): _*)
+    // TRUNCATING integer division (SQL `div`), matching the oracles'
+    // DuckDB `//` for pre-epoch timestamps too — pmod-based floor
+    // division would bucket ts < 0 one bucket lower than the replay
+    // (the StreamingTrending division-parity contract)
+    val keyed = df.select(keyCols.map(col) :+ tsMs.cast("long").as("__ms"): _*)
+      .withColumn("__d", expr(s"__ms div ${bucketMs}L")).drop("__ms")
     val mm = keyed.agg(min("__d"), max("__d")).head
     require(!mm.isNullAt(0), "time series: empty input")
     val d0 = mm.getLong(0)

@@ -90,6 +90,17 @@ private[model] object MfServing {
       }
     }
 
+  /** Bounded insert under [[worstFirst]] — ONE shared definition so the
+    * two kernels' bit-equality contract cannot drift (scores here are
+    * finite floats, so ord.compare is exactly the old inlined
+    * `s > worst || (s == worst && i < item)` predicate). */
+  @inline private def push(heap: mutable.PriorityQueue[(Float, Int)],
+                           s: Float, i: Int, kPrime: Int,
+                           ord: Ordering[(Float, Int)]): Unit = {
+    if (heap.size < kPrime) heap.enqueue((s, i))
+    else if (ord.compare((s, i), heap.head) < 0) { heap.dequeue(); heap.enqueue((s, i)) }
+  }
+
   /** Bias-aware dot in the exact float order both kernels share. */
   @inline private def score(pv: Array[Float], qv: Array[Float], d: Int,
                             bias: Boolean): Float = {
@@ -116,14 +127,7 @@ private[model] object MfServing {
         val heap = mutable.PriorityQueue.empty[(Float, Int)](ord)
         var i = 0
         while (i < qq.length) {
-          val s = score(pv, qq(i), d, bias)
-          if (heap.size < kPrime) heap.enqueue((s, i))
-          else {
-            val worst = heap.head
-            if (s > worst._1 || (s == worst._1 && i < worst._2)) {
-              heap.dequeue(); heap.enqueue((s, i))
-            }
-          }
+          push(heap, score(pv, qq(i), d, bias), i, kPrime, ord)
           i += 1
         }
         heap.iterator.map { case (s, item) => (u, item, s) }
@@ -165,14 +169,7 @@ private[model] object MfServing {
         var x = 0
         while (x < qs.length) {
           val (i, qv) = qs(x)
-          val s = score(pv, qv, d, bias)
-          if (heap.size < kPrime) heap.enqueue((s, i))
-          else {
-            val worst = heap.head
-            if (s > worst._1 || (s == worst._1 && i < worst._2)) {
-              heap.dequeue(); heap.enqueue((s, i))
-            }
-          }
+          push(heap, score(pv, qv, d, bias), i, kPrime, ord)
           x += 1
         }
         (u, heap.toArray)

@@ -120,11 +120,17 @@ object GlobalPercentile {
       "quantileContByGroup: qs must be within [0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    // single string group key for driver-side state, \u0001-joined —
-    // like the oracle compare's own column separator — pick key-safe
-    // (separator-free, non-null) group columns, as with hashKeep
-    val gk = concat_ws("\u0001", groupCols.map(col(_).cast("string")): _*)
-    val base = df.select(gk.as("__g"), col(valueCol).cast("double").as("__v"))
+    // single string group key for driver-side state, \u0001-joined;
+    // NULL renders as a \u0000 sentinel so (NULL) and ("") stay
+    // DISTINCT groups (concat_ws alone silently skips nulls and would
+    // merge them — unlike GROUP BY). Keys containing the control
+    // chars make multi-column keys ambiguous; pick sane group columns,
+    // the hashKeep contract.
+    val gk = concat_ws("\u0001", groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
+    val base = df.select(gk.as("__g"),
+        struct(groupCols.map(col): _*).as("__o"),
+        col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -215,8 +221,10 @@ object GlobalPercentile {
         }
       }
       val out = rows.toDF("__g", "q", "value")
-      val gmap = df.select(gk.as("__g"), struct(groupCols.map(col): _*).as("__orig"))
-        .groupBy("__g").agg(first("__orig").as("__orig"))
+      // group-label join-back runs over the CACHED base projection —
+      // never a second scan of the raw input
+      val gmap = base.select(col("__g"), col("__o"))
+        .groupBy("__g").agg(first("__o").as("__orig"))
       out.join(broadcast(gmap), Seq("__g"))
         .select(groupCols.map(c => col(s"__orig.$c").as(c)) ++
           Seq(col("q"), col("value")): _*)

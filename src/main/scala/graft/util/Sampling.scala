@@ -178,8 +178,14 @@ object Sampling {
                         keyCols: Seq[String], seed: Long,
                         heapMaxN: Int = 100000, nBuckets: Int = 1022): DataFrame = {
     require(n > 0, s"weightedReservoir: n must be positive, got $n")
+    // NULL key columns null the md5 render and with it the key — drop
+    // those rows EXPLICITLY (the hashKeep NULL contract): left in, the
+    // bucket path would count them into the cumulative rank offsets
+    // (nulls sort first) and then lose them at the bucket join,
+    // shifting every surviving rank
     val tagged = df.filter(col(weightCol) > 0)
       .withColumn("__aes", aesKeyE12(seed, col(weightCol), keyCols.map(col)))
+      .filter(col("__aes").isNotNull)
     if (n <= heapMaxN)
       TopK.perGroup(tagged.withColumn("__g", lit(1)),
           Seq("__g"), "__aes", keyCols, n.toInt, descending = true)

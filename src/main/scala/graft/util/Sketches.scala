@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *    (`length(bin(v))` / `length(printf('%b', v))`), never
   *    floor(log2(·)) whose boundary ulps differ across engines;
   *  - HLL's one float — the harmonic-mean estimate — divides by an
-  *    integer-EXACT scaled sum `S = Σ 2^(w − M_j)` (each term a power
-  *    of two ≤ 2^52, register count ≤ 2^11, so S fits a long exactly),
-  *    making the estimate a pure function of exact ints on both sides.
+  *    integer-EXACT scaled sum `S = Σ 2^(w+1 − M_j)` (M_j ≤ w+1, so
+  *    the smallest term is exactly 1; register count ≤ 2^11 keeps S
+  *    inside a long), making the estimate a pure function of exact
+  *    ints on both sides.
   */
 object Sketches {
 
@@ -31,6 +32,17 @@ object Sketches {
       .reduceLeft((a, b) => concat(a, lit("|"), b))
     conv(substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 13),
       16, 10).cast("long")
+  }
+
+  /** (register index, rho) of a 52-bit hash under b index bits: rho =
+    * leading zeros of the low w bits + 1, capped at w+1 for v = 0 —
+    * from the INTEGER bit length, never floor(log2). */
+  private def idxRho(h: Column, b: Int): (Column, Column) = {
+    val w = 52 - b
+    val v = h.bitwiseAND(lit((1L << w) - 1))
+    val rho = when(v === 0L, lit(w + 1))
+      .otherwise(lit(w) - length(bin(v)) + 1)
+    (shiftright(h, w), rho.cast("int"))
   }
 
   /** HyperLogLog register table: `m = 2^b` rows (occupied registers
@@ -45,53 +57,21 @@ object Sketches {
   def hllRegisters(df: DataFrame, keyCols: Seq[String], b: Int,
                    seed: Long): DataFrame = {
     require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
-    val w = 52 - b
-    val h = h52(seed, keyCols.map(col))
-    val v = h.bitwiseAND(lit((1L << w) - 1))
-    // leading zeros of v within width w = w - bit_length(v); bin() is
-    // integer-exact in both engines (never floor(log2))
-    val rho = when(v === 0L, lit(w + 1))
-      .otherwise(lit(w) - length(bin(v)) + 1)
-    df.select(shiftright(h, w).as("idx"), rho.cast("int").as("rho"))
+    val (idx, rho) = idxRho(h52(seed, keyCols.map(col)), b)
+    df.select(idx.as("idx"), rho.as("rho"))
       .groupBy("idx").agg(max("rho").as("r"))
   }
 
   /** The HLL estimate from a register table: one row
-    * (m, n_zero, s_scaled, est_e6) where `s_scaled = Σ_j 2^(w − M_j)`
+    * (m, n_zero, s_scaled, est_e6) where `s_scaled = Σ_j 2^(w+1 − M_j)`
     * over ALL m registers (absent idx ⇒ M = 0) is the exact-integer
     * scaled harmonic sum, and
-    * `est = α_m · m² · 2^w / s_scaled` with linear counting below
+    * `est = α_m · m² · 2^(w+1) / s_scaled` with linear counting below
     * 2.5·m when empty registers remain (the original HLL small-range
     * correction). est_e6 = round(est · 10⁶) — the only float, derived
     * from exact ints identically on both sides. */
-  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
-    require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
-    val m = 1 << b
-    val w = 52 - b
-    val alpha = b match {
-      case 4 => 0.673
-      case 5 => 0.697
-      case 6 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
-    registers
-      .agg(count(lit(1)).as("__occ"),
-        expr(s"sum(shiftleft(1L, $w - r))").as("__sOcc"))
-      .select(
-        lit(m).as("m"),
-        (lit(m) - col("__occ")).cast("long").as("n_zero"),
-        // absent registers carry M = 0 ⇒ term 2^w each
-        (col("__sOcc") + (lit(m) - col("__occ")) * lit(1L << w)).as("s_scaled"))
-      .withColumn("__raw",
-        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, w)) /
-          col("s_scaled").cast("double"))
-      .withColumn("est_e6", round(
-        when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
-          // linear counting: m · ln(m / n_zero)
-          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
-          .otherwise(col("__raw")) * lit(1e6)).cast("long"))
-      .select("m", "n_zero", "s_scaled", "est_e6")
-  }
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame =
+    hllEstimateGrouped(registers, Seq.empty, b)
 
   /** Per-COLUMN HLL registers in ONE scan: each row explodes to
     * (col_name, rendered value) pairs — the Expand shape Catalyst uses
@@ -102,17 +82,12 @@ object Sketches {
                            seed: Long): DataFrame = {
     require(cols.nonEmpty, "hllByColumn: at least one column")
     require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
-    val w = 52 - b
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("e"))
       .filter(col("e.v").isNotNull)
-      .select(col("e.col").as("col"),
-        conv(substring(md5(concat(col("e.v"), lit("|"), lit(seed.toString))), 1, 13),
-          16, 10).cast("long").as("h"))
-    val v = col("h").bitwiseAND(lit((1L << w) - 1))
-    val rho = when(v === 0L, lit(w + 1))
-      .otherwise(lit(w) - length(bin(v)) + 1)
-    pairs.select(col("col"), shiftright(col("h"), w).as("idx"), rho.cast("int").as("rho"))
+      .select(col("e.col").as("col"), h52(seed, Seq(col("e.v"))).as("h"))
+    val (idx, rho) = idxRho(col("h"), b)
+    pairs.select(col("col"), idx.as("idx"), rho.as("rho"))
       .groupBy("col", "idx").agg(max("rho").as("r"))
   }
 
@@ -132,13 +107,18 @@ object Sketches {
     registers
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__occ"),
-        expr(s"sum(shiftleft(1L, $w - r))").as("__sOcc"))
+        // scaled by 2^(w+1), NOT 2^w: rho caps at w+1 (all-zero low
+        // bits), whose term 2^(w-r) would be a NEGATIVE shift — Spark
+        // silently produces 1L << 63 and DuckDB throws. At 2^(w+1) the
+        // smallest term is exactly 1 and the sum still fits a long
+        // (m·2^(w+1) = 2^53 at b = 11).
+        expr(s"sum(shiftleft(1L, ${w + 1} - r))").as("__sOcc"))
       .select(groupCols.map(col) ++ Seq(
         lit(m).as("m"),
         (lit(m) - col("__occ")).cast("long").as("n_zero"),
-        (col("__sOcc") + (lit(m) - col("__occ")) * lit(1L << w)).as("s_scaled")): _*)
+        (col("__sOcc") + (lit(m) - col("__occ")) * lit(1L << (w + 1))).as("s_scaled")): _*)
       .withColumn("__raw",
-        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, w)) /
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, w + 1)) /
           col("s_scaled").cast("double"))
       .withColumn("est_e6", round(
         when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
