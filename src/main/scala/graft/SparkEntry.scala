@@ -4471,7 +4471,20 @@ object SparkEntry {
     "q22_ann_lsh" -> graft.oracle.AnnReplaySql.q22Sql,
     "q52_ann_ivf" -> Option(ivfCentroidStash)
       .map(graft.oracle.AnnReplaySql.q52Sql(_, nProbe = 16))
-      .getOrElse("SELECT 1 AS q52_not_run_this_dump -- q52 query must run before the oracle dump"),
+      .getOrElse {
+        // ordering contract: the q52 query must run in this JVM before the
+        // oracle dump (it stashes its KMeans centroids). A full Verify run
+        // does that; fail HERE, at the cause, instead of emitting sentinel
+        // SQL that mismatches rows far away. Exception: a targeted
+        // SPARK_GRAFT_ONLY subset that excludes q52 still gets the sentinel
+        // so subset iteration keeps working.
+        if (sys.env.contains("SPARK_GRAFT_ONLY"))
+          "SELECT 1 AS q52_not_run_this_dump -- q52 query must run before the oracle dump"
+        else throw new IllegalStateException(
+          "q52_ann_ivf oracle SQL needs the IVF centroids stashed by the q52 " +
+            "query run — evaluate SparkEntry.queries(\"q52_ann_ivf\") in this " +
+            "JVM before dumping oracleSql (Verify does this; keep that order)")
+      },
 
     // golden-file oracle, q41 scheme (regenerate with
     // `runMain graft.GoldenGen q162_bpr_recs <sfdirs...>`)

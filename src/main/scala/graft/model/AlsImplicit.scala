@@ -149,7 +149,7 @@ class AlsImplicit(val dim: Int, val iters: Int, val lambda: Double,
         .join(fixed.select(col("id").as(fixedKey), col("vec").as("fv")), Seq(fixedKey))
         .select(col(outKey).as("key"), col("fv"), col("r"))
         .repartition(col("key"))
-      gathered.as[(Int, Array[Float], Double)]
+      val solved = gathered.as[(Int, Array[Float], Double)]
         .rdd.mapPartitions { it =>
           val m = mutable.HashMap.empty[Int, (Array[Double], Array[Double])]
           it.foreach { case (key, vec, r) =>
@@ -172,6 +172,11 @@ class AlsImplicit(val dim: Int, val iters: Int, val lambda: Double,
         }
         .toDF("id", "vec")
         .localCheckpoint(true)
+      // the eager localCheckpoint above is the consuming action — the
+      // gram broadcast is dead past it; without this, 2 retained
+      // broadcasts per iteration accumulate until session GC
+      bcG.destroy()
+      solved
     }
     for (_ <- 0 until iters) {
       val newP = halfSweep(q, byUserSide = true)

@@ -121,7 +121,7 @@ private[model] object MfServing {
       .collect().foreach(r => qArr(r.getInt(0)) = r.getSeq[Float](1).toArray)
     val bcQ = spark.sparkContext.broadcast(qArr)
     val ord = worstFirst
-    pDf.as[(Int, Array[Float])].mapPartitions { it =>
+    val out = pDf.as[(Int, Array[Float])].mapPartitions { it =>
       val qq = bcQ.value
       it.flatMap { case (u, pv) =>
         val heap = mutable.PriorityQueue.empty[(Float, Int)](ord)
@@ -133,6 +133,12 @@ private[model] object MfServing {
         heap.iterator.map { case (s, item) => (u, item, s) }
       }
     }.toDF("u", "i", "score")
+      // eagerly materialize the (bounded: nUsers x kPrime rows) result
+      // so the item-matrix broadcast — potentially 100s of MB — can be
+      // destroyed here instead of leaking until session GC
+      .localCheckpoint(true)
+    bcQ.destroy()
+    out
   }
 
   /** Block kernel for catalogs too large to collect OR broadcast: each

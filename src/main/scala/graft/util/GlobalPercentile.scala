@@ -250,10 +250,16 @@ object GlobalPercentile {
     val bounds = qs.groupBy(groupCols.map(col): _*)
       .agg(max(when(col("q") === loQ, col("value"))).as(s"${valueCol}_lo"),
         max(when(col("q") === hiQ, col("value"))).as(s"${valueCol}_hi"))
+    // NULL values must stay NULL: greatest/least SKIP null operands, so
+    // an unguarded clip would turn a NULL value into the group's low
+    // bound (greatest(NULL, lo) = lo, then least(lo, hi) = lo) —
+    // fabricating data. Guard explicitly.
     df.join(broadcast(bounds), groupCols, "left")
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol).cast("double"), col(s"${valueCol}_lo")),
-          col(s"${valueCol}_hi")))
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(
+            least(greatest(col(valueCol).cast("double"), col(s"${valueCol}_lo")),
+              col(s"${valueCol}_hi"))))
   }
 
   /** Robust per-group outlier tagging on median/MAD (Hampel filter —

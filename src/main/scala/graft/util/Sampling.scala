@@ -213,9 +213,14 @@ object Sampling {
                                strataCols: Seq[String], keyCols: Seq[String],
                                seed: Long): DataFrame = {
     require(n > 0, s"weightedReservoirByGroup: n must be positive, got $n")
+    // Same hashKeep NULL contract as weightedReservoir: a NULL key
+    // column nulls the A-ES key — drop those rows so a short stratum
+    // (< n positive-weight rows) can never admit a NULL-keyed row via
+    // TopK's nulls-first ranking.
     TopK.perGroup(
       df.filter(col(weightCol) > 0)
-        .withColumn("__aes", aesKeyE12(seed, col(weightCol), keyCols.map(col))),
+        .withColumn("__aes", aesKeyE12(seed, col(weightCol), keyCols.map(col)))
+        .filter(col("__aes").isNotNull),
       strataCols, "__aes", keyCols, n, descending = true)
       .drop("__aes")
   }

@@ -131,6 +131,24 @@ class GlobalPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorizeByGroup passes NULL values through as NULL, never the low bound") {
+    // greatest/least skip NULL operands, so an unguarded clip would turn
+    // a NULL x into the group's lo — the fabrication ADVICE r12 flagged
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", None), ("b", None))
+      .toDF("g", "x")
+    val out = GlobalPercentile.winsorizeByGroup(df, Seq("g"), "x", 0.25, 0.75,
+      nBuckets = 4, sortThreshold = 2).collect()
+    val nullRows = out.filter(_.isNullAt(1))
+    assert(nullRows.length == 2)
+    // clipped column stays NULL for NULL inputs — in group a (which has
+    // bounds) AND in group b (all-NULL group, no bounds at all)
+    nullRows.foreach(r => assert(r.isNullAt(4), s"NULL x fabricated ${r.get(4)}"))
+    // non-null rows still clip
+    val a2 = out.find(r => !r.isNullAt(1) && r.getDouble(1) == 1.0).get
+    assert(a2.getDouble(4) == a2.getDouble(2)) // clipped up to lo
+  }
+
   test("madOutliersByGroup: Hampel fences from exact medians, degenerate MAD handled") {
     // group a: values 0..20 plus planted spikes 1000, -1000
     //   med = 10, MAD = median(|x-10|) over 23 values = 5

@@ -69,6 +69,19 @@ class WeightedReservoirSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified variant drops NULL-key rows even when the stratum is short") {
+    // stratum "a" has 2 positive-weight rows with non-null keys and one
+    // NULL-key row; n=3 must NOT backfill with the NULL-keyed row
+    // (hashKeep NULL contract, same as the global reservoir)
+    val df = Seq((Some(1L), "a", 2.0), (Some(2L), "a", 1.0), (None, "a", 5.0),
+      (Some(3L), "b", 1.0)).toDF("id", "g", "w")
+    val out = Sampling.weightedReservoirByGroup(df, 3, "w", Seq("g"), Seq("id"), 7L)
+      .collect()
+    assert(out.forall(!_.isNullAt(0)), "NULL-key row entered a short stratum")
+    assert(out.count(_.getString(1) == "a") == 2)
+    assert(out.count(_.getString(1) == "b") == 1)
+  }
+
   test("large-n branch plans no empty-partition window over corpus rows") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = rows(500)
