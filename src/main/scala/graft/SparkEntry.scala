@@ -1915,6 +1915,43 @@ object SparkEntry {
           round(max("__med"), 4).as("med"),
           round(max("__mad"), 4).as("mad"))),
 
+    // incremental quantile maintenance: the DDSketch-style pure-integer
+    // log-bucket sketch (util/QuantileSketch) refreshed through two
+    // delta batches — counts add per bucket, so refresh == from-scratch
+    // exactly, which is what the DuckDB oracle recomputes; percentile
+    // read is nearest-rank over the per-group bucket rollup
+    "q189_incremental_quantiles" -> ((s, dir) => {
+      import graft.util.QuantileSketch
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000").as("ship_day"))
+      val grp = Seq("l_partkey")
+      val base = li.filter(col("ship_day") < 9496)
+      val d1 = li.filter(col("ship_day") >= 9496 && col("ship_day") < 9862)
+      val d2 = li.filter(col("ship_day") >= 9862)
+      val s0 = QuantileSketch.state(base, grp, "cents", s = 5)
+      val s1 = QuantileSketch.refresh(s0, d1, grp, "cents", s = 5)
+      val s2 = QuantileSketch.refresh(s1, d2, grp, "cents", s = 5)
+      QuantileSketch.quantiles(s2, grp, Seq(0.5, 0.9, 0.99), s = 5)
+        .groupBy("l_partkey")
+        .agg(max(when(col("q") === 0.5, col("value"))).as("p50_cents"),
+          max(when(col("q") === 0.9, col("value"))).as("p90_cents"),
+          max(when(col("q") === 0.99, col("value"))).as("p99_cents"))
+    }),
+
+    // product-quantization ANN (Jégou 2011): per-subspace integer
+    // k-means codebooks over the q81 int8 codes, m-byte item codes,
+    // ADC lookup-table scoring — the 16-32× 100-TB serving compressor;
+    // exact-integer ADC sums make codebooks, codes AND scores
+    // DuckDB-replayable (the q115/q183 recipe)
+    "q188_pq_adc_knn" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.knn.Pq.adcTopK(e, "id", "vec", col("id") < 30,
+        m = 4, ksub = 8, iters = 2, k = 5, excludeSelf = true)
+    }),
+
     // int8-quantized cosine top-k: per-vector symmetric quantization
     // (scales cancel in cosine → exact-integer dots, order-free)
     "q183_quantized_knn" -> ((s, dir) => {
@@ -2429,7 +2466,116 @@ object SparkEntry {
        |FROM asg$iters f LEFT JOIN dups du ON f.vec_id = du.dup_id""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.knn.Pq.adcTopK]]: the q115 Lloyd chain
+    * with a `sub` key threaded through (per-subspace codebooks), then
+    * integer ADC partial-dot lookup sums and the q183-style IEEE
+    * cosine rank. Everything up to the final division is exact Long. */
+  private def pqAdcSql(m: Int, ksub: Int, iters: Int, k: Int): String = {
+    def asg(n: Int, cent: String) =
+      s"""asg$n AS (
+         |  SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+         |    FROM (SELECT s.vec_id, s.sub, ct.c,
+         |                 CAST(SUM((s.q - ct.v)*(s.q - ct.v)) AS BIGINT) AS d2
+         |          FROM sv s JOIN $cent ct ON s.sub = ct.sub AND s.d = ct.d
+         |          GROUP BY 1, 2, 3))
+         |  WHERE rn = 1)""".stripMargin
+    def upd(n: Int, prev: String) =
+      s"""cent${n + 1} AS (
+         |  SELECT p.sub, p.c, p.d, COALESCE(x.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.sub, a.c, s.d,
+         |           CAST(FLOOR(CAST(SUM(s.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |    FROM asg$n a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |    GROUP BY 1, 2, 3) x
+         |  ON p.sub = x.sub AND p.c = x.c AND p.d = x.d)""".stripMargin
+    val rounds = (0 until iters)
+      .map(i => asg(i, s"cent$i") + ",\n" + upd(i, s"cent$i")).mkString(",\n")
+    s"""WITH codes AS (
+       |  SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |              FROM embeddings))),
+       |sv AS (SELECT vec_id, CAST((u.i - 1) // (len(qv) // $m) AS INT) AS sub,
+       |              CAST((u.i - 1) % (len(qv) // $m) AS BIGINT) AS d,
+       |              CAST(qv[u.i] AS BIGINT) AS q
+       |       FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+       |ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+       |        FROM codes ORDER BY vec_id LIMIT $ksub),
+       |cent0 AS (SELECT sv.sub, ids.c, sv.d, sv.q AS v FROM ids JOIN sv USING (vec_id)),
+       |$rounds,
+       |${asg(iters, s"cent$iters")},
+       |cbn2 AS (SELECT sub, c, CAST(SUM(v*v) AS BIGINT) AS n2 FROM cent$iters GROUP BY 1, 2),
+       |xn AS (SELECT cd.vec_id, CAST(SUM(b.n2) AS BIGINT) AS xn2
+       |       FROM asg$iters cd JOIN cbn2 b ON cd.sub = b.sub AND cd.c = b.c GROUP BY 1),
+       |qn AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS qn2
+       |       FROM sv WHERE vec_id < 30 GROUP BY 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.sub, ct.c,
+       |               CAST(SUM(s.q * ct.v) AS BIGINT) AS pdot
+       |        FROM sv s JOIN cent$iters ct ON s.sub = ct.sub AND s.d = ct.d
+       |        WHERE s.vec_id < 30 GROUP BY 1, 2, 3),
+       |adcs AS (SELECT l.query_id, cd.vec_id AS item_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+       |         FROM asg$iters cd JOIN lut l ON cd.sub = l.sub AND cd.c = l.c
+       |         GROUP BY 1, 2),
+       |sc AS (SELECT a.query_id, a.item_id, a.adc,
+       |         CASE WHEN q.qn2 = 0 OR x.xn2 = 0 THEN -2.0
+       |              ELSE CAST(a.adc AS DOUBLE) /
+       |                   (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(x.xn2 AS DOUBLE))) END AS score
+       |       FROM adcs a JOIN qn q ON a.query_id = q.vec_id
+       |       JOIN xn x ON a.item_id = x.vec_id
+       |       WHERE a.query_id <> a.item_id),
+       |r AS (SELECT query_id, item_id, adc, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, item_id, adc, rank, ROUND(score, 6) AS score_r
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB from-scratch recompute of [[graft.util.QuantileSketch]]
+    * (refresh == scratch is the sketch's algebra, so one full-table
+    * replay checks every refresh step): the pure-integer log bucketing
+    * via length(bin(v)) and shifts, cumulative rollup, nearest-rank
+    * selection, representative recovery. */
+  private def quantileSketchSql(s: Int): String = {
+    val cap = 1L << s
+    def posIdx(v: String) =
+      s"""(CASE WHEN $v < $cap THEN $v
+         |  ELSE CAST(length(bin($v)) - 1 - $s AS BIGINT) * $cap
+         |       + ($v >> (length(bin($v)) - 1 - $s)) END)""".stripMargin
+    def posRep(i: String) =
+      s"""(CASE WHEN $i < ${2 * cap} THEN $i
+         |  ELSE ((($i % $cap) + ${cap + 1}) << CAST($i // $cap - 1 AS INT)) - 1 END)""".stripMargin
+    s"""WITH v AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+       |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |b AS (SELECT l_partkey,
+       |        CASE WHEN cents >= 0 THEN ${posIdx("cents")}
+       |             ELSE -1 - ${posIdx("(- cents)")} END AS qb
+       |      FROM v),
+       |st AS (SELECT l_partkey, qb, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |tot AS (SELECT l_partkey, SUM(cnt) AS n FROM st GROUP BY 1),
+       |cum AS (SELECT l_partkey, qb,
+       |          SUM(cnt) OVER (PARTITION BY l_partkey ORDER BY qb) AS cum FROM st),
+       |rk AS (SELECT l_partkey, q, CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1 AS rk
+       |       FROM tot CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(q)),
+       |sel AS (SELECT r.l_partkey, r.q, MIN(c.qb) AS qb
+       |        FROM rk r JOIN cum c ON c.l_partkey = r.l_partkey AND c.cum >= r.rk
+       |        GROUP BY 1, 2),
+       |rv AS (SELECT l_partkey, q,
+       |         CASE WHEN qb >= 0 THEN ${posRep("qb")}
+       |              ELSE - ${posRep("(-1 - qb)")} END AS value
+       |       FROM sel)
+       |SELECT l_partkey,
+       |  MAX(CASE WHEN q = 0.5 THEN value END) AS p50_cents,
+       |  MAX(CASE WHEN q = 0.9 THEN value END) AS p90_cents,
+       |  MAX(CASE WHEN q = 0.99 THEN value END) AS p99_cents
+       |FROM rv GROUP BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q189_incremental_quantiles" -> quantileSketchSql(s = 5),
+    "q188_pq_adc_knn" -> pqAdcSql(m = 4, ksub = 8, iters = 2, k = 5),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

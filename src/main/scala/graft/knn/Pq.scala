@@ -1,0 +1,171 @@
+package graft.knn
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the 100-TB serving
+  * compression standard past int8: the d-dim embedding splits into
+  * `m` subspaces, each sub-vector is replaced by the index of its
+  * nearest codebook centroid, so a vector stores in `m` small codes
+  * (m·log2(ksub) bits — 16–32× under float32 at production settings)
+  * and queries score items through an m·ksub ADC lookup table without
+  * ever touching the original vectors.
+  *
+  * House style ([[SemDeDup]]/[[Quantize]]): everything after the int8
+  * quantization is EXACT INTEGER arithmetic, so DuckDB replays
+  * codebooks, codes, and ADC scores bit-for-bit —
+  *   - codebooks come from per-subspace Lloyd rounds with integer
+  *     (floor-of-mean) centroids, argmin ties to the smallest centroid
+  *     index (the [[SemDeDup.cluster]] recipe with a `sub` key);
+  *   - ADC score = Σ_sub dot(query_sub, centroid[sub][code]) — a sum
+  *     of int8×centroid products, |each| ≤ 127²·d, exact in Long;
+  *   - the cosine-style rank divides by √(query n2 · reconstruction
+  *     n2), pure-IEEE double ops both engines round identically
+  *     (the q183 precedent).
+  *
+  * Physical plan: training shuffles only skinny (sub, code, dim)
+  * partial sums (map-side combined, ≤ m·ksub·dsub rows to the driver
+  * per Lloyd round — bounded by the codebook, never the corpus);
+  * encoding is a narrow broadcast-join + fused argmin per subspace;
+  * serving joins the item codes against a BROADCAST lookup table of
+  * nQueries·m·ksub partial dots and map-side-combines the per-item
+  * sum — the corpus never shuffles and the original embedding column
+  * is never read at query time.
+  */
+object Pq {
+
+  /** Int8-quantized sub-vectors: one row per (id, subspace).
+    * `emb` must carry `idCol` and a numeric-array `vecCol` whose
+    * length is divisible by `m` (checked per row by slice bounds). */
+  def int8Sub(emb: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
+    Quantize.int8(emb, vecCol)
+      .select(col(idCol).as("id"), col("qvec"))
+      .withColumn("dsub", (size(col("qvec")) / m).cast("int"))
+      .select(col("id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("qvec"), col("dsub"))
+      .select(col("id"), col("sub"),
+        expr("slice(qvec, sub * dsub + 1, dsub)").as("sqv"))
+
+  /** Per-subspace integer k-means: `iters` Lloyd rounds over the
+    * sub-vector table. Deterministic init: subspace s's codebook
+    * starts from the `ksub` smallest ids' sub-vectors (code = id rank).
+    * Empty codes keep their previous centroid. Returns
+    * cents(sub)(code) = centroid Long vector. */
+  def train(sv: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] = {
+    require(m > 0 && ksub > 0 && iters >= 0, "pq: m, ksub > 0, iters >= 0")
+    val cached = sv.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Array[Long]]] = {
+        val init = cached
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("sub").orderBy(col("id"))))
+          .filter(col("rn") <= ksub)
+          .select(col("sub"), (col("rn") - 1).as("c"), col("sqv"))
+          .collect()
+        val a = Array.ofDim[Array[Long]](m, ksub)
+        init.foreach(r => a(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Int](2).map(_.toLong).toArray)
+        require(a.forall(_.forall(_ != null)),
+          s"pq: need >= $ksub vectors to seed every subspace codebook")
+        a
+      }
+      for (_ <- 0 until iters) {
+        // skinny (sub, code, dim) partial sums; m*ksub*dsub driver rows
+        val sums = assign(cached, cents)
+          .select(col("sub"), col("code"), posexplode(col("sqv")).as(Seq("d", "q")))
+          .groupBy("sub", "code", "d")
+          .agg(sum(col("q").cast("long")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong
+        }
+        cents = next
+      }
+      cents
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Codebook as a small DataFrame: (sub, c, v array<long>, n2). */
+  def codebookDf(sv: DataFrame, cents: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (v, c) =>
+        (s, c, v.toSeq, v.map(x => x * x).sum) }
+    }.toSeq.toDF("sub", "c", "v", "n2")
+  }
+
+  /** Adds `code` = argmin_c ‖sqv − cents(sub)(c)‖² (ties to the
+    * smallest code) — narrow fused argmin against one broadcast row
+    * per subspace, the [[SemDeDup]] assignment idiom. */
+  def assign(sv: DataFrame, cents: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    val centRows = cents.zipWithIndex.map { case (cb, s) =>
+      (s, cb.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq)
+    }.toSeq.toDF("sub", "cents")
+    sv.join(broadcast(centRows), Seq("sub"))
+      .withColumn("code",
+        graft.functions.KMeansAssign(col("sqv"), col("cents")))
+      .drop("cents")
+  }
+
+  /** Train + encode + ADC top-k in one call (the q188 surface):
+    * queries are the `emb` rows satisfying `queryPred`; every row is
+    * an indexable item. Score is the asymmetric quantized cosine —
+    * ADC dot over the item's RECONSTRUCTION, divided by the exact
+    * int8 query norm and the reconstruction norm; zero norms score
+    * the −2 sentinel ([[Quantize.cosTopK]] convention). Returns
+    * (query_id, item_id, adc, rank, score_r) with rank by
+    * (score desc, item_id) and score_r = round(score, 6). */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column,
+              m: Int, ksub: Int, iters: Int, k: Int,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "pq adcTopK: k >= 1")
+    val sv = int8Sub(emb, idCol, vecCol, m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = train(sv, m, ksub, iters)
+      val cb = codebookDf(sv, cents)
+      val codes = assign(sv, cents).select(col("id"), col("sub"), col("code"))
+      // item reconstruction norm: Σ_sub ‖centroid[sub][code]‖²
+      val itemN2 = codes.join(broadcast(cb.select(col("sub"),
+          col("c").as("code"), col("n2"))), Seq("sub", "code"))
+        .groupBy("id").agg(sum("n2").as("xn2"))
+      // query-side: exact int8 norms + the nQ·m·ksub partial-dot LUT
+      val qsv = sv.filter(queryPred)
+      val qn2 = qsv
+        .select(col("id"), expr(
+          "aggregate(sqv, 0L, (a, x) -> a + cast(x as bigint) * cast(x as bigint))").as("p"))
+        .groupBy("id").agg(sum("p").as("qn2"))
+      val lut = qsv.join(broadcast(cb), Seq("sub"))
+        .select(col("id").as("query_id"), col("sub"), col("c"),
+          expr("aggregate(zip_with(sqv, v, (x, y) -> cast(x as bigint) * y), 0L, (a, e) -> a + e)")
+            .as("pdot"))
+      // ADC: one broadcast-LUT join + map-side-combined per-item sum
+      val adc = codes
+        .join(broadcast(lut), codes("sub") === lut("sub") && codes("code") === lut("c"))
+        .groupBy(col("query_id"), codes("id").as("item_id"))
+        .agg(sum("pdot").as("adc"))
+      adc
+        .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+        .join(broadcast(qn2.withColumnRenamed("id", "query_id")), Seq("query_id"))
+        .join(itemN2.withColumnRenamed("id", "item_id"), Seq("item_id"))
+        .withColumn("score",
+          when(col("qn2") === 0L || col("xn2") === 0L, lit(-2.0))
+            .otherwise(col("adc").cast("double") /
+              (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("item_id"), col("adc"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+    } finally sv.unpersist(blocking = false)
+  }
+}

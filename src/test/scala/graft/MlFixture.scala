@@ -95,6 +95,150 @@ object MlFixture {
     spark.sparkContext.parallelize(rows, 8).toDF("user_id", "item_id", "rating", "ts")
   }
 
+  /** Items per franchise in the graph-structured tier: PAIRS, so a
+    * user can never hold two POSITIVE ratings inside one franchise —
+    * the co-occurrence family (item2vec baskets, BPR pairs, both
+    * min_rating=4) is structurally blind to franchises, while the walk
+    * graph (which takes ALL train edges) reaches the held-out half of
+    * a pair through the user's 3★ anchor on the sibling plus the
+    * property bridge. */
+  val GsFranchiseSize = 2
+  def gsFranchise(i: Int): Int = i / GsFranchiseSize
+
+  /** Graph-structured tier (the r12 verdict's #1): same cardinalities
+    * and exact rating marginals as [[ratings]], but the PREFERENCE
+    * signal lives in graph TOPOLOGY instead of rating-value marginals —
+    * built so the reference's headline model ordering (node2vec ≫
+    * item2vec/BPR ≫ transE-on-ratings,
+    * `/root/reference/experiment_results/ml100k_enriched/run1.csv:2`
+    * MAP@5 0.165 vs `transEratings.csv:2` 0.0065) is reproducible on a
+    * synthetic fixture.
+    *
+    * Construction: items partition into item-PAIR franchises (420
+    * full pairs; think a film and its sequel); franchise f belongs to
+    * community f % 10 (~84 per community). User u (community u % 10)
+    * HIGH-rates one seeded item in each of 60 community franchises
+    * (one per franchise, NEVER both) and LOW-rates (≤ 3★) the SIBLING
+    * item in 46 of them — the anchor edges. Affinity = 2 + noise for
+    * the highs, 1 + noise for the anchors, noise for the 42 coverage/
+    * Zipf extras, and the 55,375 top-affinity pairs take the 5★/4★
+    * marginals — so every relevant rating is a high pick and every
+    * anchor stays ≤ 3★.
+    *
+    * Why this discriminates the model families: relevance is
+    * franchise-level, and the ONLY training signal connecting a user
+    * to a held-out high item's franchise is the user's own ≤3★ anchor
+    * on the sibling — an edge the co-occurrence family never sees
+    * (item2vec baskets and BPR pairs are positives-only, min_rating 4,
+    * and no user ever holds two positives in one franchise, so
+    * within-franchise positive co-occurrence is structurally ZERO) —
+    * while the walk graph takes all train edges and the [[gsEnriched]]
+    * property bridges double the anchor→sibling connectivity
+    * (`user → anchor → series_f → held-out item`). transE-on-ratings
+    * sees all edges but collapses them into bipartite translation
+    * triples, its known-weak regime. Fine-grained (franchise)
+    * relevance is walk-reachable; coarse (community) relevance is all
+    * the co-occurrence family can learn.
+    *
+    * @return (user_id, item_id, rating, ts) with the [[Marginals]]
+    *         exact, 100k distinct pairs, every user and item covered */
+  def gsRatings(spark: SparkSession, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val nComm = 10
+    val nFr = (NItems + GsFranchiseSize - 1) / GsFranchiseSize // 211
+    def frItems(f: Int): Seq[Int] =
+      (f * GsFranchiseSize) until math.min((f + 1) * GsFranchiseSize, NItems)
+    val commFr: Map[Int, Vector[Int]] =
+      (0 until nFr).toVector.groupBy(_ % nComm)
+    def comm(u: Int) = u % nComm
+    val nDevFr = 60; val nAnchor = 46
+
+    // Zipf popularity over a seeded permutation, for the extra draws
+    val itemRank = rnd.shuffle((0 until NItems).toVector).zipWithIndex.toMap
+    val cum = {
+      val w = (0 until NItems).map(i => 1.0 / (itemRank(i) + 20))
+      val c = w.scanLeft(0.0)(_ + _).tail.toArray
+      (c, c.last)
+    }
+    def drawItem(): Int = {
+      val x = rnd.nextDouble() * cum._2
+      val idx = java.util.Arrays.binarySearch(cum._1, x)
+      math.min(NItems - 1, if (idx >= 0) idx else -idx - 1)
+    }
+
+    // per user: one HIGH pick in each of 60 community pair-franchises
+    // (never both items of a pair), plus the sibling as a LOW anchor
+    // in the first 46 of them
+    val highs = Array.ofDim[Vector[Int]](NUsers)
+    val lows = Array.ofDim[Vector[Int]](NUsers)
+    (0 until NUsers).foreach { u =>
+      val fs = rnd.shuffle(commFr(comm(u)).filter(frItems(_).size >= 2))
+        .take(nDevFr)
+      val hi = fs.map(f => frItems(f)(rnd.nextInt(2)))
+      val lo = fs.take(nAnchor).zip(hi.take(nAnchor)).map { case (f, h) =>
+        frItems(f).find(_ != h).get
+      }
+      highs(u) = hi.toVector; lows(u) = lo.toVector
+    }
+    val highSet = highs.map(_.toSet)
+    val lowSet = lows.map(_.toSet)
+
+    // extras: force item coverage first, then Zipf-popular fill
+    val covered = (highs.iterator.flatten ++ lows.iterator.flatten).toSet
+    val extras = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    def taken(u: Int, i: Int) = highSet(u)(i) || lowSet(u)(i) || extras((u, i))
+    (0 until NItems).filterNot(covered).foreach { i =>
+      var u = rnd.nextInt(NUsers)
+      while (taken(u, i)) u = rnd.nextInt(NUsers)
+      extras += ((u, i))
+    }
+    val nExtra = NRatings - NUsers * (nDevFr + nAnchor) // 42
+    require(extras.size <= nExtra, s"gs: ${extras.size} uncovered items > $nExtra slots")
+    while (extras.size < nExtra) {
+      val u = rnd.nextInt(NUsers); val i = drawItem()
+      if (!taken(u, i)) extras += ((u, i))
+    }
+
+    val pairs = (0 until NUsers).flatMap(u =>
+      (highs(u) ++ lows(u)).map((u, _))) ++ extras
+    require(pairs.size == NRatings, s"gs pair count ${pairs.size}")
+
+    def affinity(u: Int, i: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((u, i, seed))
+      val noiseTerm = (h & 0xffffff).toDouble / 0xffffff
+      (if (highSet(u)(i)) 2.0 else if (lowSet(u)(i)) 1.0 else 0.0) + noiseTerm
+    }
+    val ranked = pairs.sortBy { case (u, i) => (-affinity(u, i), u, i) }
+    val values = Marginals.flatMap { case (v, n) => Vector.fill(n)(v) }
+    val day = 86400000L
+    val rows = ranked.zip(values).map { case ((u, i), v) =>
+      val ts = 820454400000L +
+        math.floorMod(scala.util.hashing.MurmurHash3.productHash((u, i, 7)).toLong, 300L * day)
+      (u.toLong + 1, i.toLong + 1, v, ts)
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(rows, 8).toDF("user_id", "item_id", "rating", "ts")
+  }
+
+  /** Property table for the graph-structured tier: subject and
+    * director both carry the item's FRANCHISE node (two independent
+    * 2-hop bridges between franchise-mates), abstract is the usual
+    * unique-per-item noise, the remaining five DBpedia columns are
+    * absent — the fixture isolates the franchise-bridge effect. Fully
+    * deterministic from item id (franchise = id/8), no seed. */
+  def gsEnriched(spark: SparkSession): DataFrame = {
+    val rows = (0 until NItems).map { i =>
+      val f = gsFranchise(i)
+      (i.toLong + 1, s"series_$f", s"abstract_${i + 1}",
+        null: String, s"director_$f", null: String, null: String,
+        null: String, null: String)
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(rows, 4).toDF("item_id",
+      "subject", "abstract", "starring", "director", "distributor",
+      "writer", "producer", "cinematography")
+  }
+
   /** Enriched.csv-shaped property table at the reference's ml-100k
     * coverage rates (`data_integration/metadata.md:66-74`): one row per
     * item, eight DBpedia-property columns, absent values null. Values

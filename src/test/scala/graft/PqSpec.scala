@@ -1,0 +1,83 @@
+package graft
+
+import graft.knn.{Pq, Quantize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN ([[graft.knn.Pq]], q188): codebook /
+  * code invariants, bit-determinism, and recall against the exact
+  * int8 kNN ([[Quantize.cosTopK]], q183) — the lossy-compressor
+  * quality contract. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private def emb(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    // clustered vectors: 5 planted directions + noise, so top-k recall
+    // is meaningful (uniform random vectors have no stable neighbors)
+    val dirs = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until n).map { i =>
+      val d = dirs(i % 5)
+      (i.toLong, d.indices.map(j => d(j) + 0.3 * rnd.nextGaussian()).toSeq)
+    }.toDF("id", "vec").withColumn("vec",
+      expr("transform(vec, x -> cast(x as double))"))
+  }
+
+  test("codes: m per id, in [0, ksub); codebook m x ksub x dsub") {
+    val e = emb(80).cache()
+    val sv = Pq.int8Sub(e, "id", "vec", m = 4)
+    val cents = Pq.train(sv, m = 4, ksub = 8, iters = 2)
+    assert(cents.length == 4 && cents.forall(_.length == 8) &&
+      cents.forall(_.forall(_.length == dim / 4)))
+    val codes = Pq.assign(sv, cents)
+    assert(codes.count() == 80L * 4)
+    assert(codes.groupBy("id").count().filter(col("count") =!= 4).isEmpty)
+    assert(codes.filter(col("code") < 0 || col("code") >= 8).isEmpty)
+    e.unpersist()
+  }
+
+  test("adcTopK is deterministic and respects k / excludeSelf / tie-break") {
+    val e = emb(60).cache()
+    val a = Pq.adcTopK(e, "id", "vec", col("id") < 10, m = 4, ksub = 8,
+      iters = 2, k = 3).collect().sortBy(r => (r.getLong(1), r.getInt(3)))
+    val b = Pq.adcTopK(e, "id", "vec", col("id") < 10, m = 4, ksub = 8,
+      iters = 2, k = 3).collect().sortBy(r => (r.getLong(1), r.getInt(3)))
+    assert(a.toSeq == b.toSeq)
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3 && rs.map(_.getInt(3)).sorted.sameElements(1 to 3))
+      assert(rs.forall(_.getLong(1) != q), s"self in top-k of $q")
+      // rank order == (score desc, item asc)
+      val sorted = rs.sortBy(_.getInt(3))
+        .map(r => (-r.getDouble(4), r.getLong(1)))
+      assert(sorted.sameElements(sorted.sorted), s"tie-break broken for $q")
+    }
+    e.unpersist()
+  }
+
+  test("recall@R vs exact int8 cosine clears the lossy-compression floor") {
+    // the PQ paper's protocol: recall@R = fraction of queries whose
+    // TRUE nearest neighbor appears in the PQ top-R (set overlap of
+    // the full top-R is the wrong metric for a coarse quantizer —
+    // same-cell items tie and the within-cell order is id-arbitrary)
+    val e = emb(300).cache()
+    val nn1 = Quantize.cosTopK(e.filter(col("id") < 20), e, 1, excludeSelf = true)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // measured on this seeded fixture (deterministic): m=4 0.450,
+    // m=8 0.600 — finer subspaces raise recall, the PQ dial
+    for ((m, ksub, floor) <- Seq((4, 16, 0.40), (8, 16, 0.55))) {
+      val pq = Pq.adcTopK(e, "id", "vec", col("id") < 20, m = m, ksub = ksub,
+        iters = 3, k = 10)
+        .select("query_id", "item_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recall = nn1.keys.count(q => pq(q)(nn1(q))).toDouble / nn1.size
+      info(f"PQ recall@10 of NN@1 vs exact int8: $recall%.3f (m=$m, ksub=$ksub)")
+      assert(recall >= floor, f"PQ m=$m recall $recall%.3f below $floor")
+    }
+    e.unpersist()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.util.QuantileSketch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.util.QuantileSketch]] (q189): integer-bucket invariants,
+  * the DDSketch relative-error bound, and merge/refresh invariance —
+  * the property that makes the sketch the incremental-agg family's
+  * quantile member. */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val S = 5 // sub-bits; relative error bound 2^-5
+
+  test("bucket/rep invariants over random signed longs") {
+    val rnd = new scala.util.Random(11)
+    val vs = (Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 65L, -1L, -31L, -32L,
+      -100000L, (1L << 40) - 1, 1L << 40) ++
+      Seq.fill(3000)(rnd.nextLong() % 1000000000000L)).distinct
+    val rows = vs.toDF("v")
+      .withColumn("qb", QuantileSketch.bucketIdx("v", S))
+      .withColumn("rep", QuantileSketch.repValue("qb", S))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // monotone: sorting by v sorts qb
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      "bucket index not monotone in v")
+    rows.foreach { case (v, qb, rep) =>
+      if (math.abs(v) < (1L << S)) {
+        assert(qb == (if (v >= 0) v else -1L - (-v)), s"singleton bucket of $v")
+        assert(rep == v, s"singleton rep of $v")
+      } else {
+        // rep errs away from zero, within 2^-s relative
+        assert(math.abs(rep) >= math.abs(v), s"rep $rep under |v| for $v")
+        assert(math.abs(rep) <= math.abs(v) * (1.0 + 1.0 / (1L << S)) + 1,
+          s"rep $rep beyond the 2^-$S bound for $v")
+        assert((rep >= 0) == (v >= 0), s"rep sign flip for $v")
+      }
+    }
+  }
+
+  test("merge invariance: any sharding yields the identical state and quantiles") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.tabulate(5000)(i =>
+      (s"g${i % 3}", (math.exp(rnd.nextGaussian() * 3 + 5)).toLong - 20))
+      .toDF("g", "v")
+    val whole = QuantileSketch.state(data, Seq("g"), "v", S)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (nShards <- Seq(2, 5, 7)) {
+      // shard by value hash — groups straddle shards
+      val parts = (0 until nShards).map(k =>
+        QuantileSketch.state(data.filter(abs(hash(col("v"))) % nShards === k),
+          Seq("g"), "v", S))
+      val merged = QuantileSketch.merge(parts, Seq("g"))
+      assert(rows(merged) == rows(whole), s"state drift at $nShards shards")
+    }
+    // refresh == from-scratch
+    val half1 = data.filter(col("v") % 2 === 0)
+    val half2 = data.filter(col("v") % 2 =!= 0)
+    val refreshed = QuantileSketch.refresh(
+      QuantileSketch.state(half1, Seq("g"), "v", S), half2, Seq("g"), "v", S)
+    assert(rows(refreshed) == rows(whole))
+  }
+
+  test("quantile estimates stay within the 2^-s relative bound of exact nearest-rank") {
+    val rnd = new scala.util.Random(9)
+    val vals = Seq.fill(20000)((math.exp(rnd.nextGaussian() * 2 + 6)).toLong)
+    val data = vals.map(("g", _)).toDF("g", "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = QuantileSketch.quantiles(
+      QuantileSketch.state(data, Seq("g"), "v", S), Seq("g"), qs, S)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    val sortedVals = vals.sorted
+    qs.foreach { q =>
+      val exact = sortedVals((math.floor(q * (vals.size - 1)) + 1).toInt - 1)
+      val e = est(q)
+      assert(e >= exact, s"q=$q estimate $e below exact rank value $exact")
+      assert(e <= exact * (1.0 + 1.0 / (1L << S)) + 1,
+        s"q=$q estimate $e beyond bound around $exact")
+    }
+  }
+
+  test("NULL values carry no rank; state stays bounded per group") {
+    val data = Seq(("a", Some(5L)), ("a", None), ("a", Some(1000000L)),
+      ("b", None)).toDF("g", "v")
+    val st = QuantileSketch.state(data, Seq("g"), "v", S)
+    assert(st.filter(col("g") === "b").isEmpty)
+    assert(st.filter(col("g") === "a").count() == 2)
+    val qs = QuantileSketch.quantiles(st, Seq("g"), Seq(0.0, 1.0), S)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(qs(0.0) == 5L)
+  }
+}
