@@ -112,6 +112,79 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Driver-local merge learning over a collected (word, f) vocab —
+    * EXACTLY [[train]]'s greedy semantics (adjacent pairs weighted by
+    * word frequency, duplicates within a word counted, left-to-right
+    * non-overlapping merge application, ties (cnt DESC, a ASC, b ASC))
+    * with zero Spark jobs. Package-private seam for
+    * [[trainSampled]]'s parity spec. */
+  private[text] def trainLocal(vocab: Seq[(String, Long)],
+                               nMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        val ((a, b), _) = cnt.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b))
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Sampled training — the production tokenizer recipe: [[train]]
+    * pays one distributed pair-count aggregation PER MERGE (correct
+    * and corpus-size-independent per round, but a 50k-merge production
+    * vocab means 50k Spark jobs), while the standard practice trains
+    * the tokenizer on a SAMPLE. This mode draws a length-weighted
+    * reservoir of documents ([[graft.util.Sampling.weightedReservoir]]
+    * — longer docs carry proportionally more of the pair mass),
+    * aggregates the sampled word vocabulary ONCE, collects it (gated
+    * by `maxVocabRows` — a 10k-doc sample's distinct-word vocab is
+    * bounded by sample content, not corpus size), and learns all
+    * merges driver-locally: the total Spark-job count is O(1) in
+    * `nMerges`. Encoding stays the unchanged full-corpus [[encode]].
+    *
+    * With `sampleDocs` ≥ the corpus row count the sample IS the corpus
+    * and the result equals [[train]] exactly (spec-pinned). */
+  def trainSampled(docs: DataFrame, nMerges: Int, sampleDocs: Long,
+                   seed: Long, textCol: String = "text",
+                   maxVocabRows: Long = 2000000L): Seq[(String, String)] = {
+    val sampled = graft.util.Sampling.weightedReservoir(
+      docs.select(col("doc_id"), col(textCol))
+        .withColumn("__w", length(col(textCol)).cast("double")),
+      sampleDocs, "__w", Seq("doc_id"), seed)
+    val wf = wordFreq(sampled, textCol)
+      .collect()
+    require(wf.length <= maxVocabRows,
+      s"bpe sampled vocab ${wf.length} rows exceeds maxVocabRows=$maxVocabRows — shrink sampleDocs")
+    // sort for determinism of the in-memory scan order (counting is
+    // order-independent; the sort makes debugging reproducible)
+    trainLocal(wf.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq,
+      nMerges)
+  }
+
   /** Tokenize every document with a FIXED merge list (the production
     * op: apply a released vocab's merge table to a corpus). Pure
     * expression chain — `merges.length` nested replaces per word.
