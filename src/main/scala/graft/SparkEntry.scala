@@ -1939,6 +1939,19 @@ object SparkEntry {
           max(when(col("q") === 0.99, col("value"))).as("p99_cents"))
     }),
 
+    // IVF-ADC: coarse integer-k-means lists (partition-prunable at
+    // cluster scale) restrict each query to nProbe lists; only those
+    // candidates pay the PQ lookup sum — the faiss-style serving
+    // composition, exact-integer end to end (residual-free variant)
+    "q190_ivf_adc_knn" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.knn.Pq.ivfAdcTopK(e, "id", "vec", col("id") < 30,
+        kc = 8, nProbe = 3, m = 4, ksub = 8, iters = 2, k = 5,
+        excludeSelf = true)
+    }),
+
     // product-quantization ANN (Jégou 2011): per-subspace integer
     // k-means codebooks over the q81 int8 codes, m-byte item codes,
     // ADC lookup-table scoring — the 16-32× 100-TB serving compressor;
@@ -2533,6 +2546,96 @@ object SparkEntry {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.knn.Pq.ivfAdcTopK]]: the q188 chain plus
+    * a SECOND Lloyd chain at m = 1 (the coarse quantizer, CTE prefix
+    * `c`), nProbe nearest-list selection per query by integer L2, and
+    * the ADC sum restricted to probed-list candidates. */
+  private def ivfAdcSql(kc: Int, nProbe: Int, m: Int, ksub: Int,
+                        iters: Int, k: Int): String = {
+    def asg(p: String, sv: String, n: Int, cent: String) =
+      s"""${p}asg$n AS (
+         |  SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+         |    FROM (SELECT s.vec_id, s.sub, ct.c,
+         |                 CAST(SUM((s.q - ct.v)*(s.q - ct.v)) AS BIGINT) AS d2
+         |          FROM $sv s JOIN $cent ct ON s.sub = ct.sub AND s.d = ct.d
+         |          GROUP BY 1, 2, 3))
+         |  WHERE rn = 1)""".stripMargin
+    def upd(p: String, sv: String, n: Int, prev: String) =
+      s"""${p}cent${n + 1} AS (
+         |  SELECT pr.sub, pr.c, pr.d, COALESCE(x.v, pr.v) AS v
+         |  FROM $prev pr LEFT JOIN (
+         |    SELECT a.sub, a.c, s.d,
+         |           CAST(FLOOR(CAST(SUM(s.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |    FROM ${p}asg$n a JOIN $sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |    GROUP BY 1, 2, 3) x
+         |  ON pr.sub = x.sub AND pr.c = x.c AND pr.d = x.d)""".stripMargin
+    def chain(p: String, sv: String, kk: Int): String = {
+      val rounds = (0 until iters)
+        .map(i => asg(p, sv, i, s"${p}cent$i") + ",\n" + upd(p, sv, i, s"${p}cent$i"))
+        .mkString(",\n")
+      s"""${p}ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+         |        FROM codes ORDER BY vec_id LIMIT $kk),
+         |${p}cent0 AS (SELECT s.sub, i.c, s.d, s.q AS v
+         |              FROM ${p}ids i JOIN $sv s USING (vec_id)),
+         |$rounds,
+         |${asg(p, sv, iters, s"${p}cent$iters")}""".stripMargin
+    }
+    s"""WITH codes AS (
+       |  SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |              FROM embeddings))),
+       |sv AS (SELECT vec_id, CAST((u.i - 1) // (len(qv) // $m) AS INT) AS sub,
+       |              CAST((u.i - 1) % (len(qv) // $m) AS BIGINT) AS d,
+       |              CAST(qv[u.i] AS BIGINT) AS q
+       |       FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+       |svf AS (SELECT vec_id, 0 AS sub, CAST(u.i - 1 AS BIGINT) AS d,
+       |               CAST(qv[u.i] AS BIGINT) AS q
+       |        FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+       |${chain("c", "svf", kc)},
+       |${chain("p", "sv", ksub)},
+       |probes AS (
+       |  SELECT query_id, ccode FROM (
+       |    SELECT s.vec_id AS query_id, ct.c AS ccode,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |             CAST(SUM((s.q - ct.v)*(s.q - ct.v)) AS BIGINT), ct.c) AS rn
+       |    FROM svf s JOIN ccent$iters ct ON s.d = ct.d
+       |    WHERE s.vec_id < 30 GROUP BY s.vec_id, ct.c)
+       |  WHERE rn <= $nProbe),
+       |cands AS (SELECT pr.query_id, ca.vec_id AS item_id
+       |          FROM casg$iters ca JOIN probes pr ON ca.c = pr.ccode),
+       |cbn2 AS (SELECT sub, c, CAST(SUM(v*v) AS BIGINT) AS n2 FROM pcent$iters GROUP BY 1, 2),
+       |xn AS (SELECT cd.vec_id, CAST(SUM(b.n2) AS BIGINT) AS xn2
+       |       FROM pasg$iters cd JOIN cbn2 b ON cd.sub = b.sub AND cd.c = b.c GROUP BY 1),
+       |qn AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS qn2
+       |       FROM sv WHERE vec_id < 30 GROUP BY 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.sub, ct.c,
+       |               CAST(SUM(s.q * ct.v) AS BIGINT) AS pdot
+       |        FROM sv s JOIN pcent$iters ct ON s.sub = ct.sub AND s.d = ct.d
+       |        WHERE s.vec_id < 30 GROUP BY 1, 2, 3),
+       |adcs AS (SELECT l.query_id, cd.vec_id AS item_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+       |         FROM cands cn
+       |         JOIN pasg$iters cd ON cd.vec_id = cn.item_id
+       |         JOIN lut l ON l.query_id = cn.query_id
+       |                   AND l.sub = cd.sub AND l.c = cd.c
+       |         GROUP BY 1, 2),
+       |sc AS (SELECT a.query_id, a.item_id, a.adc,
+       |         CASE WHEN q.qn2 = 0 OR x.xn2 = 0 THEN -2.0
+       |              ELSE CAST(a.adc AS DOUBLE) /
+       |                   (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(x.xn2 AS DOUBLE))) END AS score
+       |       FROM adcs a JOIN qn q ON a.query_id = q.vec_id
+       |       JOIN xn x ON a.item_id = x.vec_id
+       |       WHERE a.query_id <> a.item_id),
+       |r AS (SELECT query_id, item_id, adc, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, item_id, adc, rank, ROUND(score, 6) AS score_r
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB from-scratch recompute of [[graft.util.QuantileSketch]]
     * (refresh == scratch is the sketch's algebra, so one full-table
     * replay checks every refresh step): the pure-integer log bucketing
@@ -2574,6 +2677,8 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q190_ivf_adc_knn" -> ivfAdcSql(kc = 8, nProbe = 3, m = 4, ksub = 8,
+      iters = 2, k = 5),
     "q189_incremental_quantiles" -> quantileSketchSql(s = 5),
     "q188_pq_adc_knn" -> pqAdcSql(m = 4, ksub = 8, iters = 2, k = 5),
 

@@ -115,6 +115,101 @@ object Pq {
       .drop("cents")
   }
 
+  /** IVF-ADC top-k (the q190 surface): the faiss-style serving
+    * composition for catalogs where even m-byte codes are too many to
+    * scan per query — a COARSE integer-k-means quantizer (kc lists,
+    * trained with [[train]] at m = 1) restricts each query to its
+    * `nProbe` nearest lists, and only those candidates are scored by
+    * the [[adcTopK]] PQ lookup sums. At cluster scale the coarse list
+    * id is the partition key: a query touches nProbe partitions, the
+    * rest of the catalog is never read.
+    *
+    * This is the residual-free IVFADC variant (PQ codes encode the raw
+    * vector, not the residual v − c): one shared codebook, simpler
+    * exact-integer replay; residual encoding is the known next
+    * fidelity step and would add a per-(list, sub, code) cross-term
+    * table, still integer. Scoring, tie-breaks, sentinels and the
+    * output shape are exactly [[adcTopK]]'s — the two differ only in
+    * WHICH items are scored, which is the point. */
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: org.apache.spark.sql.Column,
+                 kc: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
+                 k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= kc, "pq ivfAdcTopK: bad k/nProbe")
+    val codes8 = Quantize.int8(emb, vecCol)
+      .select(col(idCol).as("id"), col("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the sub-vector projection backs BOTH training loops and the
+    // returned lazy plan; released with codes8 once the caller's
+    // action has run (train() forces its own actions while persisted)
+    val sv = codes8
+      .withColumn("dsub", (size(col("qvec")) / m).cast("int"))
+      .select(col("id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("qvec"), col("dsub"))
+      .select(col("id"), col("sub"),
+        expr("slice(qvec, sub * dsub + 1, dsub)").as("sqv"))
+    try {
+      // coarse quantizer: the SAME Lloyd kernel at m = 1 over the full
+      // code vector — one list id per item
+      val svFull = codes8.select(col("id"), lit(0).as("sub"), col("qvec").as("sqv"))
+      val cCents = train(svFull, 1, kc, iters)
+      val lists = assign(svFull, cCents).select(col("id"), col("code").as("ccode"))
+      val cents = train(sv, m, ksub, iters)
+      val cb = codebookDf(sv, cents)
+      val codes = assign(sv, cents).select(col("id"), col("sub"), col("code"))
+      val itemN2 = codes.join(broadcast(cb.select(col("sub"),
+          col("c").as("code"), col("n2"))), Seq("sub", "code"))
+        .groupBy("id").agg(sum("n2").as("xn2"))
+      // query probes: nProbe nearest coarse centroids by integer L2,
+      // ties to the smaller list id — kc rows broadcast per query
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val cCentDf = cCents(0).zipWithIndex
+        .map { case (v, c) => (c, v.toSeq) }.toSeq.toDF("ccode", "cv")
+      val qFull = svFull.filter(queryPred)
+      val probes = qFull.join(broadcast(cCentDf))
+        .select(col("id").as("query_id"), col("ccode"),
+          expr("aggregate(zip_with(sqv, cv, (x, y) -> (cast(x as bigint) - y) * (cast(x as bigint) - y)), 0L, (a, e) -> a + e)")
+            .as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2"), col("ccode"))))
+        .filter(col("rn") <= nProbe)
+        .select("query_id", "ccode")
+      // candidates: items whose list was probed (each item in exactly
+      // one list — no dedup needed)
+      val cands = lists.join(broadcast(probes), Seq("ccode"))
+        .select(col("query_id"), col("id").as("item_id"))
+      val qsv = sv.filter(queryPred)
+      val qn2 = qsv
+        .select(col("id"), expr(
+          "aggregate(sqv, 0L, (a, x) -> a + cast(x as bigint) * cast(x as bigint))").as("p"))
+        .groupBy("id").agg(sum("p").as("qn2"))
+      val lut = qsv.join(broadcast(cb), Seq("sub"))
+        .select(col("id").as("query_id"), col("sub"), col("c"),
+          expr("aggregate(zip_with(sqv, v, (x, y) -> cast(x as bigint) * y), 0L, (a, e) -> a + e)")
+            .as("pdot"))
+      val adc = cands
+        .join(codes.withColumnRenamed("id", "item_id"), Seq("item_id"))
+        .join(broadcast(lut), Seq("query_id", "sub"))
+        .filter(col("code") === col("c"))
+        .groupBy(col("query_id"), col("item_id"))
+        .agg(sum("pdot").as("adc"))
+      adc
+        .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+        .join(broadcast(qn2.withColumnRenamed("id", "query_id")), Seq("query_id"))
+        .join(itemN2.withColumnRenamed("id", "item_id"), Seq("item_id"))
+        .withColumn("score",
+          when(col("qn2") === 0L || col("xn2") === 0L, lit(-2.0))
+            .otherwise(col("adc").cast("double") /
+              (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("item_id"), col("adc"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+    } finally codes8.unpersist(blocking = false)
+  }
+
   /** Train + encode + ADC top-k in one call (the q188 surface):
     * queries are the `emb` rows satisfying `queryPred`; every row is
     * an indexable item. Score is the asymmetric quantized cosine —

@@ -58,6 +58,30 @@ class PqSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("ivfAdcTopK: nProbe = kc degenerates to adcTopK exactly; nProbe < kc restricts candidates") {
+    val e = emb(200).cache()
+    val full = Pq.adcTopK(e, "id", "vec", col("id") < 10, m = 4, ksub = 8,
+      iters = 2, k = 5).collect().map(_.toString).sorted
+    val ivfAll = Pq.ivfAdcTopK(e, "id", "vec", col("id") < 10, kc = 6,
+      nProbe = 6, m = 4, ksub = 8, iters = 2, k = 5)
+      .collect().map(_.toString).sorted
+    assert(ivfAll.sameElements(full),
+      "nProbe = kc did not reproduce the full ADC scan")
+    // a genuine probe restriction still returns k ranked rows per
+    // query with the shared tie-break contract
+    val probed = Pq.ivfAdcTopK(e, "id", "vec", col("id") < 10, kc = 6,
+      nProbe = 1, m = 4, ksub = 8, iters = 2, k = 5).collect()
+    val byQ = probed.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach(rs =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to 5)))
+    // the restriction bites: a single probed list excludes some
+    // full-scan winner for at least one query on this 5-cluster data
+    val probedS = probed.map(_.toString).sorted
+    assert(!probedS.sameElements(full), "nProbe=1 scanned everything?")
+    e.unpersist()
+  }
+
   test("recall@R vs exact int8 cosine clears the lossy-compression floor") {
     // the PQ paper's protocol: recall@R = fraction of queries whose
     // TRUE nearest neighbor appears in the PQ top-R (set overlap of

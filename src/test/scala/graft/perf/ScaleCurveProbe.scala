@@ -28,7 +28,9 @@ object ScaleCurveProbe {
       ((System.nanoTime() - t0) / 1e9, out)
     }
     var failures = List.empty[String]
+    val only = sys.env.get("CURVES").map(_.split(',').toSet)
     def curve(name: String, sizes: Seq[Long])(run: Long => Long): Unit = {
+      if (!only.forall(_.contains(name))) return
       run(sizes.head / 4 max 1000L) // warmup at 0.25x
       val walls = sizes.map { n =>
         val (w, out) = timed(run(n))
@@ -87,8 +89,14 @@ object ScaleCurveProbe {
     // ---- q108 six-stage corpus pipeline (curation -> line dedup ->
     //      LSH canonical -> token budget -> pack -> shard)
     curve("pipeline_e2e", Seq(50000L, 200000L, 800000L)) { nDocs =>
-      val vocab = (0 until 64).map(i => s"w$i").mkString(" ")
+      // vocabulary must PASS the curation gate: 8 unambiguous English
+      // stopwords (lang-id + stopword-ratio bits) and 7-8 char words
+      // (mean word length inside [3, 10]); 64 symbols keep the dedup
+      // joins honest like CorpusProbe's corpus
+      val vocab = (Seq("the", "of", "and", "that", "with", "this",
+        "from", "have") ++ (0 until 56).map(i => s"planet$i")).mkString(" ")
       val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        lit("en").as("lang"),
         concat(lit("s"), pmod(col("id"), lit(4))).as("source"),
         array_join(expr(
           s"""transform(sequence(0, 39),
