@@ -1939,6 +1939,26 @@ object SparkEntry {
           max(when(col("q") === 0.99, col("value"))).as("p99_cents"))
     }),
 
+    // residual IVF-PQ (faiss IVFPQ proper): product codebooks encode
+    // v − c(list), the recall lever; scoring decomposes into
+    // dot(q,c) + residual LUT sums with an integer coarse×residual
+    // cross table — exact-integer end to end
+    "q192_ivfpq_residual_knn" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.knn.Pq.ivfPqTopK(e, "id", "vec", col("id") < 30,
+        kc = 8, nProbe = 3, m = 4, ksub = 8, iters = 2, k = 5,
+        excludeSelf = true)
+    }),
+
+    // EXACT containment join (AllPairs/PPJoin prefix filter, rarest-
+    // first order): near-SUBSET duplication that Jaccard banding is
+    // blind to — lossless by the pigeonhole bound, integer thresholds
+    "q191_containment_dedup" -> ((s, dir) =>
+      graft.text.Dedup.containmentJoin(T(s, dir, "documents"),
+        shingleK = 3, tPerMille = 800L, minShingles = 5)),
+
     // IVF-ADC: coarse integer-k-means lists (partition-prunable at
     // cluster scale) restrict each query to nProbe lists; only those
     // candidates pay the PQ lookup sum — the faiss-style serving
@@ -2636,6 +2656,123 @@ object SparkEntry {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.knn.Pq.ivfPqTopK]] (residual IVF-PQ):
+    * the q190 coarse chain, a residual long-format table (q − coarse
+    * centroid), a residual Lloyd chain, the kc·m·ksub coarse×residual
+    * cross-dot table, and the decomposed exact-integer scoring
+    * adc = dot(q,c) + Σ LUT, ‖x̂‖² = ‖c‖² + 2·Σcross + Σ‖rcent‖². */
+  private def ivfPqSql(kc: Int, nProbe: Int, m: Int, ksub: Int,
+                       iters: Int, k: Int): String = {
+    def asg(p: String, sv: String, n: Int, cent: String) =
+      s"""${p}asg$n AS (
+         |  SELECT vec_id, sub, c FROM (
+         |    SELECT vec_id, sub, c,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+         |    FROM (SELECT s.vec_id, s.sub, ct.c,
+         |                 CAST(SUM((s.q - ct.v)*(s.q - ct.v)) AS BIGINT) AS d2
+         |          FROM $sv s JOIN $cent ct ON s.sub = ct.sub AND s.d = ct.d
+         |          GROUP BY 1, 2, 3))
+         |  WHERE rn = 1)""".stripMargin
+    def upd(p: String, sv: String, n: Int, prev: String) =
+      s"""${p}cent${n + 1} AS (
+         |  SELECT pr.sub, pr.c, pr.d, COALESCE(x.v, pr.v) AS v
+         |  FROM $prev pr LEFT JOIN (
+         |    SELECT a.sub, a.c, s.d,
+         |           CAST(FLOOR(CAST(SUM(s.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |    FROM ${p}asg$n a JOIN $sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |    GROUP BY 1, 2, 3) x
+         |  ON pr.sub = x.sub AND pr.c = x.c AND pr.d = x.d)""".stripMargin
+    def chain(p: String, sv: String, kk: Int): String = {
+      val rounds = (0 until iters)
+        .map(i => asg(p, sv, i, s"${p}cent$i") + ",\n" + upd(p, sv, i, s"${p}cent$i"))
+        .mkString(",\n")
+      s"""${p}ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+         |        FROM codes ORDER BY vec_id LIMIT $kk),
+         |${p}cent0 AS (SELECT s.sub, i.c, s.d, s.q AS v
+         |              FROM ${p}ids i JOIN $sv s USING (vec_id)),
+         |$rounds,
+         |${asg(p, sv, iters, s"${p}cent$iters")}""".stripMargin
+    }
+    s"""WITH codes AS (
+       |  SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INT) END) AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |              FROM embeddings))),
+       |sv AS (SELECT vec_id, CAST((u.i - 1) // (len(qv) // $m) AS INT) AS sub,
+       |              CAST((u.i - 1) % (len(qv) // $m) AS BIGINT) AS d,
+       |              CAST(qv[u.i] AS BIGINT) AS q
+       |       FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+       |svf AS (SELECT vec_id, 0 AS sub, CAST(u.i - 1 AS BIGINT) AS d,
+       |               CAST(qv[u.i] AS BIGINT) AS q
+       |        FROM codes, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+       |dims AS (SELECT MAX(d) + 1 AS dd FROM svf),
+       |${chain("c", "svf", kc)},
+       |ccn2 AS (SELECT c, CAST(SUM(v*v) AS BIGINT) AS cn2 FROM ccent$iters GROUP BY 1),
+       |rsv AS (SELECT s.vec_id,
+       |               CAST(s.d // (dims.dd // $m) AS INT) AS sub,
+       |               s.d % (dims.dd // $m) AS d,
+       |               s.q - ct.v AS q
+       |        FROM svf s
+       |        JOIN casg$iters a ON a.vec_id = s.vec_id
+       |        JOIN ccent$iters ct ON ct.c = a.c AND ct.d = s.d
+       |        CROSS JOIN dims),
+       |${chain("r", "rsv", ksub)},
+       |rcbn2 AS (SELECT sub, c, CAST(SUM(v*v) AS BIGINT) AS n2 FROM rcent$iters GROUP BY 1, 2),
+       |xc AS (SELECT ct.c AS ccode,
+       |              CAST(ct.d // (dims.dd // $m) AS INT) AS sub, rc.c AS code,
+       |              CAST(SUM(ct.v * rc.v) AS BIGINT) AS xdot
+       |       FROM ccent$iters ct
+       |       CROSS JOIN dims
+       |       JOIN rcent$iters rc
+       |         ON rc.sub = CAST(ct.d // (dims.dd // $m) AS INT)
+       |        AND rc.d = ct.d % (dims.dd // $m)
+       |       GROUP BY 1, 2, 3),
+       |xn AS (SELECT cd.vec_id,
+       |              CAST(MIN(cn.cn2) + 2 * SUM(x.xdot) + SUM(rb.n2) AS BIGINT) AS xn2
+       |       FROM rasg$iters cd
+       |       JOIN casg$iters ca ON ca.vec_id = cd.vec_id
+       |       JOIN ccn2 cn ON cn.c = ca.c
+       |       JOIN xc x ON x.ccode = ca.c AND x.sub = cd.sub AND x.code = cd.c
+       |       JOIN rcbn2 rb ON rb.sub = cd.sub AND rb.c = cd.c
+       |       GROUP BY 1),
+       |probes AS (
+       |  SELECT query_id, ccode, qcdot FROM (
+       |    SELECT s.vec_id AS query_id, ct.c AS ccode,
+       |           CAST(SUM(s.q * ct.v) AS BIGINT) AS qcdot,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |             CAST(SUM((s.q - ct.v)*(s.q - ct.v)) AS BIGINT), ct.c) AS rn
+       |    FROM svf s JOIN ccent$iters ct ON s.d = ct.d
+       |    WHERE s.vec_id < 30 GROUP BY s.vec_id, ct.c)
+       |  WHERE rn <= $nProbe),
+       |qn AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS qn2
+       |       FROM sv WHERE vec_id < 30 GROUP BY 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.sub, ct.c,
+       |               CAST(SUM(s.q * ct.v) AS BIGINT) AS pdot
+       |        FROM sv s JOIN rcent$iters ct ON s.sub = ct.sub AND s.d = ct.d
+       |        WHERE s.vec_id < 30 GROUP BY 1, 2, 3),
+       |adcs AS (SELECT pr.query_id, cd.vec_id AS item_id,
+       |                CAST(MIN(pr.qcdot) + SUM(l.pdot) AS BIGINT) AS adc
+       |         FROM casg$iters ca
+       |         JOIN probes pr ON ca.c = pr.ccode
+       |         JOIN rasg$iters cd ON cd.vec_id = ca.vec_id
+       |         JOIN lut l ON l.query_id = pr.query_id
+       |                   AND l.sub = cd.sub AND l.c = cd.c
+       |         GROUP BY 1, 2),
+       |sc AS (SELECT a.query_id, a.item_id, a.adc,
+       |         CASE WHEN q.qn2 = 0 OR x.xn2 <= 0 THEN -2.0
+       |              ELSE CAST(a.adc AS DOUBLE) /
+       |                   (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(x.xn2 AS DOUBLE))) END AS score
+       |       FROM adcs a JOIN qn q ON a.query_id = q.vec_id
+       |       JOIN xn x ON a.item_id = x.vec_id
+       |       WHERE a.query_id <> a.item_id),
+       |r AS (SELECT query_id, item_id, adc, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, item_id, adc, rank, ROUND(score, 6) AS score_r
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB from-scratch recompute of [[graft.util.QuantileSketch]]
     * (refresh == scratch is the sketch's algebra, so one full-table
     * replay checks every refresh step): the pure-integer log bucketing
@@ -2677,6 +2814,31 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q192_ivfpq_residual_knn" -> ivfPqSql(kc = 8, nProbe = 3, m = 4,
+      ksub = 8, iters = 2, k = 5),
+
+    // containment: the q33 shingle algebra + integer prefix filter
+    "q191_containment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pref AS (SELECT doc_id AS doc_a, n AS na, s FROM (
+        |    SELECT sh.doc_id, cnt.n, sh.s,
+        |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY dfreq.df, sh.s) AS rk
+        |    FROM sh JOIN dfreq USING (s) JOIN cnt USING (doc_id)
+        |    WHERE cnt.n >= 5)
+        |  WHERE rk <= n - ((800 * n + 999) // 1000) + 1),
+        |cand AS (SELECT DISTINCT p.doc_a, b.doc_id AS doc_b, p.na
+        |         FROM pref p JOIN sh b USING (s) WHERE p.doc_a <> b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, c.na, COUNT(*) AS ni
+        |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, na, ni, ROUND(ni * 1.0 / na, 6) AS containment
+        |FROM inter WHERE ni * 1000 >= 800 * na""".stripMargin,
+
     "q190_ivf_adc_knn" -> ivfAdcSql(kc = 8, nProbe = 3, m = 4, ksub = 8,
       iters = 2, k = 5),
     "q189_incremental_quantiles" -> quantileSketchSql(s = 5),

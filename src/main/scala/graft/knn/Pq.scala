@@ -210,6 +210,124 @@ object Pq {
     } finally codes8.unpersist(blocking = false)
   }
 
+  /** RESIDUAL IVF-PQ top-k (the q192 surface) — faiss `IVFPQ` proper:
+    * like [[ivfAdcTopK]] but the product codebooks encode the RESIDUAL
+    * `v − c(list)` instead of the raw vector, which is the recall
+    * lever (residuals are centered near zero, so the same ksub
+    * centroids resolve much finer structure than on raw vectors).
+    *
+    * Exact-integer scoring decomposition, per candidate x in list ℓ
+    * with residual codes x₁..x_m:
+    *   adc  = dot(q, c_ℓ) + Σ_s dot(q_s, rcent[s][x_s])
+    *   ‖x̂‖² = ‖c_ℓ‖² + 2·Σ_s dot(c_ℓ,s, rcent[s][x_s]) + Σ_s ‖rcent[s][x_s]‖²
+    * The cross terms dot(c_ℓ,s, rcent[s][x_s]) form a kc·m·ksub
+    * literal table built driver-side from the two (driver-resident,
+    * KiB-sized) codebooks — every term a Long, so the DuckDB replay is
+    * exact. Score/rank/sentinel contract is [[adcTopK]]'s. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: org.apache.spark.sql.Column,
+                kc: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
+                k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= kc, "pq ivfPqTopK: bad k/nProbe")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes8 = Quantize.int8(emb, vecCol)
+      .select(col(idCol).as("id"), col("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val svFull = codes8.select(col("id"), lit(0).as("sub"), col("qvec").as("sqv"))
+      val cCents = train(svFull, 1, kc, iters)
+      val cCentDf = cCents(0).zipWithIndex
+        .map { case (v, c) => (c, v.toSeq, v.map(x => x * x).sum) }
+        .toSeq.toDF("ccode", "cv", "cn2")
+      val lists = assign(svFull, cCents)
+        .select(col("id"), col("code").as("ccode"))
+      // residual sub-vectors: (v − c_list) sliced into m subspaces;
+      // values stay small ints (|q| ≤ 127, |cent| ≤ 127 → |r| ≤ 254)
+      val rsv = codes8.join(lists, Seq("id"))
+        .join(broadcast(cCentDf.select(col("ccode"), col("cv"))), Seq("ccode"))
+        .withColumn("rvec", expr(
+          "zip_with(qvec, cv, (x, y) -> cast(x as int) - cast(y as int))"))
+        .withColumn("dsub", (size(col("rvec")) / m).cast("int"))
+        .select(col("id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+          col("rvec"), col("dsub"))
+        .select(col("id"), col("sub"),
+          expr("slice(rvec, sub * dsub + 1, dsub)").as("sqv"))
+      val rCents = train(rsv, m, ksub, iters)
+      val rcb = codebookDf(rsv, rCents)
+      val codes = assign(rsv, rCents).select(col("id"), col("sub"), col("code"))
+      // cross table: dot(c_list sub-slice, residual centroid) — built
+      // driver-side from the two codebooks (kc·m·ksub Long rows)
+      val dsub = cCents(0)(0).length / m
+      val cross = (for {
+        cc <- 0 until kc; s <- 0 until m; rc <- 0 until ksub
+      } yield {
+        val cSlice = cCents(0)(cc).slice(s * dsub, (s + 1) * dsub)
+        val rv = rCents(s)(rc)
+        (cc, s, rc, cSlice.zip(rv).map { case (a, b) => a * b }.sum)
+      }).toDF("ccode", "sub", "code", "xdot")
+      // item reconstruction norm: cn2 + 2·Σ cross + Σ ‖rcent‖²
+      val itemN2 = codes.join(lists, Seq("id"))
+        .join(broadcast(cross), Seq("ccode", "sub", "code"))
+        .join(broadcast(rcb.select(col("sub"), col("c").as("code"), col("n2"))),
+          Seq("sub", "code"))
+        .groupBy("id", "ccode")
+        .agg((sum(col("n2")) + lit(2L) * sum(col("xdot"))).as("rpart"))
+        .join(broadcast(cCentDf.select(col("ccode"), col("cn2"))), Seq("ccode"))
+        .select(col("id"), (col("cn2") + col("rpart")).as("xn2"))
+      // query side: probes by integer L2 to coarse centroids, plus
+      // (a) dot(q, c_ℓ) per probed list and (b) the residual-codebook LUT
+      val qFull = svFull.filter(queryPred)
+      val qProbe = qFull.join(broadcast(cCentDf))
+        .select(col("id").as("query_id"), col("ccode"),
+          expr("aggregate(zip_with(sqv, cv, (x, y) -> (cast(x as bigint) - y) * (cast(x as bigint) - y)), 0L, (a, e) -> a + e)")
+            .as("d2"),
+          expr("aggregate(zip_with(sqv, cv, (x, y) -> cast(x as bigint) * y), 0L, (a, e) -> a + e)")
+            .as("qcdot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2"), col("ccode"))))
+        .filter(col("rn") <= nProbe)
+        .select("query_id", "ccode", "qcdot")
+      val qsv = codes8.filter(queryPred)
+        .withColumn("dsub", (size(col("qvec")) / m).cast("int"))
+        .select(col("id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+          col("qvec"), col("dsub"))
+        .select(col("id"), col("sub"),
+          expr("slice(qvec, sub * dsub + 1, dsub)").as("sqv"))
+      val qn2 = qsv
+        .select(col("id"), expr(
+          "aggregate(sqv, 0L, (a, x) -> a + cast(x as bigint) * cast(x as bigint))").as("p"))
+        .groupBy("id").agg(sum("p").as("qn2"))
+      val lut = qsv.join(broadcast(rcb), Seq("sub"))
+        .select(col("id").as("query_id"), col("sub"), col("c"),
+          expr("aggregate(zip_with(sqv, v, (x, y) -> cast(x as bigint) * y), 0L, (a, e) -> a + e)")
+            .as("pdot"))
+      // candidates carry their list's dot(q, c) once; residual LUT sums
+      // ride the same grouped aggregation
+      val cands = lists.join(broadcast(qProbe), Seq("ccode"))
+        .select(col("query_id"), col("id").as("item_id"), col("qcdot"))
+      val adc = cands
+        .join(codes.withColumnRenamed("id", "item_id"), Seq("item_id"))
+        .join(broadcast(lut), Seq("query_id", "sub"))
+        .filter(col("code") === col("c"))
+        .groupBy(col("query_id"), col("item_id"))
+        .agg((first(col("qcdot")) + sum(col("pdot"))).as("adc"))
+      adc
+        .filter(if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+        .join(broadcast(qn2.withColumnRenamed("id", "query_id")), Seq("query_id"))
+        .join(itemN2.withColumnRenamed("id", "item_id"), Seq("item_id"))
+        .withColumn("score",
+          when(col("qn2") === 0L || col("xn2") <= 0L, lit(-2.0))
+            .otherwise(col("adc").cast("double") /
+              (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("item_id"), col("adc"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+    } finally codes8.unpersist(blocking = false)
+  }
+
   /** Train + encode + ADC top-k in one call (the q188 surface):
     * queries are the `emb` rows satisfying `queryPred`; every row is
     * an indexable item. Score is the asymmetric quantized cosine —

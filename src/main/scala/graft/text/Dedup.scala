@@ -24,6 +24,70 @@ object Dedup {
     docs.groupBy(textCol)
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** EXACT containment join (the AllPairs/PPJoin prefix filter, Bayardo
+    * 2007 / Xiao 2008, applied to the asymmetric containment measure):
+    * emit (doc_a, doc_b) whenever C(a→b) = |Sa ∩ Sb| / |Sa| ≥ t — the
+    * near-SUBSET duplication Jaccard banding is blind to (a short doc
+    * wholly wrapped in boilerplate has high containment but low
+    * Jaccard, so the minhash S-curve never surfaces it).
+    *
+    * Losslessness: order all shingles by GLOBAL (document-frequency
+    * ASC, shingle ASC) — rarest first — and take each contained-side
+    * doc's first n − ⌈t·n⌉ + 1 shingles as its prefix (α = ⌈t·n⌉
+    * computed in exact integers from the per-mille threshold). If
+    * C(a→b) ≥ t then a shares ≥ α shingles with b, so at most n − α
+    * of a's shingles are NOT shared — strictly fewer than the prefix
+    * size — hence some prefix shingle of a is in b
+    * (pigeonhole): the prefix ⋈ shingles equi-join finds EVERY
+    * qualifying pair, no recall loss, and exact verification only
+    * touches candidates. Rarest-first is what keeps the join small:
+    * prefix shingles have the lowest document frequencies, so their
+    * fan-out is minimal — the classic prefix-filtering argument.
+    *
+    * Scale shape: one df groupBy (map-side combined), one per-DOC
+    * window (bounded by the doc's own shingle count, never a corpus
+    * window), one skinny prefix⋈shingle equi-join, count-based verify
+    * on candidates only. Every step replays verbatim in ANSI SQL.
+    *
+    * @return (doc_a, doc_b, na, ni, containment) — doc_a is the
+    *         contained side, na its distinct-shingle count, ni the
+    *         intersection; both directions emitted for mutual pairs */
+  def containmentJoin(docs: DataFrame, shingleK: Int, tPerMille: Long,
+                      minShingles: Int = 5): DataFrame = {
+    require(tPerMille > 0 && tPerMille <= 1000,
+      s"containment: tPerMille in (0, 1000], got $tPerMille")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingles(docs, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // threshold math is PURE INTEGER (the house rule — a double
+      // `1 − t` rounds differently across engines at exact multiples):
+      // required overlap α = ⌈t·n⌉ = (tPm·n + 999) div 1000, prefix
+      // size = n − α + 1
+      val prefix = sh.join(dfreq, Seq("s")).join(counts, Seq("doc_id"))
+        .filter(col("n") >= minShingles)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .filter(col("rk") <=
+          col("n") - expr(s"($tPerMille * n + 999) div 1000") + 1)
+        .select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+      val cand = prefix
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b", "na").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b", "na").agg(count(lit(1)).as("ni"))
+        .filter(col("ni") * 1000L >= lit(tPerMille) * col("na"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("ni"),
+          round(col("ni") * 1.0 / col("na"), 6).as("containment"))
+        .localCheckpoint(true)
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Distinct word-k-gram shingles: (doc_id, s). */
   def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     val grams = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")

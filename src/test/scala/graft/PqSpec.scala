@@ -82,6 +82,34 @@ class PqSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("residual IVF-PQ: valid ranked output and recall at or above the raw-code IVF-ADC") {
+    val e = emb(300).cache()
+    val nn1 = Quantize.cosTopK(e.filter(col("id") < 20), e, 1, excludeSelf = true)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = df.select("query_id", "item_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      nn1.keys.count(q => byQ.getOrElse(q, Set.empty)(nn1(q))).toDouble / nn1.size
+    }
+    val plain = Pq.ivfAdcTopK(e, "id", "vec", col("id") < 20, kc = 6,
+      nProbe = 3, m = 4, ksub = 16, iters = 3, k = 10)
+    val resid = Pq.ivfPqTopK(e, "id", "vec", col("id") < 20, kc = 6,
+      nProbe = 3, m = 4, ksub = 16, iters = 3, k = 10)
+    val rows = resid.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.values.foreach(rs =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length) && rs.length <= 10))
+    val (rp, rr) = (recallOf(plain), recallOf(resid))
+    info(f"recall@10 of NN@1: ivf-adc raw $rp%.3f vs ivf-pq residual $rr%.3f")
+    // residual encoding is the recall lever — it must not LOSE to the
+    // raw-code variant on clustered data (equality allowed: both may
+    // saturate at this scale)
+    assert(rr >= rp - 1e-9, f"residual recall $rr%.3f below raw $rp%.3f")
+    e.unpersist()
+  }
+
   test("recall@R vs exact int8 cosine clears the lossy-compression floor") {
     // the PQ paper's protocol: recall@R = fraction of queries whose
     // TRUE nearest neighbor appears in the PQ top-R (set overlap of

@@ -83,6 +83,36 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming form: complete-mode bucket counts == batch state after every trigger") {
+    // the sketch state is a plain grouped count over the bucket index,
+    // so its streaming form is a stock aggregation with BOUNDED state
+    // (≤ occupied buckets per group — the sketch's point); complete
+    // mode re-emits the whole (small) table each trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("g", "v")
+      .withColumn("qb", QuantileSketch.bucketIdx("v", S))
+      .groupBy("g", "qb").agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qsk_stream").start()
+    try {
+      val rnd = new scala.util.Random(4)
+      var delivered = Seq.empty[(String, Long)]
+      for (batch <- Seq.fill(3)(Seq.fill(400)(
+        (s"g${rnd.nextInt(2)}", (math.exp(rnd.nextGaussian() * 3 + 4)).toLong)))) {
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        delivered ++= batch
+        val got = spark.table("qsk_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val want = QuantileSketch.state(delivered.toDF("g", "v"), Seq("g"), "v", S)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want, s"stream/batch drift after ${delivered.size} rows")
+      }
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS qsk_stream") }
+  }
+
   test("NULL values carry no rank; state stays bounded per group") {
     val data = Seq(("a", Some(5L)), ("a", None), ("a", Some(1000000L)),
       ("b", None)).toDF("g", "v")
