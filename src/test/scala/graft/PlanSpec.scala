@@ -216,4 +216,27 @@ class PlanSpec extends AnyFunSuite {
         s"alias join should degrade to a shuffled equi-join:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("PQ family (q188/q190/q192): no cartesian product; LUT/codebook joins broadcast") {
+    // the ADC scoring joins key on (query_id, sub) / (sub, code) with
+    // the small side (codebooks, LUTs, probes — KiB each) explicitly
+    // broadcast; a CartesianProduct or BroadcastNestedLoopJoin in any
+    // of these plans would be the N×M scored stream materializing
+    for (q <- Seq("q188_pq_adc_knn", "q190_ivf_adc_knn", "q192_ivfpq_residual_knn")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins")
+    }
+  }
+
+  test("containment join (q191): prefix filter is an equi-join; windows are doc-partitioned") {
+    val p = plan("q191_containment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q191 plans a product join:\n${p.take(2000)}")
+    // the per-doc prefix rank must never be a global (empty-partition)
+    // window over the corpus shingle stream
+    assert(!p.contains("Window [") || !p.contains("PartitionBy: []"),
+      "q191 prefix rank planned as a global window")
+  }
 }
