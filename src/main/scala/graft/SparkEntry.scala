@@ -1939,6 +1939,19 @@ object SparkEntry {
           max(when(col("q") === 0.99, col("value"))).as("p99_cents"))
     }),
 
+    // sketch-based winsorization: the ONE-PASS approximate clip (q180
+    // is the exact recursive sibling) — bounds are bucket
+    // representatives from the q189 sketch, deterministic integers
+    "q193_sketch_winsorize" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      graft.util.QuantileSketch.winsorizeByGroup(li, Seq("l_partkey"),
+        "cents", 0.05, 0.95, s = 5)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("cents_w").as("sum_w"),
+          min("cents_w").as("min_w"), max("cents_w").as("max_w"))
+    }),
+
     // residual IVF-PQ (faiss IVFPQ proper): product codebooks encode
     // v − c(list), the recall lever; scoring decomposes into
     // dot(q,c) + residual LUT sums with an integer coarse×residual
@@ -2773,6 +2786,49 @@ object SparkEntry {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.util.QuantileSketch.winsorizeByGroup]]:
+    * the q189 bucket chain at qs (0.05, 0.95), representative bounds
+    * joined back, NULL-guarded integer clip, exact-long aggregate. */
+  private def sketchWinsorizeSql(s: Int): String = {
+    val cap = 1L << s
+    def posIdx(v: String) =
+      s"""(CASE WHEN $v < $cap THEN $v
+         |  ELSE CAST(length(bin($v)) - 1 - $s AS BIGINT) * $cap
+         |       + ($v >> (length(bin($v)) - 1 - $s)) END)""".stripMargin
+    def posRep(i: String) =
+      s"""(CASE WHEN $i < ${2 * cap} THEN $i
+         |  ELSE ((($i % $cap) + ${cap + 1}) << CAST($i // $cap - 1 AS INT)) - 1 END)""".stripMargin
+    s"""WITH v AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+       |           FROM lineitem),
+       |nn AS (SELECT l_partkey, cents FROM v WHERE cents IS NOT NULL),
+       |b AS (SELECT l_partkey,
+       |        CASE WHEN cents >= 0 THEN ${posIdx("cents")}
+       |             ELSE -1 - ${posIdx("(- cents)")} END AS qb
+       |      FROM nn),
+       |st AS (SELECT l_partkey, qb, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |tot AS (SELECT l_partkey, SUM(cnt) AS n FROM st GROUP BY 1),
+       |cum AS (SELECT l_partkey, qb,
+       |          SUM(cnt) OVER (PARTITION BY l_partkey ORDER BY qb) AS cum FROM st),
+       |rk AS (SELECT l_partkey, q, CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1 AS rk
+       |       FROM tot CROSS JOIN (VALUES (0.05), (0.95)) t(q)),
+       |sel AS (SELECT r.l_partkey, r.q, MIN(c.qb) AS qb
+       |        FROM rk r JOIN cum c ON c.l_partkey = r.l_partkey AND c.cum >= r.rk
+       |        GROUP BY 1, 2),
+       |bounds AS (SELECT l_partkey,
+       |    MAX(CASE WHEN q = 0.05 THEN val END) AS lo,
+       |    MAX(CASE WHEN q = 0.95 THEN val END) AS hi
+       |  FROM (SELECT l_partkey, q,
+       |          CASE WHEN qb >= 0 THEN ${posRep("qb")}
+       |               ELSE - ${posRep("(-1 - qb)")} END AS val
+       |        FROM sel) GROUP BY 1)
+       |SELECT v.l_partkey, COUNT(*) AS n,
+       |  CAST(SUM(LEAST(GREATEST(v.cents, b2.lo), b2.hi)) AS BIGINT) AS sum_w,
+       |  MIN(LEAST(GREATEST(v.cents, b2.lo), b2.hi)) AS min_w,
+       |  MAX(LEAST(GREATEST(v.cents, b2.lo), b2.hi)) AS max_w
+       |FROM v LEFT JOIN bounds b2 ON v.l_partkey = b2.l_partkey
+       |GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB from-scratch recompute of [[graft.util.QuantileSketch]]
     * (refresh == scratch is the sketch's algebra, so one full-table
     * replay checks every refresh step): the pure-integer log bucketing
@@ -2814,6 +2870,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q193_sketch_winsorize" -> sketchWinsorizeSql(s = 5),
     "q192_ivfpq_residual_knn" -> ivfPqSql(kc = 8, nProbe = 3, m = 4,
       ksub = 8, iters = 2, k = 5),
 

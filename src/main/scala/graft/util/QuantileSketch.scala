@@ -89,6 +89,32 @@ object QuantileSketch {
               groupCols: Seq[String], valueCol: String, s: Int = 5): DataFrame =
     merge(Seq(prevState, state(delta, groupCols, valueCol, s)), groupCols)
 
+  /** Sketch-based per-group winsorization — the ONE-PASS 100-TB clip:
+    * [[GlobalPercentile.winsorizeByGroup]] is exact but pays one
+    * breadth-wise selection job per refinement round; this variant
+    * reads both bounds from the mergeable bucket sketch (one grouped
+    * count + a rollup — a single shuffle), at the sketch's ≤ 2^−s
+    * relative error. Clip bounds are the bucket REPRESENTATIVES, so
+    * they are deterministic integers and the whole transform replays
+    * in DuckDB. NULL values pass through as NULL (the r12 ADVICE
+    * contract — greatest/least skip NULLs, so the clip is guarded).
+    * @return input + `<valueCol>_lo`, `<valueCol>_hi`, `<valueCol>_w` */
+  def winsorizeByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       loQ: Double, hiQ: Double, s: Int = 5): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"sketch winsorize: need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val qs = quantiles(state(df, groupCols, valueCol, s), groupCols,
+      Seq(loQ, hiQ), s)
+    val bounds = qs.groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("q") === loQ, col("value"))).as(s"${valueCol}_lo"),
+        max(when(col("q") === hiQ, col("value"))).as(s"${valueCol}_hi"))
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(col(valueCol), col(s"${valueCol}_lo")),
+            col(s"${valueCol}_hi"))))
+  }
+
   /** Quantile read: (groupCols, q, value) for each requested q —
     * nearest-rank selection over the cumulative bucket rollup. */
   def quantiles(st: DataFrame, groupCols: Seq[String], qs: Seq[Double],

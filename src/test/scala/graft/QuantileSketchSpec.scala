@@ -83,6 +83,31 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch winsorize: bounds within the 2^-s band of exact quantiles, NULLs stay NULL") {
+    val rnd = new scala.util.Random(21)
+    val vals = Seq.fill(4000)((math.exp(rnd.nextGaussian() * 2 + 6)).toLong)
+    val data = (vals.map(v => ("g", Some(v))) :+ (("g", None: Option[Long])))
+      .toDF("g", "v")
+    val out = QuantileSketch.winsorizeByGroup(data, Seq("g"), "v", 0.05, 0.95, S)
+      .cache()
+    val sorted = vals.sorted
+    def exactRank(q: Double) = sorted((math.floor(q * (vals.size - 1)) + 1).toInt - 1)
+    val bounds = out.select("v_lo", "v_hi").first()
+    for ((got, q) <- Seq((bounds.getLong(0), 0.05), (bounds.getLong(1), 0.95))) {
+      val exact = exactRank(q)
+      assert(got >= exact && got <= exact * (1.0 + 1.0 / (1L << S)) + 1,
+        s"q=$q sketch bound $got outside the band around $exact")
+    }
+    // clip actually bites on both tails and respects the bounds
+    val ws = out.filter(col("v").isNotNull).select("v", "v_w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ws.forall { case (_, w) => w >= bounds.getLong(0) && w <= bounds.getLong(1) })
+    assert(ws.exists { case (v, w) => v < w } && ws.exists { case (v, w) => v > w })
+    // NULL value -> NULL clipped (the r12 ADVICE contract)
+    assert(out.filter(col("v").isNull).first().isNullAt(4))
+    out.unpersist()
+  }
+
   test("streaming form: complete-mode bucket counts == batch state after every trigger") {
     // the sketch state is a plain grouped count over the bucket index,
     // so its streaming form is a stock aggregation with BOUNDED state
