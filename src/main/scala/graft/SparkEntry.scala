@@ -1038,6 +1038,20 @@ object SparkEntry {
           expr("cast(round(col * 765) as bigint)").as("sum_rgb"))
     }),
 
+    // ViT-style patchify under a REAL decode: 16×16 synthetic PNG per
+    // doc (pixel p = (doc_id·31+p) mod 256), 4×4 patches, exact-integer
+    // per-patch sums/min/max — the oracle replays the pixel formula
+    // with no codec; any decode/tiling defect breaks the hash
+    "q194_image_patchify" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.multimodal.MultimodalOps.Media(
+          id, "image", graft.multimodal.MultimodalOps.syntheticPng(id, 16, 16), 16, 16, 0))
+      graft.multimodal.MultimodalOps.patchFeatures(media, patch = 4)
+        .select(col("id").as("doc_id"), col("patch_idx").cast("int").as("patch_idx"),
+          col("sum_rgb"), col("min_rgb"), col("max_rgb"))
+    }),
+
     // Backward as-of join: each click enriched with the user's most
     // recent prior-or-equal purchase (AsofJoin.asofBackward — union +
     // one keyed window, zero join nodes). Oracled by DuckDB's native
@@ -2870,6 +2884,17 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // codec-free replay of the q194 patchify: pixel p of the 16×16
+    // grid lands in patch ((p//16)//4)*4 + (p%16)//4
+    "q194_image_patchify" ->
+      """SELECT d.doc_id,
+        |  CAST(((t.i // 16) // 4) * 4 + (t.i % 16) // 4 AS INT) AS patch_idx,
+        |  CAST(SUM(3 * ((d.doc_id * 31 + t.i) % 256)) AS BIGINT) AS sum_rgb,
+        |  CAST(MIN(3 * ((d.doc_id * 31 + t.i) % 256)) AS BIGINT) AS min_rgb,
+        |  CAST(MAX(3 * ((d.doc_id * 31 + t.i) % 256)) AS BIGINT) AS max_rgb
+        |FROM documents d, range(256) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q193_sketch_winsorize" -> sketchWinsorizeSql(s = 5),
     "q192_ivfpq_residual_knn" -> ivfPqSql(kc = 8, nProbe = 3, m = 4,
       ksub = 8, iters = 2, k = 5),

@@ -126,6 +126,49 @@ object MultimodalOps {
     }
   }
 
+  /** ViT-style patch features under a REAL decode: split the decoded
+    * image into `patch`×`patch` tiles (row-major patch index over a
+    * ⌈w/patch⌉×⌈h/patch⌉ grid) and emit EXACT-INTEGER per-patch
+    * channel-sum statistics — the patchify step every vision
+    * transformer pipeline runs before embedding, kept in integers so
+    * a codec-free oracle can replay it from the synthetic pixel
+    * formula (the q65 scheme: any decode or indexing defect breaks
+    * the hash). Non-decodable rows are dropped (production patchify
+    * runs after the media-type gate).
+    * @return (id, patch_idx, sum_rgb, min_rgb, max_rgb) with
+    *         rgb = r + g + b per pixel */
+  def patchFeatures(media: Dataset[Media], patch: Int): DataFrame = {
+    require(patch >= 1, "patchFeatures: patch >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+          catch { case _: Throwable => None }
+        img.toSeq.flatMap { bi =>
+          val (w, h) = (bi.getWidth, bi.getHeight)
+          val cols = (w + patch - 1) / patch
+          val rows = (h + patch - 1) / patch
+          for (py <- 0 until rows; px <- 0 until cols) yield {
+            var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var y = py * patch
+            while (y < math.min((py + 1) * patch, h)) {
+              var x = px * patch
+              while (x < math.min((px + 1) * patch, w)) {
+                val rgb = bi.getRGB(x, y)
+                val v = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            (m.id, py * cols + px, sum, mn, mx)
+          }
+        }
+      }
+    }.toDF("id", "patch_idx", "sum_rgb", "min_rgb", "max_rgb")
+  }
+
   /** REAL image resize, JDK-only: decode via [[decodeImage]]'s reader,
     * explicit nearest-neighbor pixel loop (src = (x·srcW/dstW,
     * y·srcH/dstH), integer floor — deliberately NOT Graphics2D

@@ -339,6 +339,36 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // --- perceptual image hash -------------------------------------------
 
+  test("patchFeatures: exact tile sums vs the pixel formula; ragged edges; bad bytes dropped") {
+    import graft.multimodal.MultimodalOps
+    import spark.implicits._
+    // 16x16, 4x4 patches: recompute each tile from the synthetic formula
+    val media = Seq(7L, 8L).toDS().map(id => MultimodalOps.Media(
+      id, "image", MultimodalOps.syntheticPng(id, 16, 16), 16, 16, 0))
+    val got = MultimodalOps.patchFeatures(media, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 2 * 16)
+    for (id <- Seq(7L, 8L); pi <- 0 until 16) {
+      val vals = for {
+        y <- (pi / 4) * 4 until (pi / 4) * 4 + 4
+        x <- (pi % 4) * 4 until (pi % 4) * 4 + 4
+      } yield 3L * ((id * 31 + (y * 16 + x)) % 256)
+      assert(got((id, pi)) == ((vals.sum, vals.min, vals.max)), s"tile $id/$pi")
+    }
+    // ragged edge: 10x6 with patch 4 -> 3x2 grid, last column 2 wide,
+    // last row 2 tall; total pixel mass conserved across tiles
+    val ragged = Seq(3L).toDS().map(id => MultimodalOps.Media(
+      id, "image", MultimodalOps.syntheticPng(id, 10, 6), 10, 6, 0))
+    val rg = MultimodalOps.patchFeatures(ragged, 4).collect()
+    assert(rg.length == 6)
+    val total = (0 until 60).map(p => 3L * ((3L * 31 + p) % 256)).sum
+    assert(rg.map(_.getLong(2)).sum == total, "ragged tiles lost pixels")
+    // non-decodable bytes produce no rows (dropped, not a crash)
+    val bad = Seq(9L).toDS().map(id =>
+      MultimodalOps.Media(id, "image", "not an image".getBytes, 0, 0, 0))
+    assert(MultimodalOps.patchFeatures(bad, 4).isEmpty)
+  }
+
   test("aHash64: deterministic, identity for equal images, uniform image -> all zero bits") {
     import graft.multimodal.MultimodalOps
     val a = MultimodalOps.aHash64(MultimodalOps.syntheticPng(7L, 16, 16)).get
