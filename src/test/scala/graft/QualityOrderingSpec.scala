@@ -97,13 +97,14 @@ class QualityOrderingSpec extends AnyFunSuite {
     info(f"MAP@5: node2vec=$n2v%.5f item2vec=$i2v%.5f bpr=$bpr%.5f transE-ratings=$te%.5f")
     assert(n2v > 0.0 && n2v <= 1.0)
     // the reference's ordering (run1.csv: node2vec 0.165 at the top;
-    // transEratings.csv: 0.0065 at the bottom). Measured 2026-08-16:
-    // node2vec 0.16408 (vs the reference's 0.16493 — striking),
-    // item2vec 0.11793, bpr 0.01958, transE 0.00767. The 1.2× margins
-    // leave headroom for multithreaded-SGNS run jitter while still
-    // pinning a real separation, not a tie.
-    assert(n2v > 1.2 * i2v, f"node2vec $n2v%.5f not above item2vec $i2v%.5f")
-    assert(n2v > 1.2 * bpr, f"node2vec $n2v%.5f not above bpr $bpr%.5f")
+    // transEratings.csv: 0.0065 at the bottom). Measured over 3 runs
+    // 2026-08-16 (multithreaded-SGNS jitter): node2vec 0.161-0.164
+    // (vs the reference's 0.16493 — striking), item2vec 0.118-0.127,
+    // bpr 0.01958 and transE 0.00767 exactly stable (deterministic
+    // kernels). Worst observed n2v/i2v ratio 1.27×; the 1.15× floor
+    // keeps real cushion while still pinning a separation, not a tie.
+    assert(n2v > 1.15 * i2v, f"node2vec $n2v%.5f not above item2vec $i2v%.5f")
+    assert(n2v > 1.15 * bpr, f"node2vec $n2v%.5f not above bpr $bpr%.5f")
     assert(i2v > te, f"item2vec $i2v%.5f not above transE-ratings $te%.5f")
     assert(bpr > te, f"bpr $bpr%.5f not above transE-ratings $te%.5f")
   }
