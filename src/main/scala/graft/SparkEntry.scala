@@ -1038,6 +1038,19 @@ object SparkEntry {
           expr("cast(round(col * 765) as bigint)").as("sum_rgb"))
     }),
 
+    // HLL set-overlap: |A∩B| by inclusion–exclusion over register
+    // unions (per-idx MAX) — 1996-vs-1997 customer-base overlap with
+    // no exact distinct set ever materialized; same register algebra
+    // as q177, so the whole derivation replays in DuckDB
+    "q195_hll_overlap" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        expr("year(cast(o_orderdate as timestamp))").as("y"))
+      graft.util.Sketches.hllOverlap(
+        o.filter(col("y") === 1996).select("o_custkey"),
+        o.filter(col("y") === 1997).select("o_custkey"),
+        Seq("o_custkey"), b = 10, seed = 42L)
+    }),
+
     // ViT-style patchify under a REAL decode: 16×16 synthetic PNG per
     // doc (pixel p = (doc_id·31+p) mod 256), 4×4 patches, exact-integer
     // per-patch sums/min/max — the oracle replays the pixel formula
@@ -2884,6 +2897,45 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // HLL overlap: the q177 register chain per side + union-by-max,
+    // inclusion–exclusion in e6 integers
+    "q195_hll_overlap" ->
+      """WITH src AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS y FROM orders),
+        |ha AS (SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM src WHERE y = 1996),
+        |hb AS (SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM src WHERE y = 1997),
+        |rega AS (SELECT h >> 42 AS idx,
+        |    MAX(CASE WHEN (h & ((1::UBIGINT << 42) - 1)) = 0 THEN 43
+        |             ELSE 42 - length(bin(h & ((1::UBIGINT << 42) - 1))) + 1 END) AS r
+        |  FROM ha GROUP BY 1),
+        |regb AS (SELECT h >> 42 AS idx,
+        |    MAX(CASE WHEN (h & ((1::UBIGINT << 42) - 1)) = 0 THEN 43
+        |             ELSE 42 - length(bin(h & ((1::UBIGINT << 42) - 1))) + 1 END) AS r
+        |  FROM hb GROUP BY 1),
+        |regu AS (SELECT idx, MAX(r) AS r
+        |         FROM (SELECT * FROM rega UNION ALL SELECT * FROM regb) GROUP BY 1),
+        |regs AS (SELECT 'a' AS side, idx, r FROM rega
+        |         UNION ALL SELECT 'b', idx, r FROM regb
+        |         UNION ALL SELECT 'u', idx, r FROM regu),
+        |agg AS (SELECT side, COUNT(*) AS occ,
+        |               SUM((1::UBIGINT << (43 - r))::HUGEINT) AS socc FROM regs GROUP BY 1),
+        |est AS (SELECT side, CAST(1024 - occ AS BIGINT) AS n_zero,
+        |        CAST(socc + (1024 - occ)::HUGEINT * (1::HUGEINT << 43) AS BIGINT) AS s_scaled
+        |        FROM agg),
+        |e AS (SELECT side,
+        |        CAST(round(CASE WHEN raw <= 2560.0 AND n_zero > 0
+        |                     THEN 1024.0 * ln(1024.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
+        |      FROM est, LATERAL (SELECT (0.7213 / (1.0 + 1.079/1024)) * 1024.0 * 1024.0
+        |                                * 8796093022208.0 / CAST(s_scaled AS DOUBLE) AS raw))
+        |SELECT MAX(CASE WHEN side = 'a' THEN est_e6 END) AS est_a_e6,
+        |  MAX(CASE WHEN side = 'b' THEN est_e6 END) AS est_b_e6,
+        |  MAX(CASE WHEN side = 'u' THEN est_e6 END) AS est_union_e6,
+        |  MAX(CASE WHEN side = 'a' THEN est_e6 END)
+        |    + MAX(CASE WHEN side = 'b' THEN est_e6 END)
+        |    - MAX(CASE WHEN side = 'u' THEN est_e6 END) AS est_inter_e6
+        |FROM e""".stripMargin,
+
     // codec-free replay of the q194 patchify: pixel p of the 16×16
     // grid lands in patch ((p//16)//4)*4 + (p%16)//4
     "q194_image_patchify" ->

@@ -128,6 +128,34 @@ object Sketches {
         col("s_scaled"), col("est_e6")): _*)
   }
 
+  /** HLL set-OVERLAP estimation (inclusion–exclusion over register
+    * unions): |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union
+    * sketch is the per-register MAX of the two sides' registers — the
+    * property that makes this work across shards with NO exact
+    * distinct sets ever materialized (the audience-overlap /
+    * cross-source-contamination question at corpus scale). All three
+    * estimates come from the same exact-integer register algebra as
+    * [[hllEstimate]]; the intersection is derived e6-integer
+    * arithmetic (can go ≤ 0 within sketch noise for disjoint sets —
+    * returned raw, callers clamp).
+    * @return one row: (est_a_e6, est_b_e6, est_union_e6, est_inter_e6) */
+  def hllOverlap(a: DataFrame, bSide: DataFrame, keyCols: Seq[String],
+                 b: Int, seed: Long): DataFrame = {
+    val ra = hllRegisters(a, keyCols, b, seed)
+    val rb = hllRegisters(bSide, keyCols, b, seed)
+    val ru = ra.unionByName(rb).groupBy("idx").agg(max("r").as("r"))
+    val tagged = ra.withColumn("side", lit("a"))
+      .unionByName(rb.withColumn("side", lit("b")))
+      .unionByName(ru.withColumn("side", lit("u")))
+    hllEstimateGrouped(tagged, Seq("side"), b)
+      .groupBy()
+      .agg(max(when(col("side") === "a", col("est_e6"))).as("est_a_e6"),
+        max(when(col("side") === "b", col("est_e6"))).as("est_b_e6"),
+        max(when(col("side") === "u", col("est_e6"))).as("est_union_e6"))
+      .withColumn("est_inter_e6",
+        col("est_a_e6") + col("est_b_e6") - col("est_union_e6"))
+  }
+
   /** Count-Min sketch table: `depth × width` counters (occupied only)
     * — (row, idx, c) with c = Σ weight (default 1 per input row). Each
     * of the `depth` hash rows uses an independent seed derivative.

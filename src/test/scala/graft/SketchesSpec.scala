@@ -42,6 +42,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == union, "max-merge of per-shard registers != union registers")
   }
 
+  test("HLL overlap: intersection estimate tracks the exact overlap; disjoint sets near zero") {
+    // A = 0..7999, B = 5000..12999 -> |A|=8000, |B|=8000, |A∩B|=3000.
+    // Union error compounds three sketches; allow a 5-sigma-ish band
+    // on the intersection (sigma_each = 1.04/32 at b=10)
+    def keys(lo: Int, hi: Int) = (lo until hi).map(i => s"k_$i").toDF("k")
+    val r = Sketches.hllOverlap(keys(0, 8000), keys(5000, 13000), Seq("k"),
+      b = 10, seed = 42L).collect().head
+    val (a, bb, u, inter) =
+      (r.getLong(0) / 1e6, r.getLong(1) / 1e6, r.getLong(2) / 1e6, r.getLong(3) / 1e6)
+    val sigma = 1.04 / math.sqrt(1024.0)
+    assert(math.abs(a - 8000) <= 3 * sigma * 8000, s"est_a $a")
+    assert(math.abs(bb - 8000) <= 3 * sigma * 8000, s"est_b $bb")
+    assert(math.abs(u - 13000) <= 3 * sigma * 13000, s"est_union $u")
+    assert(math.abs(inter - 3000) <= 5 * sigma * 13000,
+      f"est_inter $inter%.0f vs exact 3000")
+    // disjoint sets: the estimate collapses toward zero (sketch noise
+    // can leave a small residue either side of 0)
+    val d = Sketches.hllOverlap(keys(0, 5000), keys(10000, 15000), Seq("k"),
+      b = 10, seed = 42L).collect().head.getLong(3) / 1e6
+    assert(math.abs(d) <= 4 * sigma * 10000, f"disjoint inter $d%.0f not near 0")
+  }
+
   test("CMS: est >= true count for every key; exact when the sketch is collision-free") {
     // 40 keys, zipf-ish counts, width 4096 >> keys: collisions absent
     // in practice for THIS seed — pinned by the equality check itself
