@@ -570,6 +570,14 @@ object SparkEntry {
     "q33_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents").filter(col("doc_id") < 100), 2, 0.3)),
 
+    // sorted-neighborhood dedup (Hernández–Stolfo): normalized-prefix
+    // sort + window-10 structural blocking, exact bigram-Jaccard
+    // verification in integer permille — candidate volume exactly
+    // ≤ 9·N independent of key skew
+    "q197_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhood(T(s, dir, "documents"), w = 10, shingleK = 2,
+        tPerMille = 100L)),
+
     // embedding-cosine near-dup pairs
     "q34_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(
@@ -1049,6 +1057,68 @@ object SparkEntry {
         o.filter(col("y") === 1996).select("o_custkey"),
         o.filter(col("y") === 1997).select("o_custkey"),
         Seq("o_custkey"), b = 10, seed = 42L)
+    }),
+
+    // KMV set algebra (Beyer et al. 2007): the churn question q195's
+    // HLL cannot answer — an ESTIMATED SET DIFFERENCE (customers who
+    // ordered in 1996 but not 1997) from two bounded k-minimum-values
+    // synopses; bounded-state custom Aggregator, ≤ k longs per
+    // partition cross the shuffle
+    "q196_kmv_set_diff" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        expr("year(cast(o_orderdate as timestamp))").as("y"))
+      graft.util.Kmv.setOps(
+        o.filter(col("y") === 1996).select("o_custkey"),
+        o.filter(col("y") === 1997).select("o_custkey"),
+        Seq("o_custkey"), k = 512, seed = 42L)
+    }),
+
+    // join-key skew profile: the pre-shuffle diagnostic — event_type is
+    // the classic low-cardinality hot key (5 keys over 10k rows at 32
+    // shuffle partitions → straggler ratio 6.45×, salt fan-out 7);
+    // exact integers over one per-key count plus a value-rollup window
+    "q198_key_skew" -> ((s, dir) =>
+      graft.util.Profile.keySkew(T(s, dir, "events"), Seq("event_type"),
+        shufflePartitions = 32)),
+
+    // entity resolution (Fellegi–Sunter shape): two-key blocking →
+    // integer-permille field agreement (token Jaccard + exact + linear
+    // numeric falloff) → weighted score → top-1 assignment per left
+    // record; right side = a deterministically dirtied catalog (last
+    // name word dropped, ids offset), so the oracle replays it and the
+    // spec can measure truth recovery
+    "q200_entity_resolution" -> ((s, dir) => {
+      import graft.text.EntityResolution._
+      val p = T(s, dir, "part")
+      val l = p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
+        col("p_brand").as("l_brand"), col("p_size").as("l_size"))
+      val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
+        regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
+        col("p_brand").as("r_brand"), col("p_size").as("r_size"))
+      resolve(l, r, "left_id", "right_id",
+        blockKeys = Seq(
+          (element_at(split(col("l_name"), " "), 1),
+            element_at(split(col("r_name"), " "), 1)),
+          (concat_ws("|", col("l_brand"), col("l_size")),
+            concat_ws("|", col("r_brand"), col("r_size")))),
+        fields = Seq(
+          Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
+          Field("brand", "l_brand", "r_brand", ExactSim, 1L),
+          Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L)),
+        minScore = 3000L)
+    }),
+
+    // one-pass Pearson correlation matrix over fixed-point feature
+    // columns: p sums + p sum-squares + p(p−1)/2 sum-products in ONE
+    // map-side-combined aggregate (exact decimal moments, single float
+    // expression per pair) — the feature-screening scan
+    "q199_corr_matrix" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        expr("cast(round(l_quantity) as bigint)").as("qty"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"),
+        expr("cast(round(l_discount * 1000) as bigint)").as("disc_pm"),
+        expr("cast(round(l_tax * 1000) as bigint)").as("tax_pm"))
+      graft.util.Profile.corrMatrix(li, Seq("qty", "price_c", "disc_pm", "tax_pm"))
     }),
 
     // ViT-style patchify under a REAL decode: 16×16 synthetic PNG per
@@ -2897,6 +2967,143 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // KMV set algebra: k smallest distinct md5-52 hashes per side are
+    // deterministic, so the whole synopsis + every estimator replays
+    // relationally (union synopsis via ORDER BY LIMIT, membership via
+    // EXISTS semi-joins, the one double expression in matched
+    // left-assoc order)
+    "q196_kmv_set_diff" ->
+      """WITH src AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS y FROM orders),
+        |ha AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM src WHERE y = 1996),
+        |hb AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM src WHERE y = 1997),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 512),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 512),
+        |ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT 512),
+        |stats AS (SELECT
+        |    (SELECT COUNT(*) FROM ka) AS n_a, (SELECT MAX(h) FROM ka) AS hk_a,
+        |    (SELECT COUNT(*) FROM kb) AS n_b, (SELECT MAX(h) FROM kb) AS hk_b,
+        |    (SELECT COUNT(*) FROM ku) AS n_u, (SELECT MAX(h) FROM ku) AS hk_u,
+        |    (SELECT COUNT(*) FROM ku u
+        |     WHERE EXISTS(SELECT 1 FROM ka WHERE ka.h = u.h)
+        |       AND EXISTS(SELECT 1 FROM kb WHERE kb.h = u.h)) AS ki,
+        |    (SELECT COUNT(*) FROM ku u
+        |     WHERE EXISTS(SELECT 1 FROM ka WHERE ka.h = u.h)
+        |       AND NOT EXISTS(SELECT 1 FROM kb WHERE kb.h = u.h)) AS kd),
+        |e AS (SELECT *,
+        |    CASE WHEN n_a < 512 THEN CAST(n_a AS DOUBLE) * 1e6
+        |         ELSE 511e0 * 4503599627370496e0 / CAST(hk_a AS DOUBLE) * 1e6 END AS ea,
+        |    CASE WHEN n_b < 512 THEN CAST(n_b AS DOUBLE) * 1e6
+        |         ELSE 511e0 * 4503599627370496e0 / CAST(hk_b AS DOUBLE) * 1e6 END AS eb,
+        |    CASE WHEN n_u < 512 THEN CAST(n_u AS DOUBLE) * 1e6
+        |         ELSE 511e0 * 4503599627370496e0 / CAST(hk_u AS DOUBLE) * 1e6 END AS eu
+        |  FROM stats)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_u AS BIGINT) AS n_u,
+        |  CAST(round(ea) AS BIGINT) AS est_a_e6,
+        |  CAST(round(eb) AS BIGINT) AS est_b_e6,
+        |  CAST(round(eu) AS BIGINT) AS est_union_e6,
+        |  CAST(ki AS BIGINT) AS k_inter,
+        |  CAST(round(CAST(ki AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT) AS est_inter_e6,
+        |  CAST(kd AS BIGINT) AS k_diff,
+        |  CAST(round(CAST(kd AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT) AS est_diff_e6
+        |FROM e""".stripMargin,
+
+    // entity resolution: blocking joins + list-algebra token Jaccard +
+    // integer falloff, top-1 by (score desc, right_id)
+    "q200_entity_resolution" ->
+      """WITH l AS (SELECT p_partkey AS left_id, p_name AS name, p_brand AS brand, p_size AS size FROM part),
+        |r AS (SELECT p_partkey + 1000000 AS right_id, regexp_replace(p_name, ' [^ ]+$', '') AS name,
+        |             p_brand AS brand, p_size AS size FROM part),
+        |cand AS (SELECT DISTINCT left_id, right_id FROM (
+        |    SELECT l.left_id, r.right_id FROM l JOIN r
+        |      ON string_split(l.name, ' ')[1] = string_split(r.name, ' ')[1]
+        |    UNION ALL
+        |    SELECT l.left_id, r.right_id FROM l JOIN r
+        |      ON l.brand = r.brand AND l.size = r.size)),
+        |scored AS (SELECT c.left_id, c.right_id,
+        |    CASE WHEN (len(la) + len(lb) - len(list_intersect(la, lb))) > 0
+        |         THEN (1000 * len(list_intersect(la, lb)))
+        |              // (len(la) + len(lb) - len(list_intersect(la, lb)))
+        |         ELSE 0 END AS sim_name,
+        |    CASE WHEN l.brand = r.brand THEN 1000 ELSE 0 END AS sim_brand,
+        |    greatest(0, 1000 - (1000 * abs(l.size - r.size)) // 5) AS sim_size
+        |  FROM cand c JOIN l ON l.left_id = c.left_id JOIN r ON r.right_id = c.right_id,
+        |  LATERAL (SELECT list_distinct(list_filter(string_split(lower(l.name), ' '), t -> t != '')) AS la,
+        |                  list_distinct(list_filter(string_split(lower(r.name), ' '), t -> t != '')) AS lb)),
+        |fin AS (SELECT left_id, right_id, sim_name, sim_brand, sim_size,
+        |    3 * sim_name + 1 * sim_brand + 1 * sim_size AS score FROM scored
+        |  WHERE 3 * sim_name + 1 * sim_brand + 1 * sim_size >= 3000)
+        |SELECT left_id, right_id, CAST(sim_name AS BIGINT) AS sim_name,
+        |  CAST(sim_brand AS BIGINT) AS sim_brand, CAST(sim_size AS BIGINT) AS sim_size,
+        |  CAST(score AS BIGINT) AS score
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+        |                                   ORDER BY score DESC, right_id ASC) AS rk FROM fin)
+        |WHERE rk = 1""".stripMargin,
+
+    // corr matrix: exact HUGEINT moments, the one float per pair in
+    // matched expression order
+    "q199_corr_matrix" ->
+      """WITH f AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 1000) AS BIGINT) AS disc_pm,
+        |    CAST(round(l_tax * 1000) AS BIGINT) AS tax_pm
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(qty AS HUGEINT)) AS s_qty,
+        |    SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS q_qty,
+        |    SUM(CAST(price_c AS HUGEINT)) AS s_price_c,
+        |    SUM(CAST(price_c AS HUGEINT) * CAST(price_c AS HUGEINT)) AS q_price_c,
+        |    SUM(CAST(disc_pm AS HUGEINT)) AS s_disc_pm,
+        |    SUM(CAST(disc_pm AS HUGEINT) * CAST(disc_pm AS HUGEINT)) AS q_disc_pm,
+        |    SUM(CAST(tax_pm AS HUGEINT)) AS s_tax_pm,
+        |    SUM(CAST(tax_pm AS HUGEINT) * CAST(tax_pm AS HUGEINT)) AS q_tax_pm,
+        |    SUM(CAST(qty AS HUGEINT) * CAST(price_c AS HUGEINT)) AS p_qty_price_c,
+        |    SUM(CAST(qty AS HUGEINT) * CAST(disc_pm AS HUGEINT)) AS p_qty_disc_pm,
+        |    SUM(CAST(qty AS HUGEINT) * CAST(tax_pm AS HUGEINT)) AS p_qty_tax_pm,
+        |    SUM(CAST(price_c AS HUGEINT) * CAST(disc_pm AS HUGEINT)) AS p_price_c_disc_pm,
+        |    SUM(CAST(price_c AS HUGEINT) * CAST(tax_pm AS HUGEINT)) AS p_price_c_tax_pm,
+        |    SUM(CAST(disc_pm AS HUGEINT) * CAST(tax_pm AS HUGEINT)) AS p_disc_pm_tax_pm
+        |  FROM f),
+        |pairs AS (
+        |  SELECT 'qty' AS col_a, 'price_c' AS col_b, n,
+        |    n*p_qty_price_c - s_qty*s_price_c AS cov,
+        |    n*q_qty - s_qty*s_qty AS va, n*q_price_c - s_price_c*s_price_c AS vb FROM m
+        |  UNION ALL SELECT 'qty', 'disc_pm', n, n*p_qty_disc_pm - s_qty*s_disc_pm,
+        |    n*q_qty - s_qty*s_qty, n*q_disc_pm - s_disc_pm*s_disc_pm FROM m
+        |  UNION ALL SELECT 'qty', 'tax_pm', n, n*p_qty_tax_pm - s_qty*s_tax_pm,
+        |    n*q_qty - s_qty*s_qty, n*q_tax_pm - s_tax_pm*s_tax_pm FROM m
+        |  UNION ALL SELECT 'price_c', 'disc_pm', n, n*p_price_c_disc_pm - s_price_c*s_disc_pm,
+        |    n*q_price_c - s_price_c*s_price_c, n*q_disc_pm - s_disc_pm*s_disc_pm FROM m
+        |  UNION ALL SELECT 'price_c', 'tax_pm', n, n*p_price_c_tax_pm - s_price_c*s_tax_pm,
+        |    n*q_price_c - s_price_c*s_price_c, n*q_tax_pm - s_tax_pm*s_tax_pm FROM m
+        |  UNION ALL SELECT 'disc_pm', 'tax_pm', n, n*p_disc_pm_tax_pm - s_disc_pm*s_tax_pm,
+        |    n*q_disc_pm - s_disc_pm*s_disc_pm, n*q_tax_pm - s_tax_pm*s_tax_pm FROM m)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN va > 0 AND vb > 0
+        |       THEN CAST(round(CAST(cov AS DOUBLE) / sqrt(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) * 1e6) AS BIGINT)
+        |  END AS corr_e6
+        |FROM pairs""".stripMargin,
+
+    // skew profile: per-key counts → totals + value-rollup cumulative
+    // p99, all integer arithmetic
+    "q198_key_skew" ->
+      """WITH counts AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_key_rows FROM counts),
+        |rollup AS (SELECT c, COUNT(*) AS f FROM counts GROUP BY 1),
+        |cum AS (SELECT c, SUM(f) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum FROM rollup),
+        |p99 AS (SELECT MIN(c) AS p99_key_rows FROM cum, tot
+        |        WHERE cum >= CAST(ceil(0.99 * n_keys) AS BIGINT))
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(max_key_rows AS BIGINT) AS max_key_rows,
+        |  CAST(p99_key_rows AS BIGINT) AS p99_key_rows,
+        |  CAST((1000 * max_key_rows) // n_rows AS BIGINT) AS top1_share_permille,
+        |  CAST(n_rows // n_keys AS BIGINT) AS avg_key_rows,
+        |  CAST((1000 * max_key_rows * 32) // n_rows AS BIGINT) AS skew_ratio_permille,
+        |  CAST(greatest(1, (32 * max_key_rows + n_rows - 1) // n_rows) AS BIGINT) AS suggested_salt
+        |FROM tot, p99""".stripMargin,
+
     // HLL overlap: the q177 register chain per side + union-by-max,
     // inclusion–exclusion in e6 integers
     "q195_hll_overlap" ->
@@ -3208,6 +3415,29 @@ object SparkEntry {
         |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events, UNNEST(generate_series(0, 1)) AS t(o)
         |GROUP BY 1, 2""".stripMargin,
+
+    // SNM replay: the window pairing is a plain rank-gap inequality
+    // join at oracle scale; the Spark side's adjacent-block join is
+    // plan shape only, same pairs
+    "q197_sorted_neighborhood" ->
+      """WITH keyed AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS key
+        |  FROM documents),
+        |ranked AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM keyed),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rn - a.rn AS gap
+        |  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn - a.rn <= 9),
+        |d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, c.gap, COUNT(*) AS ni
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        |  GROUP BY 1, 2, 3)
+        |SELECT i.doc_a, i.doc_b, i.gap,
+        |  CAST((ni * 1000) // (ca.n + cb.n - ni) AS BIGINT) AS jac_permille
+        |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+        |WHERE ni * 1000 >= 100 * (ca.n + cb.n - ni)""".stripMargin,
 
     "q33_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w

@@ -519,4 +519,76 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo, SIGMOD 1995) —
+    * the classic blocking alternative to LSH: sort the corpus by a
+    * normalized key, compare only rows within a sliding window of w
+    * positions, verify candidates with exact word-shingle Jaccard.
+    * Where LSH banding bounds candidates probabilistically, SNM
+    * bounds them STRUCTURALLY: every row pairs with at most w−1
+    * neighbors, so candidate volume is exactly ≤ (w−1)·N regardless
+    * of key skew — the predictable-cost profile some curation
+    * pipelines need.
+    *
+    * Scale shape: the global sort position comes from
+    * [[graft.util.GlobalRank.withGlobalRank]] (decomposed prefix
+    * sums, never a corpus-wide single-partition window; bucket = the
+    * key's `bucketChars`-char prefix, a monotone bounded coarsening —
+    * widen it when the corpus per 2-char prefix outgrows one task). The
+    * windowed pairing is an adjacent-block self-join: row at rank r
+    * lives in block ⌊(r−1)/w⌋ and a pair with rank gap < w spans at
+    * most adjacent blocks, so the left side explodes to 2 join keys
+    * and each block joins ≤ 2w rows — no row ever meets more than 2w
+    * candidates. Jaccard verification reuses the [[shingles]]
+    * algebra in exact integer permille.
+    *
+    * Sort key: first `keyLen` chars of the lowercased text with all
+    * non-[a-z0-9] stripped (the standard SNM normalized-prefix key),
+    * ties broken by doc_id — fully deterministic, DuckDB-replayable.
+    *
+    * @return (doc_a, doc_b, gap, jac_permille): verified pairs with
+    *         doc_a < doc_b by SORT position, gap = rank distance,
+    *         jac_permille = ⌊1000·|∩|/|∪|⌋ ≥ tPerMille. */
+  def sortedNeighborhood(docs: DataFrame, w: Int, shingleK: Int,
+                         tPerMille: Long, keyLen: Int = 24,
+                         textCol: String = "text",
+                         bucketChars: Int = 2): DataFrame = {
+    require(w >= 2, s"sortedNeighborhood: window w >= 2, got $w")
+    require(bucketChars >= 1 && bucketChars < keyLen,
+      s"sortedNeighborhood: bucketChars in [1, keyLen), got $bucketChars")
+    import org.apache.spark.storage.StorageLevel
+    val keyed = docs.select(col("doc_id"), col(textCol).as("__t"))
+      .withColumn("__key",
+        substring(regexp_replace(lower(col("__t")), "[^a-z0-9]", ""), 1, keyLen))
+    val ranked = graft.util.GlobalRank.withGlobalRank(
+        keyed, Seq(col("__key"), col("doc_id")), substring(col("__key"), 1, bucketChars))
+      .select(col("doc_id"), col("rn"))
+      .withColumn("__blk", floor((col("rn") - lit(1)) / lit(w.toLong)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val left = ranked.select(col("doc_id").as("doc_a"), col("rn").as("ra"),
+        explode(array(col("__blk"), col("__blk") + lit(1))).as("__j"))
+    val right = ranked.select(col("doc_id").as("doc_b"), col("rn").as("rb"),
+        col("__blk").as("__j"))
+    val cand = left.join(right, Seq("__j"))
+      .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= (w - 1).toLong)
+      .select(col("doc_a"), col("doc_b"), (col("rb") - col("ra")).as("gap"))
+    val sh = shingles(docs, shingleK, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "gap").agg(count(lit(1)).as("ni"))
+    val out = inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("ni") * lit(1000L) >= lit(tPerMille) * (col("na") + col("nb") - col("ni")))
+      .select(col("doc_a"), col("doc_b"), col("gap"),
+        // integer DIV, never float division floored — exact on both engines
+        expr("(ni * 1000L) div (na + nb - ni)").as("jac_permille"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranked.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
+  }
 }

@@ -110,4 +110,110 @@ object Profile {
           col(valueCol) > col("__q3") + lit(k) * iqr)
       .drop("__q1", "__q3")
   }
+
+  /** JOIN-KEY SKEW profile — the diagnostic a 100 TB join plan runs
+    * FIRST: a shuffle hash-partitions by key, so one hot key pins one
+    * task at `max_key_rows` while the average task gets
+    * `n_rows / shufflePartitions`; the ratio of those two numbers IS
+    * the straggler factor, and its ceiling is the salting fan-out that
+    * levels it. Everything here is exact integer arithmetic over one
+    * map-side-combined per-key count (skinny: ≤ distinct keys rows) —
+    * the corpus itself is scanned once and never re-shuffled.
+    *
+    * Output, one row: n_rows, n_keys, max_key_rows, top1_share_permille
+    * (⌊1000·max/n⌋), avg_key_rows (⌊n/keys⌋), p99_key_rows (exact: the
+    * count at 1-based rank ⌈0.99·n_keys⌉ of per-key counts ascending,
+    * ties by key rendering), skew_ratio_permille
+    * (⌊1000·max_key_rows·shufflePartitions/n_rows⌋ — >1000 means the
+    * hot key overflows an average task), suggested_salt
+    * (⌈max_key_rows·shufflePartitions/n_rows⌉ capped ≥ 1 — the
+    * AQE-skew-join split factor, or the explicit salt fan-out for the
+    * [[ScaleJoins]] salted-join path). */
+  def keySkew(df: DataFrame, keyCols: Seq[String],
+              shufflePartitions: Int): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew: at least one key column")
+    require(shufflePartitions >= 1, "keySkew: shufflePartitions >= 1")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("c")).select("c")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum("c").as("n_rows"),
+      count(lit(1)).as("n_keys"), max("c").as("max_key_rows"))
+    // exact p99 of per-key counts via the Coreness-style VALUE ROLLUP:
+    // the window runs over distinct count-values only (a second
+    // collapse of the already-skinny count table), never per-key rows
+    val rollup = counts.groupBy("c").agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum("f").over(
+        Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)))
+    val p99 = rollup.crossJoin(broadcast(tot.select(col("n_keys").as("__nk"))))
+      .filter(col("cum") >= ceil(lit(0.99) * col("__nk")).cast("long"))
+      .agg(min("c").as("p99_key_rows"))
+    val out = tot.crossJoin(broadcast(p99))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("p99_key_rows"),
+        expr("(1000L * max_key_rows) div n_rows").as("top1_share_permille"),
+        expr("n_rows div n_keys").as("avg_key_rows"),
+        expr(s"(1000L * max_key_rows * ${shufflePartitions}L) div n_rows")
+          .as("skew_ratio_permille"),
+        // ceiling division on positive longs under truncating div:
+        // (a + b - 1) div b
+        greatest(lit(1L), expr(
+          s"(${shufflePartitions}L * max_key_rows + n_rows - 1L) div n_rows"))
+          .as("suggested_salt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // eager: pin the 1-row result, then free the count table
+    counts.unpersist(blocking = false)
+    out
+  }
+
+  /** Pairwise Pearson CORRELATION MATRIX over integer-scaled feature
+    * columns in ONE scan — the feature-screening pass a training
+    * pipeline runs before model fitting (drop near-duplicate features,
+    * find leakage candidates). Callers pre-scale physical values to
+    * exact longs (cents/permille, the house fixed-point rule), so
+    * every moment is an EXACT decimal(38,0) sum under one map-side-
+    * combined aggregate: p sums + p sum-of-squares + p(p−1)/2
+    * sum-of-products, all riding a single 1-row reduction — no
+    * per-pair scan loop, no `Statistics.corr` RDD detour, and exactly
+    * one float expression
+    *   corr = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²) · (n·Syy − Sy²))
+    * evaluated from those exact integers identically on both engines
+    * (the [[Sketches.hllEstimate]] float discipline). Zero-variance
+    * columns yield NULL correlation (SQL semantics).
+    *
+    * Headroom: |value| ≤ v, n rows ⇒ the largest intermediate is
+    * n²·v²·… bounded by n·Sxy ≤ n²v² — at v = 10⁹ cents and n = 10⁹
+    * rows that is 10⁵⁴... beyond decimal(38). Practical bound: n·v²
+    * per moment term and n²v² for the cross term must stay < 10³⁸,
+    * i.e. v ≤ 10¹⁰ cents at n ≤ 10⁹ rows — ample for priced facts;
+    * the require below pins nothing (data-dependent), the scaladoc
+    * records the envelope.
+    *
+    * @return one row per unordered pair (col_a < col_b by input
+    *         order): (col_a, col_b, n, corr_e6). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: at least two columns")
+    require(cols.distinct.size == cols.size, "corrMatrix: duplicate column")
+    val dec = "decimal(38,0)"
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = cols.flatMap(c => Seq(
+        sum(col(c).cast(dec)).as(s"__s_$c"),
+        sum(col(c).cast(dec) * col(c).cast(dec)).as(s"__q_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast(dec) * col(b).cast(dec)).as(s"__p_${a}__$b") }
+    val one = df.agg(count(lit(1)).cast(dec).as("__n"), aggs: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      val cov = col("__n") * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = col("__n") * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = col("__n") * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
+        when(va > 0 && vb > 0, round(cov.cast("double") /
+            sqrt(va.cast("double") * vb.cast("double")) * lit(1e6)).cast("long"))
+          .as("corr_e6"))
+    }
+    one.select(explode(array(pairStructs: _*)).as("e")).select("e.*")
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.util.Kmv
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV sketch invariants: order/partition invariance (mergeability),
+  * small-set exactness, threshold coordination of the union synopsis,
+  * and set-op estimates within sketch tolerance of exact answers. */
+class KmvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sketch is partition- and duplication-invariant") {
+    val ids = (1 to 5000).map(i => i.toLong * 7919L)
+    val a = ids.toDF("id")
+    val b = (ids ++ ids ++ ids).reverse.toDF("id").repartition(17)
+    val sa = Kmv.sketch(a, Seq("id"), k = 128, seed = 7L).collect()(0).getSeq[Long](0)
+    val sb = Kmv.sketch(b, Seq("id"), k = 128, seed = 7L).collect()(0).getSeq[Long](0)
+    assert(sa == sb)
+    assert(sa.length == 128)
+    assert(sa == sa.sorted)
+    assert(sa.distinct.length == sa.length)
+  }
+
+  test("below-k sketch holds every distinct hash and estimates exactly") {
+    val df = (1 to 40).map(_.toLong).toDF("id")
+    val ops = Kmv.setOps(df, df, Seq("id"), k = 256, seed = 1L).collect()(0)
+    assert(ops.getAs[Long]("n_a") == 40)
+    assert(ops.getAs[Long]("est_a_e6") == 40L * 1000000L)
+    assert(ops.getAs[Long]("k_inter") == 40)
+    assert(ops.getAs[Long]("est_inter_e6") == 40L * 1000000L)
+    assert(ops.getAs[Long]("k_diff") == 0)
+    assert(ops.getAs[Long]("est_diff_e6") == 0L)
+  }
+
+  test("set-op estimates land within sketch tolerance of exact") {
+    // A = 1..20000, B = 10001..30000: |A|=|B|=20k, |A∩B|=10k, |A\B|=10k
+    val a = (1 to 20000).map(_.toLong).toDF("id")
+    val b = (10001 to 30000).map(_.toLong).toDF("id")
+    val k = 1024
+    val ops = Kmv.setOps(a, b, Seq("id"), k, seed = 42L).collect()(0)
+    def est(n: String) = ops.getAs[Long](n).toDouble / 1e6
+    // standard error ~ D/sqrt(k-1) ≈ 3.1%; assert 4 sigma
+    assert(math.abs(est("est_a_e6") - 20000) / 20000 < 0.13, est("est_a_e6"))
+    assert(math.abs(est("est_b_e6") - 20000) / 20000 < 0.13, est("est_b_e6"))
+    assert(math.abs(est("est_union_e6") - 30000) / 30000 < 0.13, est("est_union_e6"))
+    assert(math.abs(est("est_inter_e6") - 10000) / 10000 < 0.25, est("est_inter_e6"))
+    assert(math.abs(est("est_diff_e6") - 10000) / 10000 < 0.25, est("est_diff_e6"))
+    // identity: inter + diff counts partition the A-portion of the union synopsis
+    assert(ops.getAs[Long]("k_inter") + ops.getAs[Long]("k_diff") <= ops.getAs[Long]("n_u"))
+  }
+
+  test("union synopsis threshold is <= both sides' thresholds (membership validity)") {
+    val a = (1 to 8000).map(i => i.toLong * 3L).toDF("id")
+    val b = (1 to 8000).map(i => i.toLong * 5L).toDF("id")
+    val k = 256
+    val sa = Kmv.sketch(a, Seq("id"), k, 9L).collect()(0).getSeq[Long](0)
+    val sb = Kmv.sketch(b, Seq("id"), k, 9L).collect()(0).getSeq[Long](0)
+    val su = (sa ++ sb).distinct.sorted.take(k)
+    assert(su.last <= sa.last && su.last <= sb.last)
+  }
+
+  test("disjoint sets: zero intersection count, difference ~= |A|") {
+    val a = (1 to 15000).map(_.toLong).toDF("id")
+    val b = (100001 to 115000).map(_.toLong).toDF("id")
+    val ops = Kmv.setOps(a, b, Seq("id"), k = 512, seed = 3L).collect()(0)
+    assert(ops.getAs[Long]("k_inter") == 0)
+    assert(ops.getAs[Long]("est_inter_e6") == 0)
+    val diff = ops.getAs[Long]("est_diff_e6").toDouble / 1e6
+    assert(math.abs(diff - 15000) / 15000 < 0.2, diff)
+  }
+}
