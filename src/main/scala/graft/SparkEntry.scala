@@ -1081,6 +1081,22 @@ object SparkEntry {
       graft.util.Profile.keySkew(T(s, dir, "events"), Seq("event_type"),
         shufflePartitions = 32)),
 
+    // strongly connected components (FW-BW-Trim coloring): directed
+    // part↔supplier graph with parity-chosen edge direction — cycle /
+    // crawl-loop structure the undirected CC (q37/q118) cannot see;
+    // scc_id = min member, replayed by a recursive mutual-reachability
+    // closure
+    "q201_scc" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(
+        col("l_partkey") < 600 && col("l_quantity") < 3 && col("l_suppkey") < 60)
+      val e = li.select(
+        when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
+          .otherwise(col("l_suppkey") * 2 + 1).as("s"),
+        when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
+          .otherwise(col("l_partkey") * 2).as("t"))
+      graft.graph.Scc.run(e, "s", "t")
+    }),
+
     // entity resolution (Fellegi–Sunter shape): two-key blocking →
     // integer-permille field agreement (token Jaccard + exact + linear
     // numeric falloff) → weighted score → top-1 assignment per left
@@ -3009,6 +3025,20 @@ object SparkEntry {
         |  CAST(kd AS BIGINT) AS k_diff,
         |  CAST(round(CAST(kd AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT) AS est_diff_e6
         |FROM e""".stripMargin,
+
+    // SCC: recursive reachability closure, mutual pairs, min member
+    "q201_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t
+        |  FROM lineitem WHERE l_partkey < 600 AND l_quantity < 3 AND l_suppkey < 60),
+        |reach(s, t) AS (SELECT s, t FROM e
+        |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        |nodes AS (SELECT DISTINCT s AS v FROM e UNION SELECT DISTINCT t FROM e),
+        |mutual AS (SELECT a.s AS v, a.t AS u FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s)
+        |SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+        |FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v""".stripMargin,
 
     // entity resolution: blocking joins + list-algebra token Jaccard +
     // integer falloff, top-1 by (score desc, right_id)

@@ -239,4 +239,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window [") || !p.contains("PartitionBy: []"),
       "q191 prefix rank planned as a global window")
   }
+
+  test("corr matrix (q199): one aggregate pair over the scan — no joins, no extra exchanges") {
+    val p = plan("q199_corr_matrix")
+    // the whole moment computation is a single partial+final HashAggregate
+    // over one parquet scan; any join or second shuffle means the
+    // one-pass property broke
+    assert(!p.contains("Join"), s"q199 plans a join:\n${p.take(1500)}")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "q199 shuffles more than the single aggregate exchange")
+  }
+
+  test("SNM (q197) and ER (q200): candidate generation is equi-join only — no product joins") {
+    for (q <- Seq("q197_sorted_neighborhood", "q200_entity_resolution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a product join")
+    }
+  }
+
+  test("KMV (q196): the sketch aggregate partial-aggregates (map-side combine before the shuffle)") {
+    val p = plan("q196_kmv_set_diff")
+    // ObjectHashAggregate with a Partial mode instance must appear —
+    // the bounded ≤k state is only a sketch if it combines map-side
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "q196 lost its typed aggregate")
+    assert(!p.contains("CartesianProduct"), "q196 unexpected cartesian (1-row crossJoin should broadcast)")
+  }
 }
