@@ -1124,6 +1124,31 @@ object SparkEntry {
         minScore = 3000L)
     }),
 
+    // one-to-one entity resolution: the q200 scoring + 8 fixed rounds
+    // of locally-dominant matching (parallel greedy == sequential
+    // best-first greedy under the total order) — each dirty-catalog
+    // record awarded to at most one master record
+    "q202_er_unique_assign" -> ((s, dir) => {
+      import graft.text.EntityResolution._
+      val p = T(s, dir, "part")
+      val l = p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
+        col("p_brand").as("l_brand"), col("p_size").as("l_size"))
+      val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
+        regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
+        col("p_brand").as("r_brand"), col("p_size").as("r_size"))
+      resolveUnique(l, r, "left_id", "right_id",
+        blockKeys = Seq(
+          (element_at(split(col("l_name"), " "), 1),
+            element_at(split(col("r_name"), " "), 1)),
+          (concat_ws("|", col("l_brand"), col("l_size")),
+            concat_ws("|", col("r_brand"), col("r_size")))),
+        fields = Seq(
+          Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
+          Field("brand", "l_brand", "r_brand", ExactSim, 1L),
+          Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L)),
+        minScore = 3000L, rounds = 8)
+    }),
+
     // one-pass Pearson correlation matrix over fixed-point feature
     // columns: p sums + p sum-squares + p(p−1)/2 sum-products in ONE
     // map-side-combined aggregate (exact decimal moments, single float
@@ -2902,6 +2927,47 @@ object SparkEntry {
   /** DuckDB replay of [[graft.util.QuantileSketch.winsorizeByGroup]]:
     * the q189 bucket chain at qs (0.05, 0.95), representative bounds
     * joined back, NULL-guarded integer clip, exact-long aggregate. */
+  /** q202 oracle: the q200 scoring CTEs + `rounds` UNROLLED rounds of
+    * locally-dominant one-to-one matching — fixed round count makes
+    * the recurrence SQL-expressible (the fixed-iteration PageRank
+    * discipline); both engines run exactly the same rounds. */
+  private def erUniqueSql(rounds: Int): String = {
+    val scoring =
+      """WITH l AS MATERIALIZED (SELECT p_partkey AS left_id, p_name AS name, p_brand AS brand, p_size AS size FROM part),
+        |r AS MATERIALIZED (SELECT p_partkey + 1000000 AS right_id, regexp_replace(p_name, ' [^ ]+$', '') AS name,
+        |             p_brand AS brand, p_size AS size FROM part),
+        |cand AS (SELECT DISTINCT left_id, right_id FROM (
+        |    SELECT l.left_id, r.right_id FROM l JOIN r
+        |      ON string_split(l.name, ' ')[1] = string_split(r.name, ' ')[1]
+        |    UNION ALL
+        |    SELECT l.left_id, r.right_id FROM l JOIN r
+        |      ON l.brand = r.brand AND l.size = r.size)),
+        |scored AS (SELECT c.left_id, c.right_id,
+        |    CASE WHEN (len(la) + len(lb) - len(list_intersect(la, lb))) > 0
+        |         THEN (1000 * len(list_intersect(la, lb)))
+        |              // (len(la) + len(lb) - len(list_intersect(la, lb)))
+        |         ELSE 0 END AS sim_name,
+        |    CASE WHEN l.brand = r.brand THEN 1000 ELSE 0 END AS sim_brand,
+        |    greatest(0, 1000 - (1000 * abs(l.size - r.size)) // 5) AS sim_size
+        |  FROM cand c JOIN l ON l.left_id = c.left_id JOIN r ON r.right_id = c.right_id,
+        |  LATERAL (SELECT list_distinct(list_filter(string_split(lower(l.name), ' '), t -> t != '')) AS la,
+        |                  list_distinct(list_filter(string_split(lower(r.name), ' '), t -> t != '')) AS lb)),
+        |c1 AS MATERIALIZED (SELECT left_id, right_id, CAST(3 * sim_name + sim_brand + sim_size AS BIGINT) AS score
+        |       FROM scored WHERE 3 * sim_name + sim_brand + sim_size >= 3000)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY score DESC, right_id ASC) AS bl,
+         |  ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY score DESC, left_id ASC) AS br
+         |  FROM c$i),
+         |dom$i AS MATERIALIZED (SELECT left_id, right_id, score FROM b$i WHERE bl = 1 AND br = 1),
+         |c${i + 1} AS MATERIALIZED (SELECT c.* FROM c$i c
+         |  WHERE NOT EXISTS (SELECT 1 FROM dom$i d WHERE d.left_id = c.left_id)
+         |    AND NOT EXISTS (SELECT 1 FROM dom$i d WHERE d.right_id = c.right_id))""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to rounds).map(i => s"SELECT * FROM dom$i").mkString("\nUNION ALL ")
+    s"$scoring,\n$roundCtes\n$unionAll"
+  }
+
   private def sketchWinsorizeSql(s: Int): String = {
     val cap = 1L << s
     def posIdx(v: String) =
@@ -3071,6 +3137,8 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
         |                                   ORDER BY score DESC, right_id ASC) AS rk FROM fin)
         |WHERE rk = 1""".stripMargin,
+
+    "q202_er_unique_assign" -> erUniqueSql(rounds = 8),
 
     // corr matrix: exact HUGEINT moments, the one float per pair in
     // matched expression order

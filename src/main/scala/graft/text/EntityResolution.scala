@@ -78,19 +78,18 @@ object EntityResolution {
     }.reduce(_ unionByName _).distinct()
   }
 
-  /** Blocked + scored + assigned matches: one row per LEFT record that
-    * has a candidate with score ≥ `minScore` — its best candidate
-    * (max score, ties to min right_id), with per-field `sim_<name>`
-    * permille columns and the weighted `score`. */
-  def resolve(left: DataFrame, right: DataFrame,
-              leftId: String, rightId: String,
-              blockKeys: Seq[(Column, Column)],
-              fields: Seq[Field], minScore: Long): DataFrame = {
+  /** Blocked candidates with per-field `sim_<name>` permille columns
+    * and the weighted `score`, thresholded at `minScore` — the shared
+    * scoring stage of [[resolve]] / [[resolveUnique]]. */
+  def scoredPairs(left: DataFrame, right: DataFrame,
+                  leftId: String, rightId: String,
+                  blockKeys: Seq[(Column, Column)],
+                  fields: Seq[Field], minScore: Long): DataFrame = {
     require(fields.nonEmpty, "entityResolution: at least one field")
     val cand = candidates(left, right, leftId, rightId, blockKeys)
     val l = fields.map(f => col(f.leftCol)).distinct
     val r = fields.map(f => col(f.rightCol)).distinct
-    val scored = cand
+    cand
       .join(left.select((col(leftId).as("left_id") +: l): _*), Seq("left_id"))
       .join(right.select((col(rightId).as("right_id") +: r): _*), Seq("right_id"))
       .select((col("left_id") +: col("right_id") +:
@@ -98,10 +97,134 @@ object EntityResolution {
       .withColumn("score",
         fields.map(f => col(s"sim_${f.name}") * lit(f.weight)).reduce(_ + _))
       .filter(col("score") >= minScore)
-    scored
+  }
+
+  /** Blocked + scored + assigned matches: one row per LEFT record that
+    * has a candidate with score ≥ `minScore` — its best candidate
+    * (max score, ties to min right_id), with per-field `sim_<name>`
+    * permille columns and the weighted `score`. Many lefts may share
+    * one right; see [[resolveUnique]] for the one-to-one form. */
+  def resolve(left: DataFrame, right: DataFrame,
+              leftId: String, rightId: String,
+              blockKeys: Seq[(Column, Column)],
+              fields: Seq[Field], minScore: Long): DataFrame =
+    scoredPairs(left, right, leftId, rightId, blockKeys, fields, minScore)
       .withColumn("__rk", row_number().over(
         Window.partitionBy("left_id")
           .orderBy(col("score").desc, col("right_id").asc)))
       .filter(col("__rk") === 1).drop("__rk")
+
+  /** ONE-TO-ONE assignment over a scored pair table: `rounds` rounds
+    * of LOCALLY-DOMINANT matching (Manne–Bisseling parallel greedy) —
+    * a pair is matched in a round iff it is BOTH its left's best and
+    * its right's best surviving candidate under the total order
+    * (score DESC, partner id ASC); matched endpoints leave the pool.
+    * With a total order this reproduces sequential best-first greedy
+    * matching, round count bounded by the longest preference chain —
+    * and because the round count is FIXED, the whole procedure is a
+    * deterministic unrollable recurrence (the fixed-iteration
+    * [[graft.graph.PageRank]] discipline) that an oracle replays as
+    * `rounds` chained SQL stages. Pairs still unmatched after
+    * `rounds` rounds stay unmatched (documented cutoff, loud in the
+    * spec; realistic blocking graphs converge in ≤ 4).
+    *
+    * Physical shape per round: two per-key row_number windows
+    * (bounded by per-key candidate counts, never global) + two
+    * anti-joins. No collect, no driver loop over data. */
+  /** Size gate for [[assignUnique]]: at or below this many scored
+    * pairs the round recurrence runs on the driver over the collected
+    * pair list — the SAME rounds-of-dominance semantics (bit-equal by
+    * construction, spec-pinned), with zero per-round job overhead (the
+    * [[graft.graph.Scc]] dispatch discipline). 2M pairs ≈ 48 MB. */
+  val MaxLocalPairs = 2000000L
+
+  def assignUnique(scored: DataFrame, rounds: Int = 8,
+                   maxLocalPairs: Long = MaxLocalPairs): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"assignUnique: rounds in [1,32], got $rounds")
+    import org.apache.spark.storage.StorageLevel
+    var cand = scored.select("left_id", "right_id", "score")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (cand.count() <= maxLocalPairs) {
+      val out = assignUniqueLocal(cand, rounds)
+      cand.unpersist(blocking = false)
+      return out
+    }
+    var matched: DataFrame = null
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val bl = cand.withColumn("__bl", row_number().over(
+        Window.partitionBy("left_id").orderBy(col("score").desc, col("right_id").asc)))
+      val dom = bl.withColumn("__br", row_number().over(
+          Window.partitionBy("right_id").orderBy(col("score").desc, col("left_id").asc)))
+        .filter(col("__bl") === 1 && col("__br") === 1)
+        .select("left_id", "right_id", "score")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (dom.limit(1).count() == 0) done = true
+      else {
+        matched = if (matched == null) dom
+                  else matched.union(dom).persist(StorageLevel.MEMORY_AND_DISK)
+        val next = cand
+          .join(dom.select(col("left_id")), Seq("left_id"), "left_anti")
+          .join(dom.select(col("right_id")), Seq("right_id"), "left_anti")
+          .select("left_id", "right_id", "score")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cand.unpersist(blocking = false)
+        cand = next
+      }
+      r += 1
+    }
+    if (matched == null) cand.limit(0)
+    else matched.select("left_id", "right_id", "score")
   }
+
+  /** Driver kernel: the identical round recurrence over the collected
+    * pair array. Per round: best-per-left and best-per-right under
+    * (score DESC, partner ASC) in two hash-map sweeps; pairs best for
+    * both match and their endpoints leave the pool. */
+  private def assignUniqueLocal(cand: DataFrame, rounds: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    var pool = cand.as[(Long, Long, Long)].collect()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var r = 0
+    var done = false
+    while (r < rounds && !done && pool.nonEmpty) {
+      // best candidate per endpoint under (score DESC, partner ASC)
+      def better(a: (Long, Long, Long), b: (Long, Long, Long), partnerOfA: Long, partnerOfB: Long): Boolean =
+        a._3 > b._3 || (a._3 == b._3 && partnerOfA < partnerOfB)
+      val bestL = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      val bestR = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      pool.foreach { p =>
+        val bl = bestL.get(p._1)
+        if (bl.isEmpty || better(p, bl.get, p._2, bl.get._2)) bestL(p._1) = p
+        val br = bestR.get(p._2)
+        if (br.isEmpty || better(p, br.get, p._1, br.get._1)) bestR(p._2) = p
+      }
+      val dom = pool.filter(p => bestL(p._1) == p && bestR(p._2) == p)
+      if (dom.isEmpty) done = true
+      else {
+        out ++= dom
+        val usedL = dom.map(_._1).toSet
+        val usedR = dom.map(_._2).toSet
+        pool = pool.filterNot(p => usedL(p._1) || usedR(p._2))
+      }
+      r += 1
+    }
+    out.toSeq.toDF("left_id", "right_id", "score")
+  }
+
+  /** [[resolve]]'s one-to-one sibling: blocked scoring +
+    * [[assignUnique]]; each right record is awarded to at most one
+    * left record. */
+  def resolveUnique(left: DataFrame, right: DataFrame,
+                    leftId: String, rightId: String,
+                    blockKeys: Seq[(Column, Column)],
+                    fields: Seq[Field], minScore: Long,
+                    rounds: Int = 8,
+                    maxLocalPairs: Long = MaxLocalPairs): DataFrame =
+    assignUnique(
+      scoredPairs(left, right, leftId, rightId, blockKeys, fields, minScore),
+      rounds, maxLocalPairs)
 }

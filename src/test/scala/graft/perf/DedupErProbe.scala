@@ -42,16 +42,17 @@ object DedupErProbe {
         .foreach(r => println("  " + r))
     }
 
-    // --- SNM: nDocs synthetic 8-word docs, 1% planted near-dups ---
-    // word_j(i) = w<(i*2654435761 + j*40503) mod 8191>; dup rows copy
-    // the previous id's words with the last word replaced
-    // independent multiplier per word slot — a shared multiplier makes
-    // word overlaps between ANY fixed id-difference systematic (measured:
-    // 8.6M SNM pairs instead of the planted ~10k)
+    // --- SNM: nDocs synthetic 8-word docs, 1% planted near-dups (dup
+    // rows copy the previous id's words with the tail replaced) ---
+    // per-slot multiplier AND an intermediate large-prime mod: vocab
+    // index (src * P + j) % 8191 alone depends only on src mod 8191, so
+    // every doc would repeat every 8191 ids (~122 exact copies each —
+    // measured as 8.6M SNM pairs instead of the planted ~10k); reducing
+    // through 1e9+7 first keeps the full id in play
     val wordPrimes = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L,
       374761393L, 2869860233L, 3282749797L, 1609587929L).map(_.toString)
     val wordsExpr = (0 until 8).map { j =>
-      s"concat('w', (src * ${wordPrimes(j)} + $j) % 8191)"
+      s"concat('w', ((src * ${wordPrimes(j)} + $j) % 1000000007) % 8191)"
     }.mkString(", ")
     val docs = spark.range(0L, nDocs)
       .withColumn("src", when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id")))
@@ -81,7 +82,7 @@ object DedupErProbe {
     // --- ER: nEr records vs dirtied copy, two blocking keys ---
     val erPrimes = Seq(1099511628211L, 2654435761L, 2246822519L, 3266489917L)
     val erWords = (0 until 4).map { j =>
-      s"concat('n', (id * ${erPrimes(j)} + $j) % 5000)"
+      s"concat('n', ((id * ${erPrimes(j)} + $j) % 1000000007) % 5000)"
     }.mkString(", ")
     val cat = spark.range(0L, nEr)
       .selectExpr("id", s"concat_ws(' ', $erWords) as name",
