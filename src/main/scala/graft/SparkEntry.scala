@@ -1103,51 +1103,13 @@ object SparkEntry {
     // record; right side = a deterministically dirtied catalog (last
     // name word dropped, ids offset), so the oracle replays it and the
     // spec can measure truth recovery
-    "q200_entity_resolution" -> ((s, dir) => {
-      import graft.text.EntityResolution._
-      val p = T(s, dir, "part")
-      val l = p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
-        col("p_brand").as("l_brand"), col("p_size").as("l_size"))
-      val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
-        regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
-        col("p_brand").as("r_brand"), col("p_size").as("r_size"))
-      resolve(l, r, "left_id", "right_id",
-        blockKeys = Seq(
-          (element_at(split(col("l_name"), " "), 1),
-            element_at(split(col("r_name"), " "), 1)),
-          (concat_ws("|", col("l_brand"), col("l_size")),
-            concat_ws("|", col("r_brand"), col("r_size")))),
-        fields = Seq(
-          Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
-          Field("brand", "l_brand", "r_brand", ExactSim, 1L),
-          Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L)),
-        minScore = 3000L)
-    }),
+    "q200_entity_resolution" -> ((s, dir) => erResolve(s, dir, unique = false)),
 
     // one-to-one entity resolution: the q200 scoring + 8 fixed rounds
     // of locally-dominant matching (parallel greedy == sequential
     // best-first greedy under the total order) — each dirty-catalog
     // record awarded to at most one master record
-    "q202_er_unique_assign" -> ((s, dir) => {
-      import graft.text.EntityResolution._
-      val p = T(s, dir, "part")
-      val l = p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
-        col("p_brand").as("l_brand"), col("p_size").as("l_size"))
-      val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
-        regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
-        col("p_brand").as("r_brand"), col("p_size").as("r_size"))
-      resolveUnique(l, r, "left_id", "right_id",
-        blockKeys = Seq(
-          (element_at(split(col("l_name"), " "), 1),
-            element_at(split(col("r_name"), " "), 1)),
-          (concat_ws("|", col("l_brand"), col("l_size")),
-            concat_ws("|", col("r_brand"), col("r_size")))),
-        fields = Seq(
-          Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
-          Field("brand", "l_brand", "r_brand", ExactSim, 1L),
-          Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L)),
-        minScore = 3000L, rounds = 8)
-    }),
+    "q202_er_unique_assign" -> ((s, dir) => erResolve(s, dir, unique = true)),
 
     // one-pass Pearson correlation matrix over fixed-point feature
     // columns: p sums + p sum-squares + p(p−1)/2 sum-products in ONE
@@ -2927,31 +2889,70 @@ object SparkEntry {
   /** DuckDB replay of [[graft.util.QuantileSketch.winsorizeByGroup]]:
     * the q189 bucket chain at qs (0.05, 0.95), representative bounds
     * joined back, NULL-guarded integer clip, exact-long aggregate. */
+  /** Shared q200/q202 entity-resolution setup — ONE definition of the
+    * catalog, the dirtied copy, the blocking keys, and the field spec,
+    * so the top-1 (q200) and one-to-one (q202) forms can never drift.
+    * Blocking: (first name token, brand) and (brand, size) — both
+    * composite so block sizes stay bounded as the table grows (a bare
+    * first-token key has CONSTANT cardinality on this vocabulary:
+    * blocks grow linearly with the table and candidates quadratically
+    * — measured 116 s at sf0.1 before the tightening, ~15 s after). */
+  private def erResolve(s: org.apache.spark.sql.SparkSession, dir: String,
+                        unique: Boolean): DataFrame = {
+    import graft.text.EntityResolution._
+    val p = T(s, dir, "part")
+    val l = p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
+      col("p_brand").as("l_brand"), col("p_size").as("l_size"))
+    val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
+      regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
+      col("p_brand").as("r_brand"), col("p_size").as("r_size"))
+    val blockKeys = Seq(
+      (concat_ws("|", element_at(split(col("l_name"), " "), 1), col("l_brand")),
+        concat_ws("|", element_at(split(col("r_name"), " "), 1), col("r_brand"))),
+      (concat_ws("|", col("l_brand"), col("l_size")),
+        concat_ws("|", col("r_brand"), col("r_size"))))
+    val fields = Seq(
+      Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
+      Field("brand", "l_brand", "r_brand", ExactSim, 1L),
+      Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L))
+    if (unique)
+      resolveUnique(l, r, "left_id", "right_id", blockKeys, fields,
+        minScore = 3000L, rounds = 8)
+    else
+      resolve(l, r, "left_id", "right_id", blockKeys, fields, minScore = 3000L)
+  }
+
+  /** Shared q200/q202 oracle scoring: catalog + dirtied copy +
+    * blocking joins + field sims, ending at the `scored` CTE. */
+  private val erScoringSql: String =
+    """WITH l AS MATERIALIZED (SELECT p_partkey AS left_id, p_name AS name, p_brand AS brand, p_size AS size FROM part),
+      |r AS MATERIALIZED (SELECT p_partkey + 1000000 AS right_id, regexp_replace(p_name, ' [^ ]+$', '') AS name,
+      |             p_brand AS brand, p_size AS size FROM part),
+      |cand AS (SELECT DISTINCT left_id, right_id FROM (
+      |    SELECT l.left_id, r.right_id FROM l JOIN r
+      |      ON string_split(l.name, ' ')[1] = string_split(r.name, ' ')[1]
+      |     AND l.brand = r.brand
+      |    UNION ALL
+      |    SELECT l.left_id, r.right_id FROM l JOIN r
+      |      ON l.brand = r.brand AND l.size = r.size)),
+      |scored AS (SELECT c.left_id, c.right_id,
+      |    CASE WHEN (len(la) + len(lb) - len(list_intersect(la, lb))) > 0
+      |         THEN (1000 * len(list_intersect(la, lb)))
+      |              // (len(la) + len(lb) - len(list_intersect(la, lb)))
+      |         ELSE 0 END AS sim_name,
+      |    CASE WHEN l.brand = r.brand THEN 1000 ELSE 0 END AS sim_brand,
+      |    greatest(0, 1000 - (1000 * abs(l.size - r.size)) // 5) AS sim_size
+      |  FROM cand c JOIN l ON l.left_id = c.left_id JOIN r ON r.right_id = c.right_id,
+      |  LATERAL (SELECT list_distinct(list_filter(string_split(lower(l.name), ' '), t -> t != '')) AS la,
+      |                  list_distinct(list_filter(string_split(lower(r.name), ' '), t -> t != '')) AS lb))""".stripMargin
+
   /** q202 oracle: the q200 scoring CTEs + `rounds` UNROLLED rounds of
     * locally-dominant one-to-one matching — fixed round count makes
     * the recurrence SQL-expressible (the fixed-iteration PageRank
     * discipline); both engines run exactly the same rounds. */
   private def erUniqueSql(rounds: Int): String = {
-    val scoring =
-      """WITH l AS MATERIALIZED (SELECT p_partkey AS left_id, p_name AS name, p_brand AS brand, p_size AS size FROM part),
-        |r AS MATERIALIZED (SELECT p_partkey + 1000000 AS right_id, regexp_replace(p_name, ' [^ ]+$', '') AS name,
-        |             p_brand AS brand, p_size AS size FROM part),
-        |cand AS (SELECT DISTINCT left_id, right_id FROM (
-        |    SELECT l.left_id, r.right_id FROM l JOIN r
-        |      ON string_split(l.name, ' ')[1] = string_split(r.name, ' ')[1]
-        |    UNION ALL
-        |    SELECT l.left_id, r.right_id FROM l JOIN r
-        |      ON l.brand = r.brand AND l.size = r.size)),
-        |scored AS (SELECT c.left_id, c.right_id,
-        |    CASE WHEN (len(la) + len(lb) - len(list_intersect(la, lb))) > 0
-        |         THEN (1000 * len(list_intersect(la, lb)))
-        |              // (len(la) + len(lb) - len(list_intersect(la, lb)))
-        |         ELSE 0 END AS sim_name,
-        |    CASE WHEN l.brand = r.brand THEN 1000 ELSE 0 END AS sim_brand,
-        |    greatest(0, 1000 - (1000 * abs(l.size - r.size)) // 5) AS sim_size
-        |  FROM cand c JOIN l ON l.left_id = c.left_id JOIN r ON r.right_id = c.right_id,
-        |  LATERAL (SELECT list_distinct(list_filter(string_split(lower(l.name), ' '), t -> t != '')) AS la,
-        |                  list_distinct(list_filter(string_split(lower(r.name), ' '), t -> t != '')) AS lb)),
+    val scoring = erScoringSql +
+      """,
         |c1 AS MATERIALIZED (SELECT left_id, right_id, CAST(3 * sim_name + sim_brand + sim_size AS BIGINT) AS score
         |       FROM scored WHERE 3 * sim_name + sim_brand + sim_size >= 3000)""".stripMargin
     val roundCtes = (1 to rounds).map { i =>
@@ -3108,26 +3109,8 @@ object SparkEntry {
 
     // entity resolution: blocking joins + list-algebra token Jaccard +
     // integer falloff, top-1 by (score desc, right_id)
-    "q200_entity_resolution" ->
-      """WITH l AS (SELECT p_partkey AS left_id, p_name AS name, p_brand AS brand, p_size AS size FROM part),
-        |r AS (SELECT p_partkey + 1000000 AS right_id, regexp_replace(p_name, ' [^ ]+$', '') AS name,
-        |             p_brand AS brand, p_size AS size FROM part),
-        |cand AS (SELECT DISTINCT left_id, right_id FROM (
-        |    SELECT l.left_id, r.right_id FROM l JOIN r
-        |      ON string_split(l.name, ' ')[1] = string_split(r.name, ' ')[1]
-        |    UNION ALL
-        |    SELECT l.left_id, r.right_id FROM l JOIN r
-        |      ON l.brand = r.brand AND l.size = r.size)),
-        |scored AS (SELECT c.left_id, c.right_id,
-        |    CASE WHEN (len(la) + len(lb) - len(list_intersect(la, lb))) > 0
-        |         THEN (1000 * len(list_intersect(la, lb)))
-        |              // (len(la) + len(lb) - len(list_intersect(la, lb)))
-        |         ELSE 0 END AS sim_name,
-        |    CASE WHEN l.brand = r.brand THEN 1000 ELSE 0 END AS sim_brand,
-        |    greatest(0, 1000 - (1000 * abs(l.size - r.size)) // 5) AS sim_size
-        |  FROM cand c JOIN l ON l.left_id = c.left_id JOIN r ON r.right_id = c.right_id,
-        |  LATERAL (SELECT list_distinct(list_filter(string_split(lower(l.name), ' '), t -> t != '')) AS la,
-        |                  list_distinct(list_filter(string_split(lower(r.name), ' '), t -> t != '')) AS lb)),
+    "q200_entity_resolution" -> (erScoringSql +
+      """,
         |fin AS (SELECT left_id, right_id, sim_name, sim_brand, sim_size,
         |    3 * sim_name + 1 * sim_brand + 1 * sim_size AS score FROM scored
         |  WHERE 3 * sim_name + 1 * sim_brand + 1 * sim_size >= 3000)
@@ -3136,7 +3119,7 @@ object SparkEntry {
         |  CAST(score AS BIGINT) AS score
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
         |                                   ORDER BY score DESC, right_id ASC) AS rk FROM fin)
-        |WHERE rk = 1""".stripMargin,
+        |WHERE rk = 1""".stripMargin),
 
     "q202_er_unique_assign" -> erUniqueSql(rounds = 8),
 
@@ -3147,7 +3130,9 @@ object SparkEntry {
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
         |    CAST(round(l_discount * 1000) AS BIGINT) AS disc_pm,
         |    CAST(round(l_tax * 1000) AS BIGINT) AS tax_pm
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
         |    SUM(CAST(qty AS HUGEINT)) AS s_qty,
         |    SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS q_qty,

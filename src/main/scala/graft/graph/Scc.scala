@@ -77,6 +77,11 @@ object Scc {
           maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     val eDist = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"))
+      // NULL (or non-castable) endpoints carry no reachability: drop
+      // them here so both kernels see the same graph — without this
+      // the local kernel crashes on the non-nullable decode while the
+      // distributed one would emit a (null, null) row
+      .filter(col("s").isNotNull && col("t").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = eDist.count()

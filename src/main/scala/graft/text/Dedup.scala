@@ -548,12 +548,19 @@ object Dedup {
     *
     * @return (doc_a, doc_b, gap, jac_permille): verified pairs with
     *         doc_a < doc_b by SORT position, gap = rank distance,
-    *         jac_permille = ⌊1000·|∩|/|∪|⌋ ≥ tPerMille. */
+    *         jac_permille = ⌊1000·|∩|/|∪|⌋ ≥ tPerMille. Only pairs
+    *         sharing at least one shingle can be emitted (the
+    *         intersection join is what makes verification candidate-
+    *         bounded), and documents with fewer than `shingleK` words
+    *         have no shingles and never pair — hence the tPerMille ≥ 1
+    *         floor: a zero threshold would promise zero-overlap pairs
+    *         this operator never produces. */
   def sortedNeighborhood(docs: DataFrame, w: Int, shingleK: Int,
                          tPerMille: Long, keyLen: Int = 24,
                          textCol: String = "text",
                          bucketChars: Int = 2): DataFrame = {
     require(w >= 2, s"sortedNeighborhood: window w >= 2, got $w")
+    require(tPerMille >= 1, s"sortedNeighborhood: tPerMille >= 1, got $tPerMille")
     require(bucketChars >= 1 && bucketChars < keyLen,
       s"sortedNeighborhood: bucketChars in [1, keyLen), got $bucketChars")
     import org.apache.spark.storage.StorageLevel

@@ -142,7 +142,12 @@ object EntityResolution {
                    maxLocalPairs: Long = MaxLocalPairs): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"assignUnique: rounds in [1,32], got $rounds")
     import org.apache.spark.storage.StorageLevel
-    var cand = scored.select("left_id", "right_id", "score")
+    // distinct: duplicate rows would otherwise make the kernels
+    // diverge (the local kernel's structural best-pair equality emits
+    // both copies; the distributed row_number keeps one) and break
+    // one-to-one; duplicate (left,right) at DIFFERENT scores remain as
+    // parallel edges, handled identically by both kernels
+    var cand = scored.select("left_id", "right_id", "score").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (cand.count() <= maxLocalPairs) {
       val out = assignUniqueLocal(cand, rounds)
@@ -160,21 +165,27 @@ object EntityResolution {
         .filter(col("__bl") === 1 && col("__br") === 1)
         .select("left_id", "right_id", "score")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (dom.limit(1).count() == 0) done = true
+      if (dom.limit(1).count() == 0) { dom.unpersist(blocking = false); done = true }
       else {
-        matched = if (matched == null) dom
-                  else matched.union(dom).persist(StorageLevel.MEMORY_AND_DISK)
+        // eager localCheckpoint bakes dom's rows into the accumulated
+        // matches (the Scc.addOut discipline), so dom and the previous
+        // union can be unpersisted immediately — no per-round cache
+        // accretion on the scale path
+        matched = (if (matched == null) dom else matched.union(dom))
+          .localCheckpoint(true)
         val next = cand
           .join(dom.select(col("left_id")), Seq("left_id"), "left_anti")
           .join(dom.select(col("right_id")), Seq("right_id"), "left_anti")
           .select("left_id", "right_id", "score")
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count()
+        dom.unpersist(blocking = false)
         cand.unpersist(blocking = false)
         cand = next
       }
       r += 1
     }
+    cand.unpersist(blocking = false)
     if (matched == null) cand.limit(0)
     else matched.select("left_id", "right_id", "score")
   }

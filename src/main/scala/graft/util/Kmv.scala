@@ -101,22 +101,13 @@ object Kmv {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** The house 52-bit md5 hash of the rendered key columns (the
-    * [[Sketches]] scheme — '|'-joined string casts + seed). */
-  def h52(seed: Long, keyCols: Seq[Column]): Column = {
-    val key = keyCols.map(_.cast("string"))
-      .reduceLeft((a, b) => concat(a, lit("|"), b))
-    conv(substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 13),
-      16, 10).cast("long")
-  }
-
   /** One-row synopsis: `ks` = sorted array of the k smallest distinct
     * key hashes (NULL-rendering keys dropped, matching
     * `count(DISTINCT …)`). Shuffle volume: ≤ k longs per partition. */
   def sketch(df: DataFrame, keyCols: Seq[String], k: Int, seed: Long): DataFrame = {
     require(k >= 2 && k <= MaxK, s"kmv: k in [2, $MaxK], got $k")
     val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
-    df.select(h52(seed, keyCols.map(col)).as("h"))
+    df.select(Sketches.h52(seed, keyCols.map(col)).as("h"))
       .filter(col("h").isNotNull)
       .agg(kmv(col("h")).as("ks"))
   }

@@ -180,7 +180,10 @@ object Profile {
     *   corr = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²) · (n·Syy − Sy²))
     * evaluated from those exact integers identically on both engines
     * (the [[Sketches.hllEstimate]] float discipline). Zero-variance
-    * columns yield NULL correlation (SQL semantics).
+    * columns yield NULL correlation (SQL semantics). Rows with a NULL
+    * in ANY requested column are excluded from every moment (listwise
+    * complete-case — `n` and the sums must count the same rows or the
+    * formula fabricates correlations).
     *
     * Headroom: |value| ≤ v, n rows ⇒ the largest intermediate is
     * n²·v²·… bounded by n·Sxy ≤ n²v² — at v = 10⁹ cents and n = 10⁹
@@ -195,6 +198,12 @@ object Profile {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix: at least two columns")
     require(cols.distinct.size == cols.size, "corrMatrix: duplicate column")
+    // LISTWISE complete-case: a row with ANY NULL among the feature
+    // columns is excluded from every moment. Without this, n =
+    // count(*) counts rows whose NULL values the sums skip — the
+    // mismatch fabricates correlations (even out-of-range ones) that
+    // both engines would agree on, so no oracle could catch it.
+    val complete = df.na.drop(cols)
     val dec = "decimal(38,0)"
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (cols(i), cols(j))
@@ -203,7 +212,7 @@ object Profile {
         sum(col(c).cast(dec) * col(c).cast(dec)).as(s"__q_$c"))) ++
       pairs.map { case (a, b) =>
         sum(col(a).cast(dec) * col(b).cast(dec)).as(s"__p_${a}__$b") }
-    val one = df.agg(count(lit(1)).cast(dec).as("__n"), aggs: _*)
+    val one = complete.agg(count(lit(1)).cast(dec).as("__n"), aggs: _*)
     val pairStructs = pairs.map { case (a, b) =>
       val cov = col("__n") * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
       val va = col("__n") * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** 52-bit md5-derived hash of the rendered key (the
-    * [[Sampling.hashKeep]] scheme: '|'-joined casts + seed). */
-  private def h52(seed: Long, keyCols: Seq[Column]): Column = {
+    * [[Sampling.hashKeep]] scheme: '|'-joined casts + seed). Shared
+    * within the package — [[Kmv]] sketches the same hash, and the two
+    * sketch families must never drift apart. */
+  private[util] def h52(seed: Long, keyCols: Seq[Column]): Column = {
     val key = keyCols.map(_.cast("string"))
       .reduceLeft((a, b) => concat(a, lit("|"), b))
     conv(substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 13),

@@ -45,6 +45,17 @@ class CorrMatrixSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") == 50L)
   }
 
+  test("NULL rows are excluded listwise: n and moments count the same rows") {
+    // without listwise exclusion, (3,NULL) inflates n while the sums
+    // skip it -> corr would read negative for perfectly correlated
+    // complete cases
+    val df = Seq((Some(1L), Some(1L)), (Some(2L), Some(2L)), (Some(3L), None: Option[Long]))
+      .toDF("x", "y")
+    val r = Profile.corrMatrix(df, Seq("x", "y")).collect()(0)
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Long]("corr_e6") == 1000000L)
+  }
+
   test("anti-correlated pair hits -1e6 exactly") {
     val df = (1 to 100).map(i => (i.toLong, (1000 - 5 * i).toLong)).toDF("u", "v")
     val r = Profile.corrMatrix(df, Seq("u", "v")).collect()(0)

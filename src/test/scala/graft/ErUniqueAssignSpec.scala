@@ -56,6 +56,16 @@ class ErUniqueAssignSpec extends AnyFunSuite {
     assert(got.map(_._1).size == got.size && got.map(_._2).size == got.size)
   }
 
+  test("duplicate scored rows collapse: kernels agree and one-to-one holds") {
+    val rows = Seq[(Long, Long, Long)](
+      (1L, 10L, 500L), (1L, 10L, 500L), (2L, 10L, 400L), (2L, 11L, 300L))
+    val local = assign(rows)
+    val dist = assign(rows, forceDistributed = true)
+    assert(local == dist)
+    assert(local == Set((1L, 10L, 500L), (2L, 11L, 300L)))
+    assert(local.map(_._1).size == local.size && local.map(_._2).size == local.size)
+  }
+
   test("q200 catalog: one-to-one assignment recovers ALL planted truth (top-1 does not)") {
     val dir = "/root/testdata/sf0.001"
     val unique = SparkEntry.queries("q202_er_unique_assign")(spark, dir)

@@ -90,6 +90,21 @@ class SccSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
 
+  test("NULL endpoints are dropped identically by both kernels") {
+    val df = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(3L), None: Option[Long]))
+      .toDF("s", "t")
+    import graft.graph.Scc
+    val local = Scc.run(df, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Scc.run(df, "s", "t", maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the NULL-target edge contributes nothing; 3 is not an endpoint
+    // of any surviving edge and is absent (documented: nodes = edge
+    // endpoints after the NULL drop)
+    assert(local == Map(1L -> 1L, 2L -> 1L))
+    assert(dist == local)
+  }
+
   test("matches Tarjan on a pseudo-random 200-node graph; kernels agree; partition-invariant") {
     val edges = (0 until 600).map { i =>
       val s = (i * 2654435761L) % 200

@@ -56,8 +56,8 @@ class SortedNeighborhoodSpec extends AnyFunSuite {
     assert(run(1, 4, 300L) == run(7, 4, 300L))
   }
 
-  test("window bounds candidates structurally: threshold 0 emits <= (w-1)*n pairs") {
-    val all = run(3, 3, 0L)
+  test("window bounds candidates structurally: threshold 1 emits <= (w-1)*n pairs") {
+    val all = run(3, 3, 1L)
     assert(all.size <= (3 - 1) * corpus.size)
     // every emitted gap respects the window
     assert(all.forall(_._3 <= 2))

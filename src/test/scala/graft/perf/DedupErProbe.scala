@@ -26,7 +26,9 @@ object DedupErProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
+      // NOTE: driver heap must come from the JVM flags (-Xmx via
+      // SBT_OPTS) — setting spark.driver.memory here would be a no-op
+      // in an already-running local JVM
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timed[A](label: String)(f: => A): A = {
