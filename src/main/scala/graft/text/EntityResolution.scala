@@ -42,11 +42,17 @@ object EntityResolution {
   private def tokens(c: Column): Column =
     array_distinct(filter(split(lower(c), " "), t => t =!= lit("")))
 
+  /** Per-field agreement column. Token-Jaccard reads PRE-TOKENIZED
+    * array columns (`__lt_/__rt_<name>`, built once per RECORD before
+    * the candidate join in [[scoredPairs]]) — tokenizing inside the
+    * pair expression would re-split both strings once per candidate
+    * PAIR, a per-record-vs-per-pair cost gap that grows with block
+    * size. */
   private def simCol(f: Field): Column = f.sim match {
     case ExactSim =>
       when(col(f.leftCol) === col(f.rightCol), lit(1000L)).otherwise(lit(0L))
     case TokenJaccardSim =>
-      val ta = tokens(col(f.leftCol)); val tb = tokens(col(f.rightCol))
+      val ta = col(s"__lt_${f.name}"); val tb = col(s"__rt_${f.name}")
       val ni = size(array_intersect(ta, tb)).cast("long")
       val un = (size(ta) + size(tb)).cast("long") - ni
       when(un > 0, intDiv(ni * lit(1000L), un)).otherwise(lit(0L))
@@ -89,9 +95,16 @@ object EntityResolution {
     val cand = candidates(left, right, leftId, rightId, blockKeys)
     val l = fields.map(f => col(f.leftCol)).distinct
     val r = fields.map(f => col(f.rightCol)).distinct
+    // tokenize string fields ONCE per record (see simCol) — the
+    // projected sides stay skinny: id + compared fields + token arrays
+    val jac = fields.filter(_.sim == TokenJaccardSim)
+    val lSide = jac.foldLeft(left.select((col(leftId).as("left_id") +: l): _*))(
+      (df, f) => df.withColumn(s"__lt_${f.name}", tokens(col(f.leftCol))))
+    val rSide = jac.foldLeft(right.select((col(rightId).as("right_id") +: r): _*))(
+      (df, f) => df.withColumn(s"__rt_${f.name}", tokens(col(f.rightCol))))
     cand
-      .join(left.select((col(leftId).as("left_id") +: l): _*), Seq("left_id"))
-      .join(right.select((col(rightId).as("right_id") +: r): _*), Seq("right_id"))
+      .join(lSide, Seq("left_id"))
+      .join(rSide, Seq("right_id"))
       .select((col("left_id") +: col("right_id") +:
         fields.map(f => simCol(f).as(s"sim_${f.name}"))): _*)
       .withColumn("score",
