@@ -1073,6 +1073,17 @@ object SparkEntry {
         Seq("o_custkey"), k = 512, seed = 42L)
     }),
 
+    // grouped KMV: per-language vocabulary-size estimates — the
+    // grouped form of q196's synopsis (one map-side-combined aggregate,
+    // ≤ k longs per (partition, group)); k=16 < per-lang vocab so the
+    // (k−1)·2^52/h_k estimator branch is live and oracle-replayed
+    "q203_kmv_grouped_vocab" -> ((s, dir) => {
+      val words = T(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.util.Kmv.estimateGrouped(words, Seq("lang"), Seq("w"), k = 16, seed = 42L)
+    }),
+
     // join-key skew profile: the pre-shuffle diagnostic — event_type is
     // the classic low-cardinality hot key (5 keys over 10k rows at 32
     // shuffle partitions → straggler ratio 6.45×, salt fan-out 7);
@@ -3168,6 +3179,22 @@ object SparkEntry {
         |       THEN CAST(round(CAST(cov AS DOUBLE) / sqrt(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) * 1e6) AS BIGINT)
         |  END AS corr_e6
         |FROM pairs""".stripMargin,
+
+    // grouped KMV: per-lang k-smallest distinct word hashes via
+    // window rank, estimator in matched left-assoc double order
+    "q203_kmv_grouped_vocab" ->
+      """WITH w AS (SELECT lang, t AS word
+        |           FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
+        |           WHERE t != ''),
+        |h AS (SELECT DISTINCT lang,
+        |        ('0x'||substr(md5(word||'|42'),1,13))::UBIGINT AS h FROM w),
+        |rk AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r FROM h),
+        |ks AS (SELECT lang, h FROM rk WHERE r <= 16),
+        |agg AS (SELECT lang, COUNT(*) AS n_kept, MAX(h) AS hk FROM ks GROUP BY 1)
+        |SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(round(CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE) * 1e6
+        |                  ELSE 15e0 * 4503599627370496e0 / CAST(hk AS DOUBLE) * 1e6 END) AS BIGINT) AS est_e6
+        |FROM agg""".stripMargin,
 
     // skew profile: per-key counts → totals + value-rollup cumulative
     // p99, all integer arithmetic

@@ -112,6 +112,31 @@ object Kmv {
       .agg(kmv(col("h")).as("ks"))
   }
 
+  /** Per-GROUP synopses in one aggregation: (groupCols…, ks) — the
+    * [[Sketches.hllEstimateGrouped]] sibling. Each group's state is an
+    * independent ≤ k-long array riding the same map-side-combined
+    * aggregate, so shuffle volume is ≤ k longs per (partition, group). */
+  def sketchGrouped(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+                    k: Int, seed: Long): DataFrame = {
+    require(k >= 2 && k <= MaxK, s"kmv: k in [2, $MaxK], got $k")
+    require(groupCols.nonEmpty, "kmv.sketchGrouped: at least one group column")
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.select((groupCols.map(col) :+ Sketches.h52(seed, keyCols.map(col)).as("h")): _*)
+      .filter(col("h").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("h")).as("ks"))
+  }
+
+  /** Per-group distinct estimates: (groupCols…, n_kept, est_e6) —
+    * n_kept = |synopsis| (exact count when < k), est_e6 the e6-scaled
+    * estimate under the [[sketch]] estimator. */
+  def estimateGrouped(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+                      k: Int, seed: Long): DataFrame =
+    sketchGrouped(df, groupCols, keyCols, k, seed)
+      .select((groupCols.map(col) :+
+        size(col("ks")).cast("long").as("n_kept") :+
+        round(estE6(col("ks"), k)).cast("long").as("est_e6")): _*)
+
   /** e6-scaled distinct estimate from a sketch array column: exact n
     * when the sketch is not full, else (k−1)·2^52/h_(k). */
   private def estE6(arr: Column, k: Int): Column =

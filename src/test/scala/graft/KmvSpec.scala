@@ -61,6 +61,26 @@ class KmvSpec extends AnyFunSuite {
     assert(su.last <= sa.last && su.last <= sb.last)
   }
 
+  test("grouped sketches equal independent per-group sketches; exact below k") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", (i * 7919L) % 500))
+    val df = rows.toDF("g", "v").repartition(9)
+    val grouped = Kmv.sketchGrouped(df, Seq("g"), Seq("v"), k = 64, seed = 5L)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Kmv.sketch(df.filter(col("g") === g).select("v"), Seq("v"), 64, 5L)
+        .collect()(0).getSeq[Long](0)
+      assert(grouped(g) == solo, g)
+    }
+    // exact branch: distinct v per group < k=512
+    val est = Kmv.estimateGrouped(df, Seq("g"), Seq("v"), k = 512, seed = 5L)
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n_kept"), r.getAs[Long]("est_e6")))).toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    for (g <- exact.keys) {
+      assert(est(g)._1 == exact(g))
+      assert(est(g)._2 == exact(g) * 1000000L)
+    }
+  }
+
   test("disjoint sets: zero intersection count, difference ~= |A|") {
     val a = (1 to 15000).map(_.toLong).toDF("id")
     val b = (100001 to 115000).map(_.toLong).toDF("id")
