@@ -2917,11 +2917,15 @@ object SparkEntry {
     val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
       regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
       col("p_brand").as("r_brand"), col("p_size").as("r_size"))
+    // compositeKey, not bare concat_ws: concat_ws SKIPS null args, so
+    // a NULL name/brand/size would silently degrade to a partial key
+    // and pair rows the oracle's NULL-rejecting AND-equality join
+    // rejects; compositeKey is NULL-propagating and collision-free
     val blockKeys = Seq(
-      (concat_ws("|", element_at(split(col("l_name"), " "), 1), col("l_brand")),
-        concat_ws("|", element_at(split(col("r_name"), " "), 1), col("r_brand"))),
-      (concat_ws("|", col("l_brand"), col("l_size")),
-        concat_ws("|", col("r_brand"), col("r_size"))))
+      (compositeKey(element_at(split(col("l_name"), " "), 1), col("l_brand")),
+        compositeKey(element_at(split(col("r_name"), " "), 1), col("r_brand"))),
+      (compositeKey(col("l_brand"), col("l_size")),
+        compositeKey(col("r_brand"), col("r_size"))))
     val fields = Seq(
       Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
       Field("brand", "l_brand", "r_brand", ExactSim, 1L),
@@ -3099,9 +3103,13 @@ object SparkEntry {
         |  CAST(round(eb) AS BIGINT) AS est_b_e6,
         |  CAST(round(eu) AS BIGINT) AS est_union_e6,
         |  CAST(ki AS BIGINT) AS k_inter,
-        |  CAST(round(CAST(ki AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT) AS est_inter_e6,
+        |  CASE WHEN n_u > 0
+        |       THEN CAST(round(CAST(ki AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT)
+        |       ELSE 0 END AS est_inter_e6,
         |  CAST(kd AS BIGINT) AS k_diff,
-        |  CAST(round(CAST(kd AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT) AS est_diff_e6
+        |  CASE WHEN n_u > 0
+        |       THEN CAST(round(CAST(kd AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT)
+        |       ELSE 0 END AS est_diff_e6
         |FROM e""".stripMargin,
 
     // SCC: recursive reachability closure, mutual pairs, min member

@@ -15,27 +15,36 @@ import org.apache.spark.storage.StorageLevel
   * SQL closure (mutual reachability) at oracle scale.
   *
   * Per outer round:
-  *   1. TRIM to fixpoint (capped): nodes with no in-edge or no
-  *      out-edge among remaining nodes cannot sit on a cycle — each
-  *      is its own singleton SCC. Trimming is what disposes of long
-  *      acyclic chains/tails in cheap semi-join iterations instead of
-  *      expensive coloring rounds (a pure DAG resolves entirely here).
+  *   1. TRIM to fixpoint (uncapped — each iteration strictly shrinks
+  *      the remaining node set, so termination is structural): nodes
+  *      with no in-edge or no out-edge among remaining nodes cannot
+  *      sit on a cycle — each is its own singleton SCC. Trimming is
+  *      what disposes of long acyclic chains/tails in cheap semi-join
+  *      iterations instead of expensive coloring rounds (a pure DAG
+  *      of ANY depth resolves entirely here, one layer per
+  *      iteration).
   *   2. COLOR to fixpoint: forward min-label propagation
-  *      (c(v) = min id that reaches v) — one skinny label join + one
-  *      map-side-combined MIN per iteration against the remaining-edge
-  *      cache, the [[ConnectedComponents]] loop shape with direction
-  *      kept.
+  *      (c(v) = min id that reaches v), FRONTIER form — only labels
+  *      that changed last iteration propagate (a label can only
+  *      decrease via a neighbor's decrease, so tracing decreasing
+  *      updates from the all-nodes initial frontier is complete).
+  *      After the first sweep the per-iteration join probe is the
+  *      frontier, not the corpus, and the label table itself updates
+  *      through a partitioning-preserved left join (labels stay hash-
+  *      partitioned on the node id across iterations — the exchange
+  *      each iteration moves only the skinny update set).
   *   3. PIVOT BACKWARD REACH: within each color class, the pivot is
   *      the node that IS its color; nodes of the class that reach the
-  *      pivot (backward propagation restricted to same-color edges)
-  *      are exactly SCC(pivot) — assigned and removed. Every color
-  *      class resolves one SCC per round, all classes in parallel.
+  *      pivot (FRONTIER backward propagation restricted to same-color
+  *      edges) are exactly SCC(pivot) — assigned and removed. Every
+  *      color class resolves one SCC per round, all classes in
+  *      parallel.
   *
-  * Every fixpoint has an iteration guard and the outer loop FAILS
-  * rather than emitting unconverged components (the
-  * [[ConnectedComponents]] contract). Lineage is truncated with eager
-  * localCheckpoint per iteration — the iterative-DataFrame discipline
-  * measured in [[PageRank]]/[[Coreness]].
+  * The coloring and backward-reach fixpoints keep iteration guards and
+  * the outer loop FAILS rather than emitting unconverged components
+  * (the [[ConnectedComponents]] contract). Lineage is truncated with
+  * eager localCheckpoint per iteration — the iterative-DataFrame
+  * discipline measured in [[PageRank]]/[[Coreness]].
   *
   * COMPLEXITY ENVELOPE (honest bound): a coloring round resolves ONE
   * SCC per color class, so the outer-round count is the longest CHAIN
@@ -45,7 +54,8 @@ import org.apache.spark.storage.StorageLevel
   * assumption of Slota et al.'s Multistep method); a long chain of
   * small cycles does NOT, and fails the `maxOuterRounds` guard loudly
   * rather than running unbounded. (Acyclic chains are fine — TRIM
-  * peels a DAG of any depth in cheap semi-join iterations.) The local
+  * runs to its structural fixpoint and peels a DAG of any depth in
+  * cheap semi-join iterations.) The local
   * Tarjan kernel below the gate has no such bound — at the default
   * 2M-edge gate, chain-of-cycles graphs that exceed the distributed
   * envelope in the wild are rare enough that the loud guard is the
@@ -73,7 +83,6 @@ object Scc {
     * must be long-typed (or castable) and mutually comparable. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxOuterRounds: Int = 30, maxColorIters: Int = 80,
-          maxTrimIters: Int = 40,
           maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     val eDist = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"))
@@ -86,7 +95,7 @@ object Scc {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = eDist.count()
     val out = if (nEdges <= maxLocalEdges) runLocal(eDist)
-              else runDistributed(eDist, maxOuterRounds, maxColorIters, maxTrimIters)
+              else runDistributed(eDist, maxOuterRounds, maxColorIters)
     eDist.unpersist(blocking = false)
     out
   }
@@ -146,7 +155,7 @@ object Scc {
 
   /** Distributed FW-BW-Trim coloring kernel (see object scaladoc). */
   private def runDistributed(eDist: DataFrame, maxOuterRounds: Int,
-                             maxColorIters: Int, maxTrimIters: Int): DataFrame = {
+                             maxColorIters: Int): DataFrame = {
     val e0 = eDist
       .repartition(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -160,16 +169,23 @@ object Scc {
 
     var round = 0
     while (round < maxOuterRounds && rem.limit(1).count() > 0) {
-      // remaining-edge cache for this round
+      // remaining-edge cache for this round, hash-partitioned on s so
+      // every frontier probe below joins against it without
+      // re-exchanging the edge table (localCheckpoint preserves the
+      // physical partitioning into the checkpointed plan)
       var eRem = e0.join(rem.select(col("v").as("s")), Seq("s"), "left_semi")
         .join(rem.select(col("v").as("t")), Seq("t"), "left_semi")
         .select("s", "t")
+        .repartition(col("s"))
         .localCheckpoint(true)
 
-      // 1. trim to (capped) fixpoint
+      // 1. trim to fixpoint — UNcapped: an iteration either strictly
+      // shrinks rem or stops, so termination is structural and a pure
+      // DAG of any depth resolves entirely here (one layer per
+      // iteration; was capped pre-r14, which broke the documented
+      // contract on >~160-deep acyclic chains)
       var trimming = true
-      var trimIter = 0
-      while (trimming && trimIter < maxTrimIters) {
+      while (trimming) {
         val keep = rem
           .join(eRem.select(col("s").as("v")).distinct(), Seq("v"), "left_semi")
           .join(eRem.select(col("t").as("v")).distinct(), Seq("v"), "left_semi")
@@ -183,27 +199,45 @@ object Scc {
           eRem = eRem.join(rem.select(col("v").as("s")), Seq("s"), "left_semi")
             .join(rem.select(col("v").as("t")), Seq("t"), "left_semi")
             .select("s", "t")
+            .repartition(col("s"))
             .localCheckpoint(true)
         } else trimming = false
-        trimIter += 1
       }
 
       if (rem.limit(1).count() > 0) {
-        // 2. forward min-coloring to fixpoint
+        // 2. forward min-coloring, FRONTIER form: only labels that
+        // CHANGED last iteration propagate (complete — a label can
+        // only decrease via a neighbor's decrease, and the initial
+        // frontier is every node). After the first sweep the edge
+        // probe joins against the skinny frontier (AQE broadcasts it
+        // once checkpointed with a known small size), so the steady-
+        // state per-iteration cost is one eRem scan + one labels
+        // scan, not a corpus-wide union+groupBy+diff (the pre-r14
+        // shape — measured 155 s vs local 41 s on the 5M-edge
+        // bow-tie probe).
         var labels = rem.select(col("v").as("n")).withColumn("c", col("n"))
+          .repartition(col("n"))
           .localCheckpoint(true)
+        var frontier = labels
         var colored = false
         var it = 0
         while (!colored && it < maxColorIters) {
-          val viaEdge = eRem.join(labels, eRem("s") === labels("n"))
-            .select(col("t").as("n"), col("c"))
-          val next = labels.union(viaEdge)
-            .groupBy("n").agg(min("c").as("c"))
+          val inc = eRem
+            .join(frontier.select(col("n").as("s"), col("c")), Seq("s"))
+            .groupBy(col("t").as("n")).agg(min("c").as("cn"))
+          val upd = inc.join(labels, Seq("n"))
+            .filter(col("cn") < col("c"))
+            .select(col("n"), col("cn").as("c"))
             .localCheckpoint(true)
-          val changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
-            .filter(col("x.c") < col("y.c")).count()
-          labels = next
-          colored = changed == 0
+          if (upd.limit(1).count() == 0) colored = true
+          else {
+            labels = labels
+              .join(upd.select(col("n"), col("c").as("__cu")), Seq("n"), "left")
+              .select(col("n"), coalesce(col("__cu"), col("c")).as("c"))
+              .repartition(col("n"))
+              .localCheckpoint(true)
+            frontier = upd
+          }
           it += 1
         }
         require(colored,
@@ -215,21 +249,29 @@ object Scc {
           .join(labels.select(col("n").as("t"), col("c").as("ct")), Seq("t"))
           .filter(col("cs") === col("ct"))
           .select(col("s"), col("t"))
+          .repartition(col("t"))
           .localCheckpoint(true)
 
-        // 3. backward reach from each color's pivot (pivot = its color)
+        // 3. backward reach from each color's pivot (pivot = its
+        // color), FRONTIER form: probe predecessors of the newly
+        // reached set only; the accumulated marks are touched once
+        // per iteration by the dedup anti-join
         var marks = labels.filter(col("n") === col("c")).select(col("n").as("v"))
+          .repartition(col("v"))
           .localCheckpoint(true)
+        var bFront = marks
         var growing = true
         var bit = 0
         while (growing && bit < maxColorIters) {
-          val reached = eLab.join(marks.select(col("v").as("t")), Seq("t"), "left_semi")
+          val reached = eLab
+            .join(bFront.select(col("v").as("t")), Seq("t"), "left_semi")
             .select(col("s").as("v")).distinct()
             .join(marks, Seq("v"), "left_anti")
             .localCheckpoint(true)
-          if (reached.limit(1).count() > 0)
-            marks = marks.union(reached).localCheckpoint(true)
-          else growing = false
+          if (reached.limit(1).count() > 0) {
+            marks = marks.union(reached).repartition(col("v")).localCheckpoint(true)
+            bFront = reached
+          } else growing = false
           bit += 1
         }
         require(!growing,

@@ -592,8 +592,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("gap"),
         // integer DIV, never float division floored — exact on both engines
         expr("(ni * 1000L) div (na + nb - ni)").as("jac_permille"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      // eager localCheckpoint, not persist: the result is cut loose
+      // from its lineage AND leaves no block-manager entry behind for
+      // the session lifetime (the containmentJoin discipline)
+      .localCheckpoint(true)
     ranked.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     out

@@ -42,6 +42,18 @@ object EntityResolution {
   private def tokens(c: Column): Column =
     array_distinct(filter(split(lower(c), " "), t => t =!= lit("")))
 
+  /** NULL-propagating composite blocking key: NULL when ANY component
+    * is NULL — a bare `concat_ws` SKIPS null args, silently degrading
+    * a composite to a partial key that pairs rows an AND-equality
+    * oracle join rejects (the [[candidates]] "NULL keys never pair"
+    * contract must hold for composites too). Components join on
+    * U+0001, a separator that cannot appear in normal field text, so
+    * ("a|b","c") and ("a","b|c") render distinct keys. */
+  def compositeKey(cols: Column*): Column = {
+    require(cols.nonEmpty, "compositeKey: at least one component")
+    when(cols.map(_.isNotNull).reduce(_ && _), concat_ws("\u0001", cols: _*))
+  }
+
   /** Per-field agreement column. Token-Jaccard reads PRE-TOKENIZED
     * array columns (`__lt_/__rt_<name>`, built once per RECORD before
     * the candidate join in [[scoredPairs]]) — tokenizing inside the

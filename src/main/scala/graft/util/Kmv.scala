@@ -166,10 +166,15 @@ object Kmv {
         round(estE6(col("kb"), k)).cast("long").as("est_b_e6"),
         round(estE6(col("ku"), k)).cast("long").as("est_union_e6"),
         size(col("inter_u")).cast("long").as("k_inter"),
-        round(size(col("inter_u")).cast("double") / size(col("ku")).cast("double") *
-          estE6(col("ku"), k)).cast("long").as("est_inter_e6"),
+        // empty-union guard (both inputs empty): the ratio would be
+        // 0/0 — NULL here, NaN in a replaying engine; the true
+        // estimate for an empty union is exactly 0
+        when(size(col("ku")) > 0,
+          round(size(col("inter_u")).cast("double") / size(col("ku")).cast("double") *
+            estE6(col("ku"), k)).cast("long")).otherwise(lit(0L)).as("est_inter_e6"),
         size(col("diff_u")).cast("long").as("k_diff"),
-        round(size(col("diff_u")).cast("double") / size(col("ku")).cast("double") *
-          estE6(col("ku"), k)).cast("long").as("est_diff_e6"))
+        when(size(col("ku")) > 0,
+          round(size(col("diff_u")).cast("double") / size(col("ku")).cast("double") *
+            estE6(col("ku"), k)).cast("long")).otherwise(lit(0L)).as("est_diff_e6"))
   }
 }

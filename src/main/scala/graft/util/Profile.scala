@@ -189,9 +189,12 @@ object Profile {
     * n²·v²·… bounded by n·Sxy ≤ n²v² — at v = 10⁹ cents and n = 10⁹
     * rows that is 10⁵⁴... beyond decimal(38). Practical bound: n·v²
     * per moment term and n²v² for the cross term must stay < 10³⁸,
-    * i.e. v ≤ 10¹⁰ cents at n ≤ 10⁹ rows — ample for priced facts;
-    * the require below pins nothing (data-dependent), the scaladoc
-    * records the envelope.
+    * i.e. v ≤ 10¹⁰ cents at n ≤ 10⁹ rows — ample for priced facts.
+    * The envelope is ENFORCED loudly: under Spark's non-ANSI decimal
+    * semantics an overflowing moment silently becomes NULL, so the
+    * pair expression raises if any moment is NULL while n > 0
+    * (complete-case inputs are non-null — NULL there IS overflow)
+    * instead of emitting a NULL corr_e6 that reads as zero variance.
     *
     * @return one row per unordered pair (col_a < col_b by input
     *         order): (col_a, col_b, n, corr_e6). */
@@ -214,13 +217,24 @@ object Profile {
         sum(col(a).cast(dec) * col(b).cast(dec)).as(s"__p_${a}__$b") }
     val one = complete.agg(count(lit(1)).cast(dec).as("__n"), aggs: _*)
     val pairStructs = pairs.map { case (a, b) =>
+      // LOUD overflow: complete-case inputs are non-null, so with
+      // n > 0 a NULL moment can only mean the decimal(38,0) sum (or
+      // the n·Sxy / Sx·Sy cross term) overflowed under non-ANSI
+      // decimal semantics — raise instead of emitting a NULL corr_e6
+      // the caller would misread as zero variance
       val cov = col("__n") * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
       val va = col("__n") * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
       val vb = col("__n") * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val overflowed = col("__n") > 0 &&
+        (cov.isNull || va.isNull || vb.isNull)
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         col("__n").cast("long").as("n"),
-        when(va > 0 && vb > 0, round(cov.cast("double") /
-            sqrt(va.cast("double") * vb.cast("double")) * lit(1e6)).cast("long"))
+        when(overflowed, raise_error(lit(
+            s"corrMatrix: decimal(38,0) moment overflow on pair ($a, $b) — " +
+              "rescale the fixed-point inputs (see headroom envelope in scaladoc)"))
+            .cast("long"))
+          .otherwise(when(va > 0 && vb > 0, round(cov.cast("double") /
+            sqrt(va.cast("double") * vb.cast("double")) * lit(1e6)).cast("long")))
           .as("corr_e6"))
     }
     one.select(explode(array(pairStructs: _*)).as("e")).select("e.*")
