@@ -8,8 +8,8 @@ import org.apache.spark.storage.StorageLevel
   * web-graph structure pass ([[ConnectedComponents]]'s directed
   * sibling): crawl-loop detection, link-farm analysis, dependency-
   * cycle audits. Implements the parallel FW-BW-Trim coloring scheme
-  * (Fleischer et al. 2000; Orzan 2004; Slota et al. 2014) on the
-  * DataFrame engine, with the SCC id fixed to the MINIMUM node id in
+  * (Fleischer et al. 2000; Orzan 2004; Slota et al. 2014), with the
+  * SCC id fixed to the MINIMUM node id in
   * the component — a pure function of the edge set, deterministic
   * under any partitioning, independently replayable by a recursive
   * SQL closure (mutual reachability) at oracle scale.
@@ -28,11 +28,6 @@ import org.apache.spark.storage.StorageLevel
   *      that changed last iteration propagate (a label can only
   *      decrease via a neighbor's decrease, so tracing decreasing
   *      updates from the all-nodes initial frontier is complete).
-  *      After the first sweep the per-iteration join probe is the
-  *      frontier, not the corpus, and the label table itself updates
-  *      through a partitioning-preserved left join (labels stay hash-
-  *      partitioned on the node id across iterations — the exchange
-  *      each iteration moves only the skinny update set).
   *   3. PIVOT BACKWARD REACH: within each color class, the pivot is
   *      the node that IS its color; nodes of the class that reach the
   *      pivot (FRONTIER backward propagation restricted to same-color
@@ -42,9 +37,21 @@ import org.apache.spark.storage.StorageLevel
   *
   * The coloring and backward-reach fixpoints keep iteration guards and
   * the outer loop FAILS rather than emitting unconverged components
-  * (the [[ConnectedComponents]] contract). Lineage is truncated with
-  * eager localCheckpoint per iteration — the iterative-DataFrame
-  * discipline measured in [[PageRank]]/[[Coreness]].
+  * (the [[ConnectedComponents]] contract).
+  *
+  * PHYSICAL KERNEL (r14, measured): the fixpoints run as PREGEL-STYLE
+  * RDD message passing, not a per-iteration DataFrame loop — the
+  * r13 DataFrame kernel was measured JOB-OVERHEAD-bound, not
+  * data-bound (38 s for a 40k-edge graph whose local Tarjan takes
+  * 2 s: ~100 one-hop iterations, each paying Catalyst re-planning,
+  * AQE stage scheduling and an eager localCheckpoint). This is the
+  * canonical case for the RDD tier of the extension ladder (it is
+  * why GraphX/Pregel exist): every structure is hash-partitioned
+  * ONCE by a shared partitioner, and each iteration costs exactly
+  * one co-partitioned narrow join + one shuffle of the skinny
+  * message set + one action, with no query planning in the loop.
+  * The declarative surface (input/output, gating, semantics) is
+  * unchanged and the oracle replays mutual reachability in SQL.
   *
   * COMPLEXITY ENVELOPE (honest bound): a coloring round resolves ONE
   * SCC per color class, so the outer-round count is the longest CHAIN
@@ -95,7 +102,7 @@ object Scc {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = eDist.count()
     val out = if (nEdges <= maxLocalEdges) runLocal(eDist)
-              else runDistributed(eDist, maxOuterRounds, maxColorIters)
+              else runDistributed(eDist, nEdges, maxOuterRounds, maxColorIters)
     eDist.unpersist(blocking = false)
     out
   }
@@ -153,140 +160,232 @@ object Scc {
     comp.toSeq.sortBy(_._1).toDF("node", "scc_id")
   }
 
-  /** Distributed FW-BW-Trim coloring kernel (see object scaladoc). */
-  private def runDistributed(eDist: DataFrame, maxOuterRounds: Int,
+  /** Distributed FW-BW-Trim coloring kernel — PREGEL-STYLE RDD
+    * message passing (see the "physical kernel" note in the object
+    * scaladoc): every structure is an `RDD[(Long, _)]` hash-
+    * partitioned ONCE by a shared partitioner sized to the edge
+    * count, so each fixpoint iteration is one `zipPartitions` stream
+    * of the cached edge shard against a per-partition hash of the
+    * (usually skinny) frontier shard, one map-side-combined shuffle
+    * of the messages, and one narrow state scan — no per-iteration
+    * query planning, no CoGroup buffering of the corpus side, and a
+    * frontier-empty partition skips its edge scan entirely.
+    *
+    * Retirement discipline: a persisted RDD is unpersisted only AFTER
+    * every RDD whose lineage crosses it has materialized its own
+    * blocks; views (`mapValues`/`filter` over a persisted backing)
+    * are never persisted themselves. Semantics are identical to the
+    * r13 DataFrame loop (SccSpec pins kernel equality against
+    * Tarjan). */
+  private def runDistributed(eDist: DataFrame, nEdges: Long, maxOuterRounds: Int,
                              maxColorIters: Int): DataFrame = {
-    val e0 = eDist
-      .repartition(col("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var rem = e0.select(col("s").as("v"))
-      .union(e0.select(col("t").as("v"))).distinct()
-      .localCheckpoint(true)
-    var out: DataFrame = null
-    def addOut(df: DataFrame): Unit =
-      out = if (out == null) df.localCheckpoint(true)
-            else out.union(df).localCheckpoint(true)
+    val spark = eDist.sparkSession
+    import spark.implicits._
+    import org.apache.spark.rdd.RDD
+    // size the partitioner to the DATA (the RDD analogue of AQE
+    // coalescing, decided once from the already-known edge count):
+    // an iterative kernel pays per-iteration task-launch and
+    // shuffle-fetch overhead proportional to partitions, so a
+    // near-gate graph should not ride the full session fan-out
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      nEdges / 500000L + 1L)).toInt
+    val P = new org.apache.spark.HashPartitioner(parts)
+    val S = StorageLevel.MEMORY_AND_DISK
+    val minL = (a: Long, b: Long) => math.min(a, b)
+
+    val dbg = sys.env.get("GRAFT_SCC_VERBOSE").contains("1")
+    var tMark = System.nanoTime()
+    def lap(label: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"[scc] $label%-28s ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
+
+    def keySet(r: RDD[(Long, Long)]): RDD[(Long, Null)] =
+      r.mapPartitions(_.map { case (k, _) => (k, null: Null) },
+        preservesPartitioning = true).reduceByKey(P, (a, _) => a)
+    def restrict(e: RDD[(Long, Long)], keep: RDD[(Long, Null)]): RDD[(Long, Long)] =
+      e.join(keep, P).map { case (s, (t, _)) => (t, s) }
+        .partitionBy(P).join(keep, P)
+        .map { case (t, (s, _)) => (s, t) }
+        .partitionBy(P)
+
+    val e0: RDD[(Long, Long)] = eDist.as[(Long, Long)].rdd
+      .partitionBy(P).persist(S)
+    var rem: RDD[(Long, Null)] = e0
+      .map { case (s, _) => (s, null: Null) }
+      .union(e0.map { case (_, t) => (t, null: Null) })
+      .reduceByKey(P, (a, _) => a)
+      .persist(S)
+    var remCount = rem.count()
+    var eRem: RDD[(Long, Long)] = e0 // keyed by src; e0 itself in round 0
+    val outParts = scala.collection.mutable.Buffer.empty[RDD[(Long, Long)]]
 
     var round = 0
-    while (round < maxOuterRounds && rem.limit(1).count() > 0) {
-      // remaining-edge cache for this round, hash-partitioned on s so
-      // every frontier probe below joins against it without
-      // re-exchanging the edge table (localCheckpoint preserves the
-      // physical partitioning into the checkpointed plan)
-      var eRem = e0.join(rem.select(col("v").as("s")), Seq("s"), "left_semi")
-        .join(rem.select(col("v").as("t")), Seq("t"), "left_semi")
-        .select("s", "t")
-        .repartition(col("s"))
-        .localCheckpoint(true)
-
-      // 1. trim to fixpoint — UNcapped: an iteration either strictly
+    while (round < maxOuterRounds && remCount > 0) {
+      // 1. TRIM to fixpoint — UNcapped: an iteration either strictly
       // shrinks rem or stops, so termination is structural and a pure
-      // DAG of any depth resolves entirely here (one layer per
-      // iteration; was capped pre-r14, which broke the documented
-      // contract on >~160-deep acyclic chains)
+      // DAG of any depth resolves entirely here (the pre-r14 cap
+      // broke that documented contract)
       var trimming = true
       while (trimming) {
-        val keep = rem
-          .join(eRem.select(col("s").as("v")).distinct(), Seq("v"), "left_semi")
-          .join(eRem.select(col("t").as("v")).distinct(), Seq("v"), "left_semi")
-          .localCheckpoint(true)
-        val dropped = rem.join(keep, Seq("v"), "left_anti")
-          .select(col("v").as("node"), col("v").as("scc_id"))
-        val nDropped = dropped.count()
-        if (nDropped > 0) {
-          addOut(dropped)
+        val srcs = keySet(eRem)
+        val dsts = keySet(eRem.map { case (s, t) => (t, s) }.partitionBy(P))
+        val keep = rem.join(srcs, P).mapValues(_._1)
+          .join(dsts, P).mapValues(_._1).persist(S)
+        val nKeep = keep.count()
+        if (nKeep < remCount) {
+          val dropped = rem.subtractByKey(keep, P)
+            .map { case (v, _) => (v, v) }.persist(S)
+          dropped.count()
+          outParts += dropped
+          val eNext = restrict(eRem, keep).persist(S)
+          eNext.count()
+          rem.unpersist(false)
+          if (!(eRem eq e0)) eRem.unpersist(false)
           rem = keep
-          eRem = eRem.join(rem.select(col("v").as("s")), Seq("s"), "left_semi")
-            .join(rem.select(col("v").as("t")), Seq("t"), "left_semi")
-            .select("s", "t")
-            .repartition(col("s"))
-            .localCheckpoint(true)
-        } else trimming = false
+          remCount = nKeep
+          eRem = eNext
+        } else { keep.unpersist(false); trimming = false }
       }
+      lap(s"round $round trim")
 
-      if (rem.limit(1).count() > 0) {
-        // 2. forward min-coloring, FRONTIER form: only labels that
-        // CHANGED last iteration propagate (complete — a label can
-        // only decrease via a neighbor's decrease, and the initial
-        // frontier is every node). After the first sweep the edge
-        // probe joins against the skinny frontier (AQE broadcasts it
-        // once checkpointed with a known small size), so the steady-
-        // state per-iteration cost is one eRem scan + one labels
-        // scan, not a corpus-wide union+groupBy+diff (the pre-r14
-        // shape — measured 155 s vs local 41 s on the 5M-edge
-        // bow-tie probe).
-        var labels = rem.select(col("v").as("n")).withColumn("c", col("n"))
-          .repartition(col("n"))
-          .localCheckpoint(true)
+      if (remCount > 0) {
+        // 2. forward min-coloring to fixpoint, frontier form: stream
+        // the cached edge shard against a hash of the frontier shard
+        // (zipPartitions — both partitioned by P), min-combine the
+        // messages map-side, apply them in one narrow state scan
+        var backing: RDD[(Long, (Long, Boolean))] = null
+        var labels: RDD[(Long, Long)] = rem.mapPartitions(
+          _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
         var frontier = labels
         var colored = false
         var it = 0
         while (!colored && it < maxColorIters) {
-          val inc = eRem
-            .join(frontier.select(col("n").as("s"), col("c")), Seq("s"))
-            .groupBy(col("t").as("n")).agg(min("c").as("cn"))
-          val upd = inc.join(labels, Seq("n"))
-            .filter(col("cn") < col("c"))
-            .select(col("n"), col("cn").as("c"))
-            .localCheckpoint(true)
-          if (upd.limit(1).count() == 0) colored = true
-          else {
-            labels = labels
-              .join(upd.select(col("n"), col("c").as("__cu")), Seq("n"), "left")
-              .select(col("n"), coalesce(col("__cu"), col("c")).as("c"))
-              .repartition(col("n"))
-              .localCheckpoint(true)
-            frontier = upd
-          }
+          // NOT preservesPartitioning: the emitted rows are keyed by
+          // the TARGET node — claiming the source partitioning would
+          // make reduceByKey skip the shuffle and strand messages in
+          // their source partition
+          val msgs = eRem.zipPartitions(frontier) {
+            (ei, fi) =>
+              val fm = new java.util.HashMap[Long, Long]()
+              fi.foreach { case (v, c) => fm.put(v, c) }
+              if (fm.isEmpty) Iterator.empty
+              else ei.flatMap { case (s, t) =>
+                // getOrDefault, NOT get: a scala.Long-valued java map
+                // unboxes a missing key's null to 0L
+                val c = fm.getOrDefault(s, Long.MinValue)
+                if (c == Long.MinValue) Iterator.empty
+                else Iterator.single((t, c))
+              }
+          }.reduceByKey(P, minL)
+          val flagged = labels.zipPartitions(msgs, preservesPartitioning = true) {
+            (li, mi) =>
+              val mm = new java.util.HashMap[Long, Long]()
+              mi.foreach { case (v, c) => mm.put(v, c) }
+              li.map { case (v, c) =>
+                val nc = math.min(c, mm.getOrDefault(v, c)); (v, (nc, nc < c)) }
+          }.persist(S)
+          val nCh = flagged.filter(_._2._2).count()
+          if (backing != null) backing.unpersist(false)
+          backing = flagged
+          labels = flagged.mapValues(_._1)
+          frontier = flagged.filter(_._2._2).mapValues(_._1)
+          colored = nCh == 0
           it += 1
         }
+        lap(s"round $round color ($it iters)")
         require(colored,
           s"scc: coloring did not converge in $maxColorIters iterations")
 
-        // same-color edge view with endpoint colors attached
-        val eLab = eRem
-          .join(labels.select(col("n").as("s"), col("c").as("cs")), Seq("s"))
-          .join(labels.select(col("n").as("t"), col("c").as("ct")), Seq("t"))
-          .filter(col("cs") === col("ct"))
-          .select(col("s"), col("t"))
-          .repartition(col("t"))
-          .localCheckpoint(true)
+        // same-color edge view keyed by DST (backward traversal)
+        val eLab: RDD[(Long, Long)] = eRem.join(labels, P)
+          .map { case (s, (t, cs)) => (t, (s, cs)) }
+          .partitionBy(P).join(labels, P)
+          .flatMap { case (t, ((s, cs), ct)) =>
+            if (cs == ct) Iterator((t, s)) else Iterator.empty }
+          .partitionBy(P).persist(S)
+        eLab.count()
+        lap(s"round $round eLab build")
 
-        // 3. backward reach from each color's pivot (pivot = its
-        // color), FRONTIER form: probe predecessors of the newly
-        // reached set only; the accumulated marks are touched once
-        // per iteration by the dedup anti-join
-        var marks = labels.filter(col("n") === col("c")).select(col("n").as("v"))
-          .repartition(col("v"))
-          .localCheckpoint(true)
-        var bFront = marks
+        // 3. backward reach from each color pivot (pivot = its own
+        // color) over a flagged reach-state — the same zipPartitions
+        // frontier discipline, with sets instead of min-maps
+        var bBacking: RDD[(Long, (Boolean, Boolean))] = labels.mapPartitions(
+          _.map { case (v, c) => (v, (v == c, v == c)) },
+          preservesPartitioning = true).persist(S)
+        bBacking.count()
+        def bFront(of: RDD[(Long, (Boolean, Boolean))]): RDD[(Long, Null)] =
+          of.flatMap { case (v, (_, fresh)) =>
+            if (fresh) Iterator((v, null: Null)) else Iterator.empty }
         var growing = true
         var bit = 0
         while (growing && bit < maxColorIters) {
-          val reached = eLab
-            .join(bFront.select(col("v").as("t")), Seq("t"), "left_semi")
-            .select(col("s").as("v")).distinct()
-            .join(marks, Seq("v"), "left_anti")
-            .localCheckpoint(true)
-          if (reached.limit(1).count() > 0) {
-            marks = marks.union(reached).repartition(col("v")).localCheckpoint(true)
-            bFront = reached
-          } else growing = false
+          // see msgs: emitted rows are keyed by the PREDECESSOR
+          val preds = eLab.zipPartitions(bFront(bBacking)) {
+            (ei, fi) =>
+              val fs = new java.util.HashSet[Long]()
+              fi.foreach { case (v, _) => fs.add(v) }
+              if (fs.isEmpty) Iterator.empty
+              else ei.flatMap { case (t, s) =>
+                if (fs.contains(t)) Iterator.single((s, null: Null))
+                else Iterator.empty }
+          }.reduceByKey(P, (a, _) => a)
+          val next = bBacking.zipPartitions(preds, preservesPartitioning = true) {
+            (bi, pi) =>
+              val ps = new java.util.HashSet[Long]()
+              pi.foreach { case (v, _) => ps.add(v) }
+              bi.map { case (v, (m, _)) =>
+                val nm = m || ps.contains(v); (v, (nm, nm && !m)) }
+          }.persist(S)
+          val nNew = next.filter(_._2._2).count()
+          if (nNew == 0) { next.unpersist(false); growing = false }
+          else {
+            bBacking.unpersist(false)
+            bBacking = next
+          }
           bit += 1
         }
+        lap(s"round $round bwreach ($bit iters)")
         require(!growing,
           s"scc: backward reach did not converge in $maxColorIters iterations")
 
-        addOut(marks.join(labels, marks("v") === labels("n"))
-          .select(col("n").as("node"), col("c").as("scc_id")))
-        rem = rem.join(marks, Seq("v"), "left_anti").localCheckpoint(true)
+        val marks: RDD[(Long, Null)] = bBacking.flatMap { case (v, (m, _)) =>
+          if (m) Iterator((v, null: Null)) else Iterator.empty }
+        val assigned = marks.join(labels, P)
+          .map { case (v, (_, c)) => (v, c) }.persist(S)
+        assigned.count()
+        outParts += assigned
+        val remNext = rem.subtractByKey(marks, P).persist(S)
+        val remNextCount = remNext.count()
+        val eNext = restrict(eRem, remNext).persist(S)
+        eNext.count()
+        // round teardown: every successor is materialized
+        rem.unpersist(false)
+        if (!(eRem eq e0)) eRem.unpersist(false)
+        rem = remNext
+        remCount = remNextCount
+        eRem = eNext
+        if (backing != null) backing.unpersist(false)
+        eLab.unpersist(false)
+        bBacking.unpersist(false)
+        lap(s"round $round teardown")
       }
       round += 1
     }
-    require(rem.limit(1).count() == 0,
+    require(remCount == 0,
       s"scc: $maxOuterRounds outer rounds did not resolve all nodes")
-    e0.unpersist(blocking = false)
-    if (out == null) e0.select(col("s").as("node"), col("s").as("scc_id")).limit(0)
-    else out
+    val result =
+      if (outParts.isEmpty) eDist.select(col("s").as("node"), col("s").as("scc_id")).limit(0)
+      else spark.createDataset(spark.sparkContext.union(outParts.toSeq))
+        .toDF("node", "scc_id")
+        // bake the rows before the persisted RDD inputs are released
+        .localCheckpoint(true)
+    outParts.foreach(_.unpersist(false))
+    e0.unpersist(false)
+    if (!(eRem eq e0)) eRem.unpersist(false)
+    rem.unpersist(false)
+    result
   }
 }

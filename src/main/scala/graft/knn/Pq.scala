@@ -90,6 +90,37 @@ object Pq {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** [[train]] on a SAMPLE — the production-scale codebook recipe
+    * (the [[graft.text.Bpe.trainSampled]] precedent): full-corpus
+    * Lloyd is the measured wall dominator of end-to-end ANN at 1M
+    * vectors (PqProbe — most of the 110 s flat PQ-ADC is training),
+    * yet codebooks are statistics of the vector DISTRIBUTION, which a
+    * bounded sample pins. Draws a uniform A-ES reservoir of
+    * `sampleIds` vector ids ([[graft.util.Sampling.weightedReservoir]]
+    * at weight 1 — deterministic in (id, seed), so the sampled
+    * codebook is a pure function of the input set) and runs the
+    * UNCHANGED Lloyd kernel on that slice; assignment/serving stay
+    * full-corpus. With `sampleIds` ≥ the distinct id count the sample
+    * IS the corpus and the result equals [[train]] exactly
+    * (spec-pinned in PqSpec). */
+  def trainSampled(sv: DataFrame, m: Int, ksub: Int, iters: Int,
+                   sampleIds: Long, seed: Long): Array[Array[Array[Long]]] = {
+    require(sampleIds >= ksub,
+      s"pq trainSampled: sampleIds >= ksub needed to seed codebooks, got $sampleIds < $ksub")
+    val keep = graft.util.Sampling.weightedReservoir(
+        sv.select("id").distinct().withColumn("__w", lit(1.0)),
+        sampleIds, "__w", Seq("id"), seed)
+      .select("id")
+    train(sv.join(keep, Seq("id"), "left_semi"), m, ksub, iters)
+  }
+
+  /** Dispatch: `trainSampleIds` = 0 trains on the full corpus
+    * ([[train]]); > 0 trains on a bounded sample ([[trainSampled]]). */
+  private def trainDispatch(sv: DataFrame, m: Int, ksub: Int, iters: Int,
+                            trainSampleIds: Long, seed: Long): Array[Array[Array[Long]]] =
+    if (trainSampleIds <= 0L) train(sv, m, ksub, iters)
+    else trainSampled(sv, m, ksub, iters, trainSampleIds, seed)
+
   /** Codebook as a small DataFrame: (sub, c, v array<long>, n2). */
   def codebookDf(sv: DataFrame, cents: Array[Array[Array[Long]]]): DataFrame = {
     val spark = sv.sparkSession
@@ -134,7 +165,8 @@ object Pq {
   def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryPred: org.apache.spark.sql.Column,
                  kc: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
-                 k: Int, excludeSelf: Boolean = true): DataFrame = {
+                 k: Int, excludeSelf: Boolean = true,
+                 trainSampleIds: Long = 0L, trainSeed: Long = 42L): DataFrame = {
     require(k >= 1 && nProbe >= 1 && nProbe <= kc, "pq ivfAdcTopK: bad k/nProbe")
     val codes8 = Quantize.int8(emb, vecCol)
       .select(col(idCol).as("id"), col("qvec"))
@@ -152,9 +184,9 @@ object Pq {
       // coarse quantizer: the SAME Lloyd kernel at m = 1 over the full
       // code vector — one list id per item
       val svFull = codes8.select(col("id"), lit(0).as("sub"), col("qvec").as("sqv"))
-      val cCents = train(svFull, 1, kc, iters)
+      val cCents = trainDispatch(svFull, 1, kc, iters, trainSampleIds, trainSeed)
       val lists = assign(svFull, cCents).select(col("id"), col("code").as("ccode"))
-      val cents = train(sv, m, ksub, iters)
+      val cents = trainDispatch(sv, m, ksub, iters, trainSampleIds, trainSeed)
       val cb = codebookDf(sv, cents)
       val codes = assign(sv, cents).select(col("id"), col("sub"), col("code"))
       val itemN2 = codes.join(broadcast(cb.select(col("sub"),
@@ -227,7 +259,8 @@ object Pq {
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryPred: org.apache.spark.sql.Column,
                 kc: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
-                k: Int, excludeSelf: Boolean = true): DataFrame = {
+                k: Int, excludeSelf: Boolean = true,
+                trainSampleIds: Long = 0L, trainSeed: Long = 42L): DataFrame = {
     require(k >= 1 && nProbe >= 1 && nProbe <= kc, "pq ivfPqTopK: bad k/nProbe")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -236,7 +269,7 @@ object Pq {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val svFull = codes8.select(col("id"), lit(0).as("sub"), col("qvec").as("sqv"))
-      val cCents = train(svFull, 1, kc, iters)
+      val cCents = trainDispatch(svFull, 1, kc, iters, trainSampleIds, trainSeed)
       val cCentDf = cCents(0).zipWithIndex
         .map { case (v, c) => (c, v.toSeq, v.map(x => x * x).sum) }
         .toSeq.toDF("ccode", "cv", "cn2")
@@ -253,7 +286,7 @@ object Pq {
           col("rvec"), col("dsub"))
         .select(col("id"), col("sub"),
           expr("slice(rvec, sub * dsub + 1, dsub)").as("sqv"))
-      val rCents = train(rsv, m, ksub, iters)
+      val rCents = trainDispatch(rsv, m, ksub, iters, trainSampleIds, trainSeed)
       val rcb = codebookDf(rsv, rCents)
       val codes = assign(rsv, rCents).select(col("id"), col("sub"), col("code"))
       // cross table: dot(c_list sub-slice, residual centroid) — built
@@ -339,12 +372,13 @@ object Pq {
   def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: org.apache.spark.sql.Column,
               m: Int, ksub: Int, iters: Int, k: Int,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true,
+              trainSampleIds: Long = 0L, trainSeed: Long = 42L): DataFrame = {
     require(k >= 1, "pq adcTopK: k >= 1")
     val sv = int8Sub(emb, idCol, vecCol, m)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val cents = train(sv, m, ksub, iters)
+      val cents = trainDispatch(sv, m, ksub, iters, trainSampleIds, trainSeed)
       val cb = codebookDf(sv, cents)
       val codes = assign(sv, cents).select(col("id"), col("sub"), col("code"))
       // item reconstruction norm: Σ_sub ‖centroid[sub][code]‖²

@@ -110,6 +110,48 @@ class PqSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("sampled codebook training: a sample covering the corpus equals full training exactly") {
+    val e = emb(80).cache()
+    val sv = Pq.int8Sub(e, "id", "vec", m = 4)
+    val full = Pq.train(sv, m = 4, ksub = 8, iters = 2)
+    // sampleIds >= distinct ids -> the reservoir IS the corpus, so the
+    // Lloyd chain (init seeding included) is bit-identical
+    val sampled = Pq.trainSampled(sv, m = 4, ksub = 8, iters = 2,
+      sampleIds = 10000L, seed = 42L)
+    assert(sampled.map(_.map(_.toSeq).toSeq).toSeq == full.map(_.map(_.toSeq).toSeq).toSeq)
+    // and the end-to-end serving surface agrees for all three kernels
+    val a = Pq.adcTopK(e, "id", "vec", col("id") < 10, m = 4, ksub = 8,
+      iters = 2, k = 3).collect().map(_.toString).sorted
+    val aS = Pq.adcTopK(e, "id", "vec", col("id") < 10, m = 4, ksub = 8,
+      iters = 2, k = 3, trainSampleIds = 10000L).collect().map(_.toString).sorted
+    assert(aS.sameElements(a))
+    e.unpersist()
+  }
+
+  test("sampled training on a strict subsample: valid output, recall holds on clustered data") {
+    val e = emb(300).cache()
+    val nn1 = Quantize.cosTopK(e.filter(col("id") < 20), e, 1, excludeSelf = true)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // codebooks from a 200-of-300 sample; assignment/serving
+    // full-corpus (a production sample is 50k of millions — at this
+    // 300-vector fixture scale the sample must stay a large fraction
+    // or the per-cluster counts get too thin to pin 16 centroids)
+    val pq = Pq.adcTopK(e, "id", "vec", col("id") < 20, m = 4, ksub = 16,
+      iters = 3, k = 10, trainSampleIds = 200L)
+    val rows = pq.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(3)).sorted.sameElements(1 to 10)))
+    val got = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = nn1.keys.count(q => got(q)(nn1(q))).toDouble / nn1.size
+    info(f"sampled-codebook PQ recall@10 of NN@1: $recall%.3f (200/300 ids)")
+    // codebooks are distribution statistics: a 2/3 sample of 5-cluster
+    // data pins them well enough to stay at the full-training floor
+    assert(recall >= 0.40, f"sampled-codebook recall $recall%.3f below 0.40")
+    e.unpersist()
+  }
+
   test("recall@R vs exact int8 cosine clears the lossy-compression floor") {
     // the PQ paper's protocol: recall@R = fraction of queries whose
     // TRUE nearest neighbor appears in the PQ top-R (set overlap of

@@ -43,15 +43,32 @@ object PqProbe {
       graft.knn.Pq.adcTopK(emb, "id", "vec", col("id") < 100,
         m = 8, ksub = 64, iters = 2, k = 10).count()
     }
+    // flat PQ-ADC, SAMPLED codebooks (50k of n ids): Lloyd runs over
+    // the bounded sample, assignment/serving stay full-corpus — the
+    // wall should drop to scoring-dominated
+    timed("pq_adc_sampled(50k ids)", n) {
+      graft.knn.Pq.adcTopK(emb, "id", "vec", col("id") < 100,
+        m = 8, ksub = 64, iters = 2, k = 10, trainSampleIds = 50000L).count()
+    }
     // IVF-ADC: coarse lists cut the scanned candidates ~kc/nProbe x
     timed("ivf_adc(kc=64,nProbe=8)", n) {
       graft.knn.Pq.ivfAdcTopK(emb, "id", "vec", col("id") < 100,
         kc = 64, nProbe = 8, m = 8, ksub = 64, iters = 2, k = 10).count()
     }
+    timed("ivf_adc_sampled(50k ids)", n) {
+      graft.knn.Pq.ivfAdcTopK(emb, "id", "vec", col("id") < 100,
+        kc = 64, nProbe = 8, m = 8, ksub = 64, iters = 2, k = 10,
+        trainSampleIds = 50000L).count()
+    }
     // residual IVF-PQ: same restriction + the recall-lever encoding
     timed("ivf_pq_residual(kc=64,nProbe=8)", n) {
       graft.knn.Pq.ivfPqTopK(emb, "id", "vec", col("id") < 100,
         kc = 64, nProbe = 8, m = 8, ksub = 64, iters = 2, k = 10).count()
+    }
+    timed("ivf_pq_residual_sampled(50k ids)", n) {
+      graft.knn.Pq.ivfPqTopK(emb, "id", "vec", col("id") < 100,
+        kc = 64, nProbe = 8, m = 8, ksub = 64, iters = 2, k = 10,
+        trainSampleIds = 50000L).count()
     }
     spark.stop()
   }
