@@ -1084,6 +1084,34 @@ object SparkEntry {
       graft.util.Kmv.estimateGrouped(words, Seq("lang"), Seq("w"), k = 16, seed = 42L)
     }),
 
+    // KMV churn riding the incremental-agg state (q114's surface +
+    // q196's algebra): per-supplier part-catalog stats built from a
+    // pre-1996 base and TWO yearly refreshes — the final state's
+    // synopsis must equal from-scratch (merge law), and the churn
+    // columns estimate parts NEW in 1997+ and parts DISCONTINUED
+    // (seen before 1997, absent after) per supplier, a question the
+    // HLL state (q114) structurally cannot answer
+    "q205_kmv_churn" -> ((s, dir) => {
+      import graft.util.{IncrementalAgg, Kmv}
+      val li = T(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000").as("ship_day"))
+      val grp = Seq("l_suppkey")
+      val k = 16
+      val base = li.filter(col("ship_day") < 9496).drop("ship_day")
+      val d1 = li.filter(col("ship_day") >= 9496 && col("ship_day") < 9862).drop("ship_day")
+      val d2 = li.filter(col("ship_day") >= 9862).drop("ship_day")
+      val s0 = IncrementalAgg.stateWithKmv(base, grp, "qty", "l_partkey", k, 42L)
+      val s1 = IncrementalAgg.refreshWithKmv(s0, d1, grp, "qty", "l_partkey", k, 42L)
+      val s2 = IncrementalAgg.refreshWithKmv(s1, d2, grp, "qty", "l_partkey", k, 42L)
+      val ch = IncrementalAgg.kmvChurn(s1,
+        IncrementalAgg.stateWithKmv(d2, grp, "qty", "l_partkey", k, 42L), grp, k)
+      s2.select(col("l_suppkey"), col("n"), col("sum").as("sum_qty"),
+          size(col("kmv")).cast("long").as("k_total"),
+          round(Kmv.estE6(col("kmv"), k)).cast("long").as("est_total_e6"))
+        .join(ch, grp)
+    }),
+
     // join-key skew profile: the pre-shuffle diagnostic — event_type is
     // the classic low-cardinality hot key (5 keys over 10k rows at 32
     // shuffle partitions → straggler ratio 6.45×, salt fan-out 7);
@@ -1121,6 +1149,21 @@ object SparkEntry {
     // best-first greedy under the total order) — each dirty-catalog
     // record awarded to at most one master record
     "q202_er_unique_assign" -> ((s, dir) => erResolve(s, dir, unique = true)),
+
+    // blocking-quality advisor over the q200 catalog: the two
+    // production composite keys PLUS the r13 incident key (bare
+    // brand) — reduction ratio, per-key candidate volume, pairs
+    // completeness against the planted truth, and the quadratic flag
+    // that would have caught the 116 s draft before it ran
+    "q204_blocking_stats" -> ((s, dir) => {
+      import graft.text.EntityResolution._
+      val (l, r) = erCatalog(s, dir)
+      val keys = erBlockKeys :+ ((col("l_brand"): org.apache.spark.sql.Column,
+        col("r_brand"): org.apache.spark.sql.Column))
+      val truth = T(s, dir, "part").select(col("p_partkey").as("left_id"),
+        (col("p_partkey") + lit(1000000L)).as("right_id"))
+      blockingStats(l, r, "left_id", "right_id", keys, Some(truth))
+    }),
 
     // one-pass Pearson correlation matrix over fixed-point feature
     // columns: p sums + p sum-squares + p(p−1)/2 sum-products in ONE
@@ -2287,6 +2330,24 @@ object SparkEntry {
         T(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99),
         nBuckets = 64, sortThreshold = 500L)),
 
+    // streaming-quantiles serving path, batch form (the q163 scheme):
+    // per-event-type value percentiles from the mergeable bucket
+    // sketch the ingest-time flatMapGroupsWithState kernel maintains —
+    // stream == batch spec-pinned under trigger slicing AND checkpoint
+    // kill/resume (StreamingQuantilesSpec, CheckpointRecoverySpec)
+    "q206_stream_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .filter(col("cents").isNotNull)
+      graft.util.QuantileSketch.quantiles(
+          graft.stream.StreamingQuantiles.sketchBatch(ev, "event_type", "cents", 5),
+          Seq("g"), Seq(0.5, 0.9, 0.99), 5)
+        .groupBy(col("g").as("event_type"))
+        .agg(max(when(col("q") === 0.5, col("value"))).as("p50_cents"),
+          max(when(col("q") === 0.9, col("value"))).as("p90_cents"),
+          max(when(col("q") === 0.99, col("value"))).as("p99_cents"))
+    }),
+
     // streaming-trending serving path, batch form: per-(item, absolute
     // half-life bucket) counts with 41-bucket retention (the bounded
     // flatMapGroupsWithState state), then the exact integer decay
@@ -2908,33 +2969,46 @@ object SparkEntry {
     * first-token key has CONSTANT cardinality on this vocabulary:
     * blocks grow linearly with the table and candidates quadratically
     * — measured 116 s at sf0.1 before the tightening, ~15 s after). */
-  private def erResolve(s: org.apache.spark.sql.SparkSession, dir: String,
-                        unique: Boolean): DataFrame = {
-    import graft.text.EntityResolution._
+  /** The q200/q202/q204 catalog pair: master records and a
+    * deterministically dirtied copy (last name word dropped, ids
+    * offset by 1e6). */
+  private def erCatalog(s: org.apache.spark.sql.SparkSession,
+                        dir: String): (DataFrame, DataFrame) = {
     val p = T(s, dir, "part")
-    val l = p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
-      col("p_brand").as("l_brand"), col("p_size").as("l_size"))
-    val r = p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
-      regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
-      col("p_brand").as("r_brand"), col("p_size").as("r_size"))
-    // compositeKey, not bare concat_ws: concat_ws SKIPS null args, so
-    // a NULL name/brand/size would silently degrade to a partial key
-    // and pair rows the oracle's NULL-rejecting AND-equality join
-    // rejects; compositeKey is NULL-propagating and collision-free
-    val blockKeys = Seq(
+    (p.select(col("p_partkey").as("left_id"), col("p_name").as("l_name"),
+      col("p_brand").as("l_brand"), col("p_size").as("l_size")),
+      p.select((col("p_partkey") + lit(1000000L)).as("right_id"),
+        regexp_replace(col("p_name"), " [^ ]+$", "").as("r_name"),
+        col("p_brand").as("r_brand"), col("p_size").as("r_size")))
+  }
+
+  /** The production blocking keys shared by q200/q202/q204.
+    * compositeKey, not bare concat_ws: concat_ws SKIPS null args, so
+    * a NULL name/brand/size would silently degrade to a partial key
+    * and pair rows the oracle's NULL-rejecting AND-equality join
+    * rejects; compositeKey is NULL-propagating and collision-free. */
+  private def erBlockKeys: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = {
+    import graft.text.EntityResolution.compositeKey
+    Seq(
       (compositeKey(element_at(split(col("l_name"), " "), 1), col("l_brand")),
         compositeKey(element_at(split(col("r_name"), " "), 1), col("r_brand"))),
       (compositeKey(col("l_brand"), col("l_size")),
         compositeKey(col("r_brand"), col("r_size"))))
+  }
+
+  private def erResolve(s: org.apache.spark.sql.SparkSession, dir: String,
+                        unique: Boolean): DataFrame = {
+    import graft.text.EntityResolution._
+    val (l, r) = erCatalog(s, dir)
     val fields = Seq(
       Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
       Field("brand", "l_brand", "r_brand", ExactSim, 1L),
       Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L))
     if (unique)
-      resolveUnique(l, r, "left_id", "right_id", blockKeys, fields,
+      resolveUnique(l, r, "left_id", "right_id", erBlockKeys, fields,
         minScore = 3000L, rounds = 8)
     else
-      resolve(l, r, "left_id", "right_id", blockKeys, fields, minScore = 3000L)
+      resolve(l, r, "left_id", "right_id", erBlockKeys, fields, minScore = 3000L)
   }
 
   /** Shared q200/q202 oracle scoring: catalog + dirtied copy +
@@ -3029,7 +3103,9 @@ object SparkEntry {
     * replay checks every refresh step): the pure-integer log bucketing
     * via length(bin(v)) and shifts, cumulative rollup, nearest-rank
     * selection, representative recovery. */
-  private def quantileSketchSql(s: Int): String = {
+  private def quantileSketchSql(s: Int,
+      srcSql: String = "SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem WHERE l_extendedprice IS NOT NULL",
+      grp: String = "l_partkey"): String = {
     val cap = 1L << s
     def posIdx(v: String) =
       s"""(CASE WHEN $v < $cap THEN $v
@@ -3038,26 +3114,25 @@ object SparkEntry {
     def posRep(i: String) =
       s"""(CASE WHEN $i < ${2 * cap} THEN $i
          |  ELSE ((($i % $cap) + ${cap + 1}) << CAST($i // $cap - 1 AS INT)) - 1 END)""".stripMargin
-    s"""WITH v AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
-       |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
-       |b AS (SELECT l_partkey,
+    s"""WITH v AS ($srcSql),
+       |b AS (SELECT $grp,
        |        CASE WHEN cents >= 0 THEN ${posIdx("cents")}
        |             ELSE -1 - ${posIdx("(- cents)")} END AS qb
        |      FROM v),
-       |st AS (SELECT l_partkey, qb, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
-       |tot AS (SELECT l_partkey, SUM(cnt) AS n FROM st GROUP BY 1),
-       |cum AS (SELECT l_partkey, qb,
-       |          SUM(cnt) OVER (PARTITION BY l_partkey ORDER BY qb) AS cum FROM st),
-       |rk AS (SELECT l_partkey, q, CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1 AS rk
+       |st AS (SELECT $grp, qb, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |tot AS (SELECT $grp, SUM(cnt) AS n FROM st GROUP BY 1),
+       |cum AS (SELECT $grp, qb,
+       |          SUM(cnt) OVER (PARTITION BY $grp ORDER BY qb) AS cum FROM st),
+       |rk AS (SELECT $grp, q, CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1 AS rk
        |       FROM tot CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(q)),
-       |sel AS (SELECT r.l_partkey, r.q, MIN(c.qb) AS qb
-       |        FROM rk r JOIN cum c ON c.l_partkey = r.l_partkey AND c.cum >= r.rk
+       |sel AS (SELECT r.$grp, r.q, MIN(c.qb) AS qb
+       |        FROM rk r JOIN cum c ON c.$grp = r.$grp AND c.cum >= r.rk
        |        GROUP BY 1, 2),
-       |rv AS (SELECT l_partkey, q,
+       |rv AS (SELECT $grp, q,
        |         CASE WHEN qb >= 0 THEN ${posRep("qb")}
        |              ELSE - ${posRep("(-1 - qb)")} END AS value
        |       FROM sel)
-       |SELECT l_partkey,
+       |SELECT $grp,
        |  MAX(CASE WHEN q = 0.5 THEN value END) AS p50_cents,
        |  MAX(CASE WHEN q = 0.9 THEN value END) AS p90_cents,
        |  MAX(CASE WHEN q = 0.99 THEN value END) AS p99_cents
@@ -3142,6 +3217,62 @@ object SparkEntry {
 
     "q202_er_unique_assign" -> erUniqueSql(rounds = 8),
 
+    // blocking advisor: per-key block rollups joined across sides,
+    // exact integer reduction/completeness arithmetic (HUGEINT //)
+    "q204_blocking_stats" ->
+      """WITH l AS MATERIALIZED (SELECT p_partkey AS left_id, string_split(p_name, ' ')[1] AS tok,
+        |             p_brand AS brand, p_size AS size FROM part),
+        |r AS MATERIALIZED (SELECT p_partkey + 1000000 AS right_id,
+        |             string_split(regexp_replace(p_name, ' [^ ]+$', ''), ' ')[1] AS tok,
+        |             p_brand AS brand, p_size AS size FROM part),
+        |n AS (SELECT (SELECT COUNT(*) FROM l) AS nl, (SELECT COUNT(*) FROM r) AS nr),
+        |truth AS (SELECT p_partkey AS left_id, p_partkey + 1000000 AS right_id FROM part),
+        |nt AS (SELECT COUNT(*) AS tp FROM truth),
+        |b0 AS (SELECT COUNT(*) AS n_blocks, COALESCE(SUM(a.c * b.c), 0) AS cand,
+        |         COALESCE(MAX(a.c * b.c), 0) AS mx
+        |       FROM (SELECT tok, brand, COUNT(*) AS c FROM l
+        |             WHERE tok IS NOT NULL AND brand IS NOT NULL GROUP BY 1, 2) a
+        |       JOIN (SELECT tok, brand, COUNT(*) AS c FROM r
+        |             WHERE tok IS NOT NULL AND brand IS NOT NULL GROUP BY 1, 2) b
+        |         USING (tok, brand)),
+        |b1 AS (SELECT COUNT(*) AS n_blocks, COALESCE(SUM(a.c * b.c), 0) AS cand,
+        |         COALESCE(MAX(a.c * b.c), 0) AS mx
+        |       FROM (SELECT brand, size, COUNT(*) AS c FROM l
+        |             WHERE brand IS NOT NULL AND size IS NOT NULL GROUP BY 1, 2) a
+        |       JOIN (SELECT brand, size, COUNT(*) AS c FROM r
+        |             WHERE brand IS NOT NULL AND size IS NOT NULL GROUP BY 1, 2) b
+        |         USING (brand, size)),
+        |b2 AS (SELECT COUNT(*) AS n_blocks, COALESCE(SUM(a.c * b.c), 0) AS cand,
+        |         COALESCE(MAX(a.c * b.c), 0) AS mx
+        |       FROM (SELECT brand, COUNT(*) AS c FROM l
+        |             WHERE brand IS NOT NULL GROUP BY 1) a
+        |       JOIN (SELECT brand, COUNT(*) AS c FROM r
+        |             WHERE brand IS NOT NULL GROUP BY 1) b USING (brand)),
+        |c0 AS (SELECT COUNT(*) AS cov FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM l JOIN r ON l.tok = r.tok AND l.brand = r.brand
+        |                     WHERE l.left_id = t.left_id AND r.right_id = t.right_id)),
+        |c1 AS (SELECT COUNT(*) AS cov FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM l JOIN r ON l.brand = r.brand AND l.size = r.size
+        |                     WHERE l.left_id = t.left_id AND r.right_id = t.right_id)),
+        |c2 AS (SELECT COUNT(*) AS cov FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM l JOIN r ON l.brand = r.brand
+        |                     WHERE l.left_id = t.left_id AND r.right_id = t.right_id)),
+        |rows AS (
+        |  SELECT 0 AS key_idx, b0.n_blocks, b0.cand, b0.mx, c0.cov FROM b0, c0
+        |  UNION ALL SELECT 1, b1.n_blocks, b1.cand, b1.mx, c1.cov FROM b1, c1
+        |  UNION ALL SELECT 2, b2.n_blocks, b2.cand, b2.mx, c2.cov FROM b2, c2)
+        |SELECT CAST(key_idx AS BIGINT) AS key_idx,
+        |  CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(cand AS BIGINT) AS cand_pairs,
+        |  CAST(mx AS BIGINT) AS max_block_pairs,
+        |  CAST(1000 - (1000 * CAST(cand AS HUGEINT)) // (CAST(nl AS HUGEINT) * nr) AS BIGINT)
+        |    AS reduction_permille,
+        |  CAST(CASE WHEN cand > 16 * (nl + nr) THEN 1 ELSE 0 END AS BIGINT) AS quadratic_flag,
+        |  CAST(tp AS BIGINT) AS truth_pairs,
+        |  CAST(cov AS BIGINT) AS truth_covered,
+        |  CAST((1000 * CAST(cov AS HUGEINT)) // tp AS BIGINT) AS pc_permille
+        |FROM rows, n, nt""".stripMargin,
+
     // corr matrix: exact HUGEINT moments, the one float per pair in
     // matched expression order
     "q199_corr_matrix" ->
@@ -3203,6 +3334,81 @@ object SparkEntry {
         |  CAST(round(CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE) * 1e6
         |                  ELSE 15e0 * 4503599627370496e0 / CAST(hk AS DOUBLE) * 1e6 END) AS BIGINT) AS est_e6
         |FROM agg""".stripMargin,
+
+    // KMV churn: per-supplier period sketches via window rank over
+    // distinct md5-52 hashes, union synopsis, EXISTS membership, the
+    // estimator in matched left-assoc double order; exact n/sum from
+    // the whole table (refresh == from-scratch)
+    "q205_kmv_churn" ->
+      """WITH li AS MATERIALIZED (SELECT l_suppkey, l_partkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(epoch_ms(CAST(l_shipdate AS TIMESTAMP)) // 86400000 AS BIGINT) AS ship_day
+        |  FROM lineitem),
+        |ex AS (SELECT l_suppkey, COUNT(*) AS n, SUM(qty) AS sum_qty FROM li GROUP BY 1),
+        |ha AS (SELECT DISTINCT l_suppkey,
+        |        ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM li WHERE ship_day < 9862),
+        |hb AS (SELECT DISTINCT l_suppkey,
+        |        ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM li WHERE ship_day >= 9862),
+        |ht AS (SELECT DISTINCT l_suppkey,
+        |        ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+        |       FROM li),
+        |ka AS (SELECT l_suppkey, h FROM
+        |        (SELECT l_suppkey, h, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY h) rn FROM ha)
+        |       WHERE rn <= 16),
+        |kb AS (SELECT l_suppkey, h FROM
+        |        (SELECT l_suppkey, h, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY h) rn FROM hb)
+        |       WHERE rn <= 16),
+        |kt AS (SELECT l_suppkey, h FROM
+        |        (SELECT l_suppkey, h, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY h) rn FROM ht)
+        |       WHERE rn <= 16),
+        |ku AS (SELECT l_suppkey, h FROM
+        |        (SELECT l_suppkey, h, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY h) rn
+        |         FROM (SELECT l_suppkey, h FROM ka UNION SELECT l_suppkey, h FROM kb))
+        |       WHERE rn <= 16),
+        |m AS (SELECT u.l_suppkey, u.h,
+        |        EXISTS(SELECT 1 FROM ka WHERE ka.l_suppkey = u.l_suppkey AND ka.h = u.h) AS ina,
+        |        EXISTS(SELECT 1 FROM kb WHERE kb.l_suppkey = u.l_suppkey AND kb.h = u.h) AS inb
+        |      FROM ku u),
+        |ag AS (SELECT l_suppkey, COUNT(*) AS n_u, MAX(h) AS hk_u,
+        |        COUNT(*) FILTER (WHERE inb AND NOT ina) AS k_new,
+        |        COUNT(*) FILTER (WHERE ina AND NOT inb) AS k_lost
+        |       FROM m GROUP BY 1),
+        |sa AS (SELECT l_suppkey, COUNT(*) AS n_a, MAX(h) AS hk_a FROM ka GROUP BY 1),
+        |sb AS (SELECT l_suppkey, COUNT(*) AS n_b, MAX(h) AS hk_b FROM kb GROUP BY 1),
+        |st AS (SELECT l_suppkey, COUNT(*) AS n_t, MAX(h) AS hk_t FROM kt GROUP BY 1),
+        |j AS (SELECT ex.l_suppkey, ex.n, ex.sum_qty,
+        |        COALESCE(st.n_t, 0) AS n_t, st.hk_t,
+        |        COALESCE(sa.n_a, 0) AS n_a, sa.hk_a,
+        |        COALESCE(sb.n_b, 0) AS n_b, sb.hk_b,
+        |        COALESCE(ag.n_u, 0) AS n_u, ag.hk_u,
+        |        COALESCE(ag.k_new, 0) AS k_new, COALESCE(ag.k_lost, 0) AS k_lost
+        |      FROM ex LEFT JOIN st USING (l_suppkey) LEFT JOIN sa USING (l_suppkey)
+        |        LEFT JOIN sb USING (l_suppkey) LEFT JOIN ag USING (l_suppkey)),
+        |e AS (SELECT *,
+        |    CASE WHEN n_t < 16 THEN CAST(n_t AS DOUBLE) * 1e6
+        |         ELSE 15e0 * 4503599627370496e0 / CAST(hk_t AS DOUBLE) * 1e6 END AS et,
+        |    CASE WHEN n_a < 16 THEN CAST(n_a AS DOUBLE) * 1e6
+        |         ELSE 15e0 * 4503599627370496e0 / CAST(hk_a AS DOUBLE) * 1e6 END AS ea,
+        |    CASE WHEN n_b < 16 THEN CAST(n_b AS DOUBLE) * 1e6
+        |         ELSE 15e0 * 4503599627370496e0 / CAST(hk_b AS DOUBLE) * 1e6 END AS eb,
+        |    CASE WHEN n_u < 16 THEN CAST(n_u AS DOUBLE) * 1e6
+        |         ELSE 15e0 * 4503599627370496e0 / CAST(hk_u AS DOUBLE) * 1e6 END AS eu
+        |  FROM j)
+        |SELECT l_suppkey, CAST(n AS BIGINT) AS n, CAST(sum_qty AS BIGINT) AS sum_qty,
+        |  CAST(n_t AS BIGINT) AS k_total, CAST(round(et) AS BIGINT) AS est_total_e6,
+        |  CAST(n_a AS BIGINT) AS k_h1, CAST(round(ea) AS BIGINT) AS est_h1_e6,
+        |  CAST(n_b AS BIGINT) AS k_h2, CAST(round(eb) AS BIGINT) AS est_h2_e6,
+        |  CAST(k_new AS BIGINT) AS k_new,
+        |  CASE WHEN n_u > 0
+        |       THEN CAST(round(CAST(k_new AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT)
+        |       ELSE 0 END AS est_new_e6,
+        |  CAST(k_lost AS BIGINT) AS k_lost,
+        |  CASE WHEN n_u > 0
+        |       THEN CAST(round(CAST(k_lost AS DOUBLE) / CAST(n_u AS DOUBLE) * eu) AS BIGINT)
+        |       ELSE 0 END AS est_lost_e6
+        |FROM e""".stripMargin,
 
     // skew profile: per-key counts → totals + value-rollup cumulative
     // p99, all integer arithmetic
@@ -3301,6 +3507,14 @@ object SparkEntry {
     "q190_ivf_adc_knn" -> ivfAdcSql(kc = 8, nProbe = 3, m = 4, ksub = 8,
       iters = 2, k = 5),
     "q189_incremental_quantiles" -> quantileSketchSql(s = 5),
+
+    // streaming quantiles: the same bucket-sketch chain over events
+    // per event_type (stream == batch is spec-pinned; the oracle
+    // replays the batch form, the q163 adjudication scheme)
+    "q206_stream_quantiles" -> quantileSketchSql(s = 5,
+      srcSql = "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents " +
+        "FROM events WHERE value IS NOT NULL",
+      grp = "event_type"),
     "q188_pq_adc_knn" -> pqAdcSql(m = 4, ksub = 8, iters = 2, k = 5),
 
     "q01_pricing_summary" ->

@@ -96,6 +96,102 @@ object EntityResolution {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** BLOCKING-QUALITY ADVISOR (the standard record-linkage blocking
+    * metrics — Christen, "Data Matching", 2012, ch. 7): the pre-flight
+    * a resolution job runs BEFORE the candidate join, because a
+    * low-cardinality blocking key has CONSTANT block count, so blocks
+    * grow linearly with the table and candidate pairs quadratically —
+    * the r13 q200 incident (a bare-brand key: 116 s at sf0.1, 14.6 s
+    * after compositing, truth unchanged). One row per blocking key:
+    *
+    *  - `n_blocks`           blocks present on BOTH sides (only those
+    *                         generate pairs)
+    *  - `cand_pairs`         Σ_blocks |L_b|·|R_b| — the key's raw
+    *                         candidate volume (pre-dedup across keys)
+    *  - `max_block_pairs`    the largest single block's pair count
+    *                         (the straggler task, the q198 keySkew
+    *                         question asked of blocks)
+    *  - `reduction_permille` ⌊1000·(1 − cand_pairs/(|L|·|R|))⌋ — how
+    *                         much of the cross product the key prunes
+    *  - `quadratic_flag`     1 iff cand_pairs > quadraticFactor·(|L|+|R|)
+    *                         — candidate volume super-linear in table
+    *                         size; composite the key
+    *  - `truth_pairs` / `truth_covered` / `pc_permille` — pairs
+    *    completeness against an optional ground-truth pair table
+    *    (columns `left_id`, `right_id`): the fraction of true matches
+    *    the key's blocks can still see. NULL when no truth is given.
+    *
+    * All arithmetic exact integers (decimal floor-division), one
+    * grouped count per key side — the corpus never joins, only the
+    * skinny block rollups do; the optional truth pass is one
+    * candidates-∩-truth semi-join per key. */
+  def blockingStats(left: DataFrame, right: DataFrame,
+                    leftId: String, rightId: String,
+                    blockKeys: Seq[(Column, Column)],
+                    truth: Option[DataFrame] = None,
+                    quadraticFactor: Long = 16L): DataFrame = {
+    require(blockKeys.nonEmpty, "blockingStats: at least one blocking key")
+    val nL = left.count()
+    val nR = right.count()
+    require(nL > 0 && nR > 0, "blockingStats: both sides must be non-empty")
+    val truthPairs = truth.map(_.select(col("left_id"), col("right_id")).distinct())
+    val nTruth = truthPairs.map(_.count())
+    def intDiv38(a: Column, b: Column): Column =
+      floor(a.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+    val perKey = blockKeys.zipWithIndex.map { case ((lk, rk), i) =>
+      val lb = left.select(lk.as("__bk")).filter(col("__bk").isNotNull)
+        .groupBy("__bk").agg(count(lit(1)).as("nl"))
+      val rb = right.select(rk.as("__bk")).filter(col("__bk").isNotNull)
+        .groupBy("__bk").agg(count(lit(1)).as("nr"))
+      val agg = lb.join(rb, Seq("__bk"))
+        .agg(count(lit(1)).as("n_blocks"),
+          coalesce(sum(col("nl") * col("nr")), lit(0L)).as("cand_pairs"),
+          coalesce(max(col("nl") * col("nr")), lit(0L)).as("max_block_pairs"))
+      val withTruth = truthPairs match {
+        case Some(t) =>
+          val cov = candidates(left, right, leftId, rightId, Seq((lk, rk)))
+            .join(t, Seq("left_id", "right_id"), "left_semi")
+            .agg(count(lit(1)).as("truth_covered"))
+          agg.crossJoin(broadcast(cov))
+            .withColumn("truth_pairs", lit(nTruth.get))
+        case None =>
+          agg.withColumn("truth_covered", lit(null).cast("long"))
+            .withColumn("truth_pairs", lit(null).cast("long"))
+      }
+      withTruth.withColumn("key_idx", lit(i.toLong))
+    }
+    perKey.reduce(_ unionByName _)
+      .select(col("key_idx"), col("n_blocks"), col("cand_pairs"),
+        col("max_block_pairs"),
+        (lit(1000L) - intDiv38(lit(1000L) * col("cand_pairs"),
+          lit(nL) * lit(nR))).as("reduction_permille"),
+        when(col("cand_pairs") > lit(quadraticFactor) * lit(nL + nR), lit(1L))
+          .otherwise(lit(0L)).as("quadratic_flag"),
+        col("truth_pairs"), col("truth_covered"),
+        when(col("truth_pairs") > 0,
+          intDiv38(lit(1000L) * col("truth_covered"), col("truth_pairs")))
+          .as("pc_permille"))
+  }
+
+  /** [[blockingStats]]-backed guard used by [[resolve]] /
+    * [[resolveUnique]] when `adviseBlocking` is set: logs one warning
+    * per quadratic blocking key. A warning, not a failure — the
+    * caller may knowingly accept a small quadratic key. */
+  private def warnQuadraticKeys(left: DataFrame, right: DataFrame,
+                                leftId: String, rightId: String,
+                                blockKeys: Seq[(Column, Column)]): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    blockingStats(left, right, leftId, rightId, blockKeys)
+      .filter(col("quadratic_flag") === 1L)
+      .select("key_idx", "cand_pairs", "reduction_permille")
+      .collect()
+      .foreach(r => log.warn(
+        s"entityResolution: blocking key #${r.getLong(0)} generates " +
+          s"${r.getLong(1)} candidate pairs (reduction ${r.getLong(2)} " +
+          "permille) — super-linear in table size; composite the key " +
+          "(see EntityResolution.blockingStats)"))
+  }
+
   /** Blocked candidates with per-field `sim_<name>` permille columns
     * and the weighted `score`, thresholded at `minScore` — the shared
     * scoring stage of [[resolve]] / [[resolveUnique]]. */
@@ -132,12 +228,15 @@ object EntityResolution {
   def resolve(left: DataFrame, right: DataFrame,
               leftId: String, rightId: String,
               blockKeys: Seq[(Column, Column)],
-              fields: Seq[Field], minScore: Long): DataFrame =
+              fields: Seq[Field], minScore: Long,
+              adviseBlocking: Boolean = false): DataFrame = {
+    if (adviseBlocking) warnQuadraticKeys(left, right, leftId, rightId, blockKeys)
     scoredPairs(left, right, leftId, rightId, blockKeys, fields, minScore)
       .withColumn("__rk", row_number().over(
         Window.partitionBy("left_id")
           .orderBy(col("score").desc, col("right_id").asc)))
       .filter(col("__rk") === 1).drop("__rk")
+  }
 
   /** ONE-TO-ONE assignment over a scored pair table: `rounds` rounds
     * of LOCALLY-DOMINANT matching (Manne–Bisseling parallel greedy) —
@@ -259,8 +358,11 @@ object EntityResolution {
                     blockKeys: Seq[(Column, Column)],
                     fields: Seq[Field], minScore: Long,
                     rounds: Int = 8,
-                    maxLocalPairs: Long = MaxLocalPairs): DataFrame =
+                    maxLocalPairs: Long = MaxLocalPairs,
+                    adviseBlocking: Boolean = false): DataFrame = {
+    if (adviseBlocking) warnQuadraticKeys(left, right, leftId, rightId, blockKeys)
     assignUnique(
       scoredPairs(left, right, leftId, rightId, blockKeys, fields, minScore),
       rounds, maxLocalPairs)
+  }
 }

@@ -138,8 +138,10 @@ object Kmv {
         round(estE6(col("ks"), k)).cast("long").as("est_e6")): _*)
 
   /** e6-scaled distinct estimate from a sketch array column: exact n
-    * when the sketch is not full, else (k−1)·2^52/h_(k). */
-  private def estE6(arr: Column, k: Int): Column =
+    * when the sketch is not full, else (k−1)·2^52/h_(k). Public: the
+    * [[IncrementalAgg]] churn surface derives its estimates from the
+    * same expression so the engines can never disagree. */
+  def estE6(arr: Column, k: Int): Column =
     when(size(arr) < k, size(arr).cast("double") * lit(1e6))
       .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
         element_at(arr, k).cast("double") * lit(1e6))

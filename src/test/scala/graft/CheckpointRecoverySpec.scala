@@ -140,6 +140,24 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       s"bucket count did not resume at 6: ${out.mkString("; ")}")
   }
 
+  test("StreamingQuantiles resumes: bucket counts continue from the pre-restart sketch") {
+    import graft.stream.StreamingQuantiles
+    import StreamingQuantiles.Obs
+    val batches = Seq(
+      Seq(Obs("g", 10L), Obs("g", 10L), Obs("g", 500L)),
+      Seq(Obs("g", 10L)),
+      // witness: another hit in value-bucket 10 must emit the
+      // cumulative cnt = 4, impossible with a reset sketch
+      Seq(Obs("g", 10L), Obs("h", 7L)))
+    val out = both("squant", batches, resumeAt = 1,
+      df => StreamingQuantiles.sketchStream(df.as[Obs], s = 5).toDF())
+    // SketchRow fields render \u0001-joined: bucket 10 at cnt 4 in
+    // the post-restart emission (seq 3)
+    assert(out.exists(_.startsWith("g1043")),
+      s"sketch count did not resume at 4: ${out.mkString("; ")}")
+    assert(out.exists(_.startsWith("h711")), s"new group missing: ${out.mkString("; ")}")
+  }
+
   test("composed sessionize -> funnel -> trending chain resumes from checkpoint") {
     import EventStreams.Event
     import graft.stream.SessionFunnelTrending

@@ -87,6 +87,65 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(m2 == m3)
   }
 
+  test("blockingStats: bare low-cardinality key flags quadratic, composite does not; exact arithmetic") {
+    val l = (0 until 200).map(i => (i.toLong, s"name$i tail", s"B${i % 4}", (i % 10).toLong))
+      .toDF("left_id", "l_name", "l_brand", "l_size")
+    val r = (0 until 200).map(i => (i + 1000L, s"name$i", s"B${i % 4}", (i % 10).toLong))
+      .toDF("right_id", "r_name", "r_brand", "r_size")
+    val keys = Seq(
+      (compositeKey(element_at(split(col("l_name"), " "), 1), col("l_brand")),
+        compositeKey(element_at(split(col("r_name"), " "), 1), col("r_brand"))),
+      (col("l_brand"): org.apache.spark.sql.Column,
+        col("r_brand"): org.apache.spark.sql.Column))
+    val truth = (0 until 200).map(i => (i.toLong, i + 1000L)).toDF("left_id", "right_id")
+    val st = EntityResolution.blockingStats(l, r, "left_id", "right_id", keys, Some(truth))
+      .collect().map(row => row.getLong(0) -> row).toMap
+    // key 0 (unique first token + brand): 200 singleton blocks,
+    // cand = 200, reduction = 1000 - 200*1000/40000 = 995, no flag,
+    // full completeness
+    val k0 = st(0L)
+    assert(k0.getAs[Long]("n_blocks") == 200L)
+    assert(k0.getAs[Long]("cand_pairs") == 200L)
+    assert(k0.getAs[Long]("max_block_pairs") == 1L)
+    assert(k0.getAs[Long]("reduction_permille") == 995L)
+    assert(k0.getAs[Long]("quadratic_flag") == 0L)
+    assert(k0.getAs[Long]("pc_permille") == 1000L)
+    // key 1 (bare 4-value brand — the r13 q200 incident shape):
+    // 4 blocks of 50x50 = 10000 cand > 16*(200+200) -> flagged
+    val k1 = st(1L)
+    assert(k1.getAs[Long]("n_blocks") == 4L)
+    assert(k1.getAs[Long]("cand_pairs") == 10000L)
+    assert(k1.getAs[Long]("max_block_pairs") == 2500L)
+    assert(k1.getAs[Long]("reduction_permille") == 750L)
+    assert(k1.getAs[Long]("quadratic_flag") == 1L)
+    assert(k1.getAs[Long]("pc_permille") == 1000L)
+  }
+
+  test("blockingStats: NULL keys never count; missed truth shows in pc_permille; adviseBlocking preserves output") {
+    val l = Seq((1L, "aa", "X"), (2L, "bb", null), (3L, "cc", "Y"))
+      .toDF("left_id", "l_name", "l_brand")
+    val r = Seq((11L, "aa", "X"), (12L, "bb", null), (13L, "cc", "Z"))
+      .toDF("right_id", "r_name", "r_brand")
+    val truth = Seq((1L, 11L), (2L, 12L), (3L, 13L)).toDF("left_id", "right_id")
+    val st = EntityResolution.blockingStats(l, r, "left_id", "right_id",
+      Seq((col("l_brand"), col("r_brand"))), Some(truth)).collect()(0)
+    // only block X co-present (NULLs never pair; Y/Z not shared):
+    // 1 block, 1 cand pair; truth covered = 1 of 3 -> 333 permille
+    assert(st.getAs[Long]("n_blocks") == 1L)
+    assert(st.getAs[Long]("cand_pairs") == 1L)
+    assert(st.getAs[Long]("truth_covered") == 1L)
+    assert(st.getAs[Long]("pc_permille") == 333L)
+    // the resolve-side advisory is a warning only: output identical
+    val fields = Seq(Field("name", "l_name", "r_name", TokenJaccardSim, 1L))
+    val base = EntityResolution.resolve(l, r, "left_id", "right_id",
+      Seq((col("l_brand"), col("r_brand"))), fields, 0L)
+      .collect().map(_.toString).sorted
+    val advised = EntityResolution.resolve(l, r, "left_id", "right_id",
+      Seq((col("l_brand"), col("r_brand"))), fields, 0L, adviseBlocking = true)
+      .collect().map(_.toString).sorted
+    assert(advised.sameElements(base))
+  }
+
   test("AbsDiff falloff arithmetic: |10-13| at tol 5 -> 1000 - 600 = 400") {
     val r = EntityResolution.resolve(
       leftRows.filter(col("lid") === 1), rightRows.filter(col("rid") === 102),

@@ -90,4 +90,56 @@ class KmvSpec extends AnyFunSuite {
     val diff = ops.getAs[Long]("est_diff_e6").toDouble / 1e6
     assert(math.abs(diff - 15000) / 15000 < 0.2, diff)
   }
+
+  test("incremental KMV state: refresh == from-scratch, merge-order-invariant (q205)") {
+    import graft.util.IncrementalAgg
+    val rows = (0 until 900).map { i =>
+      (s"g${i % 3}", (i % 97).toLong, (i % 41).toLong) // (group, value, key)
+    }.toDF("g", "v", "key")
+    val parts = Seq(rows.filter(col("v") < 30), rows.filter(col("v") >= 30 && col("v") < 60),
+      rows.filter(col("v") >= 60))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().map(_.toString).toSeq
+    val scratch = IncrementalAgg.stateWithKmv(rows, Seq("g"), "v", "key", 8, 7L)
+    // base + two refreshes
+    val r1 = IncrementalAgg.refreshWithKmv(
+      IncrementalAgg.refreshWithKmv(
+        IncrementalAgg.stateWithKmv(parts(0), Seq("g"), "v", "key", 8, 7L),
+        parts(1), Seq("g"), "v", "key", 8, 7L),
+      parts(2), Seq("g"), "v", "key", 8, 7L)
+    assert(canon(r1) == canon(scratch))
+    // merge order cannot matter
+    val r2 = IncrementalAgg.mergeWithKmv(
+      Seq(parts(2), parts(0), parts(1))
+        .map(p => IncrementalAgg.stateWithKmv(p, Seq("g"), "v", "key", 8, 7L)),
+      Seq("g"), 8)
+    assert(canon(r2) == canon(scratch))
+  }
+
+  test("kmvChurn: exact new/lost on below-k synopses; one-sided groups churn against empty") {
+    import graft.util.IncrementalAgg
+    // group g: keys {1..6} before, {4..9} after -> 3 new, 3 lost
+    // group only_a: {1,2} before, absent after -> 0 new, 2 lost
+    // group only_b: absent before, {5} after -> 1 new, 0 lost
+    val a = (Seq.tabulate(6)(i => ("g", 0L, (i + 1).toLong)) ++
+      Seq(("only_a", 0L, 1L), ("only_a", 0L, 2L))).toDF("g", "v", "key")
+    val b = (Seq.tabulate(6)(i => ("g", 0L, (i + 4).toLong)) ++
+      Seq(("only_b", 0L, 5L))).toDF("g", "v", "key")
+    val ch = IncrementalAgg.kmvChurn(
+      IncrementalAgg.stateWithKmv(a, Seq("g"), "v", "key", 64, 7L),
+      IncrementalAgg.stateWithKmv(b, Seq("g"), "v", "key", 64, 7L),
+      Seq("g"), 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // below k the synopsis IS the set: ratios over the full union are
+    // exact and est = count * 1e6
+    val g = ch("g")
+    assert(g.getAs[Long]("k_new") == 3L && g.getAs[Long]("est_new_e6") == 3000000L)
+    assert(g.getAs[Long]("k_lost") == 3L && g.getAs[Long]("est_lost_e6") == 3000000L)
+    val oa = ch("only_a")
+    assert(oa.getAs[Long]("k_new") == 0L && oa.getAs[Long]("k_lost") == 2L)
+    assert(oa.getAs[Long]("est_lost_e6") == 2000000L && oa.getAs[Long]("k_h2") == 0L)
+    val ob = ch("only_b")
+    assert(ob.getAs[Long]("k_new") == 1L && ob.getAs[Long]("k_lost") == 0L)
+    assert(ob.getAs[Long]("est_new_e6") == 1000000L && ob.getAs[Long]("k_h1") == 0L)
+  }
 }
