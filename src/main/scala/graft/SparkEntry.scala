@@ -471,6 +471,14 @@ object SparkEntry {
     "q16_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s, T(s, dir, "documents"), 16, 3, 0.2, rowsPerBand = 1)),
 
+    // WEIGHTED (bag) MinHash-LSH: capped token-count Jaccard via the
+    // replication reduction — repetition-sensitive near-dup that set
+    // Jaccard (q16) is blind to; same affine family, banding, and
+    // exact count-join verification
+    "q210_weighted_minhash" -> ((s, dir) =>
+      Dedup.weightedMinhashLsh(s, T(s, dir, "documents"), nBands = 16,
+        threshold = 0.2, rowsPerBand = 1, cap = 8)),
+
     // 64-bit SimHash fingerprints
     "q17_simhash" -> ((s, dir) =>
       Dedup.simhash(T(s, dir, "documents").filter(col("doc_id") < 50))),
@@ -932,6 +940,14 @@ object SparkEntry {
     "q55_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(T(s, dir, "documents"))),
 
+    // DSIR importance scores (hashed-unigram log-likelihood ratio,
+    // target = English docs): per-bucket weights rounded once to e6,
+    // per-doc score an exact integer sum — the published
+    // data-selection estimator, O(nBuckets) model state
+    "q208_dsir_scores" -> ((s, dir) =>
+      graft.text.Dsir.importanceScores(T(s, dir, "documents"),
+        col("lang") === "en", nBuckets = 1024, seed = 42L)),
+
     // exposure→outcome interval label join (view→click attribution
     // within 30 min) — batch form of the watermarked stream-stream join;
     // StreamingAndPipelineSpec pins stream == batch on the same pairs
@@ -1134,6 +1150,24 @@ object SparkEntry {
         when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
           .otherwise(col("l_partkey") * 2).as("t"))
       graft.graph.Scc.run(e, "s", "t")
+    }),
+
+    // multi-source BFS hop distances over the q201 directed graph:
+    // landmark distances (GraphFrames shortestPaths semantics) from
+    // the 4 smallest node ids, min-hop within 10, replayed by a
+    // depth-bounded recursive closure
+    "q211_bfs_hops" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(
+        col("l_partkey") < 600 && col("l_quantity") < 3 && col("l_suppkey") < 60)
+      val e = li.select(
+        when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
+          .otherwise(col("l_suppkey") * 2 + 1).as("s"),
+        when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
+          .otherwise(col("l_partkey") * 2).as("t"))
+      val sources = e.select(col("s").cast("long").as("v"))
+        .union(e.select(col("t").cast("long")))
+        .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
+      graft.graph.Bfs.multiSourceHops(e, "s", "t", sources, maxHops = 10)
     }),
 
     // entity resolution (Fellegi–Sunter shape): two-key blocking →
@@ -2106,6 +2140,14 @@ object SparkEntry {
           min("cents_w").as("min_w"), max("cents_w").as("max_w"))
     }),
 
+    // JL random projection (Achlioptas ±1 coins, hash-derived): the
+    // map-only dim-reduction front end for every ANN stage — the sign
+    // matrix is re-derived from md5(i|j|seed) so the oracle rebuilds
+    // it from (d, d', seed); integer micro-unit sums, zero exchanges
+    "q207_random_projection" -> ((s, dir) =>
+      graft.knn.RandomProjection.project(
+        T(s, dir, "embeddings"), dProj = 8, seed = 42L)),
+
     // residual IVF-PQ (faiss IVFPQ proper): product codebooks encode
     // v − c(list), the recall lever; scoring decomposes into
     // dot(q,c) + residual LUT sums with an integer coarse×residual
@@ -2217,6 +2259,20 @@ object SparkEntry {
         graft.util.Sketches.hllRegisters(
           T(s, dir, "lineitem"), Seq("l_orderkey"), b = 10, seed = 42L), b = 10)),
 
+    // streaming distinct-count surface, batch form: per-(event_type ×
+    // hour) unique-user HLL — register state ≤ 2^b per group forever;
+    // StreamingDistinctSpec pins stream == batch registers under
+    // trigger slicing and the JVM/SQL hash parity
+    "q209_stream_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        concat(col("event_type"), lit("|"),
+          expr("cast(unix_millis(ts) div 3600000 as string)")).as("g"),
+        col("user_id").cast("string").as("k"))
+      graft.stream.StreamingDistinct.estimates(
+        graft.stream.StreamingDistinct.registersBatch(ev, "g", "k", b = 6, seed = 42L),
+        b = 6)
+    }),
+
     // Count-Min frequency estimates (Cormode-Muthukrishnan 2005) for
     // the low suppkeys — counters exact ints, est = min over depth
     "q178_cms_counts" -> ((s, dir) => {
@@ -2226,6 +2282,19 @@ object SparkEntry {
           width = 512, seed = 7L),
         li.filter(col("l_suppkey") <= 20).select("l_suppkey").distinct(),
         Seq("l_suppkey"), depth = 4, width = 512, seed = 7L)
+    }),
+
+    // streaming frequency surface, batch form: CMS counters +
+    // overestimate-bounded per-event-type counts — StreamingCmsSpec
+    // pins stream == batch counters under trigger slicing; completes
+    // the streaming sketch family (q206 quantiles, q209 distinct)
+    "q212_stream_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.stream.StreamingCms.estimates(
+        graft.stream.StreamingCms.countersBatch(ev, Seq("event_type"),
+          depth = 4, width = 64, seed = 7L),
+        ev.select("event_type").distinct(), Seq("event_type"),
+        depth = 4, width = 64, seed = 7L)
     }),
 
     // item2vec (Barkan & Koenigstein 2016) on the bounded subgraph —
@@ -2632,6 +2701,41 @@ object SparkEntry {
        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
        |          FROM cand p JOIN sh x ON x.doc_id = p.doc_a
        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.text.Dedup.weightedMinhashLsh]]: capped
+    * token counts, the t#r replication, then the [[minhashCtes]] affine
+    * chain over replicated elements and a Σmin/Σmax count verification. */
+  private def weightedMinhashSql(nBands: Int, rowsPerBand: Int, cap: Int,
+                                 threshold: String): String = {
+    import graft.text.Dedup.{MinhashA, MinhashP}
+    val nHash = nBands * rowsPerBand
+    val abValues = (0 until nHash).map(j => s"($j, ${MinhashA(j)})").mkString(", ")
+    val keyCols = (0 until rowsPerBand)
+      .map(r => s"MIN(m) FILTER (WHERE j % $rowsPerBand = $r) AS h${r + 1}")
+      .mkString(", ")
+    val keyEq = (1 to rowsPerBand).map(r => s"a.h$r = c.h$r").mkString(" AND ")
+    s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, t AS w FROM docs, UNNEST(w) AS u(t) WHERE t != ''),
+       |wc AS (SELECT doc_id, w, LEAST(COUNT(*), $cap) AS c FROM tok GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, w || '#' || r AS s
+       |       FROM wc, UNNEST(generate_series(0, c - 1)) AS t(r)),
+       |mh AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |xh AS (SELECT doc_id, CAST(SUM((strpos('0123456789abcdef', h[i]) - 1)
+       |         * CAST(pow(16, 12 - i) AS BIGINT)) AS BIGINT) AS x
+       |       FROM mh, UNNEST(generate_series(1, 12)) AS ti(i) GROUP BY doc_id, h),
+       |mins AS (SELECT doc_id, ab.j, MIN((ab.a * x + ab.j) % $MinhashP) AS m
+       |         FROM xh CROSS JOIN (VALUES $abValues) AS ab(j, a) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, j // $rowsPerBand AS b, $keyCols FROM mins GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM sig a JOIN sig c ON a.b = c.b AND $keyEq AND a.doc_id < c.doc_id),
+       |cnt AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY 1),
+       |inter AS (SELECT p.doc_a, p.doc_b, SUM(LEAST(x.c, y.c)) AS ni
+       |          FROM cand p JOIN wc x ON x.doc_id = p.doc_a
+       |          JOIN wc y ON y.doc_id = p.doc_b AND y.w = x.w GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS wjaccard
+       |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+       |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= $threshold""".stripMargin
   }
 
   /** DuckDB replay of [[graft.knn.SemDeDup.semDedup]]: the q81 int8
@@ -3201,6 +3305,24 @@ object SparkEntry {
         |SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v""".stripMargin,
 
+    // BFS: same edge CTE as q201, depth-bounded recursive frontier,
+    // min hop per (src, node)
+    "q211_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t
+        |  FROM lineitem WHERE l_partkey < 600 AND l_quantity < 3 AND l_suppkey < 60),
+        |nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+        |srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 4),
+        |walk(src, node, dist) AS (
+        |  SELECT v, v, 0 FROM srcs
+        |  UNION
+        |  SELECT w.src, e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
+        |  WHERE w.dist < 10)
+        |SELECT src, node, CAST(MIN(dist) AS INT) AS dist
+        |FROM walk GROUP BY 1, 2""".stripMargin,
+
     // entity resolution: blocking joins + list-algebra token Jaccard +
     // integer falloff, top-1 by (score desc, right_id)
     "q200_entity_resolution" -> (erScoringSql +
@@ -3478,6 +3600,21 @@ object SparkEntry {
         |FROM documents d, range(256) t(i)
         |GROUP BY 1, 2""".stripMargin,
 
+    // JL projection: rebuild the ±1 sign matrix from md5(i|j|seed),
+    // quantize to micro-units, exact integer group-sum per (id, j)
+    "q207_random_projection" ->
+      """WITH q AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS qv
+        |      FROM embeddings),
+        |sgn AS (SELECT i, j,
+        |        CASE WHEN ('0x'||substr(md5(i||'|'||j||'|42'),1,13))::UBIGINT & 1 = 1
+        |             THEN -1 ELSE 1 END AS s
+        |      FROM generate_series(0, 63) g(i), generate_series(0, 7) h(j))
+        |SELECT vec_id, CAST(j AS INT) AS dim, CAST(SUM(qv[i+1] * s) AS BIGINT) AS p
+        |FROM q, sgn
+        |GROUP BY 1, 2""".stripMargin,
+
     "q193_sketch_winsorize" -> sketchWinsorizeSql(s = 5),
     "q192_ivfpq_residual_knn" -> ivfPqSql(kc = 8, nProbe = 3, m = 4,
       ksub = 8, iters = 2, k = 5),
@@ -3638,6 +3775,9 @@ object SparkEntry {
         |SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
         |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
         |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.2""".stripMargin),
+
+    "q210_weighted_minhash" ->
+      weightedMinhashSql(nBands = 16, rowsPerBand = 1, cap = 8, threshold = "0.2"),
 
     "q17_simhash" ->
       """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -4080,6 +4220,30 @@ object SparkEntry {
         |       ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logp
         |FROM toks JOIN vocab USING (tk), tot
         |GROUP BY doc_id""".stripMargin,
+
+    // DSIR: hashed buckets via the house md5-52 scheme, Laplace bucket
+    // models, per-bucket e6 log-ratio weight, exact integer doc sums
+    "q208_dsir_scores" ->
+      """WITH toks AS (SELECT doc_id, t AS w
+        |              FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |                   UNNEST(ws) AS u(t) WHERE t != ''),
+        |db AS (SELECT doc_id,
+        |         ('0x'||substr(md5(w||'|42'),1,13))::UBIGINT % 1024 AS bkt,
+        |         COUNT(*) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |tgtdoc AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |src AS (SELECT bkt, SUM(c) AS sc FROM db GROUP BY 1),
+        |tgt AS (SELECT bkt, SUM(c) AS tc FROM db JOIN tgtdoc USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(sc) AS DOUBLE) FROM src) AS s_tot,
+        |               (SELECT CAST(COALESCE(SUM(tc), 0) AS DOUBLE) FROM tgt) AS t_tot),
+        |w AS (SELECT src.bkt,
+        |        CAST(round((ln((COALESCE(tc, 0) + 1.0) / (t_tot + 1024.0))
+        |                  - ln((sc + 1.0) / (s_tot + 1024.0))) * 1e6, 0) AS BIGINT) AS w_e6
+        |      FROM src LEFT JOIN tgt USING (bkt), tot)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(c * w_e6) AS BIGINT) AS score_e6
+        |FROM db JOIN w USING (bkt)
+        |GROUP BY 1""".stripMargin,
 
     // bigram LM: pairs from the zip of w against its 1-shifted self
     // (numeric struct index — DuckDB's list_zip yields unnamed
@@ -5349,6 +5513,42 @@ object SparkEntry {
         |               THEN 1024.0 * ln(1024.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
         |FROM est, LATERAL (SELECT (0.7213 / (1.0 + 1.079/1024)) * 1024.0 * 1024.0
         |                          * 8796093022208.0 / CAST(s_scaled AS DOUBLE) AS raw)""".stripMargin,
+
+    // streaming HLL distinct, batch twin: q177's register chain at
+    // b = 6 grouped by (event_type × hour), alpha = 0.709
+    "q209_stream_distinct" ->
+      """WITH src AS (SELECT event_type || '|' || CAST(epoch_ms(ts) // 3600000 AS VARCHAR) AS g,
+        |                    CAST(user_id AS VARCHAR) AS k
+        |             FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT g, ('0x'||substr(md5(k||'|42'),1,13))::UBIGINT AS h FROM src),
+        |reg AS (SELECT g, h >> 46 AS idx,
+        |        CASE WHEN (h & ((1::UBIGINT << 46) - 1)) = 0 THEN 47
+        |             ELSE 46 - length(bin(h & ((1::UBIGINT << 46) - 1))) + 1 END AS rho
+        |        FROM h),
+        |regs AS (SELECT g, idx, MAX(rho) AS r FROM reg GROUP BY 1, 2),
+        |agg AS (SELECT g, COUNT(*) AS occ,
+        |               SUM((1::UBIGINT << (47 - r))::HUGEINT) AS socc FROM regs GROUP BY 1),
+        |est AS (SELECT g, 64 AS m, CAST(64 - occ AS BIGINT) AS n_zero,
+        |        CAST(socc + (64 - occ)::HUGEINT * (1::HUGEINT << 47) AS BIGINT) AS s_scaled
+        |        FROM agg)
+        |SELECT g, m, n_zero, s_scaled,
+        |  CAST(round(CASE WHEN raw <= 160e0 AND n_zero > 0
+        |               THEN 64e0 * ln(64e0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
+        |FROM est, LATERAL (SELECT 0.709e0 * 64e0 * 64e0 * 140737488355328e0
+        |                          / CAST(s_scaled AS DOUBLE) AS raw)""".stripMargin,
+
+    // streaming CMS, batch twin: q178's counter chain over events
+    "q212_stream_cms" ->
+      """WITH c AS (SELECT j AS row,
+        |    CAST(('0x'||substr(md5(event_type||'|'||CAST(j AS VARCHAR)||'|7'),1,13))::UBIGINT % 64 AS BIGINT) AS idx,
+        |    COUNT(*) AS c
+        |  FROM events, UNNEST(generate_series(0, 3)) AS t(j) GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT event_type FROM events),
+        |e AS (SELECT q.event_type, j AS row,
+        |    CAST(('0x'||substr(md5(q.event_type||'|'||CAST(j AS VARCHAR)||'|7'),1,13))::UBIGINT % 64 AS BIGINT) AS idx
+        |  FROM q, UNNEST(generate_series(0, 3)) AS t(j))
+        |SELECT e.event_type, MIN(COALESCE(c.c, 0)) AS est
+        |FROM e LEFT JOIN c USING (row, idx) GROUP BY 1""".stripMargin,
 
     // CMS: same md5(key|row|seed) % width counters, min over rows
     "q178_cms_counts" ->

@@ -1,0 +1,80 @@
+package graft.knn
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Johnson–Lindenstrauss random projection with hash-derived ±1 signs —
+  * the dimensionality-reduction front end for ANN at 100 TB: project a
+  * d-dim embedding column to d' ≪ d once, narrow and shuffle-free, then
+  * run the cheap-distance stages (LSH banding, IVF coarse assign,
+  * near-dup pre-filter) in the small space. Dense ±1 projections are
+  * the database-friendly corner of Achlioptas (2003), "Database-friendly
+  * random projections: Johnson–Lindenstrauss with binary coins" — no
+  * Gaussian sampling, no stored matrix: sign(i, j) is re-derived from
+  * the house md5 scheme wherever it's needed, so any engine (and the
+  * DuckDB oracle) rebuilds the identical matrix from (d, d', seed).
+  *
+  * Exactness contract: components are first quantized to integer
+  * micro-units (round(x·1e6), the q81 int-quantize discipline), so each
+  * projected coordinate is an exact ±-signed integer SUM — no float
+  * accumulation order to pin, bit-equal across engines and partition
+  * orders by construction.
+  *
+  * Scale shape: ZERO exchanges. The sign matrix is d·d' literals baked
+  * into the plan (64×16 = 1 KiB — broadcast-free), the quantize + d'
+  * zip_with/aggregate folds are one narrow codegen'd projection per
+  * row. At 100 TB this is a map-only pass whose output is d'/d of the
+  * input width; every downstream stage shuffles the SMALL vectors.
+  */
+object RandomProjection {
+
+  /** ±1 sign for matrix cell (i, j): low bit of the 52-bit house hash
+    * of "i|j|seed" (md5, first 13 hex chars). Odd → -1, even → +1. */
+  private[graft] def sign(i: Int, j: Int, seed: Long): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i|$j|$seed".getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 13)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) -1L else 1L
+  }
+
+  /** Column j of the sign matrix as a length-d literal vector. */
+  private[graft] def signColumn(d: Int, j: Int, seed: Long): Seq[Long] =
+    (0 until d).map(i => sign(i, j, seed))
+
+  /** Integer micro-unit quantization of a float/double array column:
+    * round(x·1e6) per component, as bigint (exact in any engine). */
+  private[graft] def quantized(embCol: Column): Column =
+    transform(embCol, x => round(x.cast("double") * lit(1e6), 0).cast("long"))
+
+  /** Projected coordinate j as an exact integer fold over the
+    * quantized vector: Σᵢ q(xᵢ)·sign(i, j). */
+  private def projCoord(qvec: Column, d: Int, j: Int, seed: Long): Column =
+    aggregate(
+      zip_with(qvec, typedLit(signColumn(d, j, seed)), (x, s) => x * s),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Wide form: id column + a d'-long `proj` array column of exact
+    * integer coordinates (micro-units) — the shape downstream ANN
+    * stages consume. Map-only; no exchange. */
+  def projectVec(emb: DataFrame, dProj: Int, seed: Long,
+                 embCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    require(dProj > 0, "randomProjection: dProj > 0")
+    val d = emb.select(size(col(embCol))).head().getInt(0)
+    require(d > 0, "randomProjection: empty embedding column")
+    val q = quantized(col(embCol))
+    emb.select(col(idCol),
+      array((0 until dProj).map(j => projCoord(q, d, j, seed)): _*).as("proj"))
+  }
+
+  /** Tidy form for oracles and sinks: one row per (id, dim) with the
+    * exact integer coordinate `p`. Same map-only plan + one generator. */
+  def project(emb: DataFrame, dProj: Int, seed: Long,
+              embCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame =
+    projectVec(emb, dProj, seed, embCol, idCol)
+      .select(col(idCol), posexplode(col("proj")).as(Seq("dim", "p")))
+}

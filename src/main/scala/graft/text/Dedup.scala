@@ -293,6 +293,64 @@ object Dedup {
     out
   }
 
+  /** WEIGHTED (bag) MinHash-LSH near-dup pairs: like [[minhashLsh]]
+    * but similarity is the capped weighted Jaccard over token COUNTS,
+    * J_w(A,B) = Σ_t min(c_A(t), c_B(t)) / Σ_t max(c_A(t), c_B(t)) with
+    * counts clamped at `cap` — the signal that separates "same words,
+    * same emphasis" from set-Jaccard's blindness to repetition (a doc
+    * that says "buy" 50 times and one that says it once are identical
+    * sets). The classic reduction makes the set machinery exact: token
+    * t with capped count c becomes c distinct elements t#0..t#(c−1),
+    * and plain Jaccard over the replicated sets IS the capped weighted
+    * Jaccard — so the affine-minhash family, banding, and the DuckDB
+    * replay all carry over verbatim.
+    *
+    * Scale shape: replication is bounded by cap × |tokens| rows, all
+    * narrow; the signature aggregation, banded self-join and
+    * exact-verification joins are the [[minhashLsh]] shapes — the
+    * verification joins are keyed on (doc, token) over the COUNT table
+    * (|distinct tokens| rows, not replicated rows).
+    *
+    * Returns (doc_a, doc_b, wjaccard) with wjaccard ≥ threshold,
+    * round-6. */
+  def weightedMinhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int,
+                         threshold: Double, rowsPerBand: Int = 2,
+                         cap: Int = 8, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(cap >= 1, s"weightedMinhashLsh: cap >= 1, got $cap")
+    val wc = docs.select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w")
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    wc.count() // eager: three downstream scans must not race the fill
+    val repl = wc.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, cast(c as int) - 1), r -> concat(w, '#', cast(r as string)))")).as("s"))
+    val hCols = (1 to rowsPerBand).map(r => s"h$r")
+    val stacked = bandBucketsFromShingles(repl, nBands, rowsPerBand)
+    val pairs = stacked.as("x")
+      .join(stacked.as("y"),
+        ("b" +: hCols).map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .distinct()
+    // exact capped weighted Jaccard on candidates only: Σ min(ca, cb)
+    // over shared tokens; Σ max = na + nb − Σ min
+    val out = pairs
+      .join(wc.select(col("doc_id").as("doc_a"), col("w"), col("c").as("ca")), Seq("doc_a"))
+      .join(wc.select(col("doc_id").as("doc_b"), col("w"), col("c").as("cb")), Seq("doc_b", "w"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(sum(least(col("ca"), col("cb"))).as("ni"))
+      .withColumn("wjaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
+      .localCheckpoint(true)
+    wc.unpersist(blocking = false)
+    out
+  }
+
   /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit
     * string (portable; avoids signed-int hex pitfalls). Bit j of a
     * token is bit (3 - j%4) of hex digit j/4 of md5(token).

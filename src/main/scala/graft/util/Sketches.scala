@@ -29,7 +29,7 @@ object Sketches {
     * [[Sampling.hashKeep]] scheme: '|'-joined casts + seed). Shared
     * within the package — [[Kmv]] sketches the same hash, and the two
     * sketch families must never drift apart. */
-  private[util] def h52(seed: Long, keyCols: Seq[Column]): Column = {
+  private[graft] def h52(seed: Long, keyCols: Seq[Column]): Column = {
     val key = keyCols.map(_.cast("string"))
       .reduceLeft((a, b) => concat(a, lit("|"), b))
     conv(substring(md5(concat(key, lit("|"), lit(seed.toString))), 1, 13),

@@ -206,4 +206,36 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     assert(out.exists(s => s.startsWith("1") && s.endsWith("23.0")),
       s"user 1's pre-restart session not recovered: ${out.mkString("; ")}")
   }
+
+  test("StreamingDistinct (HLL registers) resumes: max-merge continues from pre-restart state") {
+    import graft.stream.StreamingDistinct
+    import StreamingDistinct.Obs
+    val batches = Seq(
+      (0 until 200).map(i => Obs("g", s"k$i")),
+      (200 until 400).map(i => Obs("g", s"k$i")),
+      // post-restart: repeats only — the uninterrupted run re-emits
+      // the FULL 400-key register vector at seq 3; a state reset
+      // would emit a 100-key vector at seq 1, so equality is the
+      // state-survival witness
+      (0 until 100).map(i => Obs("g", s"k$i")))
+    val out = both("hlldist", batches, resumeAt = 1,
+      df => StreamingDistinct.registersStream(df.as[Obs], b = 5, seed = 42L).toDF())
+    assert(out.nonEmpty)
+  }
+
+  test("StreamingCms (counters) resumes: counts continue from pre-restart totals") {
+    import graft.stream.StreamingCms
+    import StreamingCms.Obs
+    def fan(keys: Seq[String]) = keys.flatMap(k => (0 until 4).map(j => Obs(j, k, 1L)))
+    val batches = Seq(
+      fan(Seq.fill(50)("hot") ++ (0 until 30).map(i => s"k$i")),
+      fan(Seq.fill(25)("hot")),
+      // post-restart: the hot key again — its counter must read 76
+      // cumulative in the final emission, impossible with reset state
+      fan(Seq("hot")))
+    val out = both("cms", batches, resumeAt = 1,
+      df => StreamingCms.countersStream(df.as[Obs], width = 32, seed = 7L).toDF())
+    assert(out.exists(s => s.contains("76")),
+      s"hot-key counter did not continue: ${out.mkString("; ")}")
+  }
 }
