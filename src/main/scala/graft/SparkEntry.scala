@@ -1170,6 +1170,24 @@ object SparkEntry {
       graft.graph.Bfs.multiSourceHops(e, "s", "t", sources, maxHops = 10)
     }),
 
+    // landmark closeness centrality off the q211 distances: per node,
+    // 10⁶·n_landmarks ÷ Σdist in exact integers — the published
+    // landmark approximation (exact closeness is all-pairs)
+    "q216_closeness_centrality" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(
+        col("l_partkey") < 600 && col("l_quantity") < 3 && col("l_suppkey") < 60)
+      val e = li.select(
+        when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
+          .otherwise(col("l_suppkey") * 2 + 1).as("s"),
+        when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
+          .otherwise(col("l_partkey") * 2).as("t"))
+      val sources = e.select(col("s").cast("long").as("v"))
+        .union(e.select(col("t").cast("long")))
+        .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
+      graft.graph.Bfs.closeness(
+        graft.graph.Bfs.multiSourceHops(e, "s", "t", sources, maxHops = 10))
+    }),
+
     // entity resolution (Fellegi–Sunter shape): two-key blocking →
     // integer-permille field agreement (token Jaccard + exact + linear
     // numeric falloff) → weighted score → top-1 assignment per left
@@ -2140,6 +2158,21 @@ object SparkEntry {
           min("cents_w").as("min_w"), max("cents_w").as("max_w"))
     }),
 
+    // one-pass Poisson bootstrap (Chamandy et al.): B=32 resampled
+    // means of the per-flag price ride ONE aggregation — hash-derived
+    // Poisson(1) weights from precomputed integer CDF thresholds,
+    // exact-integer replica means, rank-based CI
+    "q213_poisson_bootstrap" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val reps = graft.util.PoissonBootstrap.replicaMeans(li,
+        Seq("l_returnflag"), "cents", Seq("l_orderkey", "l_linenumber"),
+        b = 32, seed = 42L)
+      reps.join(graft.util.PoissonBootstrap.ci(reps, Seq("l_returnflag"),
+        loRank = 2), Seq("l_returnflag"))
+    }),
+
     // JL random projection (Achlioptas ±1 coins, hash-derived): the
     // map-only dim-reduction front end for every ANN stage — the sign
     // matrix is re-derived from md5(i|j|seed) so the oracle rebuilds
@@ -2249,6 +2282,15 @@ object SparkEntry {
       graft.model.Forecast.holtLinear(Tables.events(s, dir), Seq("event_type"),
         unix_millis(col("ts").cast("timestamp")), bucketMs = 86400000L,
         horizon = 7)),
+
+    // Holt–Winters additive seasonal (q179's triple-exponential rung):
+    // weekly period over daily buckets, textbook two-season init,
+    // m-long rotating seasonal state inside one aggregate HOF —
+    // replayed by a recursive CTE carrying the seasonal LIST
+    "q214_holt_winters" -> ((s, dir) =>
+      graft.model.Forecast.holtWinters(Tables.events(s, dir), Seq("event_type"),
+        unix_millis(col("ts").cast("timestamp")), bucketMs = 86400000L,
+        m = 7, horizon = 7)),
 
     // HyperLogLog distinct (Flajolet 2007) — the md5-portable,
     // exact-integer-state variant: registers and the scaled harmonic
@@ -2584,6 +2626,20 @@ object SparkEntry {
     "q144_bigram_logprob" -> ((s, dir) =>
       TextOps.bigramLogProb(T(s, dir, "documents"))),
 
+    // CCNet perplexity bucketing (Wenzek 2020): per-language fluency
+    // TERCILES of the q144 bigram LM — rank-based (ntile on round-6
+    // avg_logp DESC, doc_id), so no float threshold crosses engines
+    "q215_perplexity_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(T(s, dir, "documents"))),
+
+    // TF-IDF cosine retrieval (sklearn smooth idf): top-10 docs per
+    // fixed keyword query — e3-integer idf makes weights/dots/norms
+    // exact integers; one float cosine, ranked on the rounded value
+    "q217_tfidf_retrieval" -> ((s, dir) =>
+      graft.text.Keywords.tfidfRetrieve(T(s, dir, "documents"),
+        Seq(("q1", "hash join order"), ("q2", "window scan merge"),
+          ("q3", "spark stream batch")), k = 10)),
+
     // resource-allocation link prediction on the item projection:
     // common neighbors weighted by 10⁶ div deg(center) — the
     // exact-integer Adamic-Adar stand-in (Zhou et al. 2009)
@@ -2701,6 +2757,38 @@ object SparkEntry {
        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
        |          FROM cand p JOIN sh x ON x.doc_id = p.doc_a
        |          JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.util.PoissonBootstrap]]: the identical
+    * integer CDF-threshold ladder (single Scala source of truth), the
+    * overflow-free integer mean decomposition, rank-based CI. */
+  private def poissonBootstrapSql(b: Int, loRank: Int): String = {
+    val kCase = graft.util.PoissonBootstrap.poissonCaseSql("h")
+    s"""WITH x AS (SELECT l_returnflag AS g, l_orderkey, l_linenumber,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+       |rep AS (SELECT g, l_orderkey, l_linenumber, cents, r
+       |        FROM x, UNNEST(generate_series(0, ${b - 1})) AS t(r)),
+       |hh AS (SELECT g, r, cents,
+       |    ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)||'|'||CAST(l_linenumber AS VARCHAR)
+       |      ||'|'||CAST(r AS VARCHAR)||'|42'),1,13))::UBIGINT AS h
+       |  FROM rep),
+       |kk AS (SELECT g, r, cents, $kCase AS k FROM hh),
+       |m AS (SELECT g, r, CAST(SUM(k) AS BIGINT) AS n_eff,
+       |    CAST(CASE WHEN SUM(k) > 0 THEN
+       |      (SUM(k*cents) // SUM(k)) * 1000000 + ((SUM(k*cents) % SUM(k)) * 1000000) // SUM(k)
+       |    END AS BIGINT) AS mean_e6
+       |  FROM kk GROUP BY 1, 2),
+       |rk AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_e6 ASC, r ASC) AS ra,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_e6 DESC, r DESC) AS rd
+       |  FROM m WHERE mean_e6 IS NOT NULL),
+       |ci AS (SELECT g, COUNT(*) AS b_eff,
+       |    CAST(MAX(CASE WHEN ra = $loRank THEN mean_e6 END) AS BIGINT) AS ci_lo_e6,
+       |    CAST(MAX(CASE WHEN rd = $loRank THEN mean_e6 END) AS BIGINT) AS ci_hi_e6
+       |  FROM rk GROUP BY 1)
+       |SELECT m.g AS l_returnflag, m.r, m.n_eff, m.mean_e6,
+       |       ci.b_eff, ci.ci_lo_e6, ci.ci_hi_e6
+       |FROM m JOIN ci USING (g)""".stripMargin
   }
 
   /** DuckDB replay of [[graft.text.Dedup.weightedMinhashLsh]]: capped
@@ -3323,6 +3411,27 @@ object SparkEntry {
         |SELECT src, node, CAST(MIN(dist) AS INT) AS dist
         |FROM walk GROUP BY 1, 2""".stripMargin,
 
+    // landmark closeness: the q211 walk + node-keyed integer rollup
+    "q216_closeness_centrality" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t
+        |  FROM lineitem WHERE l_partkey < 600 AND l_quantity < 3 AND l_suppkey < 60),
+        |nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+        |srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 4),
+        |walk(src, node, dist) AS (
+        |  SELECT v, v, 0 FROM srcs
+        |  UNION
+        |  SELECT w.src, e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
+        |  WHERE w.dist < 10),
+        |d AS (SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT node, COUNT(*) AS n_landmarks,
+        |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+        |  CAST(CASE WHEN SUM(dist) > 0 THEN (1000000 * COUNT(*)) // SUM(dist)
+        |       ELSE 0 END AS BIGINT) AS closeness_e6
+        |FROM d GROUP BY 1""".stripMargin,
+
     // entity resolution: blocking joins + list-algebra token Jaccard +
     // integer falloff, top-1 by (score desc, right_id)
     "q200_entity_resolution" -> (erScoringSql +
@@ -3599,6 +3708,9 @@ object SparkEntry {
         |  CAST(MAX(3 * ((d.doc_id * 31 + t.i) % 256)) AS BIGINT) AS max_rgb
         |FROM documents d, range(256) t(i)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Poisson bootstrap: hash-CDF weights, integer means, rank CI
+    "q213_poisson_bootstrap" -> poissonBootstrapSql(b = 32, loRank = 2),
 
     // JL projection: rebuild the ±1 sign matrix from md5(i|j|seed),
     // quantize to micro-units, exact integer group-sum per (id, j)
@@ -4244,6 +4356,60 @@ object SparkEntry {
         |       CAST(SUM(c * w_e6) AS BIGINT) AS score_e6
         |FROM db JOIN w USING (bkt)
         |GROUP BY 1""".stripMargin,
+
+    // CCNet terciles: the q144 LM chain + per-language NTILE on the
+    // round-6 score (rank split — no float threshold crosses engines)
+    "q215_perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, t.tk FROM d, UNNEST(w) AS t(tk)),
+        |bg AS (SELECT doc_id, p[1] AS l, p[2] AS r
+        |       FROM (SELECT doc_id, UNNEST(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        |             FROM d WHERE len(w) >= 2)),
+        |bgc AS (SELECT l, r, COUNT(*) AS cbg FROM bg GROUP BY 1, 2),
+        |lc AS (SELECT l, COUNT(*) AS cl FROM bg GROUP BY 1),
+        |vs AS (SELECT CAST(COUNT(DISTINCT tk) AS DOUBLE) AS v FROM toks),
+        |lp AS (SELECT doc_id,
+        |         ROUND(AVG(ln((CAST(cbg AS DOUBLE) + 1.0) / (CAST(cl AS DOUBLE) + v))), 6) AS avg_logp
+        |       FROM bg JOIN bgc USING (l, r) JOIN lc USING (l), vs
+        |       GROUP BY doc_id),
+        |nt AS (SELECT lp.doc_id, d2.lang, lp.avg_logp,
+        |         NTILE(3) OVER (PARTITION BY d2.lang
+        |                        ORDER BY lp.avg_logp DESC, lp.doc_id ASC) AS b
+        |       FROM lp JOIN (SELECT DISTINCT doc_id, lang FROM documents) d2 USING (doc_id))
+        |SELECT doc_id, lang, avg_logp,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM nt""".stripMargin,
+
+    // TF-IDF retrieval: e3-integer idf, exact integer dots/norms, one
+    // float cosine in the pinned op order, rank on the rounded value
+    "q217_tfidf_retrieval" ->
+      """WITH toks AS (SELECT doc_id, t AS term
+        |              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |                   UNNEST(w) AS u(t) WHERE t != ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |idf AS (SELECT term,
+        |          CAST(round((ln((n + 1.0) / (CAST(COUNT(*) AS DOUBLE) + 1.0)) + 1.0)
+        |            * 1000.0, 0) AS BIGINT) AS idf_e3
+        |        FROM tf, nn GROUP BY term, n),
+        |dv AS (SELECT doc_id, term, tf * idf_e3 AS w FROM tf JOIN idf USING (term)),
+        |dn AS (SELECT doc_id, SUM(w*w) AS nd FROM dv GROUP BY 1),
+        |q AS (SELECT * FROM (VALUES ('q1', 'hash join order'),
+        |        ('q2', 'window scan merge'), ('q3', 'spark stream batch')) AS t(qid, qtext)),
+        |qt AS (SELECT qid, t AS term, COUNT(*) AS tfq
+        |       FROM q, UNNEST(string_split(lower(qtext), ' ')) u(t)
+        |       WHERE t != '' GROUP BY 1, 2),
+        |qv AS (SELECT qid, term, tfq * idf_e3 AS wq FROM qt JOIN idf USING (term)),
+        |qn AS (SELECT qid, SUM(wq*wq) AS nq FROM qv GROUP BY 1),
+        |sc AS (SELECT qid, doc_id, SUM(wq*w) AS num FROM qv JOIN dv USING (term) GROUP BY 1, 2),
+        |cs AS (SELECT qid, doc_id,
+        |         ROUND(CAST(num AS DOUBLE) /
+        |           (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS cosine
+        |       FROM sc JOIN dn USING (doc_id) JOIN qn USING (qid))
+        |SELECT qid, doc_id, cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cosine DESC, doc_id ASC) AS rk FROM cs)
+        |WHERE rk <= 10""".stripMargin,
 
     // bigram LM: pairs from the zip of w against its 1-shifted self
     // (numeric struct index — DuckDB's list_zip yields unnamed
@@ -5468,6 +5634,42 @@ object SparkEntry {
         |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin,
 
     // Holt recursion replayed as a recursive CTE, identical op order
+    // Holt–Winters: the q179 dense-series CTEs + a recursive walk
+    // carrying the m-long seasonal LIST (s[1] = s_{t−m}, rotate-append)
+    "q214_holt_winters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d FROM events),
+        |mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |ks AS (SELECT DISTINCT event_type FROM e),
+        |y AS (SELECT ks.event_type, t.i, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS y
+        |      FROM ks CROSS JOIN mm
+        |      CROSS JOIN UNNEST(generate_series(0, CAST(mm.d1 - mm.d0 AS INT))) AS t(i)
+        |      LEFT JOIN (SELECT event_type, d, COUNT(*) AS cnt FROM e GROUP BY 1, 2) c
+        |        ON c.event_type = ks.event_type AND c.d = mm.d0 + t.i),
+        |tt AS (SELECT CAST(max(i) AS INT) AS tmax FROM y),
+        |agg AS (SELECT event_type,
+        |          SUM(y) FILTER (WHERE i < 7) AS sum1,
+        |          SUM(y) FILTER (WHERE i >= 7 AND i < 14) AS sum2,
+        |          list(y ORDER BY i) FILTER (WHERE i < 7) AS ys1
+        |        FROM y GROUP BY 1),
+        |init AS (SELECT event_type, sum1 / 7e0 AS l0, (sum2 - sum1) / 49e0 AS b0,
+        |           list_transform(ys1, v -> v - sum1 / 7e0) AS s0
+        |         FROM agg),
+        |r AS (
+        |  SELECT event_type, 6 AS i, l0 AS l, b0 AS b, s0 AS s FROM init
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |    0.5 * (y.y - r.s[1]) + 0.5 * (r.l + r.b),
+        |    0.25 * ((0.5 * (y.y - r.s[1]) + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+        |    r.s[2:] || [0.25 * (y.y - (0.5 * (y.y - r.s[1]) + 0.5 * (r.l + r.b))) + 0.75 * r.s[1]]
+        |  FROM r JOIN y ON y.event_type = r.event_type AND y.i = r.i + 1
+        |  WHERE r.i < (SELECT tmax FROM tt))
+        |SELECT event_type, (SELECT tmax FROM tt) + 1 AS n_buckets,
+        |       ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+        |       ROUND(s[7], 4) AS season_h,
+        |       ROUND(l + 7.0 * b + s[7], 4) AS forecast
+        |FROM r WHERE i = (SELECT tmax FROM tt)""".stripMargin,
+
     "q179_holt_forecast" ->
       """WITH RECURSIVE
         |e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d FROM events),

@@ -61,4 +61,19 @@ object Bfs {
     e.unpersist(blocking = false)
     visited
   }
+
+  /** Landmark CLOSENESS estimates off a [[multiSourceHops]] result:
+    * per node, how many landmarks reach it and the harmonic-style
+    * closeness 10⁶·n_landmarks ÷ Σdist (exact integer division; 0 when
+    * every reaching landmark is the node itself). The standard
+    * landmark approximation of closeness centrality — exact closeness
+    * is all-pairs and does not exist at 100 TB. One skinny node-keyed
+    * aggregation over |landmarks|·|reached| rows. */
+  def closeness(dists: DataFrame): DataFrame =
+    dists.groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(col("dist")).as("sum_dist"))
+      .withColumn("closeness_e6",
+        when(col("sum_dist") > 0,
+          expr("(1000000 * n_landmarks) div sum_dist")).otherwise(lit(0L)))
 }

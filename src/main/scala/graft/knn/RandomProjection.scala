@@ -45,16 +45,29 @@ object RandomProjection {
     (0 until d).map(i => sign(i, j, seed))
 
   /** Integer micro-unit quantization of a float/double array column:
-    * round(x·1e6) per component, as bigint (exact in any engine). */
+    * round-half-away-from-zero(x·1e6) per component, as bigint —
+    * spelled trunc(v ± 0.5) so it stays pure codegen arithmetic
+    * (Spark's round() on doubles allocates a BigDecimal PER ELEMENT;
+    * at 10M×64 that was most of the projection wall) and is exactly
+    * the C round() DuckDB applies to doubles, so the oracle's
+    * round(v, 0) replays it value-for-value. */
   private[graft] def quantized(embCol: Column): Column =
-    transform(embCol, x => round(x.cast("double") * lit(1e6), 0).cast("long"))
+    transform(embCol, x => {
+      val v = x.cast("double") * lit(1e6)
+      when(v >= 0, v + lit(0.5)).otherwise(v - lit(0.5)).cast("long")
+    })
 
-  /** Projected coordinate j as an exact integer fold over the
-    * quantized vector: Σᵢ q(xᵢ)·sign(i, j). */
+  /** Projected coordinate j as a FLAT codegen'd expression over the
+    * materialized quantized array: ±element_at sums, no higher-order
+    * functions. (The first cut used aggregate(zip_with(...)) — HOFs
+    * fall out of whole-stage codegen and re-evaluated the quantize
+    * transform per coordinate: 249 s for 10M×64→16 on local[32].
+    * The flat ± tree is pure codegen arithmetic.) */
   private def projCoord(qvec: Column, d: Int, j: Int, seed: Long): Column =
-    aggregate(
-      zip_with(qvec, typedLit(signColumn(d, j, seed)), (x, s) => x * s),
-      lit(0L), (acc, v) => acc + v)
+    (0 until d).map { i =>
+      val e = element_at(qvec, i + 1)
+      if (sign(i, j, seed) > 0L) e else -e
+    }.reduce(_ + _)
 
   /** Wide form: id column + a d'-long `proj` array column of exact
     * integer coordinates (micro-units) — the shape downstream ANN
@@ -65,9 +78,9 @@ object RandomProjection {
     require(dProj > 0, "randomProjection: dProj > 0")
     val d = emb.select(size(col(embCol))).head().getInt(0)
     require(d > 0, "randomProjection: empty embedding column")
-    val q = quantized(col(embCol))
-    emb.select(col(idCol),
-      array((0 until dProj).map(j => projCoord(q, d, j, seed)): _*).as("proj"))
+    emb.select(col(idCol), quantized(col(embCol)).as("__q"))
+      .select(col(idCol),
+        array((0 until dProj).map(j => projCoord(col("__q"), d, j, seed)): _*).as("proj"))
   }
 
   /** Tidy form for oracles and sinks: one row per (id, dim) with the

@@ -89,6 +89,72 @@ object Forecast {
         round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 4).as("forecast"): _*)
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing (triple exponential;
+    * Winters 1960, Hyndman & Athanasopoulos ch. 8) per key — the rung
+    * above [[holtLinear]] when the series has a known period m (weekly
+    * seasonality over daily buckets):
+    *
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)·s_{t−m},  ŷ_{T+h} = l_T + h·b_T + s_{T+h−m}
+    *
+    * initialized the textbook way over the first two seasons: l₀ =
+    * mean(season 1), b₀ = (mean(season 2) − mean(season 1))/m, sⱼ =
+    * yⱼ − l₀ — all EXACT in doubles (integer counts sum exactly in any
+    * order), so the only order-sensitive arithmetic is the recursion,
+    * which runs in the q179 discipline: one codegen'd aggregate HOF
+    * whose op sequence (l_t spelled out verbatim inside b_t and s_t)
+    * is identical to the DuckDB recursive-CTE replay; α/β/γ default to
+    * exact binary fractions. The seasonal state rides the fold as an
+    * m-long array (s_{t−m} at the head, rotate-append each step).
+    *
+    * Scale shape: identical to [[holtLinear]] — per-key series are
+    * bounded bucket counts, every key independent, no corpus window.
+    *
+    * @param horizon forecast steps past the last bucket, 1 ≤ h ≤ m
+    * @return keyCols..., n_buckets, level, trend, season_h, forecast */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], tsMs: Column,
+                  bucketMs: Long, m: Int, horizon: Int,
+                  alpha: Double = 0.5, beta: Double = 0.25,
+                  gamma: Double = 0.25): DataFrame = {
+    require(bucketMs >= 1 && m >= 2, s"holtWinters: bad bucket/m $bucketMs/$m")
+    require(horizon >= 1 && horizon <= m,
+      s"holtWinters: horizon in [1, m], got $horizon")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 && gamma >= 0 && gamma <= 1,
+      s"holtWinters: bad alpha/beta/gamma $alpha/$beta/$gamma")
+    val (series, tMax) = denseSeries(df, keyCols, tsMs, bucketMs)
+    require(tMax + 1 >= 2 * m,
+      s"holtWinters: need >= ${2 * m} buckets for the two-season init, have ${tMax + 1}")
+    val a = alpha; val b = beta; val g = gamma
+    // l_t appears verbatim inside b_t and s_t — the replay op sequence
+    val lT = s"${a}D * (v - acc.s[0]) + ${1 - a}D * (acc.l + acc.b)"
+    val walk =
+      s"""aggregate(
+         |  slice(ys, ${m + 1}, size(ys) - $m),
+         |  named_struct('l', __l0, 'b', __b0,
+         |               's', transform(slice(ys, 1, $m), y -> y - __l0)),
+         |  (acc, v) -> named_struct(
+         |     'l', $lT,
+         |     'b', ${b}D * (($lT) - acc.l) + ${1 - b}D * acc.b,
+         |     's', concat(slice(acc.s, 2, ${m - 1}),
+         |                 array(${g}D * (v - ($lT)) + ${1 - g}D * acc.s[0]))))""".stripMargin
+    series
+      .withColumn("__sum1",
+        expr(s"aggregate(slice(ys, 1, $m), cast(0.0 as double), (x, y) -> x + y)"))
+      .withColumn("__sum2",
+        expr(s"aggregate(slice(ys, ${m + 1}, $m), cast(0.0 as double), (x, y) -> x + y)"))
+      .withColumn("__l0", col("__sum1") / lit(m.toDouble))
+      .withColumn("__b0", (col("__sum2") - col("__sum1")) / lit((m * m).toDouble))
+      .withColumn("__st", expr(walk))
+      .select(keyCols.map(col) :+
+        lit(tMax + 1).as("n_buckets") :+
+        round(col("__st.l"), 4).as("level") :+
+        round(col("__st.b"), 4).as("trend") :+
+        round(expr(s"__st.s[${horizon - 1}]"), 4).as("season_h") :+
+        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b") +
+          expr(s"__st.s[${horizon - 1}]"), 4).as("forecast"): _*)
+  }
+
   /** Two-sided CUSUM changepoint detection (Page 1954) per key over
     * the dense bucket series — the classic drift monitor a metrics
     * pipeline runs on ingested counts:

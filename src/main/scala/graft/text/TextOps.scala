@@ -146,6 +146,37 @@ object TextOps {
           / (col("cl").cast("double") + col("v")))), 6).as("avg_logp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head/middle/tail TERCILES of LM
+    * fluency — the published curation step that keeps the corpus mix
+    * explicit instead of a single hard threshold. Fluency is
+    * [[bigramLogProb]]'s round-6 avg_logp (higher = more fluent =
+    * head), and the split is RANK-based (ntile over (avg_logp DESC,
+    * doc_id)) — the W5/W6 ntile-parity discipline — so no float
+    * threshold ever crosses engines; ties at round-6 break on doc_id.
+    *
+    * Scale shape: the LM scoring is [[bigramLogProb]]'s bounded-key
+    * aggregations; the tercile split is one window PER LANGUAGE — at
+    * corpus scale route through the q167 GlobalRank/ECDF decomposition
+    * per language instead of a single-partition sort (languages are
+    * few; each language's window is the unit that must fit).
+    *
+    * @return (doc_id, lang, avg_logp, bucket ∈ head|middle|tail) */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = bigramLogProb(docs, textCol, idCol)
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    lp.join(docs.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
+      .withColumn("__nt", ntile(3).over(w))
+      .select(col("doc_id"), col(langCol), col("avg_logp"),
+        when(col("__nt") === 1, "head")
+          .when(col("__nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Gopher-style within-document repetition signals — the standard
     * quality filter next to perplexity in large-scale training-data
     * pipelines (Rae et al. 2021 §A1.1 "repetitious" heuristics):

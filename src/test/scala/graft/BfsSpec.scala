@@ -52,4 +52,16 @@ class BfsSpec extends AnyFunSuite {
     assert(a((5L, 3L)) == 1 && a((1L, 3L)) == 2 && a((5L, 6L)) == 2)
     assert(!a.contains((5L, 2L)))
   }
+
+  test("closeness: integer landmark rollup, self-only node gets 0") {
+    // 1→2→3, 5→3: landmarks {1, 5}; node 3 reached by both (2 + 1),
+    // node 2 only by 1 (dist 1), node 1/5 self-only (sum 0)
+    val d = Bfs.multiSourceHops(
+      Seq((1L, 2L), (2L, 3L), (5L, 3L)).toDF("s", "t"), "s", "t", Seq(1L, 5L), 10)
+    val got = Bfs.closeness(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(3L) == ((2L, 3L, 666666L))) // (1e6 * 2) div 3
+    assert(got(2L) == ((1L, 1L, 1000000L)))
+    assert(got(1L) == ((1L, 0L, 0L)) && got(5L) == ((1L, 0L, 0L)))
+  }
 }

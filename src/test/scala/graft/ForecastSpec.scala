@@ -65,6 +65,63 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  /** local Holt–Winters reference in the same op order. */
+  private def refHw(ys: Seq[Double], m: Int, a: Double, b: Double, g: Double,
+                    h: Int): (Double, Double, Double, Double) = {
+    val sum1 = ys.take(m).sum; val sum2 = ys.slice(m, 2 * m).sum
+    var l = sum1 / m; var bt = (sum2 - sum1) / (m * m)
+    var s = ys.take(m).map(_ - l).toVector
+    ys.drop(m).foreach { y =>
+      val nl = a * (y - s(0)) + (1 - a) * (l + bt)
+      val nb = b * (nl - l) + (1 - b) * bt
+      val ns = g * (y - nl) + (1 - g) * s(0)
+      s = s.drop(1) :+ ns; l = nl; bt = nb
+    }
+    (l, bt, s(h - 1), l + h * bt + s(h - 1))
+  }
+
+  test("Holt–Winters matches the local recursion and recovers a planted weekly pattern") {
+    // 28 days: ramp 100+2t plus weekly pattern [+20,0,-10,0,0,0,-10]
+    val pat = Seq(20, 0, -10, 0, 0, 0, -10)
+    val counts = (0 until 28).map(d => ("W", d) -> (100 + 2 * d + pat(d % 7))).toMap
+    // horizon 1 lands on day 28 ≡ 0 (mod 7) — the +20 spike day, where
+    // the seasonal component decides the forecast
+    val out = Forecast.holtWinters(events(counts), Seq("k"), col("ms"),
+      86400000L, m = 7, horizon = 1).collect().head
+    def rnd(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ys = (0 until 28).map(d => (100 + 2 * d + pat(d % 7)).toDouble)
+    val (l, b, sh, f) = refHw(ys, 7, 0.5, 0.25, 0.25, 1)
+    assert(out.getInt(1) == 28)
+    assert((out.getDouble(2), out.getDouble(3), out.getDouble(4), out.getDouble(5))
+      == ((rnd(l), rnd(b), rnd(sh), rnd(f))))
+    // trend lands in the planted +2/day's neighborhood (α/β smoothing
+    // wobble on 21 recursion steps measured ±0.9) and HW beats plain
+    // Holt decisively on the spike day
+    assert(math.abs(out.getDouble(3) - 2.0) < 1.2)
+    val truthNext = 100 + 2 * 28 + pat(0)
+    val hwErr = math.abs(out.getDouble(5) - truthNext)
+    val hl = Forecast.holtLinear(events(counts), Seq("k"), col("ms"),
+      86400000L, horizon = 1).collect().head.getDouble(4)
+    assert(hwErr < math.abs(hl - truthNext),
+      s"HW err $hwErr not better than Holt ${math.abs(hl - truthNext)}")
+  }
+
+  test("Holt–Winters: partition invariance and the two-season guard") {
+    val counts = (0 until 21).map(d => ("P", d) -> (50 + (d % 7) * 3)).toMap
+    val a = Forecast.holtWinters(events(counts), Seq("k"), col("ms"),
+      86400000L, 7, 3).collect().map(_.toString).toSeq
+    val b = Forecast.holtWinters(events(counts).repartition(9), Seq("k"), col("ms"),
+      86400000L, 7, 3).collect().map(_.toString).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Forecast.holtWinters(events((0 until 13).map(d => ("P", d) -> 1).toMap),
+        Seq("k"), col("ms"), 86400000L, 7, 3) // 13 < 2m buckets
+    }
+    intercept[IllegalArgumentException] {
+      Forecast.holtWinters(events(counts), Seq("k"), col("ms"), 86400000L, 7, 8)
+    }
+  }
+
   test("CUSUM: planted level shift alarms at the right bucket; stable series never alarms") {
     // key S: baseline 3/day for 10 days, then a jump to 15/day — with
     // kappa=2 and h=20 the alarm fires once S+ accumulates past 20:
