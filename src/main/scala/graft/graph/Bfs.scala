@@ -40,14 +40,20 @@ object Bfs {
       .na.drop().distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // eager: every round scans the same deduped cache
-    var visited = sources.distinct.toDF("src")
+    // each FRONTIER is eagerly checkpointed exactly once; the visited
+    // set is only ever a LAZY union of those materialized leaves, so
+    // no row is re-written per round (re-checkpointing the accumulated
+    // set would materialize O(rounds × reach) rows)
+    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var frontier = sources.distinct.toDF("src")
       .select(col("src"), col("src").as("node"), lit(0).as("dist"))
       .localCheckpoint(true)
-    var frontier = visited
+    frontiers += frontier
     var hop = 0
     var frontierRows = frontier.count()
     while (hop < maxHops && frontierRows > 0) {
       hop += 1
+      val visited = frontiers.reduce(_ union _)
       val next = frontier.join(e, frontier("node") === e("s"))
         .select(frontier("src"), e("t").as("node"))
         .distinct()
@@ -55,11 +61,11 @@ object Bfs {
         .withColumn("dist", lit(hop))
         .localCheckpoint(true)
       frontierRows = next.count()
-      visited = visited.union(next).localCheckpoint(true)
+      if (frontierRows > 0) frontiers += next
       frontier = next
     }
     e.unpersist(blocking = false)
-    visited
+    frontiers.reduce(_ union _)
   }
 
   /** Landmark CLOSENESS estimates off a [[multiSourceHops]] result:

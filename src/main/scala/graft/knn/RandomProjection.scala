@@ -1,8 +1,5 @@
 package graft.knn
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -32,13 +29,10 @@ import org.apache.spark.sql.functions._
 object RandomProjection {
 
   /** ±1 sign for matrix cell (i, j): low bit of the 52-bit house hash
-    * of "i|j|seed" (md5, first 13 hex chars). Odd → -1, even → +1. */
-  private[graft] def sign(i: Int, j: Int, seed: Long): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$i|$j|$seed".getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString.substring(0, 13)
-    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) -1L else 1L
-  }
+    * of "i|j|seed" ([[graft.util.Sketches.h52Long]] — the single JVM
+    * implementation). Odd → -1, even → +1. */
+  private[graft] def sign(i: Int, j: Int, seed: Long): Long =
+    if ((graft.util.Sketches.h52Long(seed, s"$i|$j") & 1L) == 1L) -1L else 1L
 
   /** Column j of the sign matrix as a length-d literal vector. */
   private[graft] def signColumn(d: Int, j: Int, seed: Long): Seq[Long] =
@@ -76,9 +70,20 @@ object RandomProjection {
                  embCol: String = "embedding",
                  idCol: String = "vec_id"): DataFrame = {
     require(dProj > 0, "randomProjection: dProj > 0")
-    val d = emb.select(size(col(embCol))).head().getInt(0)
+    val first = emb.select(size(col(embCol))).limit(1).collect()
+    require(first.nonEmpty, "randomProjection: empty input")
+    val d = first(0).getInt(0)
     require(d > 0, "randomProjection: empty embedding column")
-    emb.select(col(idCol), quantized(col(embCol)).as("__q"))
+    // d comes from one sampled row; a RAGGED column would otherwise be
+    // silently truncated (longer rows) or die on a bare ANSI index
+    // error (shorter rows) — gate the quantized array through a
+    // per-row length check so the failure is loud and NAMED, at zero
+    // extra passes
+    val q = when(size(col(embCol)) === lit(d), quantized(col(embCol)))
+      .otherwise(raise_error(
+        lit(s"randomProjection: ragged embedding column (expected length $d)"))
+        .cast("array<bigint>"))
+    emb.select(col(idCol), q.as("__q"))
       .select(col(idCol),
         array((0 until dProj).map(j => projCoord(col("__q"), d, j, seed)): _*).as("proj"))
   }

@@ -40,10 +40,17 @@ object StreamingCms {
     keys.flatMap(k => (0 until depth).map(j => Obs(j, k, weight)))
   }
 
-  /** Batch reference form: [[Sketches.cmsCounters]] — (row, idx, c). */
+  /** Batch reference form: [[Sketches.cmsCounters]] over the NULL-free
+    * key rows — the stream kernel skips null keys (no hashable
+    * rendering exists for them), so the batch twin must drop them too
+    * or the spec-pinned stream == batch contract breaks on the first
+    * null: cmsCounters alone would hash a null key to a NULL idx
+    * counter row the stream never produces. */
   def countersBatch(df: DataFrame, keyCols: Seq[String], depth: Int,
                     width: Int, seed: Long): DataFrame =
-    Sketches.cmsCounters(df, keyCols, depth, width, seed)
+    Sketches.cmsCounters(
+      df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _)),
+      keyCols, depth, width, seed)
 
   /** Stateful streaming form: per-row counter map; each trigger emits
     * every updated row's full counter vector tagged with a state

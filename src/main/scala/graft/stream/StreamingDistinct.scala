@@ -1,8 +1,5 @@
 package graft.stream
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import graft.util.Sketches
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -36,14 +33,9 @@ object StreamingDistinct {
   case class Obs(g: String, k: String)
   case class RegRow(g: String, idx: Long, r: Int, seq: Long)
 
-  /** JVM twin of the SQL h52: md5("key|seed"), first 13 hex chars as a
-    * 52-bit long. */
-  def h52Long(seed: Long, key: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$key|$seed".getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString.substring(0, 13)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  /** JVM twin of the SQL h52 — delegates to the single house
+    * implementation ([[Sketches.h52Long]]). */
+  def h52Long(seed: Long, key: String): Long = Sketches.h52Long(seed, key)
 
   /** JVM twin of Sketches.idxRho: idx = top b bits, rho = (w − bitlen
     * of the low w bits) + 1, capped at w+1 when they are all zero. */
@@ -55,17 +47,15 @@ object StreamingDistinct {
   }
 
   /** Batch reference form: grouped HLL registers (g, idx, r) — the
-    * exact table the streaming state must equal. */
+    * exact table the streaming state must equal. idx/rho come from the
+    * ONE house implementation ([[Sketches.idxRho]]); a local copy
+    * would be exactly the drift site this file's header warns about. */
   def registersBatch(df: DataFrame, groupCol: String, keyCol: String,
                      b: Int, seed: Long): DataFrame = {
     require(b >= 4 && b <= 11, s"hll: b in [4, 11], got $b")
-    val w = 52 - b
-    val h = Sketches.h52(seed, Seq(col(keyCol)))
-    val v = h.bitwiseAND(lit((1L << w) - 1))
-    val rho = when(v === 0L, lit(w + 1))
-      .otherwise(lit(w) - length(bin(v)) + 1).cast("int")
+    val (idx, rho) = Sketches.idxRho(Sketches.h52(seed, Seq(col(keyCol))), b)
     df.filter(col(keyCol).isNotNull)
-      .select(col(groupCol).as("g"), shiftright(h, w).as("idx"), rho.as("rho"))
+      .select(col(groupCol).as("g"), idx.as("idx"), rho.as("rho"))
       .groupBy("g", "idx").agg(max("rho").as("r"))
   }
 

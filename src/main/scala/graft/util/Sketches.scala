@@ -36,10 +36,22 @@ object Sketches {
       16, 10).cast("long")
   }
 
+  /** JVM twin of [[h52]] for driver/stateful-kernel code (`key` is the
+    * already-'|'-joined rendering of the key columns): md5("key|seed"),
+    * first 13 hex chars as a 52-bit long. ONE implementation — every
+    * JVM-side consumer (streaming state kernels, sign matrices) must
+    * call this, or the engines drift one register at a time. */
+  private[graft] def h52Long(seed: Long, key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$key|$seed".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** (register index, rho) of a 52-bit hash under b index bits: rho =
     * leading zeros of the low w bits + 1, capped at w+1 for v = 0 —
     * from the INTEGER bit length, never floor(log2). */
-  private def idxRho(h: Column, b: Int): (Column, Column) = {
+  private[graft] def idxRho(h: Column, b: Int): (Column, Column) = {
     val w = 52 - b
     val v = h.bitwiseAND(lit((1L << w) - 1))
     val rho = when(v === 0L, lit(w + 1))

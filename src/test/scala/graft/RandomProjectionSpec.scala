@@ -60,6 +60,17 @@ class RandomProjectionSpec extends AnyFunSuite {
     assert(wide == a)
   }
 
+  test("ragged embedding column fails loudly, not silently truncated") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      RandomProjection.project(df, 2, 42L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged")), msgs(e).mkString(" | "))
+  }
+
   test("plan is map-only: no Exchange anywhere") {
     val df = fixture(8, 8, seed = 3L)
     val plan = RandomProjection.projectVec(df, 4, 42L)

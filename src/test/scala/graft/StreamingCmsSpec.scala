@@ -71,6 +71,24 @@ class StreamingCmsSpec extends AnyFunSuite {
     assert(est == estBatch)
   }
 
+  test("null keys are dropped by BOTH forms (stream == batch holds through a null)") {
+    val batch = StreamingCms.countersBatch(
+      Seq(Some("a"), None, Some("b")).toDF("k"), Seq("k"), depth, width, seed)
+      .collect().map(_.toString).sorted
+    val ms = MemoryStream[StreamingCms.Obs]
+    val q = StreamingCms.countersStream(ms.toDS(), width, seed).toDF()
+      .writeStream.format("memory").outputMode("append")
+      .queryName("cms_null").start()
+    ms.addData((0 until depth).flatMap(j =>
+      Seq(StreamingCms.Obs(j, "a", 1L), StreamingCms.Obs(j, null, 1L),
+        StreamingCms.Obs(j, "b", 1L))))
+    q.processAllAvailable(); q.stop()
+    val latest = StreamingCms.latestState(
+      spark.table("cms_null").localCheckpoint(true))
+      .collect().map(_.toString).sorted
+    assert(latest.sameElements(batch))
+  }
+
   test("weights accumulate (weighted fan-out)") {
     val ms = MemoryStream[StreamingCms.Obs]
     val q = StreamingCms.countersStream(ms.toDS(), width, seed).toDF()
