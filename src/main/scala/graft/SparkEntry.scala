@@ -1157,34 +1157,24 @@ object SparkEntry {
     // the 4 smallest node ids, min-hop within 10, replayed by a
     // depth-bounded recursive closure
     "q211_bfs_hops" -> ((s, dir) => {
-      val li = T(s, dir, "lineitem").filter(
-        col("l_partkey") < 600 && col("l_quantity") < 3 && col("l_suppkey") < 60)
-      val e = li.select(
-        when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
-          .otherwise(col("l_suppkey") * 2 + 1).as("s"),
-        when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
-          .otherwise(col("l_partkey") * 2).as("t"))
-      val sources = e.select(col("s").cast("long").as("v"))
-        .union(e.select(col("t").cast("long")))
-        .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
-      graft.graph.Bfs.multiSourceHops(e, "s", "t", sources, maxHops = 10)
+      val (e, sources) = bfsGraphAndSources(s, dir)
+      // empty filtered subset ⇒ the oracle's LIMIT 4 yields no
+      // landmarks and an empty walk — mirror with an empty frame
+      if (sources.isEmpty)
+        s.range(0).select(col("id").as("src"), col("id").as("node"),
+          lit(0).as("dist"))
+      else graft.graph.Bfs.multiSourceHops(e, "s", "t", sources, maxHops = 10)
     }),
 
     // landmark closeness centrality off the q211 distances: per node,
     // 10⁶·n_landmarks ÷ Σdist in exact integers — the published
     // landmark approximation (exact closeness is all-pairs)
     "q216_closeness_centrality" -> ((s, dir) => {
-      val li = T(s, dir, "lineitem").filter(
-        col("l_partkey") < 600 && col("l_quantity") < 3 && col("l_suppkey") < 60)
-      val e = li.select(
-        when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
-          .otherwise(col("l_suppkey") * 2 + 1).as("s"),
-        when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
-          .otherwise(col("l_partkey") * 2).as("t"))
-      val sources = e.select(col("s").cast("long").as("v"))
-        .union(e.select(col("t").cast("long")))
-        .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
-      graft.graph.Bfs.closeness(
+      val (e, sources) = bfsGraphAndSources(s, dir)
+      if (sources.isEmpty)
+        s.range(0).select(col("id").as("node"), col("id").as("n_landmarks"),
+          col("id").as("sum_dist"), col("id").as("closeness_e6"))
+      else graft.graph.Bfs.closeness(
         graft.graph.Bfs.multiSourceHops(e, "s", "t", sources, maxHops = 10))
     }),
 
@@ -2180,6 +2170,60 @@ object SparkEntry {
     "q207_random_projection" -> ((s, dir) =>
       graft.knn.RandomProjection.project(
         T(s, dir, "embeddings"), dProj = 8, seed = 42L)),
+
+    // one-pass exact-integer Gram/covariance moments (the PCA front
+    // end for PQ rotation): ONE typed Aggregator ships a single
+    // [n | s | upper-tri G] long array per partition — d(d+1)/2 tidy
+    // moment rows out, milli-quantized so the oracle replays exactly
+    "q218_pca_gram" -> ((s, dir) =>
+      graft.knn.Pca.gram(T(s, dir, "embeddings"))),
+
+    // grid-cell DBSCAN in a 2-D JL projection (MR-DBSCAN shape):
+    // 3^dim neighbor-cell candidate join — never all-pairs — core CC
+    // labeled by min id, border -> smallest core-neighbor cluster,
+    // exact integer geometry end to end
+    "q219_dbscan_clusters" -> ((s, dir) =>
+      graft.knn.Dbscan.clusterEmbeddings(T(s, dir, "embeddings"),
+        dim = 2, eps = 150000L, minPts = 5, seed = 42L)),
+
+    // Welch two-sample t over every variant pair: ONE moment
+    // aggregation collapses the corpus, broadcast-sized pair join,
+    // exact integer moments + a pinned float tail rounded once to e6
+    "q221_welch_ttest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .filter(col("cents").isNotNull)
+      graft.util.AbTest.welch(ev, "event_type", "cents")
+    }),
+
+    // chi-square class-discriminative vocabulary (Yang & Pedersen):
+    // exact integer 2x2 contingencies per (term, lang), one pinned
+    // float chi2 rounded to e6, rank-based per-class top-k
+    "q222_chi2_terms" -> ((s, dir) =>
+      graft.text.Chi2.topTermsByClass(T(s, dir, "documents"), "lang",
+        k = 10, minDf = 5L)),
+
+    // hop-bounded weighted shortest paths (frontier Bellman–Ford,
+    // improvement-leaf state — never re-materialized): min l_quantity
+    // per parity edge as the weight, 4 smallest nodes as landmarks
+    "q220_sssp_weighted" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(
+        col("l_partkey") < 600 && col("l_suppkey") < 60)
+      val e = li.select(
+        when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
+          .otherwise(col("l_suppkey") * 2 + 1).as("s"),
+        when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
+          .otherwise(col("l_partkey") * 2).as("t"),
+        col("l_quantity").cast("long").as("w"))
+      val sources = e.select(col("s").cast("long").as("v"))
+        .union(e.select(col("t").cast("long")))
+        .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
+      if (sources.isEmpty)
+        s.range(0).select(col("id").as("src"), col("id").as("node"),
+          col("id").as("dist"))
+      else graft.graph.Sssp.boundedDistances(e, "s", "t", "w", sources,
+        maxHops = 6)
+    }),
 
     // residual IVF-PQ (faiss IVFPQ proper): product codebooks encode
     // v − c(list), the recall lever; scoring decomposes into
@@ -3188,6 +3232,42 @@ object SparkEntry {
         compositeKey(col("r_brand"), col("r_size"))))
   }
 
+  /** The q201/q211/q216 directed graph (parity-chosen part↔supplier
+    * edges over the bounded lineitem subset) plus the 4 smallest node
+    * ids as BFS landmarks — ONE definition: q211 and q216 (and their
+    * oracles via [[bfsWalkSqlPrefix]]) must never drift apart. */
+  private def bfsGraphAndSources(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): (DataFrame, Seq[Long]) = {
+    val li = T(s, dir, "lineitem").filter(
+      col("l_partkey") < 600 && col("l_quantity") < 3 && col("l_suppkey") < 60)
+    val e = li.select(
+      when(col("l_orderkey") % 2 === 0, col("l_partkey") * 2)
+        .otherwise(col("l_suppkey") * 2 + 1).as("s"),
+      when(col("l_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
+        .otherwise(col("l_partkey") * 2).as("t"))
+    val sources = e.select(col("s").cast("long").as("v"))
+      .union(e.select(col("t").cast("long")))
+      .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
+    (e, sources)
+  }
+
+  /** Shared oracle CTEs for q211/q216: edges, landmark selection, and
+    * the depth-bounded recursive frontier; callers append the final
+    * select (and any extra CTE with a leading ","). */
+  private val bfsWalkSqlPrefix: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
+      |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t
+      |  FROM lineitem WHERE l_partkey < 600 AND l_quantity < 3 AND l_suppkey < 60),
+      |nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+      |srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 4),
+      |walk(src, node, dist) AS (
+      |  SELECT v, v, 0 FROM srcs
+      |  UNION
+      |  SELECT w.src, e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
+      |  WHERE w.dist < 10)""".stripMargin
+
   private def erResolve(s: org.apache.spark.sql.SparkSession, dir: String,
                         unique: Boolean): DataFrame = {
     import graft.text.EntityResolution._
@@ -3395,42 +3475,113 @@ object SparkEntry {
 
     // BFS: same edge CTE as q201, depth-bounded recursive frontier,
     // min hop per (src, node)
-    "q211_bfs_hops" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT
-        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
-        |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t
-        |  FROM lineitem WHERE l_partkey < 600 AND l_quantity < 3 AND l_suppkey < 60),
-        |nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
-        |srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 4),
-        |walk(src, node, dist) AS (
-        |  SELECT v, v, 0 FROM srcs
-        |  UNION
-        |  SELECT w.src, e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
-        |  WHERE w.dist < 10)
+    "q211_bfs_hops" -> (bfsWalkSqlPrefix +
+      """
         |SELECT src, node, CAST(MIN(dist) AS INT) AS dist
-        |FROM walk GROUP BY 1, 2""".stripMargin,
+        |FROM walk GROUP BY 1, 2""".stripMargin),
 
     // landmark closeness: the q211 walk + node-keyed integer rollup
-    "q216_closeness_centrality" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT
-        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
-        |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t
-        |  FROM lineitem WHERE l_partkey < 600 AND l_quantity < 3 AND l_suppkey < 60),
-        |nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
-        |srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 4),
-        |walk(src, node, dist) AS (
-        |  SELECT v, v, 0 FROM srcs
-        |  UNION
-        |  SELECT w.src, e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
-        |  WHERE w.dist < 10),
+    "q216_closeness_centrality" -> (bfsWalkSqlPrefix +
+      """,
         |d AS (SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
         |SELECT node, COUNT(*) AS n_landmarks,
         |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
         |  CAST(CASE WHEN SUM(dist) > 0 THEN (1000000 * COUNT(*)) // SUM(dist)
         |       ELSE 0 END AS BIGINT) AS closeness_e6
-        |FROM d GROUP BY 1""".stripMargin,
+        |FROM d GROUP BY 1""".stripMargin),
+
+    // Welch t: same moment table, same pinned float tree (one division
+    // per exact ratio, one add, one sqrt), e6-rounded once
+    "q221_welch_ttest" ->
+      """WITH m AS (SELECT event_type AS g, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS ss
+        |  FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        |  GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |  a.s AS sum1, b.s AS sum2,
+        |  CASE WHEN (CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s) > 0
+        |         OR (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s) > 0 THEN
+        |    CAST(ROUND(((a.s / a.n) - (b.s / b.n)) / sqrt(
+        |      (CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s)
+        |        / (CAST(a.n AS HUGEINT) * a.n * (a.n - 1))
+        |      + (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+        |        / (CAST(b.n AS HUGEINT) * b.n * (b.n - 1))) * 1e6) AS BIGINT)
+        |  END AS t_e6,
+        |  CASE WHEN (CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s) > 0
+        |         OR (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s) > 0 THEN
+        |    CAST(ROUND((
+        |      ((CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s)
+        |         / (CAST(a.n AS HUGEINT) * a.n * (a.n - 1))
+        |       + (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+        |         / (CAST(b.n AS HUGEINT) * b.n * (b.n - 1)))
+        |      * ((CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s)
+        |         / (CAST(a.n AS HUGEINT) * a.n * (a.n - 1))
+        |       + (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+        |         / (CAST(b.n AS HUGEINT) * b.n * (b.n - 1)))
+        |    ) / (
+        |      ((CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s)
+        |         / (CAST(a.n AS HUGEINT) * a.n * (a.n - 1)))
+        |      * ((CAST(a.n AS HUGEINT) * a.ss - CAST(a.s AS HUGEINT) * a.s)
+        |         / (CAST(a.n AS HUGEINT) * a.n * (a.n - 1))) / (a.n - 1)
+        |      + ((CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+        |         / (CAST(b.n AS HUGEINT) * b.n * (b.n - 1)))
+        |      * ((CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+        |         / (CAST(b.n AS HUGEINT) * b.n * (b.n - 1))) / (b.n - 1)
+        |    ) * 1e6) AS BIGINT)
+        |  END AS df_e6
+        |FROM m a JOIN m b ON a.g < b.g""".stripMargin,
+
+    // chi2 vocabulary: distinct-token contingencies, pinned float
+    // chi2 = N(ad-bc)^2 / (T(N-T)C(N-C)), rank on the e6 integer
+    "q222_chi2_terms" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents
+        |        WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |toks AS (SELECT DISTINCT doc_id, lang, t.term FROM base,
+        |        UNNEST(list_distinct(string_split(lower(text), ' '))) AS t(term)
+        |        WHERE t.term <> ''),
+        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM base),
+        |cc AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_cls FROM base GROUP BY 1),
+        |tf AS (SELECT term, COUNT(DISTINCT doc_id) AS term_df FROM toks
+        |       GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 5),
+        |ac AS (SELECT term, lang, COUNT(DISTINCT doc_id) AS n_both FROM toks GROUP BY 1, 2),
+        |sc AS (SELECT ac.lang AS cls, ac.term,
+        |         CAST(ac.n_both AS BIGINT) AS n_both,
+        |         CAST(tf.term_df AS BIGINT) AS term_df,
+        |         CAST(ROUND(n_total * (
+        |             CAST(CAST(ac.n_both AS HUGEINT)
+        |                    * (n_total - tf.term_df - cc.n_cls + ac.n_both)
+        |                  - (tf.term_df - ac.n_both) * (cc.n_cls - ac.n_both) AS DOUBLE)
+        |           * CAST(CAST(ac.n_both AS HUGEINT)
+        |                    * (n_total - tf.term_df - cc.n_cls + ac.n_both)
+        |                  - (tf.term_df - ac.n_both) * (cc.n_cls - ac.n_both) AS DOUBLE))
+        |           / (CAST(tf.term_df AS DOUBLE) * (n_total - tf.term_df)
+        |              * cc.n_cls * (n_total - cc.n_cls)) * 1e6) AS BIGINT) AS chi2_e6
+        |       FROM ac JOIN tf USING (term) JOIN cc USING (lang), nn
+        |       WHERE tf.term_df < nn.n_total AND cc.n_cls < nn.n_total)
+        |SELECT cls, term, n_both, term_df, chi2_e6,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY cls
+        |         ORDER BY chi2_e6 DESC, term ASC) AS INT) AS rk
+        |FROM sc QUALIFY rk <= 10""".stripMargin,
+
+    // weighted SSSP: min-weight edge collapse, hop-carrying recursive
+    // walk (the hop bound is the SEMANTICS), min dist per (src, node)
+    "q220_sssp_weighted" ->
+      """WITH RECURSIVE e AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey * 2 ELSE l_suppkey * 2 + 1 END AS s,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey * 2 + 1 ELSE l_partkey * 2 END AS t,
+        |    MIN(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem WHERE l_partkey < 600 AND l_suppkey < 60
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+        |srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 4),
+        |walk(src, node, dist, hop) AS (
+        |  SELECT v, v, CAST(0 AS BIGINT), 0 FROM srcs
+        |  UNION
+        |  SELECT w.src, e.t, w.dist + e.w, w.hop + 1 FROM walk w JOIN e ON e.s = w.node
+        |  WHERE w.hop < 6)
+        |SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2""".stripMargin,
 
     // entity resolution: blocking joins + list-algebra token Jaccard +
     // integer falloff, top-1 by (score desc, right_id)
@@ -3726,6 +3877,56 @@ object SparkEntry {
         |SELECT vec_id, CAST(j AS INT) AS dim, CAST(SUM(qv[i+1] * s) AS BIGINT) AS p
         |FROM q, sgn
         |GROUP BY 1, 2""".stripMargin,
+
+    // PCA moments: milli-quantize, then exact integer (n, s_i, s_j,
+    // G_ij) per unordered dim pair — the one-aggregation Gram replay
+    "q218_pca_gram" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 1e3, 0) AS BIGINT)) AS qv
+        |      FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (SELECT i, j FROM generate_series(0, 63) g(i),
+        |        generate_series(0, 63) h(j) WHERE i <= j)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(qv[p.i+1]) AS BIGINT) AS sum_i,
+        |  CAST(SUM(qv[p.j+1]) AS BIGINT) AS sum_j,
+        |  CAST(SUM(qv[p.i+1] * qv[p.j+1]) AS BIGINT) AS gram
+        |FROM q, p GROUP BY 1, 2""".stripMargin,
+
+    // DBSCAN: the q207 projection at d'=2, all-pairs eps test (oracle
+    // scale only), neighbor counts -> cores, recursive min-label CC
+    // over core-core pairs (the q37 scheme), border -> min core cluster
+    "q219_dbscan_clusters" ->
+      """WITH RECURSIVE q AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS qv
+        |      FROM embeddings),
+        |sgn AS (SELECT i, j,
+        |        CASE WHEN ('0x'||substr(md5(i||'|'||j||'|42'),1,13))::UBIGINT & 1 = 1
+        |             THEN -1 ELSE 1 END AS s
+        |      FROM generate_series(0, 63) g(i), generate_series(0, 1) h(j)),
+        |pr AS (SELECT vec_id, j, SUM(qv[i+1] * s) AS c FROM q, sgn GROUP BY 1, 2),
+        |pt AS (SELECT vec_id AS id, MAX(CASE WHEN j = 0 THEN c END) AS x,
+        |         MAX(CASE WHEN j = 1 THEN c END) AS y FROM pr GROUP BY 1),
+        |pairs AS (SELECT a.id AS a_id, b.id AS b_id FROM pt a JOIN pt b
+        |      ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        |         <= CAST(150000 AS BIGINT) * CAST(150000 AS BIGINT)),
+        |nb AS (SELECT a_id, COUNT(*) AS n FROM pairs GROUP BY 1),
+        |core AS (SELECT a_id AS id FROM nb WHERE n >= 5),
+        |ce AS (SELECT p.a_id AS a, p.b_id AS b FROM pairs p
+        |       JOIN core c1 ON c1.id = p.a_id JOIN core c2 ON c2.id = p.b_id),
+        |cc AS (SELECT id AS node, id AS comp FROM core
+        |       UNION SELECT e.b, cc.comp FROM cc JOIN ce e ON cc.node = e.a),
+        |corelbl AS (SELECT node AS id, MIN(comp) AS cluster FROM cc GROUP BY 1),
+        |borderlbl AS (SELECT p.a_id AS id, MIN(cl.cluster) AS cluster
+        |       FROM pairs p JOIN corelbl cl ON cl.id = p.b_id
+        |       WHERE p.a_id NOT IN (SELECT id FROM core) GROUP BY 1)
+        |SELECT pt.id AS vec_id,
+        |  CASE WHEN c.cluster IS NOT NULL THEN 'core'
+        |       WHEN b.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CAST(COALESCE(c.cluster, b.cluster, -1) AS BIGINT) AS cluster
+        |FROM pt LEFT JOIN corelbl c ON c.id = pt.id
+        |        LEFT JOIN borderlbl b ON b.id = pt.id""".stripMargin,
 
     "q193_sketch_winsorize" -> sketchWinsorizeSql(s = 5),
     "q192_ivfpq_residual_knn" -> ivfPqSql(kc = 8, nProbe = 3, m = 4,
@@ -4375,7 +4576,7 @@ object SparkEntry {
         |nt AS (SELECT lp.doc_id, d2.lang, lp.avg_logp,
         |         NTILE(3) OVER (PARTITION BY d2.lang
         |                        ORDER BY lp.avg_logp DESC, lp.doc_id ASC) AS b
-        |       FROM lp JOIN (SELECT DISTINCT doc_id, lang FROM documents) d2 USING (doc_id))
+        |       FROM lp JOIN (SELECT doc_id, lang FROM documents) d2 USING (doc_id))
         |SELECT doc_id, lang, avg_logp,
         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM nt""".stripMargin,

@@ -266,4 +266,27 @@ class PlanSpec extends AnyFunSuite {
       "q196 lost its typed aggregate")
     assert(!p.contains("CartesianProduct"), "q196 unexpected cartesian (1-row crossJoin should broadcast)")
   }
+
+  test("PCA gram (q218): ONE typed aggregation, no joins — the data is touched once") {
+    val p = plan("q218_pca_gram")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "q218 lost its typed aggregate")
+    assert(!p.contains("Join"), "q218 must not join — the moments ride one aggregation")
+    // 2080 tidy rows come from a literal unpack of the ONE buffer row
+    assert(p.contains("Generate"), "q218 unpack should be an explode, not a second pass")
+  }
+
+  test("Welch (q221): the pair join is broadcast-sized, the corpus is aggregated once") {
+    val p = plan("q221_welch_ttest")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "q221 pair join over the tiny moment table should broadcast (non-equi g1 < g2)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q221 moment pair join must never shuffle or go cartesian")
+  }
+
+  test("chi2 (q222): marginal joins broadcast; no product joins") {
+    val p = plan("q222_chi2_terms")
+    assert(p.contains("BroadcastHashJoin"), "q222 class-marginal join should broadcast")
+    assert(!p.contains("CartesianProduct"), "q222 unexpected cartesian (1-row crossJoin should broadcast)")
+  }
 }
