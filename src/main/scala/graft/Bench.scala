@@ -200,11 +200,15 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_QUERIES").contains("0")) Seq.empty // headline-only debug runs
       else selected
         .map { case (name, fn) =>
+        // guide §1.5: label the query's jobs so event logs / the UI
+        // attribute every stage to its query during perf analysis
+        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime(); val c0 = cpuNanos; val g0 = gcMs
         try fn(spark, sfDir).count() catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
+        spark.sparkContext.setJobDescription(null)
         (name, (System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, gcMs - g0)
       }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
