@@ -166,9 +166,12 @@ object Sampling {
     * NULL weight nulls the key like a NULL id nulls [[hashKeep]]).
     *
     * Physical strategy, size-gated (value-identical, spec-pinned):
-    *  - n ≤ `heapMaxN`: [[TopK]]'s map-side bounded-heap combine under
-    *    a constant group — k rows of state per input partition, the
-    *    exchange carries only candidates, no sort anywhere.
+    *  - n ≤ `heapMaxN`: [[TopK]]'s group-limit cut under a constant
+    *    group — the WindowGroupLimit partial pass keeps ≤ n rows per
+    *    input partition, so the exchange carries only candidates. The
+    *    gate default matches `spark.sql.optimizer.windowGroupLimitThreshold`
+    *    (1000): above it the rule cannot fire and a single-group window
+    *    would funnel the corpus through one task, so —
     *  - larger n: the [[GlobalRank]] bucket decomposition (width_bucket
     *    over an eagerly-probed key min/max) — rank = bucket offset +
     *    within-bucket row_number, at most one bucket's rows per task
@@ -176,7 +179,7 @@ object Sampling {
     * Output: the input columns plus `rank` (1-based, key desc). */
   def weightedReservoir(df: DataFrame, n: Long, weightCol: String,
                         keyCols: Seq[String], seed: Long,
-                        heapMaxN: Int = 100000, nBuckets: Int = 1022): DataFrame = {
+                        heapMaxN: Int = 1000, nBuckets: Int = 1022): DataFrame = {
     require(n > 0, s"weightedReservoir: n must be positive, got $n")
     // NULL key columns null the md5 render and with it the key — drop
     // those rows EXPLICITLY (the hashKeep NULL contract): left in, the

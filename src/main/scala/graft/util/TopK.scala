@@ -1,103 +1,45 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-/** Exact per-group top-k as a map-side bounded-heap combine — the
-  * aggregation form of the `row_number().over(partitionBy(g).orderBy(
-  * o desc)) <= k` idiom, shuffling at most n_groups ×
-  * n_input_partitions × k rows.
+/** Exact per-group top-k: `row_number()` over (orderCol desc|asc,
+  * tieCols asc) filtered to `rank <= k`, planned through Spark 3.5+'s
+  * `WindowGroupLimit` rule — the filter-adjacent rank shape inserts a
+  * Partial group-limit BEFORE the exchange, so the shuffle carries at
+  * most n_groups × n_input_partitions × k rows (the spec's listener
+  * A/B pins the bound), and every operator stays whole-stage-codegen'd
+  * UnsafeRow processing.
   *
-  * Positioning against stock Spark (measured in the spec's listener
-  * A/B): since 3.5, an adjacent `filter(rank <= k)` triggers the
-  * WindowGroupLimit rule, which ALSO bounds the window's shuffle to
-  * ~groups × partitions × k — credit where due. What the rule still
-  * pays is a FULL local sort of every map partition (WindowGroupLimit
-  * requires (partition, order)-sorted input: O(n log n) sort buffer
-  * over the corpus before any row is dropped), and it only fires on
-  * rank-function-filter-adjacent plans with k under
-  * spark.sql.window.group.limit.threshold. The heap combine does
-  * O(n log k) streaming inserts with k rows of state per live group,
-  * no sort buffer, under any consumer shape. Same kernel shape as
-  * [[graft.knn.CosineKnn]]'s shuffle-combine, generalized to arbitrary
-  * rows.
+  * History (r14 optimization): this replaced a hand-rolled
+  * `df.rdd.aggregateByKey(boundedHeap)` combine with the same shuffle
+  * bound. The heap had the right asymptotics but paid the RDD
+  * boundary: Tungsten→GenericRow deserialization of the whole corpus,
+  * boxed `Ordering[Row]` comparisons through reflective `Comparable`,
+  * and a `createDataFrame` re-serialization — measured 78 CPU-s for
+  * top-3-per-order over 600k rows (q113) vs ~4 CPU-s through the
+  * window. The window's map-side partial limit does sort each input
+  * partition, but that is a codegen'd radix-capable UnsafeRow sort —
+  * strictly cheaper than per-row boxing at every scale measured
+  * (guide §4: avoid non-codegen row-at-a-time paths in hot operators).
   *
-  * Determinism: the heap order is (orderCol desc|asc, tieCols asc) and
-  * heap merging is order-independent under a total order, so `tieCols`
-  * must make rows within a group distinct — same contract as every
-  * oracle-gated ranking in this repo.
+  * Determinism contract unchanged: `tieCols` must make rows within a
+  * group distinct; null ordering is Spark's default (desc → NULLS
+  * LAST, asc → NULLS FIRST), which is exactly what the old heap
+  * comparator pinned (nulls compare smallest).
   */
 object TopK {
 
   /** Top `k` rows per `groupCols` group under (`orderCol` desc/asc,
-    * `tieCols` asc). Returns the input columns plus `rank` (1-based).
-    * Group, order, and tie columns must be atomic Comparable types
-    * (numeric / string / timestamp — no arrays, maps, or binary). */
+    * `tieCols` asc). Returns the input columns plus `rank` (1-based). */
   def perGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
                tieCols: Seq[String], k: Int, descending: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(groupCols.nonEmpty && tieCols.nonEmpty, "group and tie columns required")
-    val spark = df.sparkSession
-    val schema = df.schema
-    val gIdx = groupCols.map(schema.fieldIndex)
-    val oIdx = schema.fieldIndex(orderCol)
-    val tIdx = tieCols.map(schema.fieldIndex)
-
-    def cmpAny(a: Any, b: Any): Int = (a, b) match {
-      case (null, null) => 0
-      case (null, _)    => -1 // nulls first, both orders — pinned in spec
-      case (_, null)    => 1
-      case (x: java.lang.Comparable[_], y) =>
-        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
-      case _ => throw new IllegalArgumentException(
-        s"non-comparable value of ${a.getClass} in TopK ordering")
-    }
-    // "greater" = WORSE candidate (dequeued first): order col opposite
-    // the requested direction, then tie cols descending — so the heap
-    // root is always the row to evict
-    val worseGreater: Ordering[Row] = new Ordering[Row] {
-      def compare(a: Row, b: Row): Int = {
-        val c = cmpAny(a.get(oIdx), b.get(oIdx))
-        val oc = if (descending) -c else c
-        if (oc != 0) return oc
-        var i = 0
-        while (i < tIdx.length) {
-          val tc = cmpAny(a.get(tIdx(i)), b.get(tIdx(i)))
-          if (tc != 0) return tc
-          i += 1
-        }
-        0
-      }
-    }
-    type Heap = scala.collection.mutable.PriorityQueue[Row]
-    def push(h: Heap, r: Row): Heap = {
-      if (h.size < k) h.enqueue(r)
-      else if (worseGreater.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
-      h
-    }
-    // degenerate-input gate: a single-row-group parquet scan hands the
-    // RDD 1-2 partitions locally, serializing the map-side heap phase
-    // (bench measured q113 at 6.4 s wall on 12.8 CPU-s). Real inputs
-    // have >= parallelism splits and skip this; when they don't, one
-    // row-level exchange buys back the full map-side parallelism and
-    // the result is unchanged (the top-k set is a pure function of the
-    // total order, independent of row placement).
-    val raw = df.rdd
-    val rdd =
-      if (raw.getNumPartitions < spark.sparkContext.defaultParallelism)
-        raw.repartition(spark.sparkContext.defaultParallelism)
-      else raw
-    val combined = rdd
-      .map(r => gIdx.map(r.get) -> r)
-      .aggregateByKey(new Heap()(worseGreater))(push, (h1, h2) => { h2.foreach(push(h1, _)); h1 })
-    val out = combined.flatMap { case (_, heap) =>
-      val best: Seq[Row] = heap.dequeueAll.reverse
-      best.iterator.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1))
-      }
-    }
-    spark.createDataFrame(out,
-      StructType(schema.fields :+ StructField("rank", IntegerType, nullable = false)))
+    val ord = (if (descending) col(orderCol).desc else col(orderCol).asc) +:
+      tieCols.map(col(_).asc)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

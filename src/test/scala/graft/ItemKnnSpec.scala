@@ -102,11 +102,15 @@ class ItemKnnSpec extends AnyFunSuite {
     }
   }
 
-  test("no WindowExec in the physical plan — every ranking stage is the heap combine") {
+  test("every ranking stage is a group-limited window (WindowGroupLimit fired)") {
     val r = ratings((1, 1, 5.0), (1, 2, 4.0), (2, 1, 4.0), (2, 2, 5.0))
     val plan = ItemKnn.recs(r, 4.0, 50, 1, 10, 5)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"expected heap-based ranking, found WindowExec:\n$plan")
+    // every TopK rank must ride the WindowGroupLimit partial/final pair
+    // (bounded shuffle), never a plain unbounded WindowExec, and never
+    // the old RDD boundary (opaque ExistingRDD scan)
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    assert(!plan.contains("ExistingRDD"), s"unexpected RDD boundary:\n$plan")
   }
 
   private def ratingsTs(rows: (Int, Int, Double, Long)*): DataFrame =

@@ -49,10 +49,11 @@ class UserKnnSpec extends AnyFunSuite {
     assert(out.toSet == Set((3L, 30L, 500000L)))
   }
 
-  test("no WindowExec: every ranking stage is the heap combine") {
+  test("every ranking stage is a group-limited window (WindowGroupLimit fired)") {
     val r = ratings((1, 1, 5.0), (1, 2, 4.0), (2, 1, 4.0), (2, 2, 5.0))
     val plan = UserKnn.recs(r, 4.0, 50, 50, 1, 10, 5)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
   }
 }
