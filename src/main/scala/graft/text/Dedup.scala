@@ -315,9 +315,14 @@ object Dedup {
     * round-6. */
   def weightedMinhashLsh(spark: SparkSession, docs: DataFrame, nBands: Int,
                          threshold: Double, rowsPerBand: Int = 2,
-                         cap: Int = 8, textCol: String = "text"): DataFrame = {
+                         cap: Int = 8, textCol: String = "text",
+                         denseVocabMax: Long = Dedup.denseVocabMax): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(cap >= 1, s"weightedMinhashLsh: cap >= 1, got $cap")
+    // both verification kernels rely on threshold > 0 to drop
+    // zero-overlap candidates (the join shape drops them structurally,
+    // the dense shape by the filter) — pin the contract
+    require(threshold > 0, s"weightedMinhashLsh: threshold > 0, got $threshold")
     val wc = docs.select(col("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -337,19 +342,79 @@ object Dedup {
         col("x.n").as("na"), col("y.n").as("nb"))
       .distinct()
     // exact capped weighted Jaccard on candidates only: Σ min(ca, cb)
-    // over shared tokens; Σ max = na + nb − Σ min
-    val out = pairs
-      .join(wc.select(col("doc_id").as("doc_a"), col("w"), col("c").as("ca")), Seq("doc_a"))
-      .join(wc.select(col("doc_id").as("doc_b"), col("w"), col("c").as("cb")), Seq("doc_b", "w"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(sum(least(col("ca"), col("cb"))).as("ni"))
-      .withColumn("wjaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
-      .filter(col("wjaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
-      .localCheckpoint(true)
+    // over shared tokens; Σ max = na + nb − Σ min.
+    //
+    // Size-gated verification kernel (the CosineKnn dispatch doctrine;
+    // the gate picks a physical plan, never semantics):
+    //
+    //  - vocab ≤ denseVocabMax AND cap ≤ 15: NIBBLE-PACKED DENSE
+    //    vectors. Each doc's capped counts pack into ⌈V/16⌉ longs
+    //    (4 bits per token — cap ≤ 15 guarantees no carry), attached
+    //    to the pair table by two doc-keyed joins, and
+    //    ni = Σ_nibbles least(va>>s & 15, vb>>s & 15) evaluates as a
+    //    flat codegen'd long-arithmetic expression — no per-token rows
+    //    at all. Motivation (r14, measured): at sf0.1 the corpus vocab
+    //    is 31 tokens, so banding admits 12.3M of 12.5M possible pairs
+    //    and the general path's pairs⋈wc⋈wc intermediate was ~290M
+    //    (pair × token) rows through two joins and a 12.3M-group hash
+    //    agg — 1084 process-CPU-s for the whole query, the single most
+    //    expensive entry in the bench. (A map-payload variant with a
+    //    per-pair `aggregate` HOF was measured WORSE — ~3×: HOFs are
+    //    interpreted and element_at on UnsafeMapData is a linear
+    //    string scan per probe.)
+    //
+    //  - otherwise: the general (doc, token)-keyed join shape —
+    //    pairs⋈wc⋈wc + re-aggregate — whose cost is candidates ×
+    //    shared tokens, the right shape when the vocabulary is
+    //    unbounded (real corpora at 100 TB).
+    val vocab = wc.select("w").distinct()
+    val out = if (cap <= 15 && vocab.count() <= denseVocabMax) {
+      // bounded collect: the gate above caps this at denseVocabMax rows
+      val vocabArr = vocab.orderBy("w").collect().map(_.getString(0))
+      import spark.implicits._
+      val vIdx = vocabArr.zipWithIndex.toSeq.toDF("w", "__vi")
+      val nLongs = (vocabArr.length + 15) / 16
+      val packCols = (0 until nLongs).map(l =>
+        sum(when(expr("__vi div 16") === l,
+          expr("shiftleft(c, cast((__vi % 16) * 4 as int))"))
+          .otherwise(0L)).as(s"v$l"))
+      val vecs = wc.join(broadcast(vIdx), Seq("w"))
+        .groupBy("doc_id").agg(packCols.head, packCols.tail: _*)
+      def side(v: DataFrame, idCol: String, pre: String) =
+        v.select((col("doc_id").as(idCol) +:
+          (0 until nLongs).map(l => col(s"v$l").as(s"$pre$l"))): _*)
+      val niExpr = (0 until nLongs).flatMap(l => (0 until 16).map(k =>
+        s"least((a$l >> ${4 * k}) & 15L, (b$l >> ${4 * k}) & 15L)"))
+        .mkString(" + ")
+      pairs
+        .join(side(vecs, "doc_a", "a"), Seq("doc_a"))
+        .join(side(vecs, "doc_b", "b"), Seq("doc_b"))
+        .withColumn("ni", expr(niExpr))
+        .withColumn("wjaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+        .filter(col("wjaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
+        .localCheckpoint(true)
+    } else {
+      pairs
+        .join(wc.select(col("doc_id").as("doc_a"), col("w"), col("c").as("ca")), Seq("doc_a"))
+        .join(wc.select(col("doc_id").as("doc_b"), col("w"), col("c").as("cb")), Seq("doc_b", "w"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(sum(least(col("ca"), col("cb"))).as("ni"))
+        .withColumn("wjaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+        .filter(col("wjaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
+        .localCheckpoint(true)
+    }
     wc.unpersist(blocking = false)
     out
   }
+
+  /** [[weightedMinhashLsh]] dense-verification gate: vocabularies at or
+    * under this take the nibble-packed kernel (⌈V/16⌉ longs per doc,
+    * ≤ 5·V codegen'd long ops per candidate pair — 256 keeps the
+    * generated ni expression well under codegen method limits); larger
+    * vocabularies take the general (doc, token)-keyed join. */
+  private[graft] val denseVocabMax = 256L
 
   /** 64-bit SimHash over whitespace tokens, emitted as a 64-char bit
     * string (portable; avoids signed-int hex pitfalls). Bit j of a

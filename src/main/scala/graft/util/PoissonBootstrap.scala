@@ -63,8 +63,20 @@ object PoissonBootstrap {
                    seed: Long = 42L): DataFrame = {
     require(b >= 2, s"poissonBootstrap: b >= 2, got $b")
     val h = Sketches.h52(seed, keyCols.map(col) :+ col("r"))
-    df.select((groupCols ++ keyCols).map(col) :+ col(valueCol).as("__v")
-        :+ explode(sequence(lit(0), lit(b - 1))).as("r"): _*)
+    // compute-amplification gate: the explode multiplies every input
+    // row ×b and each replica row pays an md5 — a narrow scan that
+    // arrives in fewer splits than cores (small files under the 4MB
+    // open-cost floor) would run that b× amplified map nearly serial
+    // (measured: q213 at 45 s wall / 56 CPU-s on 32 cores). One skinny
+    // row-level exchange BEFORE the amplification buys full map
+    // parallelism; at scale the scan already has ≥ cores splits and
+    // the gate is a no-op. Results unaffected: weights are pure
+    // functions of (key, replica, seed).
+    val base = df.select((groupCols ++ keyCols).map(col) :+ col(valueCol).as("__v"): _*)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val basePar =
+      if (base.rdd.getNumPartitions < parts) base.repartition(parts) else base
+    basePar.select(col("*"), explode(sequence(lit(0), lit(b - 1))).as("r"))
       .select((groupCols.map(col) :+ col("r") :+ col("__v")
         :+ poissonCount(h).cast("long").as("__k")): _*)
       .groupBy((groupCols.map(col) :+ col("r")): _*)

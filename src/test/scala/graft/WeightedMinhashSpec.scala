@@ -72,4 +72,23 @@ class WeightedMinhashSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("dense nibble-packed kernel == general token-join kernel (gate A/B)") {
+    // denseVocabMax = 0 forces the general (doc, token)-join path on the
+    // same inputs; the r14 dense kernel must be value-identical on every
+    // (pair, wjaccard) — including vocabularies that straddle one long
+    // (> 16 tokens → two packed longs)
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 23).map(i => s"w$i")
+    val d = (1L to 60L).map { id =>
+      val n = 5 + rnd.nextInt(40)
+      (id, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dense = Dedup.weightedMinhashLsh(spark, d, 16, 0.2, 1, cap = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val general = Dedup.weightedMinhashLsh(spark, d, 16, 0.2, 1, cap = 8,
+        denseVocabMax = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dense.nonEmpty && dense == general)
+  }
 }
