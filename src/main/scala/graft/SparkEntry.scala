@@ -152,14 +152,75 @@ object SparkEntry {
     }
   }
 
-  // q123/q133/q137/q158 consume the IDENTICAL full-ratings itemKNN
-  // top-5 chain — the capped pair join is among the suite's most
-  // expensive relational stages; one materialization serves all four
-  private val knnRecsMemo =
+  // ---- shared itemKNN-family materializations (r14) -------------------
+  // Eleven queries consume overlapping slices of ONE dependency chain:
+  //   rel (capped relevant set)
+  //     -> cooc (support-pruned co-interaction pairs): q124 triangles,
+  //        q128/q143 link prediction, q145 coreness, q153 ktruss, and
+  //        q161 trussness (its minCooc=3 table == cooc.filter(>= 3))
+  //     -> sims (integer Jaccard): q138 novelty/ILD, q139 MMR
+  //     -> top-10 recommend: q139 (k=10) and, as the rank<=5 prefix,
+  //        q123/q133/q137/q158 (top-5 == top-10 filtered: row_number
+  //        under a total order is prefix-stable)
+  // Before r14 the capped pair join — the family's most expensive
+  // stage — ran once per query (8 independent builds measured in the
+  // bench); the memoDf chain runs each stage exactly once per
+  // (session, dir).
+  private val relMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def relCapped(s: SparkSession, dir: String): DataFrame =
+    memoDf(relMemo, s, dir)(
+      graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50))
+
+  private val coocMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def coocTable(s: SparkSession, dir: String): DataFrame =
+    memoDf(coocMemo, s, dir)(
+      graft.model.ItemKnn.cooc(relCapped(s, dir), 2))
+
+  private val knnTop10Memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def knnTop10(s: SparkSession, dir: String): DataFrame =
+    memoDf(knnTop10Memo, s, dir)(graft.model.ItemKnn.recommend(
+      Tables.ratings(s, dir), relCapped(s, dir),
+      graft.model.ItemKnn.neighbors(itemSims(s, dir), 10), 10))
   private def knnRecs(s: SparkSession, dir: String): DataFrame =
-    memoDf(knnRecsMemo, s, dir)(graft.model.ItemKnn.recs(Tables.ratings(s, dir),
-      minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5))
+    knnTop10(s, dir).filter(col("rank") <= 5)
+
+  // q133/q158 build the identical top-20-popularity ranking next to
+  // the kNN ranking — one materialization serves both
+  private val popRank20Memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def popRank20(s: SparkSession, dir: String): DataFrame =
+    memoDf(popRank20Memo, s, dir) {
+      val r = Tables.ratings(s, dir)
+      val pcand = r.filter(col("rating") >= 4.0)
+        .groupBy("item_id").agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("item_id")).limit(20)
+      graft.util.TopK.perGroup(
+        r.select("user_id").distinct()
+          .crossJoin(broadcast(pcand))
+          .join(r.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti"),
+        Seq("user_id"), "__cnt", Seq("item_id"), 20)
+        .select("user_id", "item_id", "rank")
+    }
+
+  // q116/q122/q125/q126 (and q13 itself) assemble the identical KG
+  // triple graph — ratings triples + semi-joined user/item property
+  // triples; one materialization serves all five
+  private val triMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def kgTriples(s: SparkSession, dir: String): DataFrame =
+    memoDf(triMemo, s, dir) {
+      val r = Tables.ratings(s, dir)
+      val userProps = T(s, dir, "customer")
+        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      val itemProps = T(s, dir, "part")
+        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
+      KGraph.allTriples(r, Seq(
+        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
+        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
+    }
 
   // q142/q146/q152 share one 5-fold assignment; q142/q146 also share
   // the fold-1-train itemKNN chain built on it
@@ -175,13 +236,14 @@ object SparkEntry {
       folded5(s, dir).filter(col("fold") =!= 1).select("user_id", "item_id", "rating"),
       minRating = 4.0, cap = 50, minCooc = 2, kNbrs = 10, kRecs = 5))
 
-  // q138/q139 both rebuild the capped item-item similarity pair join
-  // (the chain's expensive stage) before diverging at k — memoize sims
+  // q138/q139 + the knnTop10 chain all consume one similarity table,
+  // derived from the SHARED cooc materialization (identical by
+  // construction: similaritiesFrom(cooc(rel, 2), rel))
   private val itemSimsMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def itemSims(s: SparkSession, dir: String): DataFrame =
-    memoDf(itemSimsMemo, s, dir)(graft.model.ItemKnn.similarities(
-      graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50), 2))
+    memoDf(itemSimsMemo, s, dir)(graft.model.ItemKnn.similaritiesFrom(
+      coocTable(s, dir), relCapped(s, dir)))
 
   // q37 and q76 consume the identical minhash-LSH pair set and its
   // GraphX connected components; build the cc view once per
@@ -402,17 +464,10 @@ object SparkEntry {
       Metrics.ndcgPerUser(popRecs(s, dir), testRatings(s, dir), 5, 4.0)
         .select(col("user_id"), round(col("ndcg"), 6).as("ndcg"))),
 
-    // M5/F8/F9/O3: triple export with canonical node labels
-    "q13_triples" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
-      val userProps = T(s, dir, "customer")
-        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
-      val itemProps = T(s, dir, "part")
-        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
-      KGraph.allTriples(r, Seq(
-        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
-        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
-    }),
+    // M5/F8/F9/O3: triple export with canonical node labels (the
+    // shared kgTriples materialization — q116/q122/q125/q126 run
+    // their kernels over the same graph)
+    "q13_triples" -> ((s, dir) => kgTriples(s, dir)),
 
     // A1/O1/A4/F7: per-user rating-desc group-concat
     "q14_group_collect" -> ((s, dir) =>
@@ -1801,15 +1856,7 @@ object SparkEntry {
     // arithmetic (rank div outdeg contributions, 0.85 damping as
     // (85*s) div 100) — every node's fixed-point rank under the hash
     "q116_pagerank" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
-      val userProps = T(s, dir, "customer")
-        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
-      val itemProps = T(s, dir, "part")
-        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
-      val tri = KGraph.allTriples(r, Seq(
-        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
-        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
-      graft.graph.PageRank.run(tri, "head", "tail", iters = 5)
+      graft.graph.PageRank.run(kgTriples(s, dir), "head", "tail", iters = 5)
         .select(col("node"), col("rank_e").as("rank_e9"))
     }),
 
@@ -1881,15 +1928,7 @@ object SparkEntry {
     // item/property ranks become user-proximity scores (the
     // walk-with-restart recommender baseline), same integer arithmetic
     "q122_personalized_pagerank" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
-      val userProps = T(s, dir, "customer")
-        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
-      val itemProps = T(s, dir, "part")
-        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
-      val tri = KGraph.allTriples(r, Seq(
-        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
-        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
-      graft.graph.PageRank.personalized(tri, "head", "tail",
+      graft.graph.PageRank.personalized(kgTriples(s, dir), "head", "tail",
         n => n.startsWith("User("), iters = 5)
         .select(col("node"), col("rank_e").as("rank_e9"))
     }),
@@ -1903,32 +1942,14 @@ object SparkEntry {
     // HITS hubs/authorities over the KG triple graph: the two-role
     // link-analysis score (subjects that point at good objects vs
     // objects endorsed by good subjects), exact scaled-integer
-    "q125_hits" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
-      val userProps = T(s, dir, "customer")
-        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
-      val itemProps = T(s, dir, "part")
-        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
-      val tri = KGraph.allTriples(r, Seq(
-        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
-        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
-      graft.graph.Hits.run(tri, "head", "tail", iters = 3)
-    }),
+    "q125_hits" -> ((s, dir) =>
+      graft.graph.Hits.run(kgTriples(s, dir), "head", "tail", iters = 3)),
 
     // synchronous label-propagation communities over the KG triple
     // graph (mode label, smallest-label tie-break — deterministic,
     // unlike GraphX's hash-order ties)
-    "q126_lpa_communities" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
-      val userProps = T(s, dir, "customer")
-        .join(r.select(col("user_id").as("c_custkey")), Seq("c_custkey"), "left_semi")
-      val itemProps = T(s, dir, "part")
-        .join(r.select(col("item_id").as("p_partkey")), Seq("p_partkey"), "left_semi")
-      val tri = KGraph.allTriples(r, Seq(
-        KGraph.propertyTriples(userProps, "c_custkey", isUser = true, "c_mktsegment", "mktsegment"),
-        KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
-      graft.graph.LabelPropagation.run(tri, "head", "tail", iters = 4)
-    }),
+    "q126_lpa_communities" -> ((s, dir) =>
+      graft.graph.LabelPropagation.run(kgTriples(s, dir), "head", "tail", iters = 4)),
 
     // word2vec-style phrase detection: adjacent-token lift in exact
     // scaled integers over the documents token stream
@@ -1939,15 +1960,13 @@ object SparkEntry {
     // missing-edge proposal on the item co-interaction projection:
     // distance-2 pairs through centers of degree <= 40, integer
     // neighborhood Jaccard, existing edges removed
-    "q128_link_prediction" -> ((s, dir) => {
-      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+    "q128_link_prediction" -> ((s, dir) =>
       graft.graph.LinkPrediction.commonNeighbors(
-        graft.model.ItemKnn.cooc(rel, 2)
+        coocTable(s, dir)
           .select(col("item_a").as("u"), col("item_b").as("v")),
         minCn = 2, maxCenterDeg = 40)
         .select(col("a").as("item_a"), col("b").as("item_b"),
-          col("cn"), col("jaccard_e4"))
-    }),
+          col("cn"), col("jaccard_e4"))),
 
     // view -> click -> purchase conversion funnel (strict-order
     // progression, one shuffle + per-user sorted walk)
@@ -1982,18 +2001,8 @@ object SparkEntry {
     // ranking (q123) with a global-popularity ranking — rank-only
     // combination, exact 10^6 div (60 + rank) contributions
     "q133_rrf_fusion" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
       val knn = knnRecs(s, dir).select("user_id", "item_id", "rank")
-      val pcand = r.filter(col("rating") >= 4.0)
-        .groupBy("item_id").agg(count(lit(1)).as("__cnt"))
-        .orderBy(col("__cnt").desc, col("item_id")).limit(20)
-      val popRank = graft.util.TopK.perGroup(
-        r.select("user_id").distinct()
-          .crossJoin(broadcast(pcand))
-          .join(r.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti"),
-        Seq("user_id"), "__cnt", Seq("item_id"), 20)
-        .select("user_id", "item_id", "rank")
-      graft.model.Rrf.fuse(Seq(knn, popRank), k = 60L, topK = 5)
+      graft.model.Rrf.fuse(Seq(knn, popRank20(s, dir)), k = 60L, topK = 5)
     }),
 
     // the streaming funnel kernel run in batch mode (one group pass,
@@ -2023,45 +2032,28 @@ object SparkEntry {
     // ints over the itemKNN similarity table)
     "q138_novelty_ild" -> ((s, dir) => {
       val r = Tables.ratings(s, dir)
-      val rel = graft.model.ItemKnn.relevantCapped(r, 4.0, 50)
-      val sims = itemSims(s, dir)
-      val recs = graft.model.ItemKnn.recommend(r, rel,
-        graft.model.ItemKnn.neighbors(sims, 10), 5)
-        .select("user_id", "item_id")
+      // top-5 == the shared top-10 recommend cut at rank 5 (row_number
+      // prefix stability under the total order)
+      val recs = knnRecs(s, dir).select("user_id", "item_id")
       graft.eval.Coverage.noveltyIld(recs, r,
-        sims.select("item_a", "item_b", "sim"))
+        itemSims(s, dir).select("item_a", "item_b", "sim"))
     }),
 
     // MMR diversification of the itemKNN top-10 candidates: 3 greedy
     // picks per user at λ=1/2 (integer mmr2x = rel − max sim to the
     // picked set; per-user bounded walk, exact BIGINTs)
     "q139_mmr_diversify" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
-      val rel = graft.model.ItemKnn.relevantCapped(r, 4.0, 50)
-      val sims = itemSims(s, dir)
-      val cands = graft.model.ItemKnn.recommend(r, rel,
-        graft.model.ItemKnn.neighbors(sims, 10), 10)
-        .select("user_id", "item_id", "score")
+      val cands = knnTop10(s, dir).select("user_id", "item_id", "score")
       graft.model.Mmr.diversify(cands,
-        sims.select("item_a", "item_b", "sim"), 3)
+        itemSims(s, dir).select("item_a", "item_b", "sim"), 3)
     }),
 
     // Kendall-τ agreement between the itemKNN ranking and the
     // popularity baseline over each user's shared items (exact ints;
     // "does the model rank differently from popular?")
     "q158_rank_agreement" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
       val knn = knnRecs(s, dir).select("user_id", "item_id", "rank")
-      val pcand = r.filter(col("rating") >= 4.0)
-        .groupBy("item_id").agg(count(lit(1)).as("__cnt"))
-        .orderBy(col("__cnt").desc, col("item_id")).limit(20)
-      val popRank = graft.util.TopK.perGroup(
-        r.select("user_id").distinct()
-          .crossJoin(broadcast(pcand))
-          .join(r.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti"),
-        Seq("user_id"), "__cnt", Seq("item_id"), 20)
-        .select("user_id", "item_id", "rank")
-      graft.eval.RankAgreement.kendallTau(knn, popRank)
+      graft.eval.RankAgreement.kendallTau(knn, popRank20(s, dir))
     }),
 
     // first-order Markov next-item transitions over user timelines
@@ -2448,14 +2440,12 @@ object SparkEntry {
     // peeling, 8 fixed rounds (cascade depths probed 1/5/3 at the
     // three SFs; k=4 binds at the sf0.01 gate scale: -> 401 edges,
     // leaves the dense sf0.001 projection whole, empties sparse sf0.1)
-    "q153_ktruss" -> ((s, dir) => {
-      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+    "q153_ktruss" -> ((s, dir) =>
       graft.graph.Truss.ktruss(
-        graft.model.ItemKnn.cooc(rel, 2)
+        coocTable(s, dir)
           .select(col("item_a").as("u"), col("item_b").as("v")),
         "u", "v", k = 4, iters = 8)
-        .select(col("u").as("item_a"), col("v").as("item_b"), col("support"))
-    }),
+        .select(col("u").as("item_a"), col("v").as("item_b"), col("support"))),
 
     // multi-touch LINEAR attribution: every view/click within 6h of a
     // purchase shares its credit equally (exact 10⁶ div n) — the
@@ -2586,14 +2576,15 @@ object SparkEntry {
     // FULL truss decomposition of the minCooc=3 item projection:
     // bounded peel-to-empty (kMax=8 > probed max trussness 7,
     // innerIters=16 > probed max cascade 13) — exact max-k per edge
-    "q161_trussness" -> ((s, dir) => {
-      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+    // its minCooc=3 projection derives from the shared minCooc=2
+    // materialization: cooc(rel, 3) == cooc(rel, 2).filter(cooc >= 3)
+    // by definition (same groupBy, stricter support prune)
+    "q161_trussness" -> ((s, dir) =>
       graft.graph.Truss.trussness(
-        graft.model.ItemKnn.cooc(rel, 3)
+        coocTable(s, dir).filter(col("cooc") >= 3)
           .select(col("item_a").as("u"), col("item_b").as("v")),
         "u", "v", kMax = 8, innerIters = 16)
-        .select(col("u").as("item_a"), col("v").as("item_b"), col("trussness"))
-    }),
+        .select(col("u").as("item_a"), col("v").as("item_b"), col("trussness"))),
 
     // rating prediction: Koren's regularized baseline (µ + b_u + b_i)
     // in exact e6 ints on the q142 fold frame, per-user MSE
@@ -2655,14 +2646,12 @@ object SparkEntry {
     // full k-core decomposition of the item projection: 20 rounds of
     // the h-index fixpoint iteration (= exact coreness on every test
     // graph, probed 12/12/17 rounds to convergence), value-rollup H
-    "q145_coreness" -> ((s, dir) => {
-      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+    "q145_coreness" -> ((s, dir) =>
       graft.graph.Coreness.run(
-        graft.model.ItemKnn.cooc(rel, 2)
+        coocTable(s, dir)
           .select(col("item_a").as("u"), col("item_b").as("v")),
         "u", "v", iters = 20)
-        .select(col("node").as("item_id"), col("coreness"))
-    }),
+        .select(col("node").as("item_id"), col("coreness"))),
 
     // bigram-LM document scoring with add-one smoothing (the rung
     // above q55's unigram on the CCNet/KenLM quality ladder); narrow
@@ -2687,15 +2676,13 @@ object SparkEntry {
     // resource-allocation link prediction on the item projection:
     // common neighbors weighted by 10⁶ div deg(center) — the
     // exact-integer Adamic-Adar stand-in (Zhou et al. 2009)
-    "q143_resource_allocation" -> ((s, dir) => {
-      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+    "q143_resource_allocation" -> ((s, dir) =>
       graft.graph.LinkPrediction.resourceAllocation(
-        graft.model.ItemKnn.cooc(rel, 2)
+        coocTable(s, dir)
           .select(col("item_a").as("u"), col("item_b").as("v")),
         minCn = 2, maxCenterDeg = 40)
         .select(col("a").as("item_a"), col("b").as("item_b"),
-          col("cn"), col("ra_e6"))
-    }),
+          col("cn"), col("ra_e6"))),
 
     // the q129 funnel under a 24h conversion horizon (ClickHouse
     // windowFunnel's `window`): steps 2..k must land within 24h of
@@ -2753,13 +2740,11 @@ object SparkEntry {
     // triangle count + clustering coefficient on the item
     // co-interaction projection (degree-ordered orientation: every
     // triangle counted once at its smallest vertex)
-    "q124_triangles" -> ((s, dir) => {
-      val rel = graft.model.ItemKnn.relevantCapped(Tables.ratings(s, dir), 4.0, 50)
+    "q124_triangles" -> ((s, dir) =>
       graft.graph.Triangles.localTriangles(
-        graft.model.ItemKnn.cooc(rel, 2)
+        coocTable(s, dir)
           .select(col("item_a").as("u"), col("item_b").as("v")))
-        .select(col("node").as("item_id"), col("deg"), col("tri"), col("cc_e4"))
-    })
+        .select(col("node").as("item_id"), col("deg"), col("tri"), col("cc_e4")))
   )
 
   /** q96's fixed merge table == Bpe.train(docs_sf0.01, 8) (BpeProbe). */

@@ -66,9 +66,19 @@ object ItemKnn {
   /** Undirected item-item Jaccard similarities over the capped
     * relevant set; pairs with co-occurrence below `minCooc` are
     * pruned. Output: (item_a < item_b, cooc, deg_a, deg_b, sim). */
-  def similarities(rel: DataFrame, minCooc: Int): DataFrame = {
+  def similarities(rel: DataFrame, minCooc: Int): DataFrame =
+    similaritiesFrom(cooc(rel, minCooc), rel)
+
+  /** [[similarities]] from a PREBUILT support-pruned cooc table over
+    * the same `rel` — the shared-materialization entry point: callers
+    * that also consume the raw co-occurrence projection (triangles,
+    * trusses, link prediction) materialize `cooc(rel, minCooc)` once
+    * and derive the similarity table from it instead of re-running
+    * the capped pair join. Identical by construction when
+    * `coocTab == cooc(rel, minCooc)`. */
+  def similaritiesFrom(coocTab: DataFrame, rel: DataFrame): DataFrame = {
     val deg = rel.groupBy("item_id").agg(count(lit(1)).as("deg"))
-    cooc(rel, minCooc)
+    coocTab
       .join(deg.select(col("item_id").as("item_a"), col("deg").as("deg_a")), Seq("item_a"))
       .join(deg.select(col("item_id").as("item_b"), col("deg").as("deg_b")), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("cooc"), col("deg_a"), col("deg_b"),
