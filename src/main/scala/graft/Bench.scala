@@ -6,10 +6,18 @@ object Bench {
     graft.util.Scratch.sweepStaleRuns(SparkEntry.runScratch)
     graft.util.Scratch.claim(SparkEntry.runScratch)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EVENTLOG=/dir enables the Spark event log for
+    // offline stage/task analysis (guide §7.1 without a live UI); off
+    // by default so timed runs pay nothing
+    val eventLogDir = sys.env.get("SPARK_GRAFT_EVENTLOG")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    val spark = eventLogDir.fold(builder0)(d => builder0
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.dir", s"file://$d"))
       // TIMESTAMP_NTZ event columns cast through the session TZ; pin it
       // so bench plans match Verify/oracle (epoch_ms parity)
       .config("spark.sql.session.timeZone", "UTC")

@@ -334,7 +334,17 @@ object Dedup {
       "transform(sequence(0, cast(c as int) - 1), r -> concat(w, '#', cast(r as string)))")).as("s"))
     val hCols = (1 to rowsPerBand).map(r => s"h$r")
     val stacked = bandBucketsFromShingles(repl, nBands, rowsPerBand)
-    val pairs = stacked.as("x")
+    // The banded self-join EXPLODES (dense buckets: 65M raw collisions
+    // from 80k signature rows at sf0.1) while its input is tiny — AQE
+    // coalesces the 3 MiB stream side to ONE partition and the whole
+    // explosion + partial distinct runs in a single task (event-log
+    // r14: a 33 s one-task stage). An explicit numPartitions
+    // repartition on the join keys is exempt from AQE coalescing and
+    // buys back full parallelism for the cost of re-hashing 80k rows.
+    val streamSide = stacked.repartition(
+      stacked.sparkSession.sparkContext.defaultParallelism,
+      ("b" +: hCols).map(col): _*)
+    val pairs = streamSide.as("x")
       .join(stacked.as("y"),
         ("b" +: hCols).map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
           && col("x.doc_id") < col("y.doc_id"))
@@ -386,14 +396,32 @@ object Dedup {
       val niExpr = (0 until nLongs).flatMap(l => (0 until 16).map(k =>
         s"least((a$l >> ${4 * k}) & 15L, (b$l >> ${4 * k}) & 15L)"))
         .mkString(" + ")
-      pairs
+      // MATERIALIZATION BARRIER between ni and its consumers: Catalyst
+      // substitutes derived columns into downstream predicates, so the
+      // wjaccard filter + round projection would inline the ~(5·V)-node
+      // ni expression THREE times — the generated filter method then
+      // blows past the JIT's huge-method limit and runs interpreted
+      // (micro-probe: 24.2 s for filter+round vs 0.9 s with ni
+      // evaluated once; perf/WeightedMinhashMicro). The checkpoint pins
+      // ni as a plain column; everything downstream is trivial.
+      // persist (releasable), not localCheckpoint: the 12.3M-row ni
+      // table only lives until `out` materializes — holding it as
+      // unreleasable checkpoint blocks measurably GC-taxes the REST of
+      // the session (the next bench query's window inherits the heap
+      // pressure)
+      val niTab = pairs
         .join(side(vecs, "doc_a", "a"), Seq("doc_a"))
         .join(side(vecs, "doc_b", "b"), Seq("doc_b"))
         .withColumn("ni", expr(niExpr))
+        .select("doc_a", "doc_b", "na", "nb", "ni")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val denseOut = niTab
         .withColumn("wjaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
         .filter(col("wjaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
         .localCheckpoint(true)
+      niTab.unpersist(blocking = false)
+      denseOut
     } else {
       pairs
         .join(wc.select(col("doc_id").as("doc_a"), col("w"), col("c").as("ca")), Seq("doc_a"))
