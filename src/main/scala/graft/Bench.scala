@@ -161,7 +161,12 @@ object Bench {
           .write.mode("overwrite").parquet(s"$wdir/part.parquet")
         Seq("q123_itemknn_recs", "q126_lpa_communities", "q133_rrf_fusion",
           "q137_rec_coverage", "q138_novelty_ild", "q139_mmr_diversify",
-          "q142_kfold_knn_eval")
+          "q142_kfold_knn_eval",
+          // ER chain (q200/q202): the blocking-join + scoring stages
+          // compile ~20 s of one-time generated classes (ErMicro:
+          // candidates count 20.1 s cold vs 3.9 s warm on identical
+          // sf0.1 data) — replay on the 500-part slice
+          "q200_entity_resolution", "q202_er_unique_assign")
           .foreach(n => SparkEntry.queries(n)(spark, wdir.toString).count())
         spark.catalog.clearCache()
       }

@@ -3253,19 +3253,29 @@ object SparkEntry {
       |  SELECT w.src, e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
       |  WHERE w.dist < 10)""".stripMargin
 
+  // q200 and q202 consume the IDENTICAL blocking + scoring chain
+  // (2.3M candidate pairs at sf0.1) and only diverge at the
+  // assignment step — one materialization serves both (r14; each
+  // previously rebuilt the full chain)
+  private val erScoredMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def erScored(s: SparkSession, dir: String): DataFrame =
+    memoDf(erScoredMemo, s, dir) {
+      import graft.text.EntityResolution._
+      val (l, r) = erCatalog(s, dir)
+      val fields = Seq(
+        Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
+        Field("brand", "l_brand", "r_brand", ExactSim, 1L),
+        Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L))
+      scoredPairs(l, r, "left_id", "right_id", erBlockKeys, fields,
+        minScore = 3000L)
+    }
+
   private def erResolve(s: org.apache.spark.sql.SparkSession, dir: String,
                         unique: Boolean): DataFrame = {
     import graft.text.EntityResolution._
-    val (l, r) = erCatalog(s, dir)
-    val fields = Seq(
-      Field("name", "l_name", "r_name", TokenJaccardSim, 3L),
-      Field("brand", "l_brand", "r_brand", ExactSim, 1L),
-      Field("size", "l_size", "r_size", AbsDiffSim(5L), 1L))
-    if (unique)
-      resolveUnique(l, r, "left_id", "right_id", erBlockKeys, fields,
-        minScore = 3000L, rounds = 8)
-    else
-      resolve(l, r, "left_id", "right_id", erBlockKeys, fields, minScore = 3000L)
+    if (unique) assignUnique(erScored(s, dir), rounds = 8)
+    else bestPerLeft(erScored(s, dir))
   }
 
   /** Shared q200/q202 oracle scoring: catalog + dirtied copy +

@@ -231,12 +231,20 @@ object EntityResolution {
               fields: Seq[Field], minScore: Long,
               adviseBlocking: Boolean = false): DataFrame = {
     if (adviseBlocking) warnQuadraticKeys(left, right, leftId, rightId, blockKeys)
-    scoredPairs(left, right, leftId, rightId, blockKeys, fields, minScore)
+    bestPerLeft(scoredPairs(left, right, leftId, rightId, blockKeys, fields, minScore))
+  }
+
+  /** The [[resolve]] assignment step alone — best candidate per left
+    * (max score, ties to min right_id) over an already-scored pair
+    * table. Split out so callers sharing one scored materialization
+    * between [[resolve]] and [[assignUnique]] (q200/q202) don't
+    * rebuild the scoring chain. */
+  def bestPerLeft(scored: DataFrame): DataFrame =
+    scored
       .withColumn("__rk", row_number().over(
         Window.partitionBy("left_id")
           .orderBy(col("score").desc, col("right_id").asc)))
       .filter(col("__rk") === 1).drop("__rk")
-  }
 
   /** ONE-TO-ONE assignment over a scored pair table: `rounds` rounds
     * of LOCALLY-DOMINANT matching (Manne–Bisseling parallel greedy) —
