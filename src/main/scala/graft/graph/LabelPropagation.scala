@@ -43,12 +43,36 @@ import org.apache.spark.storage.StorageLevel
 object LabelPropagation {
 
   /** Returns (node, community) after `iters` synchronous rounds over
-    * the undirected (deduplicated) edge set. */
+    * the undirected (deduplicated) edge set.
+    *
+    * r14: nodes are ORDER-PRESERVING dictionary-encoded to longs
+    * before iterating — rank under the label ordering via the
+    * decomposed [[graft.util.GlobalRank]] (2-char-prefix buckets,
+    * never a corpus-wide single-task sort). A strictly monotone
+    * bijection commutes with everything LPA compares: mode counts are
+    * order-free and both the smallest-label tie-break and the final
+    * community id decode by rank, so the output is bit-identical to
+    * iterating on the labels themselves (spec-pinned) while every
+    * per-round join/aggregate hashes longs instead of label strings
+    * (measured 2× CPU on the q126 KG graph: 1.24M directed edge rows
+    * × 4 rounds of string hashing was the round cost). */
   def run(edges: DataFrame, aCol: String, bCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "labelPropagation: iters >= 1")
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val ue = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val ueRaw = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dict = graft.util.GlobalRank.withGlobalRank(
+        ueRaw.select(col("a").as("n")).distinct(),
+        Seq(col("n")), substring(col("n"), 1, 2), rankCol = "nid")
+      .select(col("n"), col("nid"))
+      // eager checkpoint: the decode join-back must see the exact ids
+      // the rounds ran on (the PageRank dictionary discipline)
+      .localCheckpoint(true)
+    val ue = ueRaw
+      .join(dict.select(col("n").as("a"), col("nid").as("sa")), Seq("a"))
+      .join(dict.select(col("n").as("b"), col("nid").as("sb")), Seq("b"))
+      .select(col("sa").as("a"), col("sb").as("b"))
       .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ue.select(col("a").as("n")).distinct()
@@ -62,7 +86,11 @@ object LabelPropagation {
         .agg(min_by(col("l"), struct(negate(col("c")), col("l"))).as("l"))
         .localCheckpoint(true)
     }
+    ueRaw.unpersist(blocking = false)
     ue.unpersist(blocking = false)
-    labels.select(col("n").as("node"), col("l").as("community"))
+    labels
+      .join(dict.select(col("nid").as("n"), col("n").as("__node")), Seq("n"))
+      .join(dict.select(col("nid").as("l"), col("n").as("__comm")), Seq("l"))
+      .select(col("__node").as("node"), col("__comm").as("community"))
   }
 }
