@@ -154,16 +154,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
-  test("shard pays one keyed exchange; stratifiedTake ranks on the heap, no window") {
+  test("shard pays one keyed exchange; stratifiedTake is a group-limited window") {
     val docs = (1 to 500).map(i => (i.toLong, s"l${i % 3}")).toDF("doc_id", "lang")
     val shardPlan = Sampling.shard(docs, 8, 5L, Seq("doc_id"))
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(shardPlan).size == 1, shardPlan)
-    // low-cardinality strata must NOT funnel through a WindowExec sort
-    // (single-task-sort trap); the TopK heap combine replaces it
+    // low-cardinality strata must NOT funnel an unbounded per-group
+    // sort through a single task: the rank cut must ride the
+    // WindowGroupLimit partial/final pair (k rows per group cross the
+    // exchange), and there must be no RDD boundary (the pre-r14 heap
+    // combine's opaque ExistingRDD scan)
     val stratPlan = Sampling.stratifiedTake(docs, Seq("lang"), 5, 11L, Seq("doc_id"))
       .queryExecution.executedPlan.toString
-    assert(!stratPlan.contains("Window"), s"expected heap ranking, found window:\n$stratPlan")
+    assert(stratPlan.contains("WindowGroupLimit"),
+      s"expected group-limited ranking, got:\n$stratPlan")
+    assert(!stratPlan.contains("ExistingRDD"),
+      s"unexpected RDD boundary:\n$stratPlan")
   }
 
   test("domainMix joins the per-domain rates by broadcast, never sort-merge") {

@@ -20,6 +20,19 @@ class WavePlanSpec extends AnyFunSuite {
   private def nOps(p: String, op: String): Int =
     s"""\\(\\d+\\) $op""".r.findAllIn(p).length
 
+  /** A plain Window operator is "guarded" when its immediate child in
+    * the plan tree is a WindowGroupLimit (the rank-cut shape: at most k
+    * rows per group reach the window's sort). An unguarded window sorts
+    * its whole group — fine over a bounded rollup, a straggler trap
+    * over a raw corpus. */
+  private def unguardedWindows(p: String): Int = {
+    val lines = p.linesIterator.toArray
+    lines.indices.count { i =>
+      lines(i).matches(""".*[+:]- Window \(\d+\).*""") &&
+        (i + 1 >= lines.length || !lines(i + 1).contains("WindowGroupLimit"))
+    }
+  }
+
   test("q127 collocations: the corpus never shuffles into a join (broadcast-only joins)") {
     val p = plan("q127_collocations")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
@@ -51,9 +64,11 @@ class WavePlanSpec extends AnyFunSuite {
     assert(nOps(p, "Exchange") == 2)
   }
 
-  test("q133 RRF final cut runs on the bounded heap, not a window") {
+  test("q133 RRF: every ranking window is group-limited (WindowGroupLimit fired)") {
     val p = plan("q133_rrf_fusion")
-    assert(nOps(p, "Window") == 0)
+    assert(nOps(p, "WindowGroupLimit") >= 1, p)
+    assert(unguardedWindows(p) == 0, s"unguarded window in the plan:\n$p")
+    assert(!p.contains("ExistingRDD"), p)
   }
 
   test("q130 inverted index: two exchanges, no join") {
@@ -66,9 +81,12 @@ class WavePlanSpec extends AnyFunSuite {
 
   test("q137 coverage/Gini: every window input is a rollup, never the raw rec table") {
     val p = plan("q137_rec_coverage")
-    // exactly one window (the cumulative over distinct count VALUES);
-    // the knn chain's TopK heaps contribute none
-    assert(nOps(p, "Window") == 1)
+    // exactly ONE unguarded window (the Gini cumulative over distinct
+    // count VALUES — a rollup, bounded input); every other window is a
+    // knn-chain rank cut riding WindowGroupLimit
+    assert(unguardedWindows(p) == 1,
+      s"expected exactly 1 unguarded window:\n$p")
+    assert(!p.contains("ExistingRDD"), p)
   }
 
   test("q140 funnel horizon keeps the q129 shape: one exchange, no window") {
