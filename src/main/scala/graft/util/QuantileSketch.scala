@@ -116,19 +116,26 @@ object QuantileSketch {
   }
 
   /** Quantile read: (groupCols, q, value) for each requested q —
-    * nearest-rank selection over the cumulative bucket rollup. */
+    * nearest-rank selection over the cumulative bucket rollup.
+    *
+    * Both the cumulative count AND the per-group total ride windows
+    * over the SAME partitioning, so they share one exchange and the
+    * state subtree is evaluated exactly once. (The previous form
+    * computed the total with a separate groupBy and joined it back:
+    * the state's whole upstream plan — in q189, a three-scan
+    * refresh chain — was duplicated on each side of that join, and
+    * the join added a third exchange. Guide §2.4/§3.3: same result,
+    * one subtree, one exchange.) */
   def quantiles(st: DataFrame, groupCols: Seq[String], qs: Seq[Double],
                 s: Int = 5): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       "quantiles: qs in [0, 1]")
     val g = groupCols.map(col)
-    val cum = st.withColumn("cum",
-      sum("cnt").over(Window.partitionBy(g: _*).orderBy("qb")))
-    val ranks = st.groupBy(g: _*).agg(sum("cnt").as("n"))
+    val byG = Window.partitionBy(g: _*)
+    st.withColumn("cum", sum("cnt").over(byG.orderBy("qb")))
+      .withColumn("n", sum("cnt").over(byG))
       .withColumn("q", explode(lit(qs.toArray)))
-      .withColumn("rk", (floor(col("q") * (col("n") - 1)) + 1).cast("long"))
-    ranks.join(cum, groupCols)
-      .filter(col("cum") >= col("rk"))
+      .filter(col("cum") >= (floor(col("q") * (col("n") - 1)) + 1).cast("long"))
       .groupBy((g :+ col("q")): _*)
       .agg(min("qb").as("qb"))
       .withColumn("value", repValue("qb", s))
