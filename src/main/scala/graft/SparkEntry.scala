@@ -1173,6 +1173,12 @@ object SparkEntry {
       val d1 = li.filter(col("ship_day") >= 9496 && col("ship_day") < 9862).drop("ship_day")
       val d2 = li.filter(col("ship_day") >= 9862).drop("ship_day")
       val s0 = IncrementalAgg.stateWithKmv(base, grp, "qty", "l_partkey", k, 42L)
+      // s1 feeds BOTH the s2 refresh and the churn comparison — but
+      // measured A/B shows checkpointing it HURTS (18.5 → 28.5 CPU-s):
+      // ReuseExchange already dedups the identical s1 subtrees, so the
+      // barrier only breaks pipelining. Left shared-lazy deliberately
+      // (contrast q213, where the duplicated subtree is NOT
+      // exchange-deduped and the checkpoint wins 173 → 105 CPU-s).
       val s1 = IncrementalAgg.refreshWithKmv(s0, d1, grp, "qty", "l_partkey", k, 42L)
       val s2 = IncrementalAgg.refreshWithKmv(s1, d2, grp, "qty", "l_partkey", k, 42L)
       val ch = IncrementalAgg.kmvChurn(s1,
@@ -2148,9 +2154,12 @@ object SparkEntry {
       val li = T(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_orderkey"), col("l_linenumber"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      // reps feeds BOTH join sides: checkpoint it eagerly or the whole
+      // ×32 explode + md5 ladder subtree evaluates twice (guide §2.4;
+      // the q189 duplicated-subtree lesson). groups×32 rows — tiny.
       val reps = graft.util.PoissonBootstrap.replicaMeans(li,
         Seq("l_returnflag"), "cents", Seq("l_orderkey", "l_linenumber"),
-        b = 32, seed = 42L)
+        b = 32, seed = 42L).localCheckpoint(true)
       reps.join(graft.util.PoissonBootstrap.ci(reps, Seq("l_returnflag"),
         loRank = 2), Seq("l_returnflag"))
     }),

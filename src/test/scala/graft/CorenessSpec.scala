@@ -32,6 +32,15 @@ class CorenessSpec extends AnyFunSuite {
     assert(m.values.forall(_ == 1L))
   }
 
+  test("broadcast path == shuffle path (broadcastMaxNodes = 0 forces the shuffle join)") {
+    val g = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d", "d" -> "e", "e" -> "f", "f" -> "g", "g" -> "a")
+    val small = core(g)
+    val big = Coreness.run(g.toDF("u", "v"), "u", "v", 20, broadcastMaxNodes = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(small == big)
+  }
+
   test("the 20-round iterate is stationary (== 25 rounds) and iters=0 is the degree") {
     // a graph needing several peel waves: K4 + chain of pendants
     val g = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
