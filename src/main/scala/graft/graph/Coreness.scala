@@ -97,7 +97,9 @@ object Coreness {
         .withColumn("cum", sum("m").over(w))
         .groupBy("n").agg(max(least(col("c"), col("cum"))).as("c"))
         .localCheckpoint(true) // eager: materializes AND truncates lineage
-      val curSum = cur.agg(sum("c")).head.getLong(0)
+      // coalesce: sum over an EMPTY value table is NULL (a degenerate
+      // input — e.g. an edge-free warmup slice — must exit, not NPE)
+      val curSum = cur.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
       fixed = prevSum.contains(curSum)
       prevSum = Some(curSum)
       round += 1

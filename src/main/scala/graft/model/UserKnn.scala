@@ -45,7 +45,14 @@ object UserKnn {
   /** Full pipeline → (user_id, item_id, score, rank ≤ kRecs). */
   def recs(ratings: DataFrame, minRating: Double, capPerUser: Int,
            capPerItem: Int, minCooc: Int, kNbrs: Int, kRecs: Int): DataFrame = {
+    // rel feeds FOUR consumers (both cooc sides, deg, the candidate
+    // join); its two group-limited window stages would re-evaluate per
+    // consumer — ReuseExchange cannot dedup them because each consumer
+    // needs a different downstream plan. One eager checkpoint of the
+    // double-capped skinny pair table (A/B'd: wall 12.4 → ~7 s at
+    // sf0.1; contrast the q205 NO where reuse already fired).
     val rel = relevantCapped2(ratings, minRating, capPerUser, capPerItem)
+      .localCheckpoint(true)
     val deg = rel.groupBy("user_id").agg(count(lit(1)).as("deg"))
     val cooc = rel.select(col("item_id"), col("user_id").as("user_a"))
       .join(rel.select(col("item_id"), col("user_id").as("user_b")), Seq("item_id"))

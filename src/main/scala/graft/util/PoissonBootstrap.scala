@@ -77,8 +77,17 @@ object PoissonBootstrap {
     val basePar =
       if (base.rdd.getNumPartitions < parts) base.repartition(parts) else base
     basePar.select(col("*"), explode(sequence(lit(0), lit(b - 1))).as("r"))
+      // the hash lands in ITS OWN projection before the CASE ladder:
+      // the ladder references h once per arm (8×), and if Catalyst
+      // inlines the md5→conv subtree into each arm the row pays up to
+      // 8 md5s wherever codegen subexpression elimination doesn't fire
+      // (measured: q213 CPU swung 152→718 s run-to-run). A non-cheap
+      // aliased expression is NOT re-inlined by CollapseProject, so
+      // this pins one hash evaluation per (row, replica).
       .select((groupCols.map(col) :+ col("r") :+ col("__v")
-        :+ poissonCount(h).cast("long").as("__k")): _*)
+        :+ h.as("__h")): _*)
+      .select((groupCols.map(col) :+ col("r") :+ col("__v")
+        :+ poissonCount(col("__h")).cast("long").as("__k")): _*)
       .groupBy((groupCols.map(col) :+ col("r")): _*)
       .agg(sum("__k").as("n_eff"), sum(col("__k") * col("__v")).as("__skx"))
       .withColumn("mean_e6",

@@ -54,6 +54,15 @@ class UserKnnSpec extends AnyFunSuite {
     val plan = UserKnn.recs(r, 4.0, 50, 50, 1, 10, 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
-    assert(!plan.contains("ExistingRDD"), plan)
+    // every Window must be a group-limited rank cut (immediate child =
+    // WindowGroupLimit): an unguarded window is an unbounded per-group
+    // sort. (ExistingRDD scans are now legitimate — the shared rel
+    // checkpoint appears once per consumer site.)
+    val lines = plan.linesIterator.toArray
+    val unguarded = lines.indices.count { i =>
+      lines(i).matches(""".*[+:]- Window \[.*""") &&
+        (i + 1 >= lines.length || !lines(i + 1).contains("WindowGroupLimit"))
+    }
+    assert(unguarded == 0, s"unguarded window:\n$plan")
   }
 }
