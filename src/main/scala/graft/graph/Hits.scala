@@ -49,12 +49,25 @@ object Hits {
     val nNodes = nid.count()
     val small = nNodes <= broadcastMaxNodes
     def gate(df: DataFrame) = if (small) broadcast(df) else df
-    val en = e
+    val enBase = e
       .join(gate(nid.select(col("n").as("s"), col("nid").as("sid"))), "s")
       .join(gate(nid.select(col("n").as("t"), col("nid").as("tid"))), "t")
       .select("sid", "tid")
+    // the two half-rounds aggregate on OPPOSITE keys, so one cache
+    // cannot serve both: under the gate (score tables broadcast) keep
+    // two copies — sid-partitioned for the hub half (groupBy sid) and
+    // tid-partitioned for the auth half (groupBy tid); each half-round
+    // then plans ZERO exchanges (HashPartitioning(k) satisfies its
+    // groupBy(k); a checkpointed score table has no size statistics,
+    // so AQE never discovers the broadcast). Above the gate a single
+    // sid-partitioned cache serves the shuffle joins and only the
+    // skinny score tables move.
+    val en = enBase
       .repartition(col("sid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val enT =
+      if (small) enBase.repartition(col("tid")).persist(StorageLevel.MEMORY_AND_DISK)
+      else en
 
     def l1norm(raw: DataFrame, idCol: String, rawCol: String, outCol: String): DataFrame = {
       val r = raw.localCheckpoint(true)
@@ -70,7 +83,7 @@ object Hits {
       // the next round's join condition a trivially-true self-compare;
       // the rename mints a fresh id so every join is unambiguous.
       auths = l1norm(
-        en.join(gate(hubs), en("sid") === hubs("nid"))
+        enT.join(gate(hubs), enT("sid") === hubs("nid"))
           .groupBy("tid").agg(sum("h").as("raw"))
           .withColumnRenamed("tid", "nid"),
         "nid", "raw", "a")
@@ -88,6 +101,7 @@ object Hits {
         coalesce(col("a"), lit(0L)).as("auth_e"))
     e.unpersist(blocking = false)
     en.unpersist(blocking = false)
+    if (small) enT.unpersist(blocking = false)
     out
   }
 }

@@ -56,7 +56,12 @@ object LabelPropagation {
     * per-round join/aggregate hashes longs instead of label strings
     * (measured 2× CPU on the q126 KG graph: 1.24M directed edge rows
     * × 4 rounds of string hashing was the round cost). */
-  def run(edges: DataFrame, aCol: String, bCol: String, iters: Int): DataFrame = {
+  /** ≤ this many nodes: broadcast the label table each round (the
+    * [[PageRank]] / [[Coreness]] gate discipline). */
+  val DefaultBroadcastMaxNodes = 1000000L
+
+  def run(edges: DataFrame, aCol: String, bCol: String, iters: Int,
+          broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame = {
     require(iters >= 1, "labelPropagation: iters >= 1")
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
     val ueRaw = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -69,17 +74,27 @@ object LabelPropagation {
       // eager checkpoint: the decode join-back must see the exact ids
       // the rounds ran on (the PageRank dictionary discipline)
       .localCheckpoint(true)
+    val nNodes = dict.count()
+    val small = nNodes <= broadcastMaxNodes
+    def gate(df: DataFrame) = if (small) broadcast(df) else df
+    // under the gate the labels broadcast, so the edge cache is
+    // partitioned by the AGGREGATION key b: HashPartitioning(b)
+    // satisfies groupBy(b, l) and the groupBy(n = b) argmax — a round
+    // then plans ZERO exchanges (a checkpointed label table has no
+    // size statistics, so AQE never finds this broadcast by itself).
+    // Above the gate, partitioning by the JOIN key a moves only the
+    // skinny label table per round.
     val ue = ueRaw
       .join(dict.select(col("n").as("a"), col("nid").as("sa")), Seq("a"))
       .join(dict.select(col("n").as("b"), col("nid").as("sb")), Seq("b"))
       .select(col("sa").as("a"), col("sb").as("b"))
-      .repartition(col("a"))
+      .repartition(col(if (small) "b" else "a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ue.select(col("a").as("n")).distinct()
       .withColumn("l", col("n"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      labels = ue.join(labels, ue("a") === labels("n"))
+      labels = ue.join(gate(labels), ue("a") === labels("n"))
         .groupBy(col("b").as("n"), col("l"))
         .agg(count(lit(1)).as("c"))
         .groupBy("n")

@@ -99,10 +99,16 @@ object PageRank {
       .join(gate(nid.select(col("n").as("t"), col("nid").as("tid"))), "t")
       .select("sid", "tid")
     // the degree table is |V|-sized — under the gate it broadcasts, so
-    // the edge list is scanned narrowly and shuffled exactly once (the
-    // sid repartition below) while building the iteration cache
+    // the edge list is scanned narrowly and shuffled exactly once while
+    // building the iteration cache. Under the gate the cache is
+    // partitioned by the AGGREGATION key tid: the per-round rank join
+    // broadcasts, and HashPartitioning(tid) satisfies the contribution
+    // groupBy(tid) — the iteration's ONLY exchange disappears (the
+    // checkpointed rank table has no size statistics, so AQE cannot
+    // find the broadcast itself). Above the gate, sid-partitioning
+    // serves the shuffle join and only the skinny rank table moves.
     val eo = en.join(gate(en.groupBy("sid").agg(count(lit(1)).as("d"))), "sid")
-      .repartition(col("sid"))
+      .repartition(col(if (small) "tid" else "sid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nid.select(col("nid"), (lit(scale) * col("seed")).as("r"))
     for (_ <- 0 until iters) {
