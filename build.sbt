@@ -30,9 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // an 8g heap when the box is otherwise loaded (BENCH_r04 showed 3-8×
   // inflation on exactly those stages); the container has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // headroom for the 76-query suite's ~800 generated classes: JDK17's
-  // 240 MB default code cache runs close to full before the headline
-  // folds execute (A/B draws on this shared host are steal-dominated,
-  // so this is cheap insurance rather than a measured win)
-  "-XX:ReservedCodeCacheSize=512m",
+  // headroom for the suite's generated classes: JDK17's 240 MB default
+  // code cache runs close to full before the headline folds execute.
+  // r14: the suite is 222 queries + warmup replays (~3× the class count
+  // 512m was sized for at 76 queries), and the bench's LAST-run hot
+  // queries measured ~8× their isolated CPU (q213: 892 vs ~105
+  // CPU-s) — the interpreted-mode signature of a full code cache, so
+  // 512m → 1g. The container has 128 GiB; reserved ≠ committed.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -2541,9 +2541,12 @@ object SparkEntry {
     // market-basket frequent triples: a-priori — every sub-pair of a
     // candidate triple must itself be frequent, so the basket join is
     // pair-pruned at each step (never a raw C(cap,3) explode)
+    // consumes the SHARED rel/cooc materializations (identical
+    // parameterization by construction: relCapped(4.0, 50),
+    // cooc(rel, 2) == the memo chain) instead of rebuilding both
     "q165_frequent_triples" -> ((s, dir) =>
-      graft.model.Baskets.frequentTriples(Tables.ratings(s, dir),
-        minRating = 4.0, cap = 50, minSupport = 2)),
+      graft.model.Baskets.frequentTriplesFrom(relCapped(s, dir),
+        coocTable(s, dir), minSupport = 2)),
 
     // explicit-feedback ALS on the bounded subgraph — exact per-row
     // normal equations (no learning rate), pin_order bit-exact, the

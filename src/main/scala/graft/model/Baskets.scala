@@ -24,9 +24,22 @@ object Baskets {
     * `minSupport`), support counted over distinct capped user baskets. */
   def frequentTriples(ratings: DataFrame, minRating: Double, cap: Int,
                       minSupport: Int): DataFrame = {
-    require(minSupport >= 1, "baskets: minSupport >= 1")
     val rel = ItemKnn.relevantCapped(ratings, minRating, cap)
-    val pairs = ItemKnn.cooc(rel, minSupport).select("item_a", "item_b")
+    frequentTriplesFrom(rel, ItemKnn.cooc(rel, minSupport), minSupport)
+  }
+
+  /** [[frequentTriples]] from PRE-BUILT rel/cooc tables — the shared-
+    * materialization entry point (the ItemKnn.similaritiesFrom
+    * precedent): callers that already hold the capped relevant set and
+    * the support-pruned pair table (the r14 cross-query memo chain)
+    * skip rebuilding both. `coocPairs` must be cooc(rel, m) with
+    * m ≤ minSupport — definitionally true for the shared memo. */
+  def frequentTriplesFrom(rel: DataFrame, coocPairs: DataFrame,
+                          minSupport: Int): DataFrame = {
+    require(minSupport >= 1, "baskets: minSupport >= 1")
+    val pairs = coocPairs
+      .filter(col("cooc") >= minSupport.toLong)
+      .select("item_a", "item_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a-priori one level down: every member of a frequent triple sits
     // in some frequent pair, so basket rows on infrequent items can
