@@ -341,11 +341,17 @@ object Dedup {
     // r14: a 33 s one-task stage). An explicit numPartitions
     // repartition on the join keys is exempt from AQE coalescing and
     // buys back full parallelism for the cost of re-hashing 80k rows.
-    val streamSide = stacked.repartition(
-      stacked.sparkSession.sparkContext.defaultParallelism,
-      ("b" +: hCols).map(col): _*)
+    // BOTH sides carry it: with only one side pinned, AQE is free to
+    // BROADCAST the pinned side — the other side then streams through
+    // its own (coalescible) exchange and the explosion is single-task
+    // again (event-log r14 second round: 1 task reading all 80k
+    // signature rows, 35 s — the same pathology through the other
+    // door).
+    val parts = stacked.sparkSession.sparkContext.defaultParallelism
+    val streamSide = stacked.repartition(parts, ("b" +: hCols).map(col): _*)
+    val buildSide = stacked.repartition(parts, ("b" +: hCols).map(col): _*)
     val pairs = streamSide.as("x")
-      .join(stacked.as("y"),
+      .join(buildSide.as("y"),
         ("b" +: hCols).map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
