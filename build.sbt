@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from STDOUT. With
+// fork := true sbt's default outputStrategy is LoggedOutput, which
+// prefixes every forked-process line with "[info] " — that prefix broke
+// the driver's JSON parse in BENCH_r10–r14 (parsed: null). StdoutOutput
+// passes the forked JVM's stdout/stderr through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
