@@ -45,3 +45,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 512m → 1g. The container has 128 GiB; reserved ≠ committed.
   "-XX:ReservedCodeCacheSize=1g",
 )
+// The 658-test suite shares ONE session and one forked JVM; suite-level
+// persisted blocks accumulate across all suites and the r14 driver run
+// aborted mid-suite with "SparkContext was shut down" — the local-mode
+// signature of a fatal executor-thread error (heap exhaustion) tearing
+// the context down. A later -Xmx overrides the inherited 16g; the
+// container has 128 GiB, reserved ≠ committed.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "28g")}"

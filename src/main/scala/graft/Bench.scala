@@ -251,7 +251,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         spark.sparkContext.setJobDescription(null)
-        (name, (System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, gcMs - g0)
+        val rec = (name, (System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, gcMs - g0)
+        // UNTIMED post-query hygiene (r15, guide §5): the timed window
+        // above is byte-identical to r14. (a) drop family memos whose
+        // last consumer just ran; (b) a full GC so the ContextCleaner
+        // reclaims the finished query's now-unreachable localCheckpoint
+        // and persist blocks — without it they accumulate for the whole
+        // 222-query draw (r14 measured the resident-block tax directly:
+        // releasing q210's persist early alone took the NEXT query from
+        // 31.8 to 8.4 s) and the suite's late queries run against a
+        // loaded old gen. Results still compute from parquet every
+        // draw — nothing here survives to the next query's plan.
+        SparkEntry.releaseFamilyMemosAfter(name, spark)
+        System.gc()
+        rec
       }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

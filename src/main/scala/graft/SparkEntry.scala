@@ -129,7 +129,17 @@ object SparkEntry {
     * re-pin after a session-wide clearCache, last-wins on race.
     * Entries whose session has stopped are evicted on every call —
     * without this, dead sessions' DataFrames are retained for the JVM
-    * lifetime in long-lived multi-session processes. */
+    * lifetime in long-lived multi-session processes.
+    *
+    * Scale posture (guide §5): a SQL-level MEMORY_AND_DISK persist is
+    * stored as compressed COLUMNAR batches that spill to disk under
+    * memory pressure — there is no deserialized-object tier to gate
+    * away (MEMORY_AND_DISK_SER is the same thing for DataFrames), so a
+    * multi-TB memo degrades to local-disk reads, not an OOM. LIFETIME
+    * is the real scale risk, and it is bounded: the bench releases each
+    * family the moment its last consumer has run
+    * ([[releaseFamilyMemosAfter]]), and any later touch recomputes from
+    * the base tables. */
   private def memoDf(memo: scala.collection.concurrent.TrieMap[(Int, String), DataFrame],
                      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     memo.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
@@ -222,6 +232,31 @@ object SparkEntry {
         KGraph.propertyTriples(itemProps, "p_partkey", isUser = false, "p_brand", "brand")))
     }
 
+  // q116 (PageRank) and q122 (PPR) iterate over the IDENTICAL
+  // dictionary-encoded, degree-annotated KG edge cache — ranks depend
+  // only on structure, so one encode serves both (r15; each previously
+  // re-ran the triple assembly + dictionary build + edge-cache shuffle,
+  // ~1.5–2 s each at sf0.1). Same lifecycle doctrine as memoDf:
+  // stopped-session eviction, clearCache re-pin, last-wins on race;
+  // released by the bench after q122 (its last consumer).
+  private val kgEncodedMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), graft.graph.PageRank.EncodedGraph]
+  private def kgEncoded(s: SparkSession, dir: String): graft.graph.PageRank.EncodedGraph = {
+    kgEncodedMemo.filterInPlace((_, g) => !g.nid.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    kgEncodedMemo.get(key).filter(_.nid.sparkSession eq s).map { g =>
+      g.repin(); g
+    }.getOrElse {
+      val g = graft.graph.PageRank.encode(kgTriples(s, dir), "head", "tail")
+      kgEncodedMemo.putIfAbsent(key, g) match {
+        case Some(prev) if prev.nid.sparkSession eq s =>
+          g.release(); prev
+        case Some(_) => kgEncodedMemo.put(key, g); g
+        case None => g
+      }
+    }
+  }
+
   // q142/q146/q152 share one 5-fold assignment; q142/q146 also share
   // the fold-1-train itemKNN chain built on it
   private val foldedMemo =
@@ -270,6 +305,53 @@ object SparkEntry {
         case None => cc
       }
     }
+  }
+
+  // ---- bench memo-release registry (r15) -------------------------------
+
+  /** Each shared family memo paired with its LAST consumer in the
+    * bench's string-sorted query order (note the sort is lexicographic:
+    * q13_triples runs AFTER q126). [[releaseFamilyMemosAfter]] lets the
+    * bench drop a family's blocks the moment its last consumer has run,
+    * so the suite's resident cache set stays bounded instead of
+    * accumulating for the whole 222-query draw (guide §5: cached data
+    * competes with execution memory; unpersist when done). Releasing is
+    * always safe: memoDf re-persists (recompute) if a released memo is
+    * ever touched again, so a wrong entry here costs time, never
+    * correctness. */
+  private lazy val familyMemoRelease: Seq[(String, scala.collection.concurrent.TrieMap[(Int, String), DataFrame])] = Seq(
+    "q12_ndcg_at_5" -> popRecsMemo,
+    "q13_triples" -> triMemo,
+    "q74_tucker_recs" -> tsSplitMemo,
+    "q76_dedup_corpus" -> dedupCcMemo,
+    "q139_mmr_diversify" -> itemSimsMemo,
+    "q146_serendipity" -> foldKnnMemo,
+    "q152_baseline_mse" -> foldedMemo,
+    "q158_rank_agreement" -> knnTop10Memo,
+    "q158_rank_agreement" -> popRank20Memo,
+    "q165_frequent_triples" -> relMemo,
+    "q165_frequent_triples" -> coocMemo,
+    "q202_er_unique_assign" -> erScoredMemo,
+  )
+
+  /** Bench hook, called OUTSIDE the timed window after `query`
+    * completes: unpersist + evict every family memo whose last
+    * consumer just ran (for this session only — concurrent test
+    * sessions keep theirs). */
+  def releaseFamilyMemosAfter(query: String, s: SparkSession): Unit = {
+    familyMemoRelease.foreach { case (last, memo) =>
+      if (last == query)
+        memo.filterInPlace { case (_, df) =>
+          if (df.sparkSession eq s) { df.unpersist(blocking = false); false }
+          else true
+        }
+    }
+    // the encoded KG graph is not a DataFrame memo; q122 is its last
+    // consumer (q116 < q122 in the bench's string sort)
+    if (query == "q122_personalized_pagerank")
+      kgEncodedMemo.filterInPlace { case (_, g) =>
+        if (g.nid.sparkSession eq s) { g.release(); false } else true
+      }
   }
 
   // ---- shared oracle-SQL fragments ------------------------------------
@@ -1862,7 +1944,8 @@ object SparkEntry {
     // arithmetic (rank div outdeg contributions, 0.85 damping as
     // (85*s) div 100) — every node's fixed-point rank under the hash
     "q116_pagerank" -> ((s, dir) => {
-      graft.graph.PageRank.run(kgTriples(s, dir), "head", "tail", iters = 5)
+      graft.graph.PageRank.core(kgEncoded(s, dir), iters = 5,
+          scale = 1000000000L, seedPred = None)
         .select(col("node"), col("rank_e").as("rank_e9"))
     }),
 
@@ -1934,8 +2017,8 @@ object SparkEntry {
     // item/property ranks become user-proximity scores (the
     // walk-with-restart recommender baseline), same integer arithmetic
     "q122_personalized_pagerank" -> ((s, dir) => {
-      graft.graph.PageRank.personalized(kgTriples(s, dir), "head", "tail",
-        n => n.startsWith("User("), iters = 5)
+      graft.graph.PageRank.core(kgEncoded(s, dir), iters = 5,
+          scale = 1000000000L, seedPred = Some(n => n.startsWith("User(")))
         .select(col("node"), col("rank_e").as("rank_e9"))
     }),
 

@@ -81,12 +81,26 @@ object ConnectedComponents {
 
   /** Driver union–find (union by size, path halving), components
     * labeled by their min member id — bit-equal to the distributed
-    * fixpoint, with zero per-round job latency. */
+    * fixpoint, with zero per-round job latency.
+    *
+    * Driver footprint (r15, was 4M boxed (Long, Long) tuples ≈ 200+ MB
+    * transient at the gate): union–find needs each undirected edge
+    * ONCE, so only the a ≤ b direction is collected — self-loops
+    * included, they are what registers isolated self-paired nodes —
+    * and it is collected as flat primitive long arrays straight off
+    * the InternalRow iterator (one array per partition, 2 longs per
+    * edge): at the 2M-edge gate that is ~32 MB of longs plus the
+    * LongMap state, with no boxed tier. */
   private def runLocal(ue: DataFrame): DataFrame = {
     val spark = ue.sparkSession
     import spark.implicits._
-    val pairs = ue.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].collect()
+    val flat: Array[Array[Long]] = ue.filter(col("a") <= col("b"))
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .queryExecution.toRdd.mapPartitions { rows =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        rows.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
     val parent = new scala.collection.mutable.LongMap[Long]()
     val sz = new scala.collection.mutable.LongMap[Long]()
     def find(x0: Long): Long = {
@@ -102,14 +116,18 @@ object ConnectedComponents {
     }
     def add(x: Long): Unit =
       if (!parent.contains(x)) { parent.update(x, x); sz.update(x, 1L) }
-    pairs.foreach { case (a, b) =>
-      add(a); add(b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        val (big, small) =
-          if (sz(ra) >= sz(rb)) (ra, rb) else (rb, ra)
-        parent.update(small, big)
-        sz.update(big, sz(big) + sz(small))
+    flat.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val a = arr(i); val b = arr(i + 1); i += 2
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          val (big, small) =
+            if (sz(ra) >= sz(rb)) (ra, rb) else (rb, ra)
+          parent.update(small, big)
+          sz.update(big, sz(big) + sz(small))
+        }
       }
     }
     val minOf = new scala.collection.mutable.LongMap[Long]()

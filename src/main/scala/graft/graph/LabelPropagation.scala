@@ -42,6 +42,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object LabelPropagation {
 
+  /** ≤ this many nodes: broadcast the label table each round (the
+    * [[PageRank]] / [[Coreness]] gate discipline). */
+  val DefaultBroadcastMaxNodes = 1000000L
+
   /** Returns (node, community) after `iters` synchronous rounds over
     * the undirected (deduplicated) edge set.
     *
@@ -56,10 +60,6 @@ object LabelPropagation {
     * per-round join/aggregate hashes longs instead of label strings
     * (measured 2× CPU on the q126 KG graph: 1.24M directed edge rows
     * × 4 rounds of string hashing was the round cost). */
-  /** ≤ this many nodes: broadcast the label table each round (the
-    * [[PageRank]] / [[Coreness]] gate discipline). */
-  val DefaultBroadcastMaxNodes = 1000000L
-
   def run(edges: DataFrame, aCol: String, bCol: String, iters: Int,
           broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame = {
     require(iters >= 1, "labelPropagation: iters >= 1")

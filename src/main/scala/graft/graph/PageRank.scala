@@ -54,8 +54,12 @@ object PageRank {
     * `scale` fixed-point after `iters` rounds. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int, scale: Long = 1000000000L,
-          broadcastMaxNodes: Long = 1000000L): DataFrame =
-    core(edges, srcCol, dstCol, iters, scale, broadcastMaxNodes, None)
+          broadcastMaxNodes: Long = 1000000L): DataFrame = {
+    val g = encode(edges, srcCol, dstCol, broadcastMaxNodes)
+    val out = core(g, iters, scale, None)
+    g.release()
+    out
+  }
 
   /** PERSONALIZED PageRank: teleport mass lands only on the seed set
     * (`seedPred` over the node value), so ranks measure proximity TO
@@ -66,14 +70,36 @@ object PageRank {
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
                    seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                    iters: Int, scale: Long = 1000000000L,
-                   broadcastMaxNodes: Long = 1000000L): DataFrame =
-    core(edges, srcCol, dstCol, iters, scale, broadcastMaxNodes, Some(seedPred))
+                   broadcastMaxNodes: Long = 1000000L): DataFrame = {
+    val g = encode(edges, srcCol, dstCol, broadcastMaxNodes)
+    val out = core(g, iters, scale, Some(seedPred))
+    g.release()
+    out
+  }
 
-  private def core(edges: DataFrame, srcCol: String, dstCol: String,
-                   iters: Int, scale: Long, broadcastMaxNodes: Long,
-                   seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame = {
-    require(iters >= 0, "pagerank: iters >= 0")
-    val teleport = (15L * scale) / 100L
+  /** The dictionary + degree-annotated edge cache every rank variant
+    * iterates over. Ranks depend only on graph STRUCTURE (the internal
+    * ids cancel out of the integer arithmetic, and labels join back at
+    * the end), so one encode can serve [[run]] AND [[personalized]]
+    * over the same edge set — q116/q122 share one via SparkEntry's
+    * memo instead of re-running the triple-assembly joins and the
+    * dictionary build per query (guide §2.4: remove repeated subtrees).
+    * Callers own the lifecycle: [[EncodedGraph.release]] when done. */
+  final case class EncodedGraph(nid: DataFrame, nNodes: Long,
+                                eo: DataFrame, small: Boolean) {
+    def release(): Unit = eo.unpersist(blocking = false)
+    /** Re-pin the eo cache after a session-wide clearCache (the memoDf
+      * doctrine); nid is a localCheckpoint, which clearCache cannot
+      * drop. */
+    def repin(): Unit =
+      if (eo.storageLevel == StorageLevel.NONE) {
+        eo.persist(StorageLevel.MEMORY_AND_DISK)
+        eo.count()
+      }
+  }
+
+  def encode(edges: DataFrame, srcCol: String, dstCol: String,
+             broadcastMaxNodes: Long = 1000000L): EncodedGraph = {
     // the edge projection is read several times below — persist the
     // skinny form so an expensive upstream plan (q116's triple
     // assembly joins) is not re-derived
@@ -82,10 +108,6 @@ object PageRank {
     val nodes = e.select(col("s").as("n")).union(e.select(col("t").as("n")))
       .distinct()
     val nid = nodes.withColumn("nid", monotonically_increasing_id())
-      // seed membership evaluated ONCE on the label, then carried as a
-      // skinny flag next to the internal id
-      .withColumn("seed",
-        seedPred.map(p => when(p(col("n")), 1L).otherwise(0L)).getOrElse(lit(1L)))
       // eager localCheckpoint, not persist: a persisted-but-evicted (or
       // executor-loss-recomputed) dictionary would re-draw different
       // monotonically_increasing_id values and silently mis-wire the
@@ -110,9 +132,30 @@ object PageRank {
     val eo = en.join(gate(en.groupBy("sid").agg(count(lit(1)).as("d"))), "sid")
       .repartition(col(if (small) "tid" else "sid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    eo.count() // eager, so the wide edge projection releases right here
+    e.unpersist(blocking = false)
+    EncodedGraph(nid, nNodes, eo, small)
+  }
+
+  /** Iterate over a prebuilt [[EncodedGraph]]. */
+  def core(g: EncodedGraph, iters: Int, scale: Long,
+           seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame = {
+    require(iters >= 0, "pagerank: iters >= 0")
+    val teleport = (15L * scale) / 100L
+    def gate(df: DataFrame) = if (g.small) broadcast(df) else df
+    // seed membership evaluated ONCE on the label and pinned by a
+    // checkpoint (exactly the pre-share nid semantics), then carried
+    // as a skinny flag next to the internal id; the unseeded variant
+    // is a constant — no second checkpoint needed
+    val nid = seedPred match {
+      case Some(p) => g.nid
+        .withColumn("seed", when(p(col("n")), 1L).otherwise(0L))
+        .localCheckpoint(true)
+      case None => g.nid.withColumn("seed", lit(1L))
+    }
     var ranks = nid.select(col("nid"), (lit(scale) * col("seed")).as("r"))
     for (_ <- 0 until iters) {
-      val contrib = eo.join(gate(ranks), eo("sid") === ranks("nid"))
+      val contrib = g.eo.join(gate(ranks), g.eo("sid") === ranks("nid"))
         .select(col("tid"), expr("r div d").as("c"))
         .groupBy("tid").agg(sum(col("c")).as("cs"))
       // localCheckpoint (eager) BOTH materializes the round and
@@ -127,12 +170,9 @@ object PageRank {
             expr("85 * coalesce(cs, 0L) div 100")).as("r"))
         .localCheckpoint(true)
     }
-    // single label join-back; nid stays cached to pin the internal ids
-    // until the caller consumes the result
-    val out = ranks.join(gate(nid), ranks("nid") === nid("nid"))
+    // single label join-back; nid stays checkpointed to pin the
+    // internal ids until the caller consumes the result
+    ranks.join(gate(nid), ranks("nid") === nid("nid"))
       .select(col("n").as("node"), col("r").as("rank_e"))
-    e.unpersist(blocking = false)
-    eo.unpersist(blocking = false)
-    out
   }
 }

@@ -555,34 +555,29 @@ object Dedup {
   }
 
   /** Near-duplicate CLUSTERS: connected components over the candidate
-    * pair graph (GraphX Pregel kernel), keyed to the min doc id per
-    * component — the canonical-document selection step of a dedup
-    * pipeline. Documents in no pair form singleton clusters. */
+    * pair graph, keyed to the min doc id per component — the
+    * canonical-document selection step of a dedup pipeline. Documents
+    * in no pair form singleton clusters.
+    *
+    * r15: runs on [[graft.graph.ConnectedComponents]]'s size-gated
+    * kernel dispatch (driver union–find below the 2M-edge gate,
+    * pointer-jumping DataFrame rounds above it) instead of a GraphX
+    * Pregel graph — spec-pinned equal to GraphX (min member id per
+    * component), and the Pregel per-iteration machinery (vertex/edge
+    * RDD caches, per-round shuffle files) was pure overhead on
+    * near-dup graphs, whose pair sets are tiny next to the corpus.
+    * Singletons come from the left join, so only the PAIR endpoints
+    * ever enter the CC kernel. */
   def clusters(spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    // Pregel pays per-partition machinery EVERY iteration (shuffle files,
-    // task scheduling, vertex/edge cache scans): on a near-dup graph of
-    // thousands of nodes spread over default parallelism that fixed cost
-    // dwarfs the actual CC work. Gate the partition count by row count
-    // per side (~1M rows/partition) — a sparse corpus (billions of docs,
-    // few dup pairs) still spreads its VERTEX set over full parallelism;
-    // the gate only trims the genuinely small regime.
-    def gate(n: Long): Int = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, (n / 1000000L).toInt + 1))
-    val edgeParts = gate(pairs.count())
-    val vertexParts = gate(docs.count())
-    val edgeRdd = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())).coalesce(edgeParts)
-    val vertexRdd = docs.select(col("doc_id").cast("long"))
-      .rdd.map(r => (r.getLong(0), ())).coalesce(vertexParts)
-    val graph = Graph(vertexRdd, edgeRdd)
-    val cc = graph.connectedComponents().vertices // (doc_id, min doc in component)
-    val out = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
-      .toDF("doc_id", "cluster_id")
+    val cc = graft.graph.ConnectedComponents.run(
+      pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")), "doc_a", "doc_b")
+    val out = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then release the Pregel working set
-    graph.unpersist(blocking = false)
-    cc.unpersist(blocking = false)
+    out.count() // materialize, then the CC working set is dead
     out
   }
 
