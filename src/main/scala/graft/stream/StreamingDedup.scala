@@ -43,9 +43,6 @@ object StreamingDedup {
     val nHash = nBands * rowsPerBand
     require(nBands >= 1 && rowsPerBand >= 1 && nHash <= MinhashA.length,
       s"nBands*rowsPerBand must be in [1,${MinhashA.length}], got $nBands*$rowsPerBand")
-    val grams = (0 until shingleK).map(j => s"element_at(w, i + $j)").mkString(", ")
-    val shArr =
-      s"array_distinct(transform(sequence(1, size(w) - ${shingleK - 1}), i -> concat_ws(' ', $grams)))"
     val buckets = (0 until nBands).map { b =>
       val hs = (0 until rowsPerBand).map { r =>
         val j = b * rowsPerBand + r
@@ -53,10 +50,15 @@ object StreamingDedup {
       }
       s"concat_ws(':', '$b', ${hs.mkString(", ")})"
     }
-    docs.select(col("doc_id"), split(lower(col(textCol)), " ").as("w"))
-      .filter(size(col("w")) >= shingleK)
+    // r15: shingle construction through the zero-copy WordShingles
+    // kernel (spec-pinned equal to the old transform+concat_ws form);
+    // the size filter keeps the old `size(w) >= k` semantics — an
+    // empty shingle set would array_min to NULL bucket keys
+    docs.select(col("doc_id"),
+        graft.functions.WordShingles.of(lower(col(textCol)), shingleK).as("__sh"))
+      .filter(size(col("__sh")) >= 1)
       .withColumn("__x", expr(
-        s"transform($shArr, s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint))"))
+        "transform(__sh, s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint))"))
       .select(col("doc_id"), posexplode(array(buckets.map(expr): _*)))
       .toDF("doc_id", "b", "bucket")
   }

@@ -88,14 +88,17 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
-  /** Distinct word-k-gram shingles: (doc_id, s). */
-  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
-    val grams = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
-    docs.select(col("doc_id"), split(lower(col(textCol)), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $grams)))")).as("s"))
-  }
+  /** Distinct word-k-gram shingles: (doc_id, s).
+    *
+    * r15: the split→transform→concat_ws→array_distinct chain is now
+    * [[graft.functions.WordShingles]] — zero-copy byte slices of the
+    * lowered text (every k-gram is a contiguous span because split and
+    * join both use single spaces), spec-pinned equal to the composable
+    * form; fewer-than-k-token docs yield an empty array, which explode
+    * drops (the old `size(w) >= k` guard). */
+  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.of(lower(col(textCol)), k)).as("s"))
 
   /** Fixed affine minhash family: h_j(x) = (A(j)·x + j) mod [[MinhashP]]
     * over x = the first 12 hex chars (48 bits) of md5(shingle) read as an
@@ -180,12 +183,12 @@ object Dedup {
     * keyed on shingle or doc_id, nothing wider than one shingle row
     * moves, and no driver-side state. */
   def dupSpanStats(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
-    val grams = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
+    // every k-gram OCCURRENCE (not distinct): WordShingles with
+    // distinct = false, same zero-copy kernel as [[shingles]]
     val pos = docs
-      .select(col("doc_id"), split(lower(col(textCol)), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $grams))")).as("s"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordShingles.of(lower(col(textCol)), k,
+          distinct = false)).as("s"))
     // two scans of the span stream, not three: the left join's flag rides
     // into ONE doc-keyed aggregation that counts totals and dups together
     // (the totals-branch + semi-join + final join formulation re-shingled

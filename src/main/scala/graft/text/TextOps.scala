@@ -217,26 +217,32 @@ object TextOps {
     // and re-scan the token array ~30x per row (measured 3.5 ms/doc in
     // CorpusProbe). Materializing each signal once per projection makes
     // the gate an honest single-pass scan.
+    //
+    // r15 repetition signal: the 3-gram column is gone. The OCCURRENCE
+    // count is pure arithmetic (n − 2 grams for n ≥ 3), and the
+    // DISTINCT count comes from [[graft.functions.WordShingles]] (the
+    // zero-copy shingle kernel, spec-pinned equal to the old
+    // transform+concat_ws+array_distinct form) — so dup3_permille is
+    // bit-identical with no gram strings ever built.
     val counted = docs
-      .select(col("doc_id"), col("lang"), tokens(col(textCol)).as("w"))
-      .select(col("doc_id"), col("lang"), col("w"), size(col("w")).as("n"),
+      .select(col("doc_id"), col("lang"), lower(col(textCol)).as("lw"))
+      .select(col("doc_id"), col("lang"), split(col("lw"), " ").as("w"),
+        size(graft.functions.WordShingles.of(col("lw"), 3)).as("g3d"))
+      .select(col("doc_id"), col("lang"), col("w"), col("g3d"),
+        size(col("w")).as("n"),
         stopwordCount(col("w"), EnStop).as("en_n"),
         stopwordCount(col("w"), DeStop).as("de_n"),
         stopwordCount(col("w"), FrStop).as("fr_n"),
         stopwordCount(col("w"), EsStop).as("es_n"),
-        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("sumlen"),
-        expr(
-          """if(size(w) >= 3, transform(sequence(1, size(w) - 2),
-            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))),
-            |  cast(array() as array<string>))""".stripMargin).as("g3"))
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("sumlen"))
       .select(col("doc_id"), col("lang"), col("n"), col("en_n"), col("de_n"),
         col("fr_n"), col("es_n"), col("sumlen"),
         langIdFromCounts(col("en_n"), col("de_n"), col("fr_n"), col("es_n"))
           .as("lang_guess"),
         greatest(col("en_n"), col("de_n"), col("fr_n"), col("es_n")).as("stop_g"),
         expr(
-          """if(size(g3) > 0,
-            |  (cast(size(g3) - size(array_distinct(g3)) as bigint) * 1000) div size(g3),
+          """if(n >= 3,
+            |  (cast(n - 2 - g3d as bigint) * 1000) div (n - 2),
             |  0L)""".stripMargin).as("dup3_permille"),
         expr("(100 * sumlen) div n").as("wordlen_centi"))
     counted
@@ -268,17 +274,19 @@ object TextOps {
       .filter(col("__r") === 0).drop("__r")
 
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    def grams(k: Int): Column = {
-      val parts = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
-      expr(s"if(size(w) >= $k, transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', $parts)), cast(array() as array<string>))")
-    }
-    val base = docs.select(col("doc_id"), tokens(col(textCol)).as("w"))
-    val dup3 = base.select(col("doc_id"), grams(3).as("g3"))
+    // r15: same WordShingles rewrite as [[curationGate]] — occurrence
+    // count is arithmetic (n − k + 1), distinct count is the zero-copy
+    // kernel; values bit-identical to the transform+concat_ws form
+    val base = docs.select(col("doc_id"), lower(col(textCol)).as("lw"))
+    val dup3 = base.select(col("doc_id"),
+        size(split(col("lw"), " ")).as("n"),
+        size(graft.functions.WordShingles.of(col("lw"), 3)).as("g3d"))
       .select(col("doc_id"),
-        when(size(col("g3")) > 0,
-          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6))
+        when(col("n") >= 3,
+          round(lit(1.0) - col("g3d").cast("double") / (col("n") - 2), 6))
           .as("dup_3gram_frac"))
-    val mode2 = base.select(col("doc_id"), explode(grams(2)).as("g"))
+    val mode2 = base.select(col("doc_id"), explode(
+        graft.functions.WordShingles.of(col("lw"), 2, distinct = false)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum("c").as("n_2grams"), max("c").as("top_c"))
       .select(col("doc_id"), col("n_2grams"),
