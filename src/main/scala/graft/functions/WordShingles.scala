@@ -41,10 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's own. doGenCode is a single static call — the surrounding
   * stage stays whole-stage-codegen'd.
   */
-case class WordShingles(child: Expression, k: Int, distinct: Boolean)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean,
+                        stride: Int = 1, partialTail: Boolean = false)
   extends UnaryExpression {
 
   require(k >= 1, s"word_shingles: k >= 1, got $k")
+  require(stride >= 1, s"word_shingles: stride >= 1, got $stride")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -55,11 +57,11 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   }
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], k, distinct)
+    WordShingles.compute(input.asInstanceOf[UTF8String], k, distinct, stride, partialTail)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.compute($c, $k, $distinct);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $k, $distinct, $stride, $partialTail);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -72,10 +74,21 @@ object WordShingles {
   def of(text: Column, k: Int, distinct: Boolean = true): Column =
     Shim.column(WordShingles(Shim.expression(text), k, distinct))
 
+  /** Non-overlapping k-word LINES with a partial tail — the
+    * [[graft.text.LineDedup.linesByWords]] grouping
+    * `transform(sequence(0, ceil(n/k)-1), i -> concat_ws(' ', slice(w, i*k+1, k)))`
+    * as byte spans of the SAME (un-lowered) text: stride = k, the last
+    * line keeps however many tokens remain. Always ≥ 1 line (split of
+    * "" is [""]), matching the sequence's ceil(n/k) ≥ 1. */
+  def lines(text: Column, wordsPerLine: Int): Column =
+    Shim.column(WordShingles(Shim.expression(text), wordsPerLine,
+      distinct = false, stride = wordsPerLine, partialTail = true))
+
   private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
 
   /** Called from both interpreted eval and generated code. */
-  def compute(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+  def compute(text: UTF8String, k: Int, distinct: Boolean,
+              stride: Int, partialTail: Boolean): ArrayData = {
     val bytes = text.getBytes // one materialization; slices share it
     val n = bytes.length
     // token boundaries: token i spans [starts(i), ends(i)) where
@@ -85,7 +98,7 @@ object WordShingles {
     var j = 0
     while (j < n) { if (bytes(j) == 0x20) spaces += 1; j += 1 }
     val nTokens = spaces + 1
-    if (nTokens < k) return Empty
+    if (!partialTail && nTokens < k) return Empty
     // start of token i for i in [0, nTokens); end(i) = start(i+1) - 1,
     // end(last) = n
     val starts = new Array[Int](nTokens)
@@ -94,23 +107,28 @@ object WordShingles {
     j = 0
     while (j < n) { if (bytes(j) == 0x20) { starts(t) = j + 1; t += 1 }; j += 1 }
     def end(i: Int): Int = if (i == nTokens - 1) n else starts(i + 1) - 1
-    val nGrams = nTokens - k + 1
+    // grams start at token 0, stride, 2·stride, …; a full gram spans k
+    // tokens, the partial tail (partialTail only) whatever remains
+    val nGrams =
+      if (partialTail) (nTokens + stride - 1) / stride
+      else (nTokens - k) / stride + 1
+    def gram(g: Int): UTF8String = {
+      val first = g * stride
+      val last = math.min(first + k - 1, nTokens - 1)
+      val s = starts(first); val e = end(last)
+      UTF8String.fromBytes(bytes, s, e - s)
+    }
     if (!distinct) {
       val out = new Array[Any](nGrams)
       var i = 0
-      while (i < nGrams) {
-        val s = starts(i); val e = end(i + k - 1)
-        out(i) = UTF8String.fromBytes(bytes, s, e - s)
-        i += 1
-      }
+      while (i < nGrams) { out(i) = gram(i); i += 1 }
       return new GenericArrayData(out)
     }
     val seen = new java.util.HashSet[UTF8String](math.min(nGrams * 2, 1 << 16))
     val out = new java.util.ArrayList[Any](math.min(nGrams, 1 << 12))
     var i = 0
     while (i < nGrams) {
-      val s = starts(i); val e = end(i + k - 1)
-      val g = UTF8String.fromBytes(bytes, s, e - s)
+      val g = gram(i)
       if (seen.add(g)) out.add(g)
       i += 1
     }

@@ -37,10 +37,13 @@ object LineDedup {
   def linesByWords(docs: DataFrame, wordsPerLine: Int, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(wordsPerLine >= 1, s"wordsPerLine must be >= 1, got $wordsPerLine")
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, cast((size(w) + ${wordsPerLine - 1}) div $wordsPerLine as int) - 1),
-           |  i -> concat_ws(' ', slice(w, i * $wordsPerLine + 1, $wordsPerLine)))""".stripMargin)))
+    // r15: the split+transform+slice+concat_ws grouping is
+    // [[graft.functions.WordShingles.lines]] — each line is a
+    // contiguous byte span of the text (tokens re-join with the same
+    // single spaces split cut on), emitted zero-copy; spec-pinned
+    // equal, including the partial tail line and "" -> one empty line
+    docs.select(col(idCol).as("doc_id"), posexplode(
+        graft.functions.WordShingles.lines(col(textCol), wordsPerLine)))
       .toDF("doc_id", "line_idx", "line")
   }
 

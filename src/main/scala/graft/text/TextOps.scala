@@ -38,11 +38,13 @@ object TextOps {
   val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "del")
 
   /** n-gram-heuristic language ID: argmax of stopword hits with a
-    * fixed en > de > fr > es tie order (deterministic). */
+    * fixed en > de > fr > es tie order (deterministic). r15: the four
+    * counts come from one [[graft.functions.TokenLangStats]] pass
+    * (spec-pinned equal to the four filter() traversals). */
   def langId(textCol: Column): Column = {
-    val w = tokens(textCol)
-    langIdFromCounts(stopwordCount(w, EnStop), stopwordCount(w, DeStop),
-      stopwordCount(w, FrStop), stopwordCount(w, EsStop))
+    val st = graft.functions.TokenLangStats.of(lower(textCol))
+    langIdFromCounts(st.getField("en"), st.getField("de"),
+      st.getField("fr"), st.getField("es"))
   }
 
   /** The argmax + fixed tie order shared by [[langId]] and
@@ -56,11 +58,13 @@ object TextOps {
       .otherwise("es")
 
   /** Quality score in [0,1]: length sanity × stopword-density signal.
-    * Deterministic arithmetic (exact-match-able against SQL). */
+    * Deterministic arithmetic (exact-match-able against SQL). r15: the
+    * token count and EN-stopword count come from one
+    * [[graft.functions.TokenLangStats]] pass. */
   def qualityScore(textCol: Column): Column = {
-    val w = tokens(textCol)
-    val n = size(w).cast("double")
-    val stopRatio = stopwordCount(w, EnStop).cast("double") / n
+    val st = graft.functions.TokenLangStats.of(lower(textCol))
+    val n = st.getField("n").cast("double")
+    val stopRatio = st.getField("en").cast("double") / n
     round(least(n / 100.0, lit(1.0)) * (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0))), 6)
   }
 
@@ -226,15 +230,16 @@ object TextOps {
     // bit-identical with no gram strings ever built.
     val counted = docs
       .select(col("doc_id"), col("lang"), lower(col(textCol)).as("lw"))
-      .select(col("doc_id"), col("lang"), split(col("lw"), " ").as("w"),
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TokenLangStats.of(col("lw")).as("st"),
         size(graft.functions.WordShingles.of(col("lw"), 3)).as("g3d"))
-      .select(col("doc_id"), col("lang"), col("w"), col("g3d"),
-        size(col("w")).as("n"),
-        stopwordCount(col("w"), EnStop).as("en_n"),
-        stopwordCount(col("w"), DeStop).as("de_n"),
-        stopwordCount(col("w"), FrStop).as("fr_n"),
-        stopwordCount(col("w"), EsStop).as("es_n"),
-        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("sumlen"))
+      .select(col("doc_id"), col("lang"), col("g3d"),
+        col("st.n").as("n"),
+        col("st.en").as("en_n"),
+        col("st.de").as("de_n"),
+        col("st.fr").as("fr_n"),
+        col("st.es").as("es_n"),
+        col("st.sumlen").as("sumlen"))
       .select(col("doc_id"), col("lang"), col("n"), col("en_n"), col("de_n"),
         col("fr_n"), col("es_n"), col("sumlen"),
         langIdFromCounts(col("en_n"), col("de_n"), col("fr_n"), col("es_n"))
