@@ -405,31 +405,32 @@ object Dedup {
       val niExpr = (0 until nLongs).flatMap(l => (0 until 16).map(k =>
         s"least((a$l >> ${4 * k}) & 15L, (b$l >> ${4 * k}) & 15L)"))
         .mkString(" + ")
-      // MATERIALIZATION BARRIER between ni and its consumers: Catalyst
+      // PUSHDOWN BARRIER between ni and its consumers: Catalyst
       // substitutes derived columns into downstream predicates, so the
       // wjaccard filter + round projection would inline the ~(5·V)-node
       // ni expression THREE times — the generated filter method then
       // blows past the JIT's huge-method limit and runs interpreted
       // (micro-probe: 24.2 s for filter+round vs 0.9 s with ni
-      // evaluated once; perf/WeightedMinhashMicro). The checkpoint pins
-      // ni as a plain column; everything downstream is trivial.
-      // persist (releasable), not localCheckpoint: the 12.3M-row ni
-      // table only lives until `out` materializes — holding it as
-      // unreleasable checkpoint blocks measurably GC-taxes the REST of
-      // the session (the next bench query's window inherits the heap
-      // pressure)
-      val niTab = pairs
+      // evaluated once; perf/WeightedMinhashMicro). r14 pinned ni with
+      // a 12.3M-row MEMORY_AND_DISK persist — correct, but building
+      // that columnar cache cost ~3× the verification compute itself
+      // (perf/WeightedMinhashPhases r15: verify 18.1 s to a noop sink
+      // vs 55.7 s through the persist + checkpoint). The curationKept
+      // trick pins ni for FREE: a trivially-true nondeterministic
+      // guard keeps ni in its own projection — CollapseProject and
+      // filter pushdown cannot cross a nondeterministic expression —
+      // so ni evaluates exactly once per pair with NO materialization,
+      // and the checkpoint below holds only the threshold survivors.
+      val denseOut = pairs
         .join(side(vecs, "doc_a", "a"), Seq("doc_a"))
         .join(side(vecs, "doc_b", "b"), Seq("doc_b"))
-        .withColumn("ni", expr(niExpr))
+        .withColumn("ni",
+          when(monotonically_increasing_id() >= 0, expr(niExpr)).otherwise(lit(-1L)))
         .select("doc_a", "doc_b", "na", "nb", "ni")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val denseOut = niTab
         .withColumn("wjaccard", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
         .filter(col("wjaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
         .localCheckpoint(true)
-      niTab.unpersist(blocking = false)
       denseOut
     } else {
       pairs
