@@ -67,6 +67,12 @@ object LabelPropagation {
     val ueRaw = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager: the dictionary build scans ueRaw more than once inside a
+    // single action — through a LAZY persist those scans race the fill
+    // and each recomputes the union+distinct map side (event-log r15:
+    // the same distinct exchange ran twice, ~14 CPU-s duplicated on
+    // the q126 graph)
+    ueRaw.count()
     val dict = graft.util.GlobalRank.withGlobalRank(
         ueRaw.select(col("a").as("n")).distinct(),
         Seq(col("n")), substring(col("n"), 1, 2), rankCol = "nid")
@@ -84,9 +90,15 @@ object LabelPropagation {
     // size statistics, so AQE never finds this broadcast by itself).
     // Above the gate, partitioning by the JOIN key a moves only the
     // skinny label table per round.
+    //
+    // The ENCODE joins carry the same gate (r15): dict is a checkpoint
+    // with no size statistics, so without it the planner ran BOTH
+    // dict joins as sort-merge — two full exchanges + sorts of the
+    // directed edge set per run (event-log: 9.3 CPU-s of the q126
+    // window in exactly those exchanges).
     val ue = ueRaw
-      .join(dict.select(col("n").as("a"), col("nid").as("sa")), Seq("a"))
-      .join(dict.select(col("n").as("b"), col("nid").as("sb")), Seq("b"))
+      .join(gate(dict.select(col("n").as("a"), col("nid").as("sa"))), Seq("a"))
+      .join(gate(dict.select(col("n").as("b"), col("nid").as("sb"))), Seq("b"))
       .select(col("sa").as("a"), col("sb").as("b"))
       .repartition(col(if (small) "b" else "a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -104,8 +116,8 @@ object LabelPropagation {
     ueRaw.unpersist(blocking = false)
     ue.unpersist(blocking = false)
     labels
-      .join(dict.select(col("nid").as("n"), col("n").as("__node")), Seq("n"))
-      .join(dict.select(col("nid").as("l"), col("n").as("__comm")), Seq("l"))
+      .join(gate(dict.select(col("nid").as("n"), col("n").as("__node"))), Seq("n"))
+      .join(gate(dict.select(col("nid").as("l"), col("n").as("__comm"))), Seq("l"))
       .select(col("__node").as("node"), col("__comm").as("community"))
   }
 }

@@ -102,9 +102,13 @@ object PageRank {
              broadcastMaxNodes: Long = 1000000L): EncodedGraph = {
     // the edge projection is read several times below — persist the
     // skinny form so an expensive upstream plan (q116's triple
-    // assembly joins) is not re-derived
+    // assembly joins) is not re-derived. Eager fill: the node-distinct
+    // union below scans e TWICE inside one action, and through a lazy
+    // persist those scans race the fill and can each recompute the
+    // upstream (the LabelPropagation r15 lesson).
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val nodes = e.select(col("s").as("n")).union(e.select(col("t").as("n")))
       .distinct()
     val nid = nodes.withColumn("nid", monotonically_increasing_id())
