@@ -280,6 +280,21 @@ object SparkEntry {
     memoDf(itemSimsMemo, s, dir)(graft.model.ItemKnn.similaritiesFrom(
       coocTable(s, dir), relCapped(s, dir)))
 
+  // Markov family: transitions(ratings, 2, 5) is consumed by q155,
+  // q157 AND q172 (backoff tier 1); transitions2(ratings, 2, 5) by
+  // q171 and q172 — each previously rebuilt the full sorted-timeline
+  // aggregate (r15). Released after q172, the last consumer.
+  private val markovT1Memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def markovT1(s: SparkSession, dir: String): DataFrame =
+    memoDf(markovT1Memo, s, dir)(graft.model.MarkovNextItem.transitions(
+      Tables.ratings(s, dir), minCount = 2L, k = 5))
+  private val markovT2Memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def markovT2(s: SparkSession, dir: String): DataFrame =
+    memoDf(markovT2Memo, s, dir)(graft.model.MarkovNextItem.transitions2(
+      Tables.ratings(s, dir), minCount = 2L, k = 5))
+
   // q37 and q76 consume the identical minhash-LSH pair set and its
   // GraphX connected components; build the cc view once per
   // (session, dir) — same memo/re-persist doctrine as popRecs
@@ -331,6 +346,8 @@ object SparkEntry {
     "q158_rank_agreement" -> popRank20Memo,
     "q165_frequent_triples" -> relMemo,
     "q165_frequent_triples" -> coocMemo,
+    "q172_markov2_recs" -> markovT1Memo,
+    "q172_markov2_recs" -> markovT2Memo,
     "q202_er_unique_assign" -> erScoredMemo,
   )
 
@@ -2147,15 +2164,13 @@ object SparkEntry {
 
     // first-order Markov next-item transitions over user timelines
     // (the sequential-rec baseline; q144's narrow zip pairing)
-    "q155_markov_next_item" -> ((s, dir) =>
-      graft.model.MarkovNextItem.transitions(Tables.ratings(s, dir),
-        minCount = 2L, k = 5)),
+    "q155_markov_next_item" -> ((s, dir) => markovT1(s, dir)),
 
     // serve the Markov model: each user's last item -> its top next
     // unseen transitions (sequential-rec composition of q155)
     "q157_markov_recs" -> ((s, dir) =>
-      graft.model.MarkovNextItem.recommend(Tables.ratings(s, dir),
-        minCount = 2L, kTrans = 5, k = 5)),
+      graft.model.MarkovNextItem.recommendFrom(Tables.ratings(s, dir),
+        markovT1(s, dir), k = 5)),
 
     // two-sided CUSUM drift alarms per event type (Page 1954) —
     // baseline-mean target over the first 10 days, the q179
@@ -2511,16 +2526,14 @@ object SparkEntry {
 
     // order-2 Markov transitions (session-based higher-order baseline):
     // consecutive timeline triples, minSupport-pruned state space
-    "q171_markov2_transitions" -> ((s, dir) =>
-      graft.model.MarkovNextItem.transitions2(Tables.ratings(s, dir),
-        minCount = 2L, k = 5)),
+    "q171_markov2_transitions" -> ((s, dir) => markovT2(s, dir)),
 
     // serve order-2 with order-1 backoff: last-two-items context, per
     // user; users whose order-2 context yields no unseen candidate
     // fall back to the first-order table (ord marks which served)
     "q172_markov2_recs" -> ((s, dir) =>
-      graft.model.MarkovNextItem.recommendBackoff(Tables.ratings(s, dir),
-        minCount = 2L, kTrans = 5, k = 5)),
+      graft.model.MarkovNextItem.recommendBackoffFrom(Tables.ratings(s, dir),
+        markovT2(s, dir), markovT1(s, dir), k = 5)),
 
     // windowed PMI association scores (Church & Hanks; SGNS
     // factorizes shifted PMI) over the offset-aggregated q134 matrix

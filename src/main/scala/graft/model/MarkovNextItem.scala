@@ -36,8 +36,14 @@ object MarkovNextItem {
     * (fall back to popularity upstream).
     *
     * @return (user_id, item_id, cnt, rank ≤ k) */
-  def recommend(ratings: DataFrame, minCount: Long, kTrans: Int, k: Int): DataFrame = {
-    val trans = transitions(ratings, minCount, kTrans)
+  def recommend(ratings: DataFrame, minCount: Long, kTrans: Int, k: Int): DataFrame =
+    recommendFrom(ratings, transitions(ratings, minCount, kTrans), k)
+
+  /** [[recommend]] over a PREBUILT transition table — the shared-
+    * materialization entry point (r15): q155/q157/q172 all need the
+    * same `transitions(ratings, 2, 5)` and previously each rebuilt the
+    * full sorted-timeline aggregate; SparkEntry memoizes one. */
+  def recommendFrom(ratings: DataFrame, trans: DataFrame, k: Int): DataFrame = {
     val last = TopK.perGroup(
       ratings.select("user_id", "item_id", "ts"),
       Seq("user_id"), "ts", Seq("item_id"), 1)
@@ -89,9 +95,14 @@ object MarkovNextItem {
     * cut, never a timeline window.
     *
     * @return (user_id, item_id, cnt, ord, rank ≤ k) */
-  def recommendBackoff(ratings: DataFrame, minCount: Long, kTrans: Int, k: Int): DataFrame = {
-    val t2 = transitions2(ratings, minCount, kTrans)
-    val t1 = transitions(ratings, minCount, kTrans)
+  def recommendBackoff(ratings: DataFrame, minCount: Long, kTrans: Int, k: Int): DataFrame =
+    recommendBackoffFrom(ratings, transitions2(ratings, minCount, kTrans),
+      transitions(ratings, minCount, kTrans), k)
+
+  /** [[recommendBackoff]] over PREBUILT order-2/order-1 tables (the
+    * recommendFrom sharing discipline). */
+  def recommendBackoffFrom(ratings: DataFrame, t2: DataFrame, t1: DataFrame,
+                           k: Int): DataFrame = {
     val lastTwo = TopK.perGroup(
       ratings.select("user_id", "item_id", "ts"),
       Seq("user_id"), "ts", Seq("item_id"), 2)
