@@ -263,7 +263,9 @@ object Bench {
         // loaded old gen. Results still compute from parquet every
         // draw — nothing here survives to the next query's plan.
         SparkEntry.releaseFamilyMemosAfter(name, spark)
-        System.gc()
+        // SPARK_GRAFT_GC_SWEEP=0 disables the per-query full GC (A/B
+        // hook; the memo release above always runs)
+        if (!sys.env.get("SPARK_GRAFT_GC_SWEEP").contains("0")) System.gc()
         rec
       }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
